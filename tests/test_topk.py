@@ -1,0 +1,81 @@
+"""Flagship cosine top-k: reference semantics (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.functions.vector import cosine_score, cosine_score_pandas
+from vectolite_spark.operators.topk import topk_ids, topk_search
+from vectolite_spark.schema import load_table
+
+
+def _py_cosine(a, b):
+    dot = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(y) ** 2 for y in b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def test_cosine_matches_reference_math(spark):
+    rows = [
+        (1, [1.0, 0.0, 2.0]),
+        (2, [-1.0, 0.5, 0.25]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm guard -> 0.0 (vectolite.py:159-162)
+        (4, [-1.0, -1.0, -1.0]),  # negative scores preserved, not clamped
+    ]
+    q = [1.0, 1.0, 1.0]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", cosine_score("embedding", q).alias("s")).collect()
+    }
+    for i, emb in rows:
+        assert got[i] == pytest.approx(_py_cosine(emb, q), abs=1e-12)
+    assert got[3] == 0.0
+    assert got[4] < 0.0
+
+
+def test_cosine_pandas_udf_agrees(spark):
+    q = [0.5, -1.0, 2.0, 0.0]
+    rows = [(i, [float(i), 1.0, -0.5 * i, 3.0]) for i in range(20)] + [(99, [0.0] * 4)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    expr = df.select("id", cosine_score("embedding", q).alias("s")).collect()
+    fast = df.select("id", cosine_score_pandas(q)(F.col("embedding")).alias("s")).collect()
+    e = {r["id"]: r["s"] for r in expr}
+    f = {r["id"]: r["s"] for r in fast}
+    for k in e:
+        assert f[k] == pytest.approx(e[k], abs=1e-12)
+
+
+def test_tie_break_ascending_id(spark):
+    # equal vectors -> equal scores -> ids ascending (verified reference
+    # behavior: stable sort in scan order, vectolite.py:171)
+    rows = [(i, [1.0, 1.0]) for i in (5, 3, 9, 1, 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in topk_ids(df, [1.0, 1.0], 3).collect()]
+    assert got == [1, 3, 5]
+
+
+def test_topk_rejects_nonpositive_k(spark):
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        topk_ids(df, [1.0], 0)
+
+
+def test_topk_search_end_to_end(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = topk_search(docs, embs, qvec, k=5).collect()
+    assert len(out) == 5
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert out[0]["doc_id"] == 0 and out[0]["score"] == pytest.approx(1.0)
+    # filtered search only returns matching lang
+    en = topk_search(docs, embs, qvec, k=5, doc_filter=F.col("lang") == "en").collect()
+    assert all(r["lang"] == "en" for r in en)

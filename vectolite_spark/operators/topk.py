@@ -1,0 +1,105 @@
+"""Exact brute-force cosine top-k search — the reference's flagship operator.
+
+Reference: ``Vectolite.query`` (/root/reference/vectolite.py:118-174):
+scan all rows -> per-row cosine -> full sort desc -> slice top_k, ties break
+in ascending-id order (verified, SURVEY.md §2.3).
+
+Spark-first plan:
+- score as a codegen column expression (functions/vector.py), no Python;
+- ``orderBy(score desc, id asc).limit(k)`` compiles to
+  **TakeOrderedAndProject**: a per-partition bounded heap + driver merge of
+  k*P rows — strictly better than the reference's full O(N log N) sort and
+  shuffle-free (no exchange; only the k-row result moves).
+- document texts are attached AFTER the top-k, by pushing ``doc_id IN (ids)``
+  into the documents parquet scan (row-group stat skipping). At 100 TB you
+  never join the full documents table just to label k rows.
+
+Determinism contract for the oracle: order on the ROUNDED score (6 dp) with
+id ascending tie-break, so Spark and DuckDB select identical row sets even
+when raw doubles differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectolite_spark.functions.vector import cosine_score
+
+SCORE_DECIMALS = 6
+
+
+def score_embeddings(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    id_col: str = "vec_id",
+    decimals: int = SCORE_DECIMALS,
+) -> DataFrame:
+    """Project (id, score) with the reference's cosine semantics."""
+    return embeddings.select(
+        F.col(id_col),
+        F.round(cosine_score(F.col("embedding"), qvec), decimals).alias("score"),
+    )
+
+
+def topk_ids(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k (id, score): TakeOrderedAndProject, ties -> ascending id."""
+    if k <= 0:
+        raise ValueError("top_k must be positive")  # vectolite.py:131-138 guard
+    return (
+        score_embeddings(embeddings, qvec, id_col=id_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def topk_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    doc_filter: Column | None = None,
+) -> DataFrame:
+    """Flagship query: cosine top-k with document payload attached.
+
+    ``doc_filter`` (e.g. ``col("lang") == "en"``) implements metadata-filtered
+    search: the predicate is applied BEFORE top-k via a semi-join on the
+    filtered doc ids, so the heap only sees eligible rows.
+
+    Returns (doc_id, score, lang, source, text) ordered score desc, id asc.
+    """
+    embs = embeddings
+    docs = documents
+    if doc_filter is not None:
+        eligible = docs.filter(doc_filter).select(F.col("doc_id").alias("vec_id"))
+        # documents is the small(er) side after the predicate at parity scale;
+        # at 100 TB both are big -> this is a shuffle-free broadcast when the
+        # predicate is selective, else AQE picks sort-merge on the join key.
+        embs = embs.join(F.broadcast(eligible), "vec_id")
+
+    top = topk_ids(embs, qvec, k)
+    # k is tiny: pull the ids to the driver and push them into the documents
+    # scan as an IN-filter (parquet row-group skipping), then broadcast-join
+    # the k scored rows. No full-table join for a k-row result.
+    top_rows = top.collect()
+    ids = [r["vec_id"] for r in top_rows]
+    spark = documents.sparkSession
+    scored = spark.createDataFrame(
+        [(r["vec_id"], float(r["score"])) for r in top_rows],
+        "doc_id long, score double",
+    )
+    payload = docs.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", "lang", "source", "text"
+    )
+    return (
+        payload.join(F.broadcast(scored), "doc_id")
+        .select("doc_id", "score", "lang", "source", "text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -1,0 +1,143 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) -> DataFrame
+callable paired with a DuckDB oracle SQL string (driver contract, see
+``__spark_entry__.py``).
+
+Conventions that make the oracle hash-match deterministic:
+- every computed column is aliased identically in Spark and SQL;
+- doubles are rounded (6 dp scores, 2 dp money) on BOTH sides;
+- sums over money use exact DECIMAL accumulation cast back to DOUBLE;
+- every top-k / limit has an explicit total-order tie-break;
+- timestamps leave the result as epoch seconds (BIGINT) — timezone-proof.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators import topk as topk_op
+from vectolite_spark.schema import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The 'embed the query' step (reference vectolite.py:141) — driver-side,
+    one tiny lookup; the vector ships into the plan as a literal."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# --------------------------------------------------------------------------
+# Flagship: exact brute-force cosine top-k (SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+_COSINE_SCORED = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(
+           CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_dot_product(q.qv, q.qv) = 0
+                THEN 0.0
+                ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv)))
+           END, 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+"""
+
+
+@register(
+    "flagship_topk",
+    _COSINE_SCORED
+    + """
+, top AS (
+  SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+)
+SELECT d.doc_id, t.score, d.lang, d.source, d.text
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+""",
+)
+def flagship_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qvec = _query_vector(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    return topk_op.topk_search(docs, embs, qvec, k=10)
+
+
+@register(
+    "topk_filtered",
+    _COSINE_SCORED
+    + """
+, eligible AS (
+  SELECT s.vec_id, s.score FROM scored s
+  JOIN documents d ON d.doc_id = s.vec_id
+  WHERE d.lang = 'en'
+),
+top AS (
+  SELECT vec_id, score FROM eligible ORDER BY score DESC, vec_id ASC LIMIT 10
+)
+SELECT d.doc_id, t.score, d.lang, d.source, d.text
+FROM top t JOIN documents d ON d.doc_id = t.vec_id
+""",
+)
+def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered semantic search (SURVEY.md §2.9 extension)."""
+    qvec = _query_vector(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    return topk_op.topk_search(docs, embs, qvec, k=10, doc_filter=F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------------
+# Reference CRUD parity (SURVEY.md §2.1-2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "count_documents",
+    "SELECT COUNT(*) AS n_docs FROM documents",
+)
+def count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: SELECT COUNT(*) (vectolite.py:176-184)."""
+    return load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "point_lookup",
+    """
+SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42
+""",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: equality-predicate point lookup (vectolite.py:268-298); the
+    predicate is pushed into the parquet scan (row-group stats skipping)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
