@@ -1,0 +1,90 @@
+"""SparkVectolite facade: reference API semantics (SURVEY.md §3.3, §2.1-2.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectolite_spark.embed import stub_embedder
+from vectolite_spark.errors import VectoliteError
+from vectolite_spark.store import SparkVectolite
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SparkVectolite(spark, str(tmp_path / "db"), embed_fn=stub_embedder(dim=8))
+
+
+def test_insert_returns_sequential_ids(store):
+    assert store.insert("hello world") == 1
+    assert store.insert("second doc", {"k": 1}) == 2
+    assert store.insert_many(["a doc", "b doc"]) == [3, 4]
+    assert store.count_documents() == 4
+
+
+def test_insert_rejects_empty_text(store):
+    # vectolite.py:97-98 (verified reference behavior)
+    with pytest.raises(VectoliteError):
+        store.insert("")
+    with pytest.raises(VectoliteError):
+        store.insert("   \n\t ")
+
+
+def test_insert_without_embedder_raises(spark, tmp_path):
+    s = SparkVectolite(spark, str(tmp_path / "db2"))
+    with pytest.raises(VectoliteError):
+        s.insert("text")
+
+
+def test_metadata_json_roundtrip(store):
+    meta = {"nested": {"a": [1, 2, {"b": None}]}, "flag": True, "x": 1.5}
+    i = store.insert("with metadata", meta)
+    assert store.get_document(i)["metadata"] == meta
+    # None metadata -> {} on read (vectolite.py:168)
+    j = store.insert("no metadata")
+    assert store.get_document(j)["metadata"] == {}
+
+
+def test_query_semantics(store):
+    store.insert_many(["alpha beta", "gamma delta", "epsilon zeta"])
+    res = store.query("alpha beta", top_k=2)
+    assert len(res) == 2
+    assert res[0]["text"] == "alpha beta"  # stub embedder is deterministic per text
+    assert res[0]["score"] == pytest.approx(1.0)
+    assert set(res[0]) == {"id", "score", "text", "metadata"}
+    with pytest.raises(VectoliteError):
+        store.query("", top_k=2)
+    with pytest.raises(VectoliteError):
+        store.query("x", top_k=0)
+
+
+def test_query_empty_store_returns_empty(store):
+    assert store.query("anything", top_k=3) == []
+
+
+def test_delete_document(store):
+    i = store.insert("to delete")
+    j = store.insert("to keep")
+    assert store.delete_document(i) is True
+    assert store.delete_document(i) is False  # already gone -> found=False
+    assert store.get_document(i) is None
+    assert store.get_document(j)["text"] == "to keep"
+    # ids keep increasing past deletions (autoincrement contract)
+    assert store.insert("new doc") == j + 1
+
+
+def test_list_documents_pagination_and_truncation(store):
+    texts = [f"doc {i} " + "x" * 300 for i in range(10)]
+    store.insert_many(texts)
+    page = store.list_documents(limit=3, offset=2)
+    assert [d["id"] for d in page] == [8, 7, 6]  # created_at desc, id desc tie-break
+    assert all(d["text"].endswith("...") and len(d["text"]) == 203 for d in page)
+    assert all(d["full_text_length"] > 300 for d in page)
+    no_text = store.list_documents(limit=2, include_text=False)
+    assert "text" not in no_text[0]
+
+
+def test_stats(store):
+    store.insert_many(["a b c", "d e f"])
+    st = store.stats()
+    assert st["document_count"] == 2
+    assert st["db_size_mb"] >= 0.0

@@ -141,3 +141,93 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == 42)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "pagination",
+    """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, ROUND(value, 6) AS value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 50 OFFSET 100
+""",
+)
+def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: ORDER BY ... DESC LIMIT/OFFSET pagination (vectolite.py:201-266),
+    with an explicit id tie-break (reference leaves same-second order
+    unspecified). Timestamps surface as epoch microseconds — timezone-proof
+    against the oracle."""
+    from vectolite_spark.operators.relational import list_documents  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .offset(100)
+        .limit(50)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+@register(
+    "projection_truncate",
+    """
+SELECT doc_id,
+       CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
+            ELSE text END AS text_preview,
+       length(text) AS full_text_length
+FROM documents
+""",
+)
+def projection_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+F2+F3: list-documents projection with the reference's truncation
+    (text[:n] + '...' iff longer; vectolite.py:241-249)."""
+    from vectolite_spark.operators.relational import truncate_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        truncate_text("text", 100).alias("text_preview"),
+        F.length("text").alias("full_text_length"),
+    )
+
+
+@register(
+    "delete_as_filter",
+    "SELECT doc_id, n_chars FROM documents WHERE doc_id <> 42",
+)
+def delete_as_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: delete as immutable anti-filter rewrite (vectolite.py:186-199)."""
+    from vectolite_spark.operators.relational import delete_where
+
+    docs = load_table(spark, sf_dir, "documents")
+    return delete_where(docs, F.col("doc_id") == 42).select("doc_id", "n_chars")
+
+
+@register(
+    "json_access",
+    """
+SELECT json_extract_string(props, '$.k') AS k_val,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(value AS DECIMAL(18, 6)))::DOUBLE, 4) AS sum_value
+FROM events
+GROUP BY k_val
+""",
+)
+def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: JSON metadata field access (vectolite.py:168,250) + group-agg.
+    Sums accumulate in exact DECIMAL on both engines, then cast to double —
+    bit-identical regardless of partial-aggregation order."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").alias("k_val")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_value"),
+    )

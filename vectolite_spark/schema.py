@@ -42,5 +42,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan; Catalyst handles column pruning + filter pushdown."""
+    """Parquet scan; Catalyst handles column pruning + filter pushdown.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as nanos-long (legacy conf) and normalize to
+    a microsecond TimestampType (integer div — no double round-trip, which
+    would lose precision above 2^53 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,246 @@
+"""SparkVectolite — the reference's public API surface over a parquet store.
+
+Compatibility facade (SURVEY.md §3.3): same six methods as the reference
+``Vectolite`` class (/root/reference/vectolite.py:45-298) — insert, query,
+count_documents, delete_document, list_documents, get_document — plus the
+batch-first ``insert_many`` that a Spark engine actually wants (the reference
+embeds and commits one row per call; we embed per Arrow batch and append
+once, SURVEY.md §4.1 'Batching').
+
+Store layout: a parquet directory with the DOCUMENT_STORE_SCHEMA
+(id, text, metadata JSON-string, embedding array<float>, created_at).
+At 100 TB this directory becomes a partitioned table (by ingest date or
+source) on a table format with ACID deletes (Delta/Iceberg); the facade's
+semantics don't change, only `_rewrite` stops being O(table).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectolite_spark.errors import VectoliteError
+from vectolite_spark.operators.relational import truncate_text
+from vectolite_spark.operators.topk import SCORE_DECIMALS
+from vectolite_spark.functions.vector import cosine_score
+from vectolite_spark.schema import DOCUMENT_STORE_SCHEMA
+
+EmbedFn = Callable[[list[str]], list[list[float]]]
+
+
+class SparkVectolite:
+    """Parquet-backed document+vector store with the reference's semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        embed_fn: EmbedFn | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.embed_fn = embed_fn
+        os.makedirs(path, exist_ok=True)
+
+    # -- internals ---------------------------------------------------------
+
+    def _exists(self) -> bool:
+        return any(n.endswith(".parquet") for n in os.listdir(self.path))
+
+    def df(self) -> DataFrame:
+        """The documents table as a DataFrame (empty if nothing inserted)."""
+        if not self._exists():
+            return self.spark.createDataFrame([], DOCUMENT_STORE_SCHEMA)
+        return self.spark.read.schema(DOCUMENT_STORE_SCHEMA).parquet(self.path)
+
+    def _max_id(self) -> int:
+        if not self._exists():
+            return 0
+        row = self.df().agg(F.max("id").alias("m")).first()
+        return int(row["m"] or 0)
+
+    def _dim(self) -> int | None:
+        """Stored embedding dimension (None for an empty store). The
+        reference stores no dimension and crashes at query time on mismatch
+        (SURVEY.md §1.2); we validate explicitly at insert AND query."""
+        if not self._exists():
+            return None
+        row = self.df().select(F.size("embedding").alias("d")).first()
+        return None if row is None else int(row["d"])
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Immutable rewrite for delete: write-new + swap (plain parquet)."""
+        tmp = self.path.rstrip("/") + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        bak = self.path.rstrip("/") + ".bak"
+        os.rename(self.path, bak)
+        os.rename(tmp, self.path)
+        import shutil
+
+        shutil.rmtree(bak)
+
+    # -- reference API (vectolite.py:81-298) -------------------------------
+
+    def insert(self, text: str, metadata: dict | None = None) -> int:
+        """S2: embed one text, append one row, return its id."""
+        return self.insert_many([text], [metadata])[0]
+
+    def insert_many(
+        self,
+        texts: Sequence[str],
+        metadatas: Sequence[dict | None] | None = None,
+        embeddings: Sequence[Sequence[float]] | None = None,
+    ) -> list[int]:
+        """Batch insert: one embed call, one append job (the Spark-first
+        inversion of the reference's per-row transaction, SURVEY.md §3.2)."""
+        texts = list(texts)
+        for t in texts:
+            if not isinstance(t, str) or not t.strip():
+                raise VectoliteError("Document text cannot be empty")  # vectolite.py:97-98
+        if embeddings is None:
+            if self.embed_fn is None:
+                raise VectoliteError("No embedding function configured")  # vectolite.py:94-95
+            embeddings = self.embed_fn(texts)
+        if metadatas is None:
+            metadatas = [None] * len(texts)
+        dims = {len(e) for e in embeddings}
+        if len(dims) > 1:
+            raise VectoliteError(f"Inconsistent embedding dimensions in batch: {sorted(dims)}")
+        stored = self._dim()
+        if stored is not None and dims and dims != {stored}:
+            raise VectoliteError(
+                f"Embedding dimension mismatch: store has {stored}, got {dims.pop()}"
+            )
+        start = self._max_id() + 1
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            (
+                start + i,
+                t,
+                json.dumps(m or {}),
+                [float(x) for x in e],
+                now,
+            )
+            for i, (t, m, e) in enumerate(zip(texts, metadatas, embeddings))
+        ]
+        df = self.spark.createDataFrame(rows, DOCUMENT_STORE_SCHEMA)
+        df.write.mode("append").parquet(self.path)
+        return list(range(start, start + len(texts)))
+
+    def query(self, query_text: str, top_k: int = 3) -> list[dict]:
+        """Flagship search (vectolite.py:118-174): embed -> cosine ->
+        top-k (score desc, id asc), metadata JSON-decoded in the result."""
+        if not query_text or not query_text.strip():
+            raise VectoliteError("Query text cannot be empty")  # vectolite.py:134
+        if top_k <= 0:
+            raise VectoliteError("top_k must be positive")  # vectolite.py:136-138
+        if self.embed_fn is None:
+            raise VectoliteError("No embedding function configured")
+        qvec = [float(x) for x in self.embed_fn([query_text])[0]]
+        stored = self._dim()
+        if stored is not None and len(qvec) != stored:
+            raise VectoliteError(
+                f"Embedding dimension mismatch: store has {stored}, query has {len(qvec)}"
+            )
+        out = (
+            self.df()
+            .select(
+                "id",
+                "text",
+                "metadata",
+                F.round(cosine_score(F.col("embedding"), qvec), SCORE_DECIMALS).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(top_k)
+            .collect()
+        )
+        return [
+            {
+                "id": r["id"],
+                "score": float(r["score"]),
+                "text": r["text"],
+                "metadata": json.loads(r["metadata"] or "{}"),
+            }
+            for r in out
+        ]
+
+    def count_documents(self) -> int:
+        """A1 (vectolite.py:176-184)."""
+        return self.df().count()
+
+    def delete_document(self, doc_id: int) -> bool:
+        """P3 (vectolite.py:186-199): returns True iff the row existed."""
+        df = self.df()
+        if df.filter(F.col("id") == doc_id).limit(1).count() == 0:
+            return False
+        self._rewrite(df.filter(F.col("id") != doc_id))
+        return True
+
+    def get_document(self, doc_id: int) -> dict | None:
+        """P2 (vectolite.py:268-298): point lookup, metadata decoded."""
+        r = self.df().filter(F.col("id") == doc_id).first()
+        if r is None:
+            return None
+        return {
+            "id": r["id"],
+            "text": r["text"],
+            "metadata": json.loads(r["metadata"] or "{}"),
+            "created_at": r["created_at"],
+        }
+
+    def list_documents(
+        self,
+        limit: int = 50,
+        offset: int = 0,
+        include_text: bool = True,
+        max_text: int = 200,
+    ) -> list[dict]:
+        """A3+P1 (vectolite.py:201-266): created_at DESC pagination with
+        id DESC tie-break (the reference's second-granularity timestamps
+        leave same-second order unspecified; we pin it, SURVEY.md §2.4)."""
+        df = (
+            self.df()
+            .orderBy(F.desc("created_at"), F.desc("id"))
+            .offset(offset)
+            .limit(limit)
+        )
+        cols = [
+            F.col("id"),
+            F.col("metadata"),
+            F.col("created_at"),
+        ]
+        if include_text:
+            cols.insert(1, truncate_text("text", max_text).alias("text"))
+            cols.append(F.length("text").alias("full_text_length"))
+        rows = df.select(*cols).collect()
+        out = []
+        for r in rows:
+            d = {
+                "id": r["id"],
+                "metadata": json.loads(r["metadata"] or "{}"),
+                "created_at": r["created_at"],
+            }
+            if include_text:
+                d["text"] = r["text"]
+                d["full_text_length"] = r["full_text_length"]
+            out.append(d)
+        return out
+
+    def stats(self) -> dict:
+        """A2 (vectolite.py:538-555): doc count + storage bytes (FS listing
+        of the parquet dir stands in for the SQLite file size)."""
+        size = 0
+        for root, _dirs, files in os.walk(self.path):
+            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return {
+            "document_count": self.count_documents(),
+            "db_size_mb": round(size / 1024 / 1024, 2),
+            "db_path": self.path,
+        }
