@@ -1,0 +1,109 @@
+"""Chunker: differential tests vs the reference implementation + properties.
+
+The reference module is imported directly from /root/reference with its CLI
+deps (typer/rich) stubbed, so every case compares OUR implementation against
+the REAL reference behavior, not a transcription of it (SURVEY.md §5.2 item 2).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectolite_spark.chunk import chunk_text, explode_chunks
+
+
+@pytest.fixture(scope="module")
+def ref_chunk():
+    for name in ("typer", "rich", "rich.console"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+    sys.modules["typer"].Typer = lambda *a, **k: types.SimpleNamespace(
+        command=lambda *a, **k: (lambda f: f)
+    )
+    sys.modules["typer"].BadParameter = ValueError
+    sys.modules["typer"].Option = lambda *a, **k: None
+    sys.modules["typer"].Argument = lambda *a, **k: None
+    sys.modules["rich"].print = print
+    sys.modules["rich.console"].Console = lambda *a, **k: types.SimpleNamespace()
+    sys.path.insert(0, "/root/reference")
+    import vectolite as ref
+
+    yield ref.chunk_text
+    sys.path.remove("/root/reference")
+
+
+CASES = [
+    ("", 2000, 200),
+    ("   \n\t  ", 2000, 200),
+    ("single short paragraph", 2000, 200),
+    ("para one\n\npara two\n\npara three", 20, 5),
+    ("a" * 5000, 2000, 200),  # oversized paragraph: never split
+    ("a" * 990 + "\n\n" + "b" * 990, 1000, 200),  # overlap carry exceeds max
+    ("x\n\n\n\ny\n\n  \n\nz", 10, 3),  # empty paragraphs dropped
+    ("p1\n\np2\n\np3\n\np4\n\np5", 8, 0),  # zero overlap
+    ("p1\n\np2\n\np3", 8, 100),  # overlap >= chunk length -> no carry
+    ("word " * 1000, 2000, 200),  # no paragraph breaks at all
+]
+
+
+@pytest.mark.parametrize("text,mc,ov", CASES)
+def test_differential_vs_reference(ref_chunk, text, mc, ov):
+    assert chunk_text(text, mc, ov) == ref_chunk(text, mc, ov)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    paras=st.lists(st.text(alphabet="ab \n", max_size=30), max_size=8),
+    mc=st.integers(min_value=1, max_value=60),
+    ov=st.integers(min_value=0, max_value=30),
+)
+def test_differential_property(paras, mc, ov):
+    # build texts with explicit paragraph structure + edge whitespace
+    text = "\n\n".join(paras)
+    import importlib
+
+    ref = sys.modules.get("vectolite")
+    if ref is None:
+        pytest.skip("reference not importable here")
+    assert chunk_text(text, mc, ov) == ref.chunk_text(text, mc, ov)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    text=st.text(alphabet="xy z\n", max_size=200),
+    mc=st.integers(min_value=5, max_value=50),
+    ov=st.integers(min_value=0, max_value=10),
+)
+def test_chunk_invariants(text, mc, ov):
+    chunks = chunk_text(text, mc, ov)
+    for c in chunks:
+        assert c == c.strip() and c  # stripped, non-empty
+        assert len(c) <= max(mc, max(len(p.strip()) for p in text.split("\n\n") if p.strip())) + ov + 2
+    if not text.strip():
+        assert chunks == []
+
+
+def test_explode_chunks_pipeline(spark):
+    rows = [
+        (1, "para one\n\npara two\n\npara three"),
+        (2, "short"),
+        (3, "   "),  # no chunks -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = explode_chunks(df, max_chars=12, overlap=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["chunk_text"] for r in sorted(by_doc[1], key=lambda r: r["chunk_index"])] == chunk_text(
+        rows[0][1], 12, 3
+    )
+    assert all(r["total_chunks"] == len(by_doc[1]) for r in by_doc[1])
+    assert all(r["chunk_index"] < r["total_chunks"] for r in out)
+    assert by_doc[2][0]["chunk_text"] == "short"

@@ -1,0 +1,137 @@
+"""File-ingest pipeline (U5, /root/reference/vectolite.py:483-535).
+
+Reference flow: validate path (.txt/.md only) -> read UTF-8 -> merge
+``{"source", "filename"}`` into metadata -> chunk -> per-chunk metadata
+``{chunk_index, total_chunks}`` -> insert each chunk one at a time (one
+embed call + one transaction per chunk).
+
+Spark-first inversion (SURVEY.md §3.2): ONE declarative pipeline —
+``spark.read.text(wholetext=True)`` over a glob -> chunk UDF + posexplode ->
+Arrow-batched embedding UDF -> single append job. N files land in one job
+with one write; embedding runs once per Arrow batch, not once per chunk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectolite_spark.chunk import DEFAULT_MAX_CHARS, DEFAULT_OVERLAP, explode_chunks
+from vectolite_spark.embed import embed_column
+from vectolite_spark.errors import VectoliteError
+
+ALLOWED_SUFFIXES = (".txt", ".md")  # vectolite.py:418-420
+
+
+def validate_file_path(file_path: str) -> str:
+    """S3 validation (vectolite.py:412-421): exists, is a file, .txt/.md."""
+    if not os.path.exists(file_path):
+        raise VectoliteError(f"File does not exist: {file_path}")
+    if not os.path.isfile(file_path):
+        raise VectoliteError(f"Path is not a file: {file_path}")
+    if not file_path.lower().endswith(ALLOWED_SUFFIXES):
+        raise VectoliteError("Unsupported file type. Use .txt or .md files.")
+    return file_path
+
+
+def read_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Whole-file text source with the reference's source/filename metadata
+    (vectolite.py:507-508), via ``input_file_name()`` — one row per file."""
+    from vectolite_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    if isinstance(paths, str):
+        paths = [paths]
+    for p in paths:
+        if "*" not in p and "?" not in p:
+            validate_file_path(p)
+    df = spark.read.text(paths, wholetext=True)
+    return df.select(
+        F.input_file_name().alias("source"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+        F.col("value").alias("text"),
+    )
+
+
+def ingest_pipeline(
+    files_df: DataFrame,
+    base_metadata: dict | None = None,
+    chunk: bool = True,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    overlap: int = DEFAULT_OVERLAP,
+    embed_provider: str = "stub",
+    embed_dim: int = 64,
+) -> DataFrame:
+    """files(source, filename, text) -> chunk rows with JSON metadata and
+    embeddings, ready to append to a SparkVectolite store.
+
+    Output: (text, metadata, embedding) — metadata is the reference's merged
+    JSON: base + source + filename + chunk_index + total_chunks.
+    """
+    base = json.dumps(base_metadata or {})
+    if chunk:
+        rows = explode_chunks(
+            files_df, text_col="text", max_chars=max_chars, overlap=overlap
+        ).withColumnRenamed("chunk_text", "text")
+    else:
+        rows = files_df.withColumn("chunk_index", F.lit(0)).withColumn(
+            "total_chunks", F.lit(1)
+        )
+    rows = rows.filter(F.trim("text") != "")  # reference rejects empty inserts
+
+    # dict-merge with the reference's exact precedence (vectolite.py:507-508,
+    # 521-525): base user metadata, overridden by source/filename, then
+    # chunk_index/total_chunks. Python UDF so JSON value types round-trip
+    # (map_concat over map<string,string> would stringify numbers/bools).
+    def _merge(src, fn, ci, tc):
+        return json.dumps(
+            {
+                **json.loads(base),
+                "source": src,
+                "filename": fn,
+                "chunk_index": ci,
+                "total_chunks": tc,
+            }
+        )
+
+    merge_udf = F.udf(_merge, "string")
+    return rows.select(
+        F.col("text"),
+        merge_udf("source", "filename", "chunk_index", "total_chunks").alias("metadata"),
+        embed_column(embed_provider, dim=embed_dim)(F.col("text")).alias("embedding"),
+    )
+
+
+def ingest_files(
+    store,
+    paths: list[str] | str,
+    base_metadata: dict | None = None,
+    chunk: bool = True,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    overlap: int = DEFAULT_OVERLAP,
+    embed_provider: str = "stub",
+    embed_dim: int = 64,
+) -> int:
+    """End-to-end: files -> chunks -> embeddings -> store append.
+    Returns the number of chunks ingested."""
+    files_df = read_files(store.spark, paths)
+    out = ingest_pipeline(
+        files_df,
+        base_metadata=base_metadata,
+        chunk=chunk,
+        max_chars=max_chars,
+        overlap=overlap,
+        embed_provider=embed_provider,
+        embed_dim=embed_dim,
+    ).collect()
+    if not out:
+        return 0
+    store.insert_many(
+        [r["text"] for r in out],
+        metadatas=[json.loads(r["metadata"]) for r in out],
+        embeddings=[list(r["embedding"]) for r in out],
+    )
+    return len(out)

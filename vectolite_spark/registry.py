@@ -26,7 +26,15 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from vectolite_spark.session import ensure_shipped
+
+            ensure_shipped(spark)  # python workers must import this package
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -206,6 +214,28 @@ def delete_as_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return delete_where(docs, F.col("doc_id") == 42).select("doc_id", "n_chars")
+
+
+@register("chunk_documents")  # rows-only: greedy chunker is not SQL-expressible;
+# its oracle is the differential test suite vs the executed reference
+# implementation (tests/test_chunk.py)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U5: chunk-explode pipeline. Documents are single-paragraph, so we
+    synthesize paragraph structure (text repeated 3x blank-line-joined) to
+    exercise packing + overlap carry, then chunk at max_chars=300."""
+    from vectolite_spark.chunk import explode_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n\n", "text", "text", "text").alias("text"),
+    )
+    out = explode_chunks(docs, max_chars=300, overlap=30)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "total_chunks",
+        F.length("chunk_text").alias("chunk_len"),
+    )
 
 
 @register(

@@ -13,8 +13,40 @@ Scale notes (100 TB design, tested on local[N]):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the vectolite_spark package to executor python workers.
+
+    Python UDFs (chunker, embedders, multimodal decoders) are cloudpickled
+    by reference to this module, so every python worker must be able to
+    import it. The driver may run from any cwd — we zip the package once
+    per application and ``addPyFile`` it (the standard way to distribute a
+    repo-local package to a cluster without installing it).
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    import vectolite_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(vectolite_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"vectolite_spark_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith((".pyc", ".pyo")):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(

@@ -42,9 +42,12 @@ class SparkVectolite:
         path: str,
         embed_fn: EmbedFn | None = None,
     ):
+        from vectolite_spark.session import ensure_shipped
+
         self.spark = spark
         self.path = path
         self.embed_fn = embed_fn
+        ensure_shipped(spark)
         os.makedirs(path, exist_ok=True)
 
     # -- internals ---------------------------------------------------------
