@@ -61,6 +61,40 @@ def test_tie_break_ascending_id(spark):
     assert got == [1, 3, 5]
 
 
+def test_arrow_and_expr_paths_agree(spark, sf_dir):
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    arrow = [(r["vec_id"], r["score"]) for r in topk_ids(embs, qvec, 20).collect()]
+    expr = [
+        (r["vec_id"], r["score"])
+        for r in topk_ids(embs, qvec, 20, method="expr").collect()
+    ]
+    assert arrow == expr
+
+
+def test_topk_batch_matches_single(spark, sf_dir):
+    from vectolite_spark.operators.topk import topk_batch
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id").isin([3, 77])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = topk_batch(queries, embs, k=5).collect()
+    for qid in (3, 77):
+        qvec = [float(x) for x in embs.filter(F.col("vec_id") == qid).first()["embedding"]]
+        single = [(r["vec_id"], r["score"]) for r in topk_ids(embs, qvec, 5).collect()]
+        got = [
+            (r["vec_id"], r["score"])
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid), key=lambda r: r["rn"]
+            )
+        ]
+        assert got == single
+
+
 def test_topk_rejects_nonpositive_k(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):

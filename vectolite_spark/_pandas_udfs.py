@@ -1,8 +1,56 @@
 """Package-level pandas UDF constructors (no ``from __future__ import
 annotations`` — pandas_udf needs resolvable type hints)."""
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+
+
+def make_batch_topk_mapper(qids, qvecs, k):
+    """mapInPandas mapper: per Arrow batch, score ALL queries against the
+    batch with ONE (N x d) @ (d x Q) matmul and emit each query's local
+    top-k rows, selected by the exact global ordering (rounded score desc,
+    vec_id asc) so the downstream merge never misses a global winner.
+
+    Output per batch: <= k * Q rows — the distributed partial top-k that
+    makes batch similarity search shuffle only k*P*Q rows instead of N*Q.
+    """
+    qarr = np.asarray(qvecs, dtype=np.float64)  # Q x d
+    qn = np.sqrt((qarr * qarr).sum(axis=1))  # Q
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    def mapper(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf["vec_id"].to_numpy()
+            dn = np.sqrt((mat * mat).sum(axis=1))  # N
+            scores = mat @ qarr.T  # N x Q
+            denom = np.outer(dn, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom == 0.0, 0.0, scores / denom)
+            scores = np.round(scores, 6)
+            out_q, out_id, out_s = [], [], []
+            for j in range(len(qid_arr)):
+                col = scores[:, j]
+                # exact (score desc, id asc) selection: lexsort's LAST key is
+                # the primary sort key
+                order = np.lexsort((ids, -col))
+                if len(order) > k:
+                    order = order[:k]
+                out_q.append(np.full(len(order), qid_arr[j], dtype=np.int64))
+                out_id.append(ids[order])
+                out_s.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    return mapper
 
 
 def make_embed_udf(provider="stub", dim=64, model=None):

@@ -49,15 +49,75 @@ def topk_ids(
     qvec: Sequence[float],
     k: int,
     id_col: str = "vec_id",
+    method: str = "arrow",
 ) -> DataFrame:
-    """Top-k (id, score): TakeOrderedAndProject, ties -> ascending id."""
+    """Top-k (id, score), ties -> ascending id.
+
+    method="arrow" (default): partition-local NumPy partial top-k via
+    mapInPandas, then TakeOrderedAndProject over <= k*P survivors. The
+    selection inside each batch uses the same total order (rounded score
+    desc, id asc) as the final merge, so results are exact.
+
+    method="expr": pure column-expression scoring (zip_with/aggregate).
+    Semantically identical; Spark evaluates higher-order-function lambdas
+    interpreted (outside codegen), so it is the slow path — kept for
+    differential testing and environments without Arrow.
+    """
     if k <= 0:
         raise ValueError("top_k must be positive")  # vectolite.py:131-138 guard
-    return (
-        score_embeddings(embeddings, qvec, id_col=id_col)
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+    if method == "expr":
+        scored = score_embeddings(embeddings, qvec, id_col=id_col)
+    else:
+        from vectolite_spark._pandas_udfs import make_batch_topk_mapper
+
+        mapper = make_batch_topk_mapper([0], [list(map(float, qvec))], k)
+        scored = (
+            embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+            .mapInPandas(mapper, schema="query_id long, vec_id long, score double")
+            .select(F.col("vec_id").alias(id_col), "score")
+        )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def topk_batch(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Many-query similarity join: top-k per query vector.
+
+    Plan: the query set (small — it's a literal working set, not a table)
+    ships inside the mapInPandas closure; each embeddings partition scores
+    ALL queries with one (N x d) @ (d x Q) matmul and emits its local top-k
+    per query — so only k*P*Q candidate rows reach the single shuffle on
+    query_id for the final window merge, never the N*Q scored relation.
+    For huge Q (query set is itself a table) the scale path is the LSH
+    index (operators/ann.py), which prunes candidates before scoring.
+
+    Returns (query_id, vec_id, score, rn) with rn in 1..k, ties -> id asc.
+    """
+    from pyspark.sql import Window
+
+    from vectolite_spark._pandas_udfs import make_batch_topk_mapper
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    mapper = make_batch_topk_mapper(
+        [r[qid_col] for r in qrows],
+        [[float(x) for x in r[qvec_col]] for r in qrows],
+        k,
     )
+    partial = (
+        embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+        .mapInPandas(mapper, schema="query_id long, vec_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    out = partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    if id_col != "vec_id":
+        out = out.withColumnRenamed("vec_id", id_col)
+    return out.withColumnRenamed("query_id", qid_col) if qid_col != "query_id" else out
 
 
 def topk_search(

@@ -1,0 +1,58 @@
+"""Window-function operators: per-group top-n and sessionization.
+
+These generalize the reference's only rank-like computation (the global
+top-k slice, SURVEY.md §2.4 A4) to grouped/windowed forms — the shapes a
+training-data pipeline needs (top-k per query in batch search, session
+assembly over event streams).
+
+Scale notes: both operators shuffle exactly once, on the partition key
+(query id / user id). Skewed keys are handled by AQE skew-join/partition
+splitting; the per-partition sort is bounded by the group size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topn_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """row_number() <= n per group, with the caller's total-order tie-break."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event of the same user exceeds ``gap_seconds``. Gap arithmetic runs on
+    epoch microseconds — timezone-proof and oracle-matchable.
+
+    Adds ``session_id`` (1-based per user, by time order).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

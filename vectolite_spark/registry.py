@@ -238,6 +238,273 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Relational engine coverage: aggregation / joins / windows / set ops
+# (SURVEY.md §2.9 — gaps in the reference that the Spark engine fills)
+# --------------------------------------------------------------------------
+
+# orders/lineitem timestamps are parquet isAdjustedToUTC=false -> Spark reads
+# TIMESTAMP_NTZ, DuckDB reads naive TIMESTAMP: compare wall-clock to wall-clock
+# (NTZ literal), which no session timezone can shift.
+_SHIP_CUTOFF = "1999-01-01 00:00:00"
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+@register(
+    "agg_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation. Money sums accumulate in exact
+    DECIMAL (order-independent) then cast to double; the shipdate filter is
+    epoch-based (timezone-proof) and pushed into the parquet scan. Partial
+    (map-side) aggregation halves the shuffle: only 4ish groups move."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_SHIP_CUTOFF).cast("timestamp_ntz")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join. nation (25 rows) and customer are
+    broadcast — zero shuffle for those joins; only lineitem<->orders shuffles
+    on orderkey, and AQE re-plans it at runtime. Revenue in exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "window_top_orders",
+    """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n (window row_number), the grouped generalization of
+    the reference's global top-k slice (vectolite.py:171)."""
+    from vectolite_spark.operators.windows import topn_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return topn_per_group(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        n=3,
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM ordered
+GROUP BY user_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag window on epoch micros;
+    one shuffle on user_id."""
+    from vectolite_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_window_agg",
+    """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY hour_bucket, event_type
+""",
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window aggregation (epoch-bucketed — the batch
+    twin of the Structured Streaming windowed agg in streaming/)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference, planned as a broadcast left-anti join (no full
+    shuffle of the big side when the subtrahend is small)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        F.broadcast(orders.select(F.col("o_custkey").alias("c_custkey"))),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey").distinct()
+
+
+@register(
+    "grouped_doc_stats",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def grouped_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (text-analysis aggregate, SURVEY.md §2.9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "batch_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_dot_product(q.qv, q.qv) = 0
+                THEN 0.0
+                ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv)))
+           END, 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+""",
+)
+def batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-query similarity join (SURVEY.md §2.3 batch variant): broadcast
+    query set x embeddings, one shuffle on query_id for per-group top-k."""
+    from vectolite_spark.operators.topk import topk_batch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_batch(queries, embs, k=5)
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rn").cast("long").alias("rn")
+    )
+
+
 @register(
     "json_access",
     """
