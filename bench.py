@@ -44,6 +44,17 @@ REGISTRY_BENCH = [
     "json_access",
     "pagination",
     "chunk_documents",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "lang_id",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Dedup suite: behavior on synthesized near-duplicate corpora (the driver
+tables have few dups; these tests construct known ground truth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the quiet green meadow near the old stone bridge"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("quiet", "silent")),  # near dup
+        (4, "completely different text about database engines and queries"),
+        (5, "another unrelated document discussing parquet file formats"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(corpus).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper is min id
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert 2 not in out
+
+
+def test_minhash_identical_signatures_for_dups(corpus):
+    sigs = {r["doc_id"]: tuple(r[f"mh{h}"] for h in range(8))
+            for r in minhash_signatures(corpus, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup shares most minhashes, unrelated docs share none
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near >= 4
+    assert shared_far == 0
+
+
+def test_minhash_lsh_pairs_find_near_dups(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_sim"]
+             for r in minhash_lsh_pairs(corpus).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught by banding
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_dup_proximity(corpus):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert s[1] == s[2]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(s[1], s[3]) <= 4  # near dup: few bits differ
+    assert ham(s[1], s[4]) > ham(s[1], s[3])
+    groups = simhash_dup_groups(corpus).collect()
+    assert any(g["keep_id"] == 1 and g["group_size"] >= 2 for g in groups)
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(corpus, min_jaccard=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.999, 0.01, 0.0]),  # near dup of 1
+        (3, 0, [0.0, 1.0, 0.0]),  # orthogonal, same block
+        (4, 1, [1.0, 0.0, 0.0]),  # identical to 1 but different block
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in embedding_cosine_pairs(embs, min_score=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert (1, 3) not in pairs  # below threshold
+    assert (1, 4) not in pairs  # blocked apart
+
+
+def test_dedup_shuffles_hashes_not_text(corpus):
+    # plan-shape check: the exact-dedup shuffle key is the sha2 hash
+    plan = exact_dedup(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "sha2" in plan

@@ -1,0 +1,99 @@
+"""Structured Streaming: file ingest, windowed aggregation, streaming dedup."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.embed import stub_embedder
+from vectolite_spark.store import SparkVectolite
+from vectolite_spark.streaming.ingest import (
+    dedup_within_watermark,
+    stream_ingest,
+    windowed_event_counts,
+)
+
+
+def test_stream_ingest_drains_directory(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.txt").write_text("first file\n\nsecond paragraph")
+    (drop / "b.txt").write_text("second file body")
+    store = SparkVectolite(spark, str(tmp_path / "sdb"), embed_fn=stub_embedder(dim=8))
+    q = stream_ingest(
+        store, str(drop), str(tmp_path / "ckpt"), max_chars=1000, embed_dim=8
+    )
+    q.awaitTermination(120)
+    assert store.count_documents() == 2
+    names = {d["metadata"]["filename"] for d in store.list_documents()}
+    assert names == {"a.txt", "b.txt"}
+    # incremental: drop one more file, restart with same checkpoint ->
+    # only the new file is processed (no re-ingest of a/b)
+    (drop / "c.txt").write_text("third file arrives later")
+    q2 = stream_ingest(
+        store, str(drop), str(tmp_path / "ckpt"), max_chars=1000, embed_dim=8
+    )
+    q2.awaitTermination(120)
+    assert store.count_documents() == 3
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    from vectolite_spark.schema import load_table
+
+    # batch ground truth
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["hour_bucket"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # stream the same rows through a file source
+    src = tmp_path / "events_stream"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r["window_start"].timestamp() // 3600), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM winagg").collect()
+    }
+    assert got == batch
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "k1"),
+        (2, base + dt.timedelta(minutes=1), "k1"),  # dup key within horizon
+        (3, base + dt.timedelta(minutes=2), "k2"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, key string")
+    src = tmp_path / "dedup_stream"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = dedup_within_watermark(stream, ["key"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT key, count(*) AS n FROM dedupq GROUP BY key").collect()
+    assert {r["key"]: r["n"] for r in got} == {"k1": 1, "k2": 1}

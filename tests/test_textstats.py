@@ -1,0 +1,85 @@
+"""Text analysis: lang-ID, quality, token counts, fingerprints + ANN IVF."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.ann import build_centroids, ivf_topk, nearest_centroid
+from vectolite_spark.operators.textstats import (
+    fingerprint,
+    predict_lang,
+    quality_features,
+    token_counts,
+)
+
+
+def test_predict_lang_markers(spark):
+    rows = [
+        (1, "the cat and the dog is in that house"),
+        (2, "der hund und die katze ist nicht hier"),
+        (3, "el perro y la casa es que de los"),
+        (4, "xyzzy plugh"),  # no markers anywhere -> tie -> alphabetical first
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred"] for r in df.select("doc_id", predict_lang("text").alias("pred")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "es"
+    assert got[4] == "de"  # deterministic tie-break
+
+
+def test_quality_features(spark):
+    rows = [
+        (1, "the and of to is in that it a good fluent sentence, with punctuation."),
+        (2, "zrqx kplm wvnt"),  # junk: no stopwords, no punctuation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert got[1]["quality"] > got[2]["quality"]
+    assert got[2]["n_stop"] == 0 and got[2]["n_punct"] == 0
+    assert got[1]["n_tokens"] == 14
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello, world! it's 2024")], "doc_id long, text string")
+    r = token_counts(df).first()
+    assert r["ws_tokens"] == 4
+    # hello , world ! it ' s 2024 -> 8 BPE-ish tokens
+    assert r["bpe_tokens"] == 8
+
+
+def test_fingerprint_detects_shared_content(spark):
+    rows = [
+        (1, "identical fingerprint text body"),
+        (2, "identical fingerprint text body"),
+        (3, "totally different content here"),
+        (4, "tiny"),  # shorter than the 8-gram -> whole-text md5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    assert len(fps[4]) == 32
+
+
+def test_ivf_centroids_and_search(spark):
+    # two well-separated clusters; centroid build must be exact
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, [1.1, -0.1]),
+        (4, 1, [0.0, 1.0]), (5, 1, [0.1, 0.9]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cents = {r["cluster"]: list(r["centroid"]) for r in build_centroids(embs).collect()}
+    assert cents[0][0] == pytest.approx(1.0, abs=1e-6)
+    assert cents[1][1] == pytest.approx(0.95, abs=1e-6)  # float32 inputs
+    assert nearest_centroid(sorted(cents.items()), [1.0, 0.05]) == 0
+    out = ivf_topk(embs, [1.0, 0.05], k=10).collect()
+    ids = [r["vec_id"] for r in out]
+    assert set(ids) == {1, 2, 3}  # only the probed cell is scanned
+    assert ids[0] in (1, 3)  # nearest first
+
+
+def test_ivf_two_probes_widen(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 1, [0.0, 1.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    assert ivf_topk(embs, [1.0, 0.0], k=10, n_probe=2).count() == 2

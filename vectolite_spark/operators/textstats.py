@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines (north-star extension):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure column expressions (JVM-side, no Python), all with
+portable DuckDB twins (md5 hashes, explicit regex classes — no engine-
+specific tokenizers).
+
+Everything here is a narrow per-row transformation: zero shuffles, scales
+linearly with executors at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.dedup import norm_tokens
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "los", "las", "y", "es", "que", "de"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "un"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3"],  # pinyin-ish tokens
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "an", "for", "on", "with", "as", "at"]
+
+# portable "BPE-ish" token regex: alnum runs OR single non-alnum-non-space
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^.!?,;:]"
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Marker-hit count per language (distinct token intersection size)."""
+    toks = F.array_distinct(norm_tokens(text_col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text_col: Column | str) -> Column:
+    """argmax over marker counts; ties break alphabetically (deterministic).
+    Implemented as a greatest-struct trick: max of (count, reversed-lang)
+    structs picks highest count, then alphabetically-first language."""
+    scores = lang_scores(text_col)
+    # struct comparison is lexicographic: (count asc, neg_rank asc) -> the
+    # greatest struct has max count; for equal counts the greater negated
+    # rank = alphabetically earlier language.
+    langs = sorted(scores)
+    packed = [
+        F.struct(
+            scores[lang].alias("c"),
+            F.lit(-i).alias("r"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    return F.greatest(*packed).getField("lang")
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-token-length
+    features + a composite quality score in [0,1]-ish (deterministic
+    arithmetic over integer counts -> oracle-exact)."""
+    t = F.col(text_col)
+    toks = norm_tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    # PUNCT_RE matches NON-punctuation chars; stripping them leaves only
+    # punctuation, whose length is the count
+    n_punct = F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    # ratio of tokens that are English stopwords (function-word density — a
+    # classic fluency signal; word salad scores low)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        / n_tokens
+    )
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        0.4 * length_score
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * F.least(punct_ratio * 20, F.lit(1.0))
+        + 0.1 * F.least(mean_tok_len / 10, F.lit(1.0)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.select(
+        F.col(id_col),
+        F.size(norm_tokens(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    character 8-gram shingles (rolling-hash family, md5 for portability).
+    Equal fingerprints => near-certain shared content block."""
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (gram - 1)),
+        lambda i: F.md5(t.substr(i, F.lit(gram))),
+    )
+    fp = F.when(F.length(t) >= gram, F.array_min(grams)).otherwise(F.md5(t))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

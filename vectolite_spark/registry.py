@@ -505,6 +505,372 @@ def batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Training-pipeline extensions: dedup / text analysis (north-star operators)
+# --------------------------------------------------------------------------
+
+# shared SQL fragments: token normalization + 3-token shingles, portable
+_SQL_TOKENS = (
+    "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+)
+_SQL_SHINGLES = f"""
+  CASE WHEN len({_SQL_TOKENS}) >= 3
+       THEN list_transform(range(1, len({_SQL_TOKENS}) - 1),
+                           i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1]
+                                || ' ' || {_SQL_TOKENS}[i+2])
+       ELSE [array_to_string({_SQL_TOKENS}, ' ')]
+  END
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text (shuffle moves 32-byte hashes, not
+    documents), keep lowest id per group."""
+    from vectolite_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh0,
+       list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh1,
+       list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh2,
+       list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh3
+FROM sh
+""",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes shown; the LSH pair query uses 8):
+    md5-string minima over word-3-gram shingles, portable across engines."""
+    from vectolite_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        load_table(spark, sf_dir, "documents"), num_hashes=4
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+                        h -> list_min(list_transform(shingles,
+                                      s -> md5(h::VARCHAR || ':' || s)))) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band_id, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS band_key
+  FROM sigs, UNNEST(range(0, 4)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(list_sum(list_transform(range(1, 9),
+             h -> CASE WHEN sa.mh[h] = sb.mh[h] THEN 1 ELSE 0 END)) / 8.0, 6)
+         AS est_sim
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE list_sum(list_transform(range(1, 9),
+      h -> CASE WHEN sa.mh[h] = sb.mh[h] THEN 1 ELSE 0 END)) / 8.0 >= 0.5
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-duplicate pairs (8 hashes, 4 bands of 2):
+    bucket join on band keys -> candidates -> signature-match estimate."""
+    from vectolite_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH hv AS (
+  SELECT doc_id,
+         list_transform({_SQL_TOKENS},
+                        t -> CAST('0x' || substr(md5(t), 1, 4) AS BIGINT)) AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 16),
+         j -> CASE WHEN list_sum(list_transform(h,
+                x -> CASE WHEN (x & (1 << j)) != 0 THEN 1 ELSE -1 END)) > 0
+              THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
+FROM hv
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc (sign of per-bit +-1 votes over token md5s)."""
+    from vectolite_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT doc_id, substr(text, 1, 40) AS block,
+         list_distinct({_SQL_SHINGLES}) AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, prefix-blocked (O(block^2), not
+    O(N^2))."""
+    from vectolite_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CASE WHEN list_dot_product(a.v, a.v) = 0
+                    OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+             ELSE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) END, 6) AS score
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(CASE WHEN list_dot_product(a.v, a.v) = 0
+                   OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+            ELSE list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) END, 6) >= 0.3
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: pairwise cosine within the cluster-id
+    block (at scale the block is an LSH bucket)."""
+    from vectolite_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+_SQL_COS = (
+    "ROUND(CASE WHEN list_dot_product({a}, {a}) = 0 OR list_dot_product({b}, {b}) = 0 "
+    "THEN 0.0 ELSE list_dot_product({a}, {b}) "
+    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END, 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+dims AS (
+  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cents AS (
+  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM dims GROUP BY label
+),
+probe AS (
+  SELECT c.label
+  FROM cents c, q
+  ORDER BY {_SQL_COS.format(a="c.centroid", b="q.qv")} DESC, c.label ASC
+  LIMIT 1
+)
+SELECT e.vec_id,
+       {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS score
+FROM embeddings e, q
+WHERE e.label = (SELECT label FROM probe)
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate search: exact-DECIMAL centroid build, nearest-cell
+    probe, brute-force only inside the probed cell (scan shrinks by
+    n_cells/n_probe; the cell predicate prunes partitions at scale)."""
+    from vectolite_spark.operators.ann import ivf_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    return ivf_topk(embs, qvec, k=10)
+
+
+@register(
+    "text_quality",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len({_SQL_TOKENS}) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         len(list_intersect(list_distinct({_SQL_TOKENS}),
+             ['the','and','of','to','is','in','that','it','a','an','for','on','with','as','at']))
+           AS n_stop,
+         list_sum(list_transform({_SQL_TOKENS}, x -> length(x)))::DOUBLE
+           / len({_SQL_TOKENS}) AS mtl
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,
+       ROUND(mtl, 6) AS mean_tok_len,
+       ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * least(n_stop::DOUBLE / n_tokens * 5, 1.0)
+             + 0.2 * least(n_punct::DOUBLE / n_chars_m * 20, 1.0)
+             + 0.1 * least(mtl / 10, 1.0), 6) AS quality
+FROM f
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length, punctuation density, stopword
+    density, mean token length + composite score."""
+    from vectolite_spark.operators.textstats import quality_features
+
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count",
+    f"""
+SELECT doc_id,
+       len({_SQL_TOKENS}) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    from vectolite_spark.operators.textstats import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id,
+       CASE WHEN length(text) >= 8
+            THEN list_min(list_transform(range(1, length(text) - 6),
+                          i -> md5(substr(text, i, 8))))
+            ELSE md5(text) END AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over char-8-gram shingles."""
+    from vectolite_spark.operators.textstats import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_distinct({_SQL_TOKENS}) AS t FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','ich'])) AS c_de,
+         len(list_intersect(t, ['the','and','of','to','is','in','that','it'])) AS c_en,
+         len(list_intersect(t, ['el','la','los','las','y','es','que','de'])) AS c_es,
+         len(list_intersect(t, ['le','la','les','et','est','que','des','un'])) AS c_fr,
+         len(list_intersect(t, ['de5','shi4','le5','zai4','you3','wo3'])) AS c_zh
+  FROM toks
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+           WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+           WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+           WHEN c_fr >= c_zh THEN 'fr'
+           ELSE 'zh'
+         END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic; output is the confusion matrix
+    against the dataset's lang column."""
+    from vectolite_spark.operators.textstats import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predict_lang("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n,
+         list_sum(list_transform(range(1, length(text) + 1),
+                  i -> unicode(substr(text, i, 1)))) AS byte_sum
+  FROM documents
+)
+SELECT media_id, kind, n AS n_bytes,
+       CASE WHEN kind = 'image' THEN CAST(16 + n % 640 AS INT) END AS width,
+       CASE WHEN kind = 'image' THEN CAST(16 + (n * 7) % 480 AS INT) END AS height,
+       CASE WHEN kind IN ('audio', 'video') THEN ROUND(n / 1000.0, 6) END AS duration_s,
+       ROUND(byte_sum::DOUBLE / n, 6) AS byte_mean
+FROM m
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media columns + typed metadata extracted
+    via mapInPandas (deterministic byte-level fake decode; the real decoder
+    is an env-gated stub — multimodal.py). The oracle mirrors the fake
+    decode arithmetically (documents are ASCII, so codepoints == bytes)."""
+    from vectolite_spark.multimodal import attach_fake_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs))
+
+
 @register(
     "json_access",
     """

@@ -1,0 +1,113 @@
+"""Structured Streaming pipelines (north-star extension; the reference's
+ingest loop is synchronous request/response — SURVEY.md §2.9 'Streaming').
+
+Three shapes:
+- continuous file ingest: readStream over a drop directory -> chunk ->
+  embed -> foreachBatch append into a SparkVectolite store. foreachBatch
+  reuses the exact batch pipeline (one code path for batch + streaming).
+- event-time windowed aggregation with a watermark (late data bounded).
+- dedup-within-watermark (streaming exact dedup on a key).
+
+All tested with trigger(availableNow=True) — process everything pending,
+then stop — which is also the production shape for incremental backfills.
+At scale: checkpointLocation goes on durable storage; the file source
+tracks processed files so restarts are exactly-once into the idempotent
+foreachBatch append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectolite_spark.chunk import DEFAULT_MAX_CHARS, DEFAULT_OVERLAP
+
+
+def stream_text_files(spark: SparkSession, input_dir: str, glob: str = "*.txt") -> DataFrame:
+    """Streaming whole-file text source with source/filename metadata."""
+    from vectolite_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", glob)
+        .load(input_dir)
+    )
+    return raw.select(
+        F.input_file_name().alias("source"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+        F.col("value").alias("text"),
+    )
+
+
+def stream_ingest(
+    store,
+    input_dir: str,
+    checkpoint_dir: str,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    overlap: int = DEFAULT_OVERLAP,
+    embed_dim: int = 64,
+    glob: str = "*.txt",
+):
+    """Continuous chunk+embed ingest into a SparkVectolite store.
+
+    Returns the started StreamingQuery (availableNow trigger: drains the
+    directory then stops; call .awaitTermination()).
+    """
+    import json
+
+    from vectolite_spark.ingest import ingest_pipeline
+
+    files = stream_text_files(store.spark, input_dir, glob)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = ingest_pipeline(
+            batch_df, max_chars=max_chars, overlap=overlap, embed_dim=embed_dim
+        ).collect()
+        if rows:
+            store.insert_many(
+                [r["text"] for r in rows],
+                metadatas=[json.loads(r["metadata"]) for r in rows],
+                embeddings=[list(r["embedding"]) for r in rows],
+            )
+
+    return (
+        files.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark bounding state and
+    late data. Output: (window_start, window_end, event_type, n_events)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within
+    the watermark horizon (bounded state — the streaming twin of
+    operators/dedup.exact_dedup)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
