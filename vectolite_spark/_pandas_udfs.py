@@ -6,6 +6,61 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def make_shingle_udf(n=3):
+    """Normalized word n-gram shingles, matching the SQL-side semantics
+    exactly: lower -> collapse whitespace -> split on single spaces ->
+    n-token joins (docs shorter than n tokens fall back to the whole token
+    string). Arrow-batched: interpreted JVM higher-order functions cost
+    ~ms/row; this costs ~us/row."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def shingles(text):
+        toks = ws.sub(" ", (text or "").strip().lower()).split(" ")
+        if len(toks) >= n:
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return [" ".join(toks)]
+
+    @pandas_udf("array<string>")
+    def _shingle(texts: pd.Series) -> pd.Series:
+        return texts.map(shingles)
+
+    return _shingle
+
+
+def make_block_cosine_pairs_fn(min_score, decimals=6):
+    """applyInPandas per blocking group: pairwise cosine via one upper-
+    triangle matmul instead of interpreted per-pair fold expressions."""
+
+    def pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = mat @ mat.T
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, 0.0, sims / denom)
+        sims = np.round(sims, decimals)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= min_score
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "score": sims[iu[keep], ju[keep]],
+            }
+        )
+
+    return pairs
+
+
 def make_batch_topk_mapper(qids, qvecs, k):
     """mapInPandas mapper: per Arrow batch, score ALL queries against the
     batch with ONE (N x d) @ (d x Q) matmul and emit each query's local

@@ -64,18 +64,20 @@ def minhash_signatures(
     md5('h:' || shingle) over the doc's 3-token shingles. md5-string min is
     order-isomorphic to a numeric minhash and portable across engines.
     Narrow (no shuffle)."""
-    tokens = norm_tokens(text_col)
-    sh = word_shingles(tokens)
+    from vectolite_spark._pandas_udfs import make_shingle_udf
 
-    def hashed(prefix):
-        # NB: a plain `lambda s, h=h:` would break — pyspark counts default
-        # args when inferring the lambda's arity
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    cols = [F.col(id_col)]
-    for h in range(num_hashes):
-        cols.append(F.array_min(F.transform(sh, hashed(f"{h}:"))).alias(f"mh{h}"))
-    return df.select(*cols)
+    # explode + groupBy instead of per-row array_min(transform(...)):
+    # md5/concat are whole-stage-codegen scalars (interpreted HOF lambdas
+    # cost ~ms/row), and the min() aggregate combines map-side, so the one
+    # shuffle moves only num_hashes 32-byte minima per doc at any scale.
+    exploded = df.select(
+        F.col(id_col), F.explode(make_shingle_udf()(F.col(text_col))).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -85,11 +87,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     min_est_sim: float = 0.5,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over MinHash signatures.
 
     bands of rows=num_hashes/bands; docs sharing ANY band bucket become a
     candidate pair; estimated similarity = fraction of matching minhashes.
+    Buckets larger than ``max_bucket_size`` are skipped — the standard LSH
+    guard against O(bucket^2) blowup on degenerate buckets (a hot bucket of
+    10k docs is 50M pairs; its members are almost never true near-dups of
+    each other anyway at reasonable band widths).
+
     Returns (doc_a, doc_b, est_sim) with doc_a < doc_b, est_sim >= threshold.
     """
     rows_per_band = num_hashes // bands
@@ -113,6 +121,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_key"),
     )
+    ok_buckets = (
+        band_rows.groupBy("band_id", "band_key")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    band_rows = band_rows.join(ok_buckets, ["band_id", "band_key"], "left_semi")
     a = band_rows.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("doc_a")
     )
@@ -197,11 +212,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise word-3-gram Jaccard within prefix blocks.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+
+    # shingles via one Arrow batch per partition, materialized (cached) so
+    # the self-join doesn't recompute them per side
     sh = df.select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, block_prefix).alias("block"),
-        F.array_distinct(word_shingles(norm_tokens(text_col))).alias("sh"),
-    )
+        F.array_distinct(make_shingle_udf()(F.col(text_col))).alias("sh"),
+    ).cache()
     a = sh.select(
         F.col("block"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -230,30 +249,20 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: pairwise cosine within a blocking key
     (cluster id / LSH bucket). Returns (id_a, id_b, score) with id_a < id_b,
-    score >= threshold (rounded 6dp, same contract as topk)."""
-    emb_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    score >= threshold (rounded 6dp, same contract as topk).
 
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+    Plan: ONE shuffle grouping each block onto an executor, then a single
+    upper-triangle (B x d) @ (d x B) matmul per block via applyInPandas —
+    never an interpreted per-pair fold. Block size bounds the quadratic
+    cost; at 100 TB blocks come from the IVF/LSH index, not a full table."""
+    from vectolite_spark._pandas_udfs import make_block_cosine_pairs_fn
 
-    a = embeddings.select(
+    fn = make_block_cosine_pairs_fn(min_score)
+    normalized = embeddings.select(
         F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col(id_col).alias("vec_id"),
+        "embedding",
     )
-    b = embeddings.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    ea, eb = emb_d(F.col("emb_a")), emb_d(F.col("emb_b"))
-    na, nb = F.sqrt(dot(ea, ea)), F.sqrt(dot(eb, eb))
-    score = F.round(
-        F.when((na == 0.0) | (nb == 0.0), 0.0).otherwise(dot(ea, eb) / (na * nb)), 6
-    )
-    return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", score.alias("score"))
-        .filter(F.col("score") >= min_score)
+    return normalized.groupBy("block").applyInPandas(
+        fn, schema="id_a long, id_b long, score double"
     )

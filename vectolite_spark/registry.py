@@ -580,9 +580,16 @@ bands AS (
   SELECT doc_id, b AS band_id, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS band_key
   FROM sigs, UNNEST(range(0, 4)) AS t(b)
 ),
+ok AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 200
+),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN ok USING (band_id, band_key)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
