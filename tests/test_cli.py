@@ -1,0 +1,52 @@
+"""CLI surface (SURVEY.md §2.7): parser shape + store-backed commands."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vectolite_spark.cli import _parse_metadata, make_parser
+
+
+def test_parser_covers_reference_commands():
+    p = make_parser()
+    # the reference's seven commands (vectolite.py:424-648)
+    for argv, expect in [
+        (["add", "some text"], {"metadata": None, "db": "vectolite_store"}),
+        (["query", "q", "--top-k", "5"], {"top_k": 5}),
+        (["ingest-file", "f.md", "--no-chunk"], {"max_chars": 2000, "overlap": 200}),
+        (["stats"], {}),
+        (["delete", "7"], {"doc_id": 7}),
+        (["list", "--limit", "3", "--offset", "2", "--no-text"], {"max_text": 100}),
+        (["show", "9"], {"doc_id": 9}),
+    ]:
+        args = p.parse_args(argv)
+        for k, v in expect.items():
+            assert getattr(args, k) == v
+
+
+def test_metadata_validation():
+    assert _parse_metadata(None) is None
+    assert _parse_metadata('{"a": [1, null]}') == {"a": [1, None]}
+    with pytest.raises(SystemExit):
+        _parse_metadata("not json")
+    with pytest.raises(SystemExit):
+        _parse_metadata("[1,2]")  # must be an object
+
+
+def test_cli_add_query_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    # exercise command handlers against a real store without re-spawning
+    # a JVM: patch the session factory to the shared test session
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    cli.main(["add", "round trip text", "--db", str(tmp_path / "db"), "--dim", "8"])
+    out = capsys.readouterr().out
+    assert "Added document with ID: 1" in out
+    cli.main(["query", "round trip text", "--top-k", "1", "--db", str(tmp_path / "db"), "--dim", "8"])
+    out = capsys.readouterr().out
+    assert "[id=1] score=1.0000" in out
+    cli.main(["stats", "--db", str(tmp_path / "db")])
+    assert "Documents: 1" in capsys.readouterr().out

@@ -1,0 +1,227 @@
+"""CLI with the reference's command surface (SURVEY.md §2.7;
+/root/reference/vectolite.py:424-648): add, query, ingest-file, stats,
+delete, list, show — argparse-based (no typer dependency), driving the
+SparkVectolite store.
+
+Usage: python -m vectolite_spark.cli <command> [options]
+
+The reference's --local/--remote/--model embedding flags map to
+--embedder {stub,local,openai} --model ... --dim ...; the deterministic
+stub is the default (the ML deps are optional, same gating as embed.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from vectolite_spark.errors import VectoliteError
+
+
+def _build_store(args):
+    from vectolite_spark.embed import resolve_embed_fn, stub_embedder
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.store import SparkVectolite
+
+    spark = get_spark("vectolite-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    embedder = getattr(args, "embedder", "stub")
+    if embedder == "stub":
+        embed_fn = stub_embedder(dim=getattr(args, "dim", 64))
+    else:
+        embed_fn = resolve_embed_fn(
+            getattr(args, "model", None), local=(embedder == "local")
+        )
+    return SparkVectolite(spark, args.db, embed_fn=embed_fn)
+
+
+def _parse_metadata(raw: str | None) -> dict | None:
+    if raw is None:
+        return None
+    try:
+        meta = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"Error: invalid JSON metadata: {e}")  # exit 1, like the reference
+    if not isinstance(meta, dict):
+        raise SystemExit("Error: metadata must be a JSON object")
+    return meta
+
+
+def _preview(text: str, max_len: int) -> str:
+    return text[: max_len] + "..." if len(text) > max_len else text
+
+
+def cmd_add(args) -> None:
+    store = _build_store(args)
+    doc_id = store.insert(args.text, _parse_metadata(args.metadata))
+    print(f"Added document with ID: {doc_id}")
+
+
+def cmd_query(args) -> None:
+    store = _build_store(args)
+    results = store.query(args.text, top_k=args.top_k)
+    if not results:
+        print("No results found.")
+        return
+    for i, r in enumerate(results, 1):
+        print(f"{i}. [id={r['id']}] score={r['score']:.4f}")
+        print(f"   {_preview(r['text'], 200)}")
+        if r["metadata"]:
+            print(f"   metadata: {json.dumps(r['metadata'])}")
+
+
+def cmd_ingest_file(args) -> None:
+    from vectolite_spark.ingest import ingest_files
+
+    store = _build_store(args)
+    n = ingest_files(
+        store,
+        args.file,
+        base_metadata=_parse_metadata(args.metadata),
+        chunk=not args.no_chunk,
+        max_chars=args.max_chars,
+        overlap=args.overlap,
+        embed_dim=args.dim,
+    )
+    print(f"Ingested {n} chunk(s) from {args.file}")
+
+
+def cmd_stats(args) -> None:
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.store import SparkVectolite
+
+    spark = get_spark("vectolite-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = SparkVectolite(spark, args.db)  # read path needs no embedder
+    st = store.stats()
+    print(f"Documents: {st['document_count']}")
+    print(f"Store size: {st['db_size_mb']} MB")
+    print(f"Store path: {st['db_path']}")
+
+
+def cmd_delete(args) -> None:
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.store import SparkVectolite
+
+    spark = get_spark("vectolite-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = SparkVectolite(spark, args.db)
+    if store.delete_document(args.doc_id):
+        print(f"Deleted document {args.doc_id}")
+    else:
+        print(f"Document {args.doc_id} not found")
+
+
+def cmd_list(args) -> None:
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.store import SparkVectolite
+
+    spark = get_spark("vectolite-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = SparkVectolite(spark, args.db)
+    total = store.count_documents()
+    docs = store.list_documents(
+        limit=args.limit,
+        offset=args.offset,
+        include_text=not args.no_text,
+        max_text=args.max_text,
+    )
+    if not docs:
+        print("No documents.")
+        return
+    lo = args.offset + 1
+    hi = min(args.offset + len(docs), total)
+    print(f"Showing {lo}-{hi} of {total} documents")
+    for d in docs:
+        line = f"[{d['id']}] {d['created_at']}"
+        if not args.no_text:
+            line += f" ({d['full_text_length']} chars): {d['text']}"
+        print(line)
+
+
+def cmd_show(args) -> None:
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.store import SparkVectolite
+
+    spark = get_spark("vectolite-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = SparkVectolite(spark, args.db)
+    d = store.get_document(args.doc_id)
+    if d is None:
+        print(f"Document {args.doc_id} not found")
+        raise SystemExit(1)
+    print(f"ID: {d['id']}")
+    print(f"Created: {d['created_at']}")
+    print(f"Length: {len(d['text'])} chars")
+    print(f"Metadata: {json.dumps(d['metadata'])}")
+    print(f"Text:\n{d['text']}")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vectolite-spark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, embed=True):
+        sp.add_argument("--db", default="vectolite_store", help="store directory")
+        if embed:
+            sp.add_argument("--embedder", choices=["stub", "local", "openai"], default="stub")
+            sp.add_argument("--model", default=None)
+            sp.add_argument("--dim", type=int, default=64, help="stub embedder dim")
+
+    sp = sub.add_parser("add", help="embed + insert one document")
+    sp.add_argument("text")
+    sp.add_argument("--metadata", help="JSON object")
+    common(sp)
+    sp.set_defaults(fn=cmd_add)
+
+    sp = sub.add_parser("query", help="cosine top-k search")
+    sp.add_argument("text")
+    sp.add_argument("--top-k", type=int, default=3)
+    common(sp)
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("ingest-file", help="chunk + embed + insert a .txt/.md file")
+    sp.add_argument("file")
+    sp.add_argument("--metadata", help="JSON object")
+    sp.add_argument("--no-chunk", action="store_true")
+    sp.add_argument("--max-chars", type=int, default=2000)
+    sp.add_argument("--overlap", type=int, default=200)
+    common(sp)
+    sp.set_defaults(fn=cmd_ingest_file)
+
+    sp = sub.add_parser("stats", help="document count + store size")
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("delete", help="delete a document by id")
+    sp.add_argument("doc_id", type=int)
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("list", help="paginated listing, newest first")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--offset", type=int, default=0)
+    sp.add_argument("--no-text", action="store_true")
+    sp.add_argument("--max-text", type=int, default=100)
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_list)
+
+    sp = sub.add_parser("show", help="full document by id")
+    sp.add_argument("doc_id", type=int)
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_show)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = make_parser().parse_args(argv)
+    try:
+        args.fn(args)
+    except VectoliteError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
