@@ -77,6 +77,28 @@ def test_ivf_centroids_and_search(spark):
     assert ids[0] in (1, 3)  # nearest first
 
 
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.ann import lsh_topk
+    from vectolite_spark.operators.topk import topk_ids
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in topk_ids(embs, qvec, 10).collect()}
+    approx_rows = lsh_topk(embs, qvec, k=10, seed=42).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert len(approx_rows) == 10
+    # seeded LSH on 500 vectors: expect decent recall, and the query vector
+    # itself (cosine 1.0) must always be surfaced
+    assert 0 in approx
+    assert len(exact & approx) >= 5
+    # deterministic across runs with the same seed
+    again = {r["vec_id"] for r in lsh_topk(embs, qvec, k=10, seed=42).collect()}
+    assert approx == again
+
+
 def test_ivf_two_probes_widen(spark):
     rows = [
         (1, 0, [1.0, 0.0]), (2, 1, [0.0, 1.0]),

@@ -32,6 +32,57 @@ from pyspark.sql import functions as F
 from vectolite_spark.operators.topk import SCORE_DECIMALS, topk_ids
 
 
+def lsh_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate top-k.
+
+    Cosine via the L2-normalization trick: for unit vectors,
+    ||a-b||^2 = 2 - 2*cos(a,b), so Euclidean-LSH neighbors of the
+    normalized query are cosine neighbors of the raw query. Randomized
+    hyperplanes (seeded) => approximate; test by recall-vs-exact, not
+    value-hash (SURVEY.md §7 risk register).
+
+    Returns (id, score) — score is the EXACT rounded cosine of the
+    candidates LSH surfaced, ordered score desc, id asc.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.linalg import Vectors
+
+    df = embeddings.select(
+        F.col(id_col),
+        "embedding",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("vec"),
+    )
+    norm = Normalizer(inputCol="vec", outputCol="unit", p=2.0)
+    unit_df = norm.transform(df)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="unit",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(unit_df)
+    qn = math.sqrt(sum(float(x) ** 2 for x in qvec))
+    qunit = Vectors.dense([float(x) / qn if qn else 0.0 for x in qvec])
+    # over-fetch candidates, then rescore exactly and cut to k with the
+    # engine-wide (rounded score desc, id asc) order
+    cand = model.approxNearestNeighbors(unit_df, qunit, 4 * k).select(
+        id_col, "embedding"
+    )
+    return topk_ids(cand, qvec, k, id_col=id_col)
+
+
 def build_centroids(
     embeddings: DataFrame,
     cluster_col: str = "label",

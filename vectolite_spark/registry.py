@@ -505,6 +505,130 @@ def batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (subtotals + grand total) with exact
+    DECIMAL revenue — grouping-sets support the reference lacks entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "price_histogram",
+    """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY bucket
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over order totals (bucketed group-by)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC
+LIMIT 10
+""",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group -> exact-DECIMAL sum -> global top-n (TakeOrdered after the
+    aggregate; only 10 rows leave the final stage)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "asia_customer_orders",
+    """
+SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def asia_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-filtered join chain: the r_name predicate prunes through two
+    broadcast joins before orders is touched (semi-join pushup)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "parts_per_flag",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-pipeline extensions: dedup / text analysis (north-star operators)
 # --------------------------------------------------------------------------
@@ -735,6 +859,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
     return ivf_topk(embs, qvec, k=10)
+
+
+@register("ann_lsh_topk")  # rows-only: randomized LSH planes have no exact
+# SQL oracle; gate = recall-vs-exact pytest (tests/test_textstats.py) per
+# SURVEY.md §7 risk register
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH over L2-normalized vectors
+    (cosine-equivalent), exact rescoring of surfaced candidates."""
+    from vectolite_spark.operators.ann import lsh_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    return lsh_topk(embs, qvec, k=10)
 
 
 @register(
