@@ -55,6 +55,12 @@ REGISTRY_BENCH = [
     "doc_fingerprint",
     "lang_id",
     "multimodal_features",
+    "rollup_revenue",
+    "price_histogram",
+    "top_customers_by_revenue",
+    "asia_customer_orders",
+    "parts_per_flag",
+    "ann_lsh_topk",
 ]
 
 

@@ -1,0 +1,39 @@
+"""Salted join: identical results to a plain join, salt spreads hot keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.skew import SALT_COL, replicate_for_salt, salted_join, with_salt
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 10 else i, float(i)) for i in range(1000)],
+        "row_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(0, 1000, 10)] + [(1, "name_1")],
+        "k long, name string",
+    )
+    plain = {(r["row_id"], r["name"]) for r in fact.join(dim, ["k"]).collect()}
+    salted = {(r["row_id"], r["name"]) for r in salted_join(fact, dim, ["k"], n_salts=8).collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_salt_is_deterministic_and_spread(spark):
+    fact = spark.createDataFrame(
+        [(i, 1) for i in range(500)], "row_id long, k long"
+    )
+    a = {r["row_id"]: r[SALT_COL] for r in with_salt(fact, 8).collect()}
+    b = {r["row_id"]: r[SALT_COL] for r in with_salt(fact, 8).collect()}
+    assert a == b  # reproducible placement (no rand())
+    used = set(a.values())
+    assert len(used) == 8  # the hot key spreads across all salts
+    assert all(0 <= s < 8 for s in used)
+
+
+def test_replication_count(spark):
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string")
+    assert replicate_for_salt(dim, 5).count() == 10
