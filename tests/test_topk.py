@@ -61,6 +61,34 @@ def test_tie_break_ascending_id(spark):
     assert got == [1, 3, 5]
 
 
+def test_cosine_properties(spark):
+    # SURVEY.md §5.2 item 3: |s| <= 1+eps; scale invariance for c > 0
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(min_value=-100, max_value=100, allow_nan=False)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        vec=st.lists(finite, min_size=4, max_size=4),
+        q=st.lists(finite, min_size=4, max_size=4),
+        c=st.floats(min_value=0.01, max_value=50, allow_nan=False),
+    )
+    def check(vec, q, c):
+        df = spark.createDataFrame(
+            [(1, vec), (2, [c * x for x in vec])], "id long, embedding array<float>"
+        )
+        got = {
+            r["id"]: r["s"]
+            for r in df.select("id", cosine_score("embedding", q).alias("s")).collect()
+        }
+        assert abs(got[1]) <= 1.0 + 1e-9
+        # float32 storage of c*vec perturbs the direction slightly
+        assert got[2] == pytest.approx(got[1], abs=1e-3)
+
+    check()
+
+
 def test_arrow_and_expr_paths_agree(spark, sf_dir):
     from vectolite_spark.schema import load_table
 
