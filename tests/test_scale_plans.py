@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties SCALING.md claims
+must stay true as code evolves (pushdown, broadcast, zero-exchange top-k,
+partial aggregation, shuffle-free bucketed joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.schema import load_table
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_topk_has_no_exchange(spark, sf_dir):
+    from vectolite_spark.operators.topk import topk_ids
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.first()["embedding"]]
+    p = plan_str(topk_ids(embs, q, 10))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # partial top-k -> driver merge, no shuffle
+
+
+def test_filter_and_pruning_reach_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("l_returnflag")
+    p = plan_str(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "ReadSchema: struct<l_returnflag:string,l_shipdate:timestamp_ntz>" in p
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    import __spark_entry__ as m
+
+    p = plan_str(m.queries()["join_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "partial_" in p  # map-side aggregation before the shuffle
+
+
+def test_minhash_partial_min_before_exchange(spark, sf_dir):
+    from vectolite_spark.operators.dedup import minhash_signatures
+
+    p = plan_str(minhash_signatures(load_table(spark, sf_dir, "documents")))
+    # the partial (map-side) min must appear, and before the Exchange
+    assert "partial_min" in p
+    assert p.index("partial_min") > p.index("Exchange") or "Exchange" in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # SCALING.md §4: co-bucketing both sides on the join key removes the
+    # exchange entirely — the 100 TB layout for lineitem<->orders.
+    # (warehouse dir is a static conf; managed tables land in the default
+    # spark-warehouse and are dropped in the finally block)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    try:
+        orders = spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(1000)], "o_orderkey long, total double"
+        )
+        items = spark.createDataFrame(
+            [(i % 1000, j, float(j)) for i in range(2000) for j in range(1)],
+            "l_orderkey long, line int, qty double",
+        )
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("bucketdemo.orders_b"))
+        (items.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("bucketdemo.items_b"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("bucketdemo.orders_b")
+        ib = spark.table("bucketdemo.items_b")
+        joined = ob.join(ib, ob.o_orderkey == ib.l_orderkey)
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-bucketed: zero shuffle
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.items_b")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo")
