@@ -629,6 +629,76 @@ def parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_last_click",
+    """
+SELECT e.user_id, e.event_id, epoch_us(e.ts) AS err_ts_us,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_id,
+       (SELECT epoch_us(c.ts) FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_click_ts_us
+FROM events e
+WHERE e.event_type = 'error'
+""",
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has none): for every error
+    event, the user's most recent click at-or-before it. Union-carry plan:
+    one shuffle on user_id, no range nested-loop (operators/asof.py)."""
+    from vectolite_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", right_id="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("err_ts_us"),
+        F.col("asof_event_id").alias("asof_click_id"),
+        F.unix_micros("asof_ts").alias("asof_click_ts_us"),
+    )
+
+
+@register(
+    "range_join_value_bands",
+    """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0),
+         ('high', 100.0, 200.0), ('extreme', 200.0, 1000.0)
+)
+SELECT b.band, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+""",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: interval-containment via broadcast nested-loop
+    against a tiny bands table, then grouped DECIMAL-exact rollup."""
+    from vectolite_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 100.0),
+         ("high", 100.0, 200.0), ("extreme", 200.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(ev, bands, value_col="value").filter(F.col("band").isNotNull())
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-pipeline extensions: dedup / text analysis (north-star operators)
 # --------------------------------------------------------------------------
