@@ -61,6 +61,9 @@ REGISTRY_BENCH = [
     "asia_customer_orders",
     "parts_per_flag",
     "ann_lsh_topk",
+    "asof_last_click",
+    "range_join_value_bands",
+    "sql_shipyear_revenue",
 ]
 
 

@@ -629,6 +629,24 @@ def parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHIPYEAR_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+FROM lineitem
+GROUP BY ship_year
+"""
+
+
+@register("sql_shipyear_revenue", _SHIPYEAR_SQL)
+def sql_shipyear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL surface: the SAME SQL string runs verbatim on Spark (over
+    registered temp views) and on the DuckDB oracle — the engine speaks
+    plain ANSI SQL, not only the DataFrame API."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SHIPYEAR_SQL)
+
+
 @register(
     "asof_last_click",
     """
