@@ -64,6 +64,7 @@ REGISTRY_BENCH = [
     "asof_last_click",
     "range_join_value_bands",
     "sql_shipyear_revenue",
+    "corpus_curation",
 ]
 
 
@@ -105,6 +106,28 @@ def main() -> None:
     batch_sec = time.time() - t0
     timings["batch_topk_100q_total"] = round(batch_sec, 4)
     timings["batch_topk_per_query"] = round(batch_sec / nq, 5)
+
+    # -- ingest throughput: chunk + embed + append, one job ----------------
+    # (the reference commits one row per insert: ~600 docs/s, BASELINE.md)
+    import shutil
+    import tempfile
+
+    from vectolite_spark.ingest import ingest_pipeline
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.lit("bench").alias("source"), F.lit("bench.txt").alias("filename"), "text"
+    )
+    n_docs = docs.count()
+    out_dir = tempfile.mkdtemp(prefix="vectolite_bench_ingest_")
+    try:
+        pipe = ingest_pipeline(docs, chunk=False, embed_dim=64)
+        t0 = time.time()
+        pipe.write.mode("overwrite").parquet(out_dir)
+        ingest_sec = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["ingest_embed_write_total"] = round(ingest_sec, 4)
+    timings["ingest_docs_per_sec"] = round(n_docs / ingest_sec, 1)
 
     # -- registry queries (cold plans, parquet scans included) -------------
     from vectolite_spark import registry

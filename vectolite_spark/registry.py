@@ -717,10 +717,6 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Training-pipeline extensions: dedup / text analysis (north-star operators)
-# --------------------------------------------------------------------------
-
 # shared SQL fragments: token normalization + 3-token shingles, portable
 _SQL_TOKENS = (
     "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
@@ -734,6 +730,61 @@ _SQL_SHINGLES = f"""
   END
 """
 
+
+@register(
+    "corpus_curation",
+    f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+feats AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(list_intersect(list_distinct({_SQL_TOKENS}),
+             ['the','and','of','to','is','in','that','it','a','an','for','on','with','as','at']))
+           AS n_stop
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+)
+SELECT lang,
+       COUNT(*) AS kept_docs,
+       CAST(SUM(CASE WHEN n_tokens >= 20 AND n_stop >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS quality_pass,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS total_chars
+FROM feats
+GROUP BY lang
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: exact-dedup survivors -> quality
+    gates (min tokens + stopword presence) -> per-language yield report.
+    The shape of a real training-data filter pass: dedup shuffle on the
+    text hash, then narrow feature computation, then one tiny group-agg."""
+    from vectolite_spark.operators.dedup import exact_dedup, norm_tokens
+    from vectolite_spark.operators.textstats import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    toks = norm_tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    feats = docs.join(keep, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).alias("n_stop"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(
+            F.when((F.col("n_tokens") >= 20) & (F.col("n_stop") >= 1), 1).otherwise(0)
+        ).cast("long").alias("quality_pass"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline extensions: dedup / text analysis (north-star operators)
+# --------------------------------------------------------------------------
 
 @register(
     "dedup_exact",
