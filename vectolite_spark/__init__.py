@@ -8,7 +8,22 @@ approximate-similarity scale path.
 """
 
 from vectolite_spark.errors import EmbeddingError, VectoliteError
-from vectolite_spark.session import get_spark
+from vectolite_spark.session import ensure_shipped, get_spark
 
-__all__ = ["VectoliteError", "EmbeddingError", "get_spark"]
+__all__ = [
+    "VectoliteError",
+    "EmbeddingError",
+    "get_spark",
+    "ensure_shipped",
+    "SparkVectolite",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: importing the facade pulls pyspark.sql; keep package import light
+    if name == "SparkVectolite":
+        from vectolite_spark.store import SparkVectolite
+
+        return SparkVectolite
+    raise AttributeError(name)

@@ -648,6 +648,30 @@ def sql_shipyear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_stats",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       ROUND(quantile_cont(l_discount, 0.25), 6) AS p25_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark `percentile` == DuckDB
+    `quantile_cont`, verified bit-identical at 6dp). At 100 TB the cheap
+    variant is `percentile_approx` (t-digest sketch, mergeable map-side) —
+    approximate, so the exact form is the declared/oracled one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("p25_discount"),
+    )
+
+
+@register(
     "asof_last_click",
     """
 SELECT e.user_id, e.event_id, epoch_us(e.ts) AS err_ts_us,
