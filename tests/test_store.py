@@ -83,6 +83,37 @@ def test_list_documents_pagination_and_truncation(store):
     assert "text" not in no_text[0]
 
 
+def test_metadata_filtered_query(store):
+    store.insert("alpha text", {"src": "a", "v": 1})
+    store.insert("beta text", {"src": "b", "v": 1})
+    store.insert("alpha text variant", {"src": "a", "v": 2})
+    res = store.query("alpha text", top_k=5, metadata_filter={"src": "a"})
+    assert {r["metadata"]["src"] for r in res} == {"a"}
+    assert len(res) == 2
+    # multiple predicates AND together
+    res2 = store.query("alpha text", top_k=5, metadata_filter={"src": "a", "v": 2})
+    assert len(res2) == 1 and res2[0]["metadata"]["v"] == 2
+    # no matches -> empty, not an error
+    assert store.query("alpha text", top_k=5, metadata_filter={"src": "zzz"}) == []
+
+
+def test_compact_merges_small_files(store):
+    import glob
+
+    for i in range(6):  # one file per append
+        store.insert(f"doc number {i}")
+    files_before = len(glob.glob(store.path + "/*.parquet"))
+    n = store.compact(target_files=1)
+    files_after = len(glob.glob(store.path + "/*.parquet"))
+    assert n == 6
+    assert files_after < files_before and files_after == 1
+    # data intact and queryable after compaction
+    assert store.count_documents() == 6
+    assert store.query("doc number 3", top_k=1)[0]["text"] == "doc number 3"
+    # id sequence continues after compaction
+    assert store.insert("post compact") == 7
+
+
 def test_stats(store):
     store.insert_many(["a b c", "d e f"])
     st = store.stats()

@@ -135,9 +135,19 @@ class SparkVectolite:
         df.write.mode("append").parquet(self.path)
         return list(range(start, start + len(texts)))
 
-    def query(self, query_text: str, top_k: int = 3) -> list[dict]:
+    def query(
+        self,
+        query_text: str,
+        top_k: int = 3,
+        metadata_filter: dict | None = None,
+    ) -> list[dict]:
         """Flagship search (vectolite.py:118-174): embed -> cosine ->
-        top-k (score desc, id asc), metadata JSON-decoded in the result."""
+        top-k (score desc, id asc), metadata JSON-decoded in the result.
+
+        ``metadata_filter`` (extension; the reference has no filtered
+        search): {json_key: value} equality predicates evaluated against
+        the metadata JSON string BEFORE scoring — only eligible rows reach
+        the top-k heap."""
         if not query_text or not query_text.strip():
             raise VectoliteError("Query text cannot be empty")  # vectolite.py:134
         if top_k <= 0:
@@ -150,9 +160,14 @@ class SparkVectolite:
             raise VectoliteError(
                 f"Embedding dimension mismatch: store has {stored}, query has {len(qvec)}"
             )
+        base = self.df()
+        if metadata_filter:
+            for key, value in metadata_filter.items():
+                base = base.filter(
+                    F.get_json_object("metadata", f"$.{key}") == str(value)
+                )
         out = (
-            self.df()
-            .select(
+            base.select(
                 "id",
                 "text",
                 "metadata",
@@ -235,6 +250,17 @@ class SparkVectolite:
                 d["full_text_length"] = r["full_text_length"]
             out.append(d)
         return out
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the store into ``target_files`` parquet files, sorted by
+        id. Long-lived stores accumulate one file per append (the classic
+        small-files problem); compaction restores scan efficiency and
+        min/max-stat pruning on id. Returns the row count."""
+        df = self.df().orderBy("id")
+        n = df.count()
+        if n:
+            self._rewrite(df.coalesce(max(1, target_files)))
+        return n
 
     def stats(self) -> dict:
         """A2 (vectolite.py:538-555): doc count + storage bytes (FS listing
