@@ -648,6 +648,48 @@ def sql_shipyear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "click_and_purchase_users",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (users present in both event streams), planned as
+    distinct + semi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "big_ticket_orders",
+    """
+SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 95000
+)
+""",
+)
+def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery shape as a left-semi join: orders containing at
+    least one high-value lineitem; the lineitem filter pushes into its
+    scan before the join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 95000
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
     "quantile_stats",
     """
 SELECT l_returnflag,
