@@ -61,6 +61,32 @@ def make_block_cosine_pairs_fn(min_score, decimals=6):
     return pairs
 
 
+def make_lang_udf(markers):
+    """Language-ID argmax in one Arrow pass: tokenize once, intersect all
+    marker sets in Python (the expression form re-tokenizes per language —
+    Catalyst collapses the shared projection back into each branch).
+    Tie-break: highest count, then alphabetically-first language."""
+    import re
+
+    ws = re.compile(r"\s+")
+    items = sorted((lang, frozenset(ms)) for lang, ms in markers.items())
+
+    @pandas_udf("string")
+    def _pred(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = set(ws.sub(" ", (t or "").strip().lower()).split(" "))
+            best, best_count = None, -1
+            for lang, ms in items:
+                c = len(toks & ms)
+                if c > best_count:
+                    best, best_count = lang, c
+            out.append(best)
+        return pd.Series(out)
+
+    return _pred
+
+
 def make_batch_topk_mapper(qids, qvecs, k):
     """mapInPandas mapper: per Arrow batch, score ALL queries against the
     batch with ONE (N x d) @ (d x Q) matmul and emit each query's local
