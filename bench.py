@@ -65,6 +65,10 @@ REGISTRY_BENCH = [
     "range_join_value_bands",
     "sql_shipyear_revenue",
     "corpus_curation",
+    "quantile_stats",
+    "moment_stats",
+    "click_and_purchase_users",
+    "big_ticket_orders",
 ]
 
 

@@ -690,6 +690,56 @@ def big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "moment_stats",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+                  * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))
+                  * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+                  * CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(sx / n, 6) AS mean_qty,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_disc
+FROM s
+""",
+)
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second moments (variance, correlation) via exact-DECIMAL power sums
+    — the built-in stddev/corr accumulate doubles in partition order and
+    would not reproduce across engines or runs; power sums in DECIMAL are
+    exact, so the derived moments are bit-stable under ANY partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d6 = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6("l_quantity")).cast("double").alias("sx"),
+        F.sum(d6("l_quantity") * d6("l_quantity")).cast("double").alias("sxx"),
+        F.sum(d6("l_discount")).cast("double").alias("sy"),
+        F.sum(d6("l_discount") * d6("l_discount")).cast("double").alias("syy"),
+        F.sum(d6("l_quantity") * d6("l_discount")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(
+            (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6
+        ).alias("corr_qty_disc"),
+    )
+
+
+@register(
     "quantile_stats",
     """
 SELECT l_returnflag,
