@@ -69,6 +69,8 @@ REGISTRY_BENCH = [
     "moment_stats",
     "click_and_purchase_users",
     "big_ticket_orders",
+    "cube_order_counts",
+    "embedding_norm_stats",
 ]
 
 

@@ -73,6 +73,70 @@ def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_sliding_window_counts(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=20 * i), "click") for i in range(6)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    src = tmp_path / "slide_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        out.writeStream.format("memory").queryName("slide")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM slide").collect()}
+    # events at :00 :20 :40 1:00 1:20 1:40; window [0:00,1:00) -> 3,
+    # sliding [0:30,1:30) -> 3, [23:30,0:30) -> 2
+    batch = {
+        r["ws"]: r["n"]
+        for r in df.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == batch and len(got) >= 3
+
+
+def test_stream_static_join(spark, sf_dir, tmp_path):
+    """Streaming events enriched against the static customer dim — the
+    standard streaming-fact x static-dimension pattern."""
+    from vectolite_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    src = tmp_path / "join_src"
+    ev.write.parquet(str(src))
+    static_cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    joined = stream.join(static_cust, "user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("sjoin")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["c_mktsegment"]: r["n"] for r in spark.sql("SELECT * FROM sjoin").collect()}
+    batch = {
+        r["c_mktsegment"]: r["n"]
+        for r in ev.join(static_cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch and sum(got.values()) > 0
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     import datetime as dt
 

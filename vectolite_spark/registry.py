@@ -740,6 +740,60 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_order_counts",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations (completes the grouping-sets
+    family next to ROLLUP)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(sqrt(list_dot_product(
+             CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+       ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column quality stats per cluster: L2 norms via the codegen
+    dot-product expression; the mean accumulates ROUNDED norms in exact
+    DECIMAL (a raw double sum would be partition-order-dependent)."""
+    from vectolite_spark.functions.vector import l2_norm
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    withn = embs.select("label", norm.alias("nrm"))
+    return withn.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("nrm"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@register(
     "quantile_stats",
     """
 SELECT l_returnflag,
