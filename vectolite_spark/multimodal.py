@@ -24,7 +24,7 @@ MEDIA_KINDS = ("image", "audio", "video")
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, width int, height int, "
-    "duration_s double, byte_mean double"
+    "duration_s double, byte_sum long, byte_mean double"
 )
 
 
@@ -46,6 +46,12 @@ def decode_fake(kind: str, data: bytes) -> dict:
         "width": 16 + n % 640 if kind == "image" else None,
         "height": 16 + (n * 7) % 480 if kind == "image" else None,
         "duration_s": round(n / 1000.0, 6) if kind in ("audio", "video") else None,
+        # byte_sum is the EXACT integer; byte_mean is display-only. Cross-
+        # engine comparisons must use the integer: round(sum/n, 6) sits
+        # exactly on a rounding boundary whenever n has a 2^7 factor and
+        # the sum is odd, where python (half-even) and SQL (half-away)
+        # disagree (e.g. a 128-byte doc with remainder ≡ 1 mod 4).
+        "byte_sum": sum(data),
         "byte_mean": round(sum(data) / n, 6) if n else 0.0,
     }
 
@@ -88,6 +94,7 @@ def extract_features(media: DataFrame, use_real: bool = False) -> DataFrame:
                         "width": meta["width"],
                         "height": meta["height"],
                         "duration_s": meta["duration_s"],
+                        "byte_sum": meta["byte_sum"],
                         "byte_mean": meta["byte_mean"],
                     }
                 )

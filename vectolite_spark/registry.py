@@ -1309,7 +1309,7 @@ SELECT media_id, kind, n AS n_bytes,
        CASE WHEN kind = 'image' THEN CAST(16 + n % 640 AS INT) END AS width,
        CASE WHEN kind = 'image' THEN CAST(16 + (n * 7) % 480 AS INT) END AS height,
        CASE WHEN kind IN ('audio', 'video') THEN ROUND(n / 1000.0, 6) END AS duration_s,
-       ROUND(byte_sum::DOUBLE / n, 6) AS byte_mean
+       CAST(byte_sum AS BIGINT) AS byte_sum
 FROM m
 """,
 )
@@ -1317,11 +1317,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media columns + typed metadata extracted
     via mapInPandas (deterministic byte-level fake decode; the real decoder
     is an env-gated stub — multimodal.py). The oracle mirrors the fake
-    decode arithmetically (documents are ASCII, so codepoints == bytes)."""
+    decode arithmetically (documents are ASCII, so codepoints == bytes).
+    Compared columns are integers/short-decimal only — round(sum/n, 6)
+    lands exactly on a half-even/half-away rounding boundary for 128-byte
+    payloads with odd sums, so the exact byte_sum is compared instead."""
     from vectolite_spark.multimodal import attach_fake_media, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_fake_media(docs))
+    return extract_features(attach_fake_media(docs)).drop("byte_mean")
 
 
 @register(
