@@ -66,7 +66,18 @@ def test_cosine_properties(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    finite = st.floats(min_value=-100, max_value=100, allow_nan=False)
+    # Components are exactly 0 or bounded away from the float32 denormal
+    # zone: with c >= 0.01 every scaled component stays >= 1e-5, far above
+    # the ~1.2e-38 normal floor.  Without the bound hypothesis finds inputs
+    # like 1.4e-45 where c*x underflows to 0.0 in float32 storage, the
+    # zero-norm guard fires, and scale invariance legitimately breaks (the
+    # reference engine stores the same underflowed zeros, vectolite.py:102)
+    # -- the ENGINE is right and the unbounded property was too strong.
+    finite = st.one_of(
+        st.just(0.0),
+        st.floats(min_value=1e-3, max_value=100),
+        st.floats(min_value=-100, max_value=-1e-3),
+    )
 
     @settings(max_examples=30, deadline=None)
     @given(
