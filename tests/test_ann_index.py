@@ -1,0 +1,91 @@
+"""IVF build/probe split (VERDICT r1 item 2): the persisted index must
+answer queries by scanning only the probed parquet partitions — no centroid
+rebuild, no N*d shuffle — and agree with the self-contained form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.ann import (
+    build_ivf_index,
+    ivf_topk,
+    load_ivf_index,
+)
+from vectolite_spark.operators.topk import topk_ids
+from vectolite_spark.schema import load_table
+
+
+def _rows(df):
+    return [(r["vec_id"], r["score"]) for r in df.collect()]
+
+
+def test_built_index_agrees_with_selfcontained(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embs, path)
+    idx = load_ivf_index(spark, path)
+    for n_probe in (1, 2):
+        assert _rows(idx.topk(qvec, k=7, n_probe=n_probe)) == _rows(
+            ivf_topk(embs, qvec, k=7, n_probe=n_probe)
+        )
+
+
+def test_probe_all_cells_equals_exact(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 1).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embs, path)
+    idx = load_ivf_index(spark, path)
+    n_cells = len(idx.centroids)
+    assert _rows(idx.topk(qvec, k=10, n_probe=n_cells)) == _rows(
+        topk_ids(embs, qvec, 10)
+    )
+
+
+def test_built_query_scans_only_probed_partitions(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embs, path)
+    df = load_ivf_index(spark, path).topk(qvec, k=5, n_probe=2)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the probe predicate is a PARTITION filter (directory pruning), the
+    # top-k is the zero-exchange partial heap, and nothing re-derives
+    # centroids (no posexplode over embeddings) at query time
+    assert "PartitionFilters: [cell" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    assert "posexplode" not in p.lower()
+
+
+def test_unlabeled_build_assigns_every_vector(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 2).first()["embedding"]]
+    path = str(tmp_path / "ivf_nolabel")
+    build_ivf_index(embs, path, cluster_col=None)
+    idx = load_ivf_index(spark, path)
+    cells = idx.cells()
+    assert cells.count() == embs.count()
+    assert cells.select("vec_id").distinct().count() == embs.count()
+    # probing every cell recovers the exact answer regardless of how the
+    # nearest-centroid assignment distributed the vectors
+    assert _rows(idx.topk(qvec, k=10, n_probe=len(idx.centroids))) == _rows(
+        topk_ids(embs, qvec, 10)
+    )
+
+
+def test_rebuild_is_idempotent(spark, sf_dir, tmp_path):
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embs, path)
+    first = sorted(
+        (int(r["cluster"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(path + "/centroids").collect()
+    )
+    build_ivf_index(embs, path)
+    second = sorted(
+        (int(r["cluster"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(path + "/centroids").collect()
+    )
+    assert first == second  # exact-DECIMAL build: partition-order-proof

@@ -94,6 +94,40 @@ def test_embedding_cosine_pairs(spark):
     assert (1, 4) not in pairs  # blocked apart
 
 
+def test_ngram_hot_block_capped(spark):
+    # a boilerplate corpus: 30 docs share one 40-char prefix (the hot
+    # block), plus one small honest near-dup block. With the cap below 30
+    # the hot block contributes zero pairs instead of O(30^2); the small
+    # block still dedups.
+    boiler = "terms of service apply to all users of this site " * 3
+    rows = [(i, boiler + f"variant {i}") for i in range(30)]
+    rows += [(100, BASE), (101, BASE)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.5, max_block_size=10).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)  # nothing from the hot block
+    # with a generous cap the hot block's genuine near-dups DO appear
+    pairs_uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, min_jaccard=0.5, max_block_size=100).collect()
+    }
+    assert any(a < 100 for a, _ in pairs_uncapped)
+
+
+def test_embedding_hot_block_capped(spark):
+    rows = [(i, 0, [1.0, 0.0, 0.001 * i]) for i in range(20)]  # hot label
+    rows += [(100, 1, [0.0, 1.0, 0.0]), (101, 1, [0.0, 0.999, 0.01])]
+    embs = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(embs, min_score=0.9, max_block_size=5).collect()
+    }
+    assert pairs == {(100, 101)}  # hot block skipped, small block intact
+
+
 def test_dedup_shuffles_hashes_not_text(corpus):
     # plan-shape check: the exact-dedup shuffle key is the sha2 hash
     plan = exact_dedup(corpus)._jdf.queryExecution().executedPlan().toString()

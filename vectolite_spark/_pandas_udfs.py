@@ -6,6 +6,18 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def round_half_up(a, decimals=6):
+    """HALF_UP rounding (away from zero on ties) matching Spark's
+    ``F.round`` on doubles and DuckDB's ``ROUND`` — NOT numpy's
+    half-to-even ``np.round``.  A mapper that rounds half-even while the
+    expression path / oracle rounds half-up can pick a different tie
+    group on x.xxxxxx5 boundary scores and hash-mismatch (same landmine
+    class defused in multimodal_features round 1)."""
+    f = 10.0 ** decimals
+    a = np.asarray(a, dtype=np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def make_shingle_udf(n=3):
     """Normalized word n-gram shingles, matching the SQL-side semantics
     exactly: lower -> collapse whitespace -> split on single spaces ->
@@ -47,7 +59,7 @@ def make_block_cosine_pairs_fn(min_score, decimals=6):
         denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = np.where(denom == 0.0, 0.0, sims / denom)
-        sims = np.round(sims, decimals)
+        sims = round_half_up(sims, decimals)
         iu, ju = np.triu_indices(n, k=1)
         keep = sims[iu, ju] >= min_score
         return pd.DataFrame(
@@ -111,7 +123,7 @@ def make_batch_topk_mapper(qids, qvecs, k):
             denom = np.outer(dn, qn)
             with np.errstate(divide="ignore", invalid="ignore"):
                 scores = np.where(denom == 0.0, 0.0, scores / denom)
-            scores = np.round(scores, 6)
+            scores = round_half_up(scores, 6)
             out_q, out_id, out_s = [], [], []
             for j in range(len(qid_arr)):
                 col = scores[:, j]
@@ -130,6 +142,42 @@ def make_batch_topk_mapper(qids, qvecs, k):
                     "score": np.concatenate(out_s),
                 }
             )
+
+    return mapper
+
+
+def make_cell_assign_mapper(cluster_ids, centroid_vecs):
+    """mapInPandas mapper assigning each vector to its nearest centroid by
+    cosine — one (N x d) @ (d x C) matmul per Arrow batch against the
+    closure-shipped centroid matrix (C is tiny; no shuffle, no join).
+
+    Tie-break matches ``ann.nearest_centroid`` exactly: highest rounded
+    (6 dp, HALF_UP) score, then lowest cluster id — so a rebuild assigns
+    identically regardless of partitioning.  Zero-norm vectors score 0.0
+    against every centroid and land in the lowest cluster id.
+    """
+    cmat = np.asarray(centroid_vecs, dtype=np.float64)  # C x d
+    cn = np.sqrt((cmat * cmat).sum(axis=1))  # C
+    # order columns by cluster id ascending so argmax's first-wins
+    # tie-break IS the lowest-cluster-id tie-break
+    order = np.argsort(np.asarray(cluster_ids, dtype=np.int64), kind="stable")
+    cmat, cn = cmat[order], cn[order]
+    cids = np.asarray(cluster_ids, dtype=np.int64)[order]
+
+    def mapper(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            dn = np.sqrt((mat * mat).sum(axis=1))
+            scores = mat @ cmat.T  # N x C
+            denom = np.outer(dn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom == 0.0, 0.0, scores / denom)
+            best = np.argmax(round_half_up(scores, 6), axis=1)  # first max wins
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cell"] = cids[best]
+            yield out
 
     return mapper
 

@@ -132,6 +132,20 @@ def nearest_centroid(
     return best[1]
 
 
+def greedy_probes(
+    cents: list[tuple[int, list[float]]], qvec: Sequence[float], n_probe: int
+) -> list[int]:
+    """The n_probe nearest cells to the query, in probe order (rounded
+    cosine desc, cluster id asc) — driver-side over the tiny centroid set."""
+    probes: list[int] = []
+    remaining = dict(cents)
+    for _ in range(min(n_probe, len(cents))):
+        best = nearest_centroid(list(remaining.items()), qvec)
+        probes.append(best)
+        remaining.pop(best)
+    return probes
+
+
 def ivf_topk(
     embeddings: DataFrame,
     qvec: Sequence[float],
@@ -140,21 +154,121 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_probe: int = 1,
 ) -> DataFrame:
-    """IVF search: build/probe centroids, brute-force only inside the probed
-    cell(s). Returns (id, score) ordered score desc, id asc.
+    """Self-contained IVF search: build centroids in-plan, probe, brute-force
+    only inside the probed cell(s). Returns (id, score) ordered score desc,
+    id asc.
 
-    At scale the centroids are precomputed (index build) and the
-    ``cluster in (probes)`` predicate prunes partitions; rebuilt here per
-    call for self-containedness."""
+    This form recomputes centroids per call (one N*d shuffle) — fine for a
+    one-off, wrong amortization for a query workload. The scale path is
+    ``build_ivf_index`` once + ``IVFIndex.topk`` per query, which scans only
+    the probed parquet partitions."""
     cents = [
         (r["cluster"], list(r["centroid"]))
         for r in build_centroids(embeddings, cluster_col).collect()
     ]
-    probes = []
-    remaining = dict(cents)
-    for _ in range(min(n_probe, len(cents))):
-        best = nearest_centroid(list(remaining.items()), qvec)
-        probes.append(best)
-        remaining.pop(best)
+    probes = greedy_probes(cents, qvec, n_probe)
     cell = embeddings.filter(F.col(cluster_col).isin(probes))
     return topk_ids(cell, qvec, k, id_col=id_col)
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, embedding, cell): nearest-centroid assignment for corpora with
+    no precomputed cluster column — one matmul per Arrow batch against the
+    closure-shipped centroid matrix. Narrow (no shuffle, no join); the
+    write's ``partitionBy("cell")`` does the clustering on disk."""
+    from vectolite_spark._pandas_udfs import make_cell_assign_mapper
+
+    mapper = make_cell_assign_mapper(
+        [c for c, _ in cents], [v for _, v in cents]
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), "embedding").mapInPandas(
+        mapper, schema="vec_id long, embedding array<float>, cell long"
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_path: str,
+    cluster_col: str | None = "label",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and PERSIST the IVF index: ``{index_path}/centroids`` (tiny
+    parquet of per-cell mean vectors, exact-DECIMAL so rebuilds are
+    idempotent) and ``{index_path}/cells`` (the vectors, parquet
+    **partitioned by cell id**).
+
+    The partitioned layout is the whole point: at query time the
+    ``cell IN (probes)`` predicate is a partition filter, so a 1000-executor
+    cluster reads n_probe/n_cells of the data and shuffles nothing — the
+    N*d centroid shuffle happens once here, never per query. With
+    ``cluster_col=None`` cells come from nearest-centroid assignment over a
+    coarse seed clustering (k-means-style single pass) instead of a label.
+
+    The reference has no index at all (vectolite.py:145-171 is always a
+    full scan); this is the north-star extension's build/probe split.
+    """
+    if cluster_col is None:
+        # seed centroids from a deterministic coarse partition of the id
+        # space, then one nearest-centroid refinement pass
+        seeded = embeddings.withColumn(
+            "_seed_cell", F.pmod(F.col(id_col), F.lit(16)).cast("int")
+        )
+        seed_cents = [
+            (r["cluster"], list(r["centroid"]))
+            for r in build_centroids(seeded, "_seed_cell").collect()
+        ]
+        assigned = assign_cells(embeddings, seed_cents, id_col=id_col)
+        cents_src = assigned.withColumnRenamed("cell", "_cell")
+        cents = build_centroids(cents_src, "_cell")
+    else:
+        assigned = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            "embedding",
+            F.col(cluster_col).cast("long").alias("cell"),
+        )
+        cents = build_centroids(embeddings, cluster_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
+
+
+class IVFIndex:
+    """Handle over a persisted IVF index: centroids cached driver-side
+    (tiny — n_cells rows), vectors left on disk until probed."""
+
+    def __init__(self, spark, index_path: str):
+        self.spark = spark
+        self.path = index_path
+        self.centroids = [
+            (int(r["cluster"]), list(r["centroid"]))
+            for r in spark.read.parquet(f"{index_path}/centroids").collect()
+        ]
+
+    def cells(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/cells")
+
+    def probe(self, qvec: Sequence[float], n_probe: int = 1) -> list[int]:
+        return greedy_probes(self.centroids, qvec, n_probe)
+
+    def topk(
+        self, qvec: Sequence[float], k: int = 10, n_probe: int = 1
+    ) -> DataFrame:
+        """Query WITHOUT touching the full table: the ``cell`` predicate is
+        a partition filter on the probed parquet layout (directory pruning —
+        asserted in tests/test_scale_plans.py), then the zero-exchange
+        partial top-k. No centroid rebuild, no N*d shuffle, no posexplode.
+        """
+        probes = self.probe(qvec, n_probe)
+        cell = self.cells().filter(F.col("cell").isin([int(p) for p in probes]))
+        return topk_ids(cell, qvec, k)
+
+
+def load_ivf_index(spark, index_path: str) -> IVFIndex:
+    return IVFIndex(spark, index_path)

@@ -25,6 +25,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# One cached intermediate per operator, replaced (and unpersisted) on the
+# next call: repeated invocations — bench loops over the whole registry —
+# must not accumulate cached blocks in executor storage memory for the
+# session's lifetime.  The previous result can still be recomputed if a
+# caller re-collects it after the cache is dropped; only the cache entry
+# goes away, not correctness.
+_MANAGED_CACHES: dict[str, DataFrame] = {}
+
+
+def _managed_cache(key: str, df: DataFrame) -> DataFrame:
+    prev = _MANAGED_CACHES.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _MANAGED_CACHES[key] = df.cache()
+    return _MANAGED_CACHES[key]
+
 
 def norm_tokens(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, split on single spaces."""
@@ -101,7 +117,9 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_sim) with doc_a < doc_b, est_sim >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes).cache()
+    sigs = _managed_cache(
+        "minhash_sigs", minhash_signatures(df, text_col, id_col, num_hashes)
+    )
     band_rows = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -209,18 +227,36 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_prefix: int = 40,
     min_jaccard: float = 0.6,
+    max_block_size: int = 200,
 ) -> DataFrame:
     """Pairwise word-3-gram Jaccard within prefix blocks.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Blocks larger than ``max_block_size`` are skipped — same guard as
+    ``minhash_lsh_pairs``: a boilerplate-heavy corpus puts thousands of
+    docs behind one 40-char prefix and the self-join goes O(block^2); a
+    block that common is template text, not a near-dup signal. The scale
+    path for those is MinHash LSH, whose banding keys on the whole
+    document, not a prefix."""
     from vectolite_spark._pandas_udfs import make_shingle_udf
 
     # shingles via one Arrow batch per partition, materialized (cached) so
     # the self-join doesn't recompute them per side
-    sh = df.select(
-        F.col(id_col),
-        F.substring(F.col(text_col), 1, block_prefix).alias("block"),
-        F.array_distinct(make_shingle_udf()(F.col(text_col))).alias("sh"),
-    ).cache()
+    sh = _managed_cache(
+        "ngram_shingles",
+        df.select(
+            F.col(id_col),
+            F.substring(F.col(text_col), 1, block_prefix).alias("block"),
+            F.array_distinct(make_shingle_udf()(F.col(text_col))).alias("sh"),
+        ),
+    )
+    ok_blocks = (
+        sh.groupBy("block")
+        .count()
+        .filter(F.col("count") <= max_block_size)
+        .drop("count")
+    )
+    sh = sh.join(ok_blocks, "block", "left_semi")
     a = sh.select(
         F.col("block"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -246,6 +282,7 @@ def embedding_cosine_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     min_score: float = 0.3,
+    max_block_size: int = 1000,
 ) -> DataFrame:
     """Embedding near-dup pairs: pairwise cosine within a blocking key
     (cluster id / LSH bucket). Returns (id_a, id_b, score) with id_a < id_b,
@@ -253,8 +290,11 @@ def embedding_cosine_pairs(
 
     Plan: ONE shuffle grouping each block onto an executor, then a single
     upper-triangle (B x d) @ (d x B) matmul per block via applyInPandas —
-    never an interpreted per-pair fold. Block size bounds the quadratic
-    cost; at 100 TB blocks come from the IVF/LSH index, not a full table."""
+    never an interpreted per-pair fold. Blocks larger than
+    ``max_block_size`` are skipped (semi-join on block counts) so a hot
+    label can neither OOM the executor holding its (B x B) score matrix
+    nor dominate the stage; at 100 TB blocks come from the IVF/LSH index,
+    not a full table, and oversized ones should be re-blocked there."""
     from vectolite_spark._pandas_udfs import make_block_cosine_pairs_fn
 
     fn = make_block_cosine_pairs_fn(min_score)
@@ -263,6 +303,13 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("vec_id"),
         "embedding",
     )
+    ok_blocks = (
+        normalized.groupBy("block")
+        .count()
+        .filter(F.col("count") <= max_block_size)
+        .drop("count")
+    )
+    normalized = normalized.join(ok_blocks, "block", "left_semi")
     return normalized.groupBy("block").applyInPandas(
         fn, schema="id_a long, id_b long, score double"
     )
