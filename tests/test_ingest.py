@@ -71,6 +71,41 @@ def test_ingest_glob_multiple_files(spark, tmp_path):
     assert names == {"f0.txt", "f1.txt", "f2.txt"}
 
 
+def test_append_dataframe_distributed(spark, tmp_path):
+    # the bulk path: ids assigned in-plan (unique, ascending, possibly
+    # non-contiguous), count from the write job's Observation — no corpus
+    # data collected to the driver
+    store = SparkVectolite(spark, str(tmp_path / "bulk"), embed_fn=stub_embedder(dim=4))
+    first = store.insert("seed doc")  # contiguous interactive path
+    rows = spark.createDataFrame(
+        [(f"bulk doc {i}", "{}", [float(i), 1.0, 0.0, 0.5]) for i in range(200)],
+        "text string, metadata string, embedding array<float>",
+    ).repartition(8)
+    n = store.append_dataframe(rows)
+    assert n == 200
+    assert store.count_documents() == 201
+    ids = [r["id"] for r in store.df().select("id").collect()]
+    assert len(set(ids)) == 201
+    assert min(i for i in ids if i != first) > first  # bulk ids follow max_id
+
+
+def test_append_dataframe_validates_in_plan(spark, tmp_path):
+    store = SparkVectolite(spark, str(tmp_path / "bulkv"), embed_fn=stub_embedder(dim=4))
+    store.insert("seed doc")
+    bad_dim = spark.createDataFrame(
+        [("ok text", "{}", [1.0, 2.0])], "text string, metadata string, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        store.append_dataframe(bad_dim)
+    empty_text = spark.createDataFrame(
+        [("   ", "{}", [1.0, 2.0, 3.0, 4.0])],
+        "text string, metadata string, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="cannot be empty"):
+        store.append_dataframe(empty_text)
+    assert store.count_documents() == 1  # failed jobs committed nothing
+
+
 def test_read_files_schema(spark, tmp_path):
     f = tmp_path / "a.txt"
     f.write_text("body text")

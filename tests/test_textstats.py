@@ -60,6 +60,27 @@ def test_fingerprint_detects_shared_content(spark):
     assert len(fps[4]) == 32
 
 
+def test_fingerprint_arrow_matches_expr(spark):
+    # property: the Arrow hashlib pass and the pure-expression form agree
+    # on long docs, unicode (multi-byte chars shift UTF-8 offsets — grams
+    # are CHARACTER slices on both paths), boundary lengths, and empties
+    rows = [
+        (1, "x" * 5000),
+        (2, "the quick brown fox " * 400),
+        (3, "héllo wörld — ünïcode ✓ " * 50),
+        (4, "exactly8"),  # == gram size
+        (5, "seven77"),  # just under
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    expr = {
+        r["doc_id"]: r["fingerprint"]
+        for r in fingerprint(df, method="expr").collect()
+    }
+    assert arrow == expr
+
+
 def test_ivf_centroids_and_search(spark):
     # two well-separated clusters; centroid build must be exact
     rows = [

@@ -146,6 +146,39 @@ def make_batch_topk_mapper(qids, qvecs, k):
     return mapper
 
 
+def make_fingerprint_udf(gram=8):
+    """Winnowing fingerprint (min md5 over character n-gram shingles) in one
+    Arrow pass.  The pure-expression form builds one interpreted md5 call
+    per character offset via transform(sequence(...)) — a 10 KB doc is
+    10 000 interpreted calls; here it's a tight hashlib loop (~1 µs/gram),
+    the same treatment lang_id got.  Semantics are identical and
+    oracle-verified: grams are CHARACTER slices hashed as UTF-8 (matching
+    Spark substr + md5 and DuckDB substring + md5), min over the digest
+    bytes == min over the hex string."""
+    import hashlib
+
+    def one(t):
+        md5 = hashlib.md5
+        t = t or ""
+        if len(t) < gram:
+            return md5(t.encode("utf-8")).hexdigest()
+        if t.isascii():
+            b = memoryview(t.encode("utf-8"))
+            return min(
+                md5(b[i : i + gram]).digest() for i in range(len(b) - gram + 1)
+            ).hex()
+        return min(
+            md5(t[i : i + gram].encode("utf-8")).digest()
+            for i in range(len(t) - gram + 1)
+        ).hex()
+
+    @pandas_udf("string")
+    def _fp(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return _fp
+
+
 def make_cell_assign_mapper(cluster_ids, centroid_vecs):
     """mapInPandas mapper assigning each vector to its nearest centroid by
     cosine — one (N x d) @ (d x C) matmul per Arrow batch against the

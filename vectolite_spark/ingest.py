@@ -116,9 +116,14 @@ def ingest_files(
     embed_dim: int = 64,
 ) -> int:
     """End-to-end: files -> chunks -> embeddings -> store append.
-    Returns the number of chunks ingested."""
+    Returns the number of chunks ingested.
+
+    Fully distributed: the pipeline writes straight into the store via
+    ``append_dataframe`` (in-plan id assignment + one append job) — no
+    chunk or embedding ever passes through driver memory, so the path
+    scales to a corpus that does not fit on the driver."""
     files_df = read_files(store.spark, paths)
-    out = ingest_pipeline(
+    pipe = ingest_pipeline(
         files_df,
         base_metadata=base_metadata,
         chunk=chunk,
@@ -126,12 +131,5 @@ def ingest_files(
         overlap=overlap,
         embed_provider=embed_provider,
         embed_dim=embed_dim,
-    ).collect()
-    if not out:
-        return 0
-    store.insert_many(
-        [r["text"] for r in out],
-        metadatas=[json.loads(r["metadata"]) for r in out],
-        embeddings=[list(r["embedding"]) for r in out],
     )
-    return len(out)
+    return store.append_dataframe(pipe)

@@ -1,6 +1,9 @@
 """Text-analysis operators for training-data pipelines (north-star extension):
 language-ID heuristic, quality scoring, token counting, document
-fingerprinting. All pure column expressions (JVM-side, no Python), all with
+fingerprinting. Quality/token features are pure column expressions
+(JVM-side, whole-stage codegen); lang-id and fingerprint are single-pass
+Arrow UDFs (their expression forms evaluate interpreted per-token/per-gram
+md5 calls — the slow path, kept for differential testing). All with
 portable DuckDB twins (md5 hashes, explicit regex classes — no engine-
 specific tokenizers).
 
@@ -103,15 +106,30 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    method: str = "arrow",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over all
     character 8-gram shingles (rolling-hash family, md5 for portability).
-    Equal fingerprints => near-certain shared content block."""
+    Equal fingerprints => near-certain shared content block.
+
+    method="arrow" (default): one Arrow-batched hashlib pass per row.
+    method="expr": pure column expressions — but transform(sequence(...))
+    evaluates ONE INTERPRETED md5 PER CHARACTER OFFSET (a 10 KB doc is
+    10 000 interpreted calls), so it is the slow path, kept only for
+    differential testing against the Arrow form."""
     t = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(t) - (gram - 1)),
-        lambda i: F.md5(t.substr(i, F.lit(gram))),
-    )
-    fp = F.when(F.length(t) >= gram, F.array_min(grams)).otherwise(F.md5(t))
+    if method == "expr":
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(t) - (gram - 1)),
+            lambda i: F.md5(t.substr(i, F.lit(gram))),
+        )
+        fp = F.when(F.length(t) >= gram, F.array_min(grams)).otherwise(F.md5(t))
+    else:
+        from vectolite_spark._pandas_udfs import make_fingerprint_udf
+
+        fp = make_fingerprint_udf(gram)(t)
     return df.select(F.col(id_col), fp.alias("fingerprint"))

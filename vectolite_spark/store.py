@@ -135,6 +135,52 @@ class SparkVectolite:
         df.write.mode("append").parquet(self.path)
         return list(range(start, start + len(texts)))
 
+    def append_dataframe(self, df: DataFrame) -> int:
+        """Distributed bulk append: (text, metadata, embedding) rows are
+        written straight from the executors — NO corpus data moves through
+        the driver (the scale path for ``ingest_files`` / streaming ingest;
+        VERDICT r1 item 4).
+
+        Ids are assigned IN-PLAN as ``max_id + 1 + monotonically_increasing
+        _id()``: unique and ascending within each partition but intentionally
+        NON-contiguous (the partition ordinal occupies the high bits) —
+        contiguity is a driver-side notion a 1000-executor append cannot
+        afford a global sort for. ``insert_many`` keeps the reference's
+        contiguous ids for the interactive path.
+
+        Validation is in-plan too: an empty text or an embedding whose
+        dimension disagrees with the store fails the write job itself
+        (raise_error) and the aborted job commits nothing. The returned
+        count comes from an ``Observation`` on the write job — no second
+        pass re-running the (possibly expensive) upstream pipeline.
+        """
+        from pyspark.sql import Observation
+
+        start = self._max_id() + 1
+        stored = self._dim()
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        text = F.when(
+            F.length(F.trim(F.col("text"))) > 0, F.col("text")
+        ).otherwise(F.raise_error(F.lit("Document text cannot be empty")))
+        emb = F.col("embedding").cast("array<float>")
+        if stored is not None:
+            emb = F.when(F.size("embedding") == stored, emb).otherwise(
+                F.raise_error(
+                    F.lit(f"Embedding dimension mismatch: store has {stored}")
+                )
+            )
+        out = df.select(
+            (F.lit(start) + F.monotonically_increasing_id()).alias("id"),
+            text.alias("text"),
+            F.coalesce(F.col("metadata"), F.lit("{}")).alias("metadata"),
+            emb.alias("embedding"),
+            F.lit(now).cast("timestamp").alias("created_at"),
+        )
+        obs = Observation("append")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        out.write.mode("append").parquet(self.path)
+        return int(obs.get["n"])
+
     def query(
         self,
         query_text: str,

@@ -55,22 +55,17 @@ def stream_ingest(
     Returns the started StreamingQuery (availableNow trigger: drains the
     directory then stops; call .awaitTermination()).
     """
-    import json
-
     from vectolite_spark.ingest import ingest_pipeline
 
     files = stream_text_files(store.spark, input_dir, glob)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = ingest_pipeline(
-            batch_df, max_chars=max_chars, overlap=overlap, embed_dim=embed_dim
-        ).collect()
-        if rows:
-            store.insert_many(
-                [r["text"] for r in rows],
-                metadatas=[json.loads(r["metadata"]) for r in rows],
-                embeddings=[list(r["embedding"]) for r in rows],
+        # distributed batch append: chunks/embeddings never hit the driver
+        store.append_dataframe(
+            ingest_pipeline(
+                batch_df, max_chars=max_chars, overlap=overlap, embed_dim=embed_dim
             )
+        )
 
     return (
         files.writeStream.foreachBatch(sink)
