@@ -14,6 +14,7 @@ from vectolite_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_groups,
+    simhash_near_pairs,
 )
 
 BASE = (
@@ -92,6 +93,51 @@ def test_embedding_cosine_pairs(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert (1, 3) not in pairs  # below threshold
     assert (1, 4) not in pairs  # blocked apart
+
+
+def test_simhash_r1_finds_one_bit_perturbation(spark):
+    # craft a corpus where two docs land exactly 1 simhash bit apart: r=0
+    # (identical signatures) misses the pair, r=1's bit-flip probes find it
+    import hashlib
+    import re
+
+    def py_simhash(text, bits=16):  # mirrors operators/dedup.simhash
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        hv = [int(hashlib.md5(t.encode()).hexdigest()[: bits // 4], 16) for t in toks]
+        sig = 0
+        for j in range(bits):
+            vote = sum(1 if x & (1 << j) else -1 for x in hv)
+            if vote > 0:
+                sig |= 1 << j
+        return sig
+
+    base = BASE
+    found = next(
+        (
+            cand
+            for i in range(200)
+            if bin(
+                py_simhash(base) ^ py_simhash(cand := base.replace("meadow", f"meadow{i}"))
+            ).count("1")
+            == 1
+        ),
+        None,
+    )
+    assert found is not None, "no 1-bit perturbation found in 200 candidates"
+    rows = [(1, base), (2, found), (3, "entirely unrelated content about spark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r0 = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(df, radius=0).collect()}
+    r1 = {(r["doc_a"], r["doc_b"]): r["hamming"]
+          for r in simhash_near_pairs(df, radius=1).collect()}
+    assert (1, 2) not in r0  # identical-signature grouping misses it
+    assert r1[(1, 2)] == 1  # bit-flip probing finds it
+    assert all(p == (1, 2) for p in r1)
+
+
+def test_simhash_r1_exact_dup_distance_zero(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(corpus, radius=1).collect()}
+    assert pairs[(1, 2)] == 0  # exact dup pair found once, at distance 0
 
 
 def test_ngram_hot_block_capped(spark):

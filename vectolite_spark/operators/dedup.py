@@ -221,6 +221,67 @@ def simhash_dup_groups(
     ).filter(F.col("group_size") > 1)
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    radius: int = 1,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= ``radius`` (0 or 1) WITHOUT the
+    O(N^2) signature cross-join: side A emits its signature as the probe
+    key, side B emits the signature plus every single-bit flip (bits+1
+    probes/doc for r=1), and the probe-key equi-join surfaces exactly the
+    pairs with sig_a in {sig_b} U {sig_b ^ 2^j} — i.e. distance <= 1. A
+    final bit_count filter keeps the contract exact and r=0 a special case.
+
+    Each qualifying pair appears exactly once: A emits one probe, at most
+    one of B's bits+1 distinct probes can equal it, and the id ordering
+    keeps one direction — no distinct() pass needed.
+
+    Probe buckets larger than ``max_bucket_size`` are skipped (the LSH
+    guard): a signature shared by thousands of docs is degenerate template
+    text and would go O(bucket^2). Returns (doc_a, doc_b, hamming)."""
+    if radius not in (0, 1):
+        raise ValueError("radius must be 0 or 1 (bit-flip probing)")
+    s = simhash(df, text_col, id_col, bits)
+    a = s.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        F.col("simhash").alias("probe"),
+    )
+    if radius == 0:
+        probes = F.array(F.col("simhash"))
+    else:
+        probes = F.array(
+            F.col("simhash"),
+            *[F.col("simhash").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+        )
+    b = s.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        F.explode(probes).alias("probe"),
+    )
+    ok = (
+        b.groupBy("probe")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    b = b.join(ok, "probe", "left_semi")
+    return (
+        a.join(b, "probe")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1071,6 +1071,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_r1",
+    f"""
+WITH hv AS (
+  SELECT doc_id,
+         list_transform({_SQL_TOKENS},
+                        t -> CAST('0x' || substr(md5(t), 1, 4) AS BIGINT)) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 16),
+           j -> CASE WHEN list_sum(list_transform(h,
+                  x -> CASE WHEN (x & (1 << j)) != 0 THEN 1 ELSE -1 END)) > 0
+                THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
+  FROM hv
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+)
+def dedup_simhash_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=1 neighborhoods (VERDICT r1 item 6): bit-flip probe
+    keys (17 probes/doc) + equi-join instead of the oracle's O(N^2)
+    signature cross-join — finds 1-bit-perturbed near-dups that identical-
+    signature grouping (dedup_simhash r=0) misses."""
+    from vectolite_spark.operators.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(load_table(spark, sf_dir, "documents"), radius=1)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
 WITH sh AS (
