@@ -37,3 +37,20 @@ def test_salt_is_deterministic_and_spread(spark):
 def test_replication_count(spark):
     dim = spark.createDataFrame([(1, "x"), (2, "y")], "k long, name string")
     assert replicate_for_salt(dim, 5).count() == 10
+
+
+def test_salted_join_left_outer_and_rejects_dim_preserving(spark):
+    fact = spark.createDataFrame(
+        [(1, "hot"), (2, "hot"), (3, "cold"), (4, "orphan")], "row_id long, k string"
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, name string")
+    left = {(r["row_id"], r["name"])
+            for r in salted_join(fact, dim, ["k"], n_salts=4, how="left").collect()}
+    plain = {(r["row_id"], r["name"])
+             for r in fact.join(dim, ["k"], "left").collect()}
+    assert left == plain  # unmatched FACT rows appear exactly once
+    import pytest as _pytest
+
+    for bad in ("right", "full", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError):
+            salted_join(fact, dim, ["k"], n_salts=4, how=bad)

@@ -114,6 +114,43 @@ def test_compact_merges_small_files(store):
     assert store.insert("post compact") == 7
 
 
+def test_metadata_filter_typed_values(store):
+    store.insert("flagged doc", {"ok": True, "score": 1.5, "n": 3})
+    store.insert("other doc", {"ok": False, "score": 2.0, "n": 4})
+    # booleans compare against JSON 'true'/'false', not Python 'True'
+    res = store.query("flagged doc", top_k=5, metadata_filter={"ok": True})
+    assert len(res) == 1 and res[0]["metadata"]["ok"] is True
+    assert len(store.query("doc", top_k=5, metadata_filter={"score": 1.5})) == 1
+    assert len(store.query("doc", top_k=5, metadata_filter={"n": 4})) == 1
+    # None / non-scalar values are rejected loudly, not silently empty
+    with pytest.raises(VectoliteError):
+        store.query("doc", top_k=5, metadata_filter={"ok": None})
+    with pytest.raises(VectoliteError):
+        store.query("doc", top_k=5, metadata_filter={"ok": [1, 2]})
+
+
+def test_rewrite_crash_recovery(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "crashdb")
+    store = SparkVectolite(spark, path, embed_fn=stub_embedder(dim=8))
+    store.insert_many(["survivor one", "survivor two"])
+    # simulate a crash between _rewrite's two renames: live data sits in
+    # .bak, the store path is gone, a half-written .tmp is left behind
+    os.rename(path, path + ".bak")
+    os.makedirs(path + ".tmp")
+    reopened = SparkVectolite(spark, path, embed_fn=stub_embedder(dim=8))
+    assert reopened.count_documents() == 2  # .bak restored
+    assert not os.path.exists(path + ".tmp")  # stale leftovers cleared
+    assert not os.path.exists(path + ".bak")
+    # a stale .bak alongside a LIVE path is deleted, not restored over it
+    reopened.delete_document(1)
+    os.makedirs(path + ".bak")
+    again = SparkVectolite(spark, path, embed_fn=stub_embedder(dim=8))
+    assert again.count_documents() == 1
+    assert not os.path.exists(path + ".bak")
+
+
 def test_stats(store):
     store.insert_many(["a b c", "d e f"])
     st = store.stats()

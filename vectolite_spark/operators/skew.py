@@ -36,6 +36,12 @@ def replicate_for_salt(df: DataFrame, n_salts: int) -> DataFrame:
     )
 
 
+_FACT_PRESERVING_HOW = {
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -44,7 +50,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the hot-key shuffle spread over ``n_salts`` partitions
-    per key. Result is identical to ``fact.join(dim, on, how)``."""
+    per key. Result is identical to ``fact.join(dim, on, how)`` for the
+    supported join types.
+
+    Only fact-preserving joins are allowed: the dim side is REPLICATED
+    ``n_salts`` times, so any dim-preserving type (right/full outer) would
+    emit every unmatched dim row once per salt — silently wrong. For those,
+    swap the sides (the replicated side must be the one whose unmatched
+    rows are dropped) or rely on AQE skew splitting."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _FACT_PRESERVING_HOW
+    }:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got how={how!r}: "
+            "the replicated dim side would duplicate unmatched rows under "
+            "right/full outer. Swap the join sides or use AQE skew handling."
+        )
     f = with_salt(fact, n_salts)
     d = replicate_for_salt(dim, n_salts)
     return f.join(d, on + [SALT_COL], how).drop(SALT_COL)

@@ -12,13 +12,19 @@ Store layout: a parquet directory with the DOCUMENT_STORE_SCHEMA
 At 100 TB this directory becomes a partitioned table (by ingest date or
 source) on a table format with ACID deletes (Delta/Iceberg); the facade's
 semantics don't change, only `_rewrite` stops being O(table).
+
+All filesystem operations go through the Hadoop FileSystem API (via the
+JVM gateway), NOT os/shutil — so the same store code runs against
+file://, hdfs://, or s3a:// paths; the 100 TB store does not live on a
+local POSIX disk. The delete/compact swap is a write-new + double-rename;
+a crash between the renames is recovered on the next open (see
+``_recover``).
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import json
-import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +39,44 @@ from vectolite_spark.schema import DOCUMENT_STORE_SCHEMA
 EmbedFn = Callable[[list[str]], list[list[float]]]
 
 
+class _HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem so the store's
+    metadata operations (exists / rename / delete / size) work on any
+    Hadoop-supported filesystem — local, HDFS, or an object store — not
+    just POSIX. Scheme resolution comes from the path itself."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def rename(self, src: str, dst: str) -> bool:
+        return self._fs.rename(self._Path(src), self._Path(dst))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._Path(path), True)  # recursive
+
+    def has_parquet_file(self, path: str) -> bool:
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return False
+        for st in self._fs.listStatus(p):
+            if st.getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+    def size_bytes(self, path: str) -> int:
+        if not self.exists(path):
+            return 0
+        return int(self._fs.getContentSummary(self._Path(path)).getLength())
+
+
 class SparkVectolite:
     """Parquet-backed document+vector store with the reference's semantics."""
 
@@ -45,15 +89,29 @@ class SparkVectolite:
         from vectolite_spark.session import ensure_shipped
 
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
         self.embed_fn = embed_fn
         ensure_shipped(spark)
-        os.makedirs(path, exist_ok=True)
+        self._fs = _HadoopFS(spark, self.path)
+        self._recover()
+        self._fs.mkdirs(self.path)
 
     # -- internals ---------------------------------------------------------
 
+    def _recover(self) -> None:
+        """Heal an interrupted ``_rewrite``: if a crash hit between the two
+        renames, the live data sits in ``.bak`` and ``path`` is gone —
+        restore it. Stale ``.tmp``/``.bak`` leftovers are deleted so the
+        next rewrite cannot fail on a rename collision."""
+        bak, tmp = self.path + ".bak", self.path + ".tmp"
+        if self._fs.exists(bak) and not self._fs.exists(self.path):
+            self._fs.rename(bak, self.path)
+        for stale in (tmp, bak):
+            if self._fs.exists(stale):
+                self._fs.delete(stale)
+
     def _exists(self) -> bool:
-        return any(n.endswith(".parquet") for n in os.listdir(self.path))
+        return self._fs.has_parquet_file(self.path)
 
     def df(self) -> DataFrame:
         """The documents table as a DataFrame (empty if nothing inserted)."""
@@ -77,15 +135,20 @@ class SparkVectolite:
         return None if row is None else int(row["d"])
 
     def _rewrite(self, df: DataFrame) -> None:
-        """Immutable rewrite for delete: write-new + swap (plain parquet)."""
-        tmp = self.path.rstrip("/") + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        bak = self.path.rstrip("/") + ".bak"
-        os.rename(self.path, bak)
-        os.rename(tmp, self.path)
-        import shutil
+        """Immutable rewrite for delete/compact: write-new + double-rename.
 
-        shutil.rmtree(bak)
+        The swap is not atomic on plain parquet (Delta/Iceberg is the real
+        answer at scale, module docstring); the crash window between the
+        renames is made RECOVERABLE instead: the live rows always exist in
+        exactly one of ``path`` or ``path.bak``, and ``_recover`` (run on
+        every open and before every rewrite) restores ``.bak`` if ``path``
+        is missing and clears stale leftovers."""
+        self._recover()
+        tmp, bak = self.path + ".tmp", self.path + ".bak"
+        df.write.mode("overwrite").parquet(tmp)
+        self._fs.rename(self.path, bak)
+        self._fs.rename(tmp, self.path)
+        self._fs.delete(bak)
 
     # -- reference API (vectolite.py:81-298) -------------------------------
 
@@ -209,8 +272,21 @@ class SparkVectolite:
         base = self.df()
         if metadata_filter:
             for key, value in metadata_filter.items():
+                # get_json_object returns the raw JSON text of the value:
+                # unquoted for strings, 'true'/'false' for booleans, JSON
+                # number formatting for numerics — so compare against the
+                # JSON serialization, NOT Python str() ('True' vs 'true',
+                # '1.0' vs '1' would silently match nothing). None can't be
+                # distinguished from a missing key here; reject it and
+                # non-scalars loudly instead of returning empty results.
+                if value is None or not isinstance(value, (str, int, float)):
+                    raise VectoliteError(
+                        "metadata_filter values must be str/int/float/bool, "
+                        f"got {type(value).__name__} for key {key!r}"
+                    )
+                cmp = value if isinstance(value, str) else json.dumps(value)
                 base = base.filter(
-                    F.get_json_object("metadata", f"$.{key}") == str(value)
+                    F.get_json_object("metadata", f"$.{key}") == cmp
                 )
         out = (
             base.select(
@@ -309,11 +385,10 @@ class SparkVectolite:
         return n
 
     def stats(self) -> dict:
-        """A2 (vectolite.py:538-555): doc count + storage bytes (FS listing
-        of the parquet dir stands in for the SQLite file size)."""
-        size = 0
-        for root, _dirs, files in os.walk(self.path):
-            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        """A2 (vectolite.py:538-555): doc count + storage bytes (Hadoop
+        content summary of the store dir stands in for the SQLite file
+        size; works on object stores, not just local disk)."""
+        size = self._fs.size_bytes(self.path)
         return {
             "document_count": self.count_documents(),
             "db_size_mb": round(size / 1024 / 1024, 2),
