@@ -50,6 +50,8 @@ REGISTRY_BENCH = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_ivf_topk",
+    "ann_ivf_built_topk",
+    "dedup_simhash_r1",
     "text_quality",
     "token_count",
     "doc_fingerprint",
@@ -72,6 +74,59 @@ REGISTRY_BENCH = [
     "cube_order_counts",
     "embedding_norm_stats",
 ]
+
+
+def _bench_reference(qvecs: list[list[float]], n_vecs: int) -> dict[str, float]:
+    """Execute the reference engine (/root/reference/vectolite.py) on a
+    same-shape corpus: ``n_vecs`` deterministic vectors of the same dim,
+    ``insert`` one-at-a-time (its only ingest path), then single queries.
+    Returns measured reference numbers, or {} if the reference is absent."""
+    import tempfile
+    import types
+
+    if not os.path.exists("/root/reference/vectolite.py"):
+        return {}
+    for name in ("typer", "rich", "rich.console"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["typer"].Typer = lambda *a, **k: types.SimpleNamespace(
+        command=lambda *a, **k: (lambda f: f)
+    )
+    sys.modules["typer"].BadParameter = ValueError
+    sys.modules["typer"].Option = lambda *a, **k: None
+    sys.modules["typer"].Argument = lambda *a, **k: None
+    sys.modules["rich"].print = print
+    sys.modules["rich.console"].Console = lambda *a, **k: types.SimpleNamespace()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import vectolite as ref_mod
+
+        from vectolite_spark.embed import stub_embedder
+
+        dim = len(qvecs[0])
+        base_embed = stub_embedder(dim=dim)
+        qmap = {f"__q{i}__": [float(x) for x in v] for i, v in enumerate(qvecs)}
+
+        def embed(texts):
+            return [qmap.get(t) or base_embed([t])[0] for t in texts]
+
+        with tempfile.TemporaryDirectory(prefix="vectolite_ref_bench_") as d:
+            db = ref_mod.Vectolite(os.path.join(d, "ref.db"), embed_fn=embed)
+            t0 = time.time()
+            for i in range(n_vecs):
+                db.insert(f"reference bench document number {i}")
+            ingest_sec = time.time() - t0
+            db.query("__q0__", top_k=10)  # warm (plan/page cache)
+            t0 = time.time()
+            for qt in qmap:
+                db.query(qt, top_k=10)
+            q_sec = (time.time() - t0) / len(qmap)
+        return {
+            "reference_1q_sec": round(q_sec, 4),
+            "reference_ingest_docs_per_sec": round(n_vecs / ingest_sec, 1),
+        }
+    finally:
+        sys.path.remove("/root/reference")
 
 
 def main() -> None:
@@ -135,6 +190,14 @@ def main() -> None:
     timings["ingest_embed_write_total"] = round(ingest_sec, 4)
     timings["ingest_docs_per_sec"] = round(n_docs / ingest_sec, 1)
 
+    # -- measured reference baseline (VERDICT r1 item 8) -------------------
+    # run the ACTUAL reference engine (sqlite-backed, CLI deps stubbed the
+    # same way tests/test_reference_parity.py does) on the same corpus
+    # shape — n_vecs vectors of the same dim — so bench_vs_baseline is a
+    # measured ratio, not an estimate
+    ref = _bench_reference(qvecs, n_vecs)
+    timings.update(ref)
+
     # -- registry queries (cold plans, parquet scans included) -------------
     from vectolite_spark import registry
 
@@ -157,6 +220,18 @@ def main() -> None:
         "n_vectors": n_vecs,
         "cpus": int(CPUS),
     }
+    if "reference_1q_sec" in timings:
+        # measured ratios vs the executed reference (>1 = we are faster)
+        result["speedup_1q_vs_reference"] = round(
+            timings["reference_1q_sec"] / timings["flagship_topk_cached_1q"], 3
+        )
+        result["speedup_batch_vs_reference"] = round(
+            timings["reference_1q_sec"] / timings["batch_topk_per_query"], 3
+        )
+        result["speedup_ingest_vs_reference"] = round(
+            timings["ingest_docs_per_sec"] / timings["reference_ingest_docs_per_sec"],
+            3,
+        )
     print(json.dumps(result))
 
 

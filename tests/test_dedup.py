@@ -95,6 +95,12 @@ def test_embedding_cosine_pairs(spark):
     assert (1, 4) not in pairs  # blocked apart
 
 
+def test_simhash_arrow_matches_expr(corpus):
+    arrow = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    expr = {r["doc_id"]: r["simhash"] for r in simhash(corpus, method="expr").collect()}
+    assert arrow == expr
+
+
 def test_simhash_r1_finds_one_bit_perturbation(spark):
     # craft a corpus where two docs land exactly 1 simhash bit apart: r=0
     # (identical signatures) misses the pair, r=1's bit-flip probes find it

@@ -161,3 +161,49 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT key, count(*) AS n FROM dedupq GROUP BY key").collect()
     assert {r["key"]: r["n"] for r in got} == {"k1": 1, "k2": 1}
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    # applyInPandasWithState: per-key lifetime totals live in the
+    # checkpointed state store — batch 2 (a separate query restarted on
+    # the same checkpoint) continues from batch 1's state.
+    from vectolite_spark.streaming.stateful import running_user_totals
+
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "stateful_ckpt")
+    schema = "user_id long, value double"
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], schema
+    ).write.parquet(str(src / "b1"))
+
+    collected = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(src) + "/*")
+        out = running_user_totals(stream)
+
+        def sink(bdf, bid):
+            for r in bdf.collect():
+                collected[r["user_id"]] = (r["n_events"], r["total_value"])
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert collected == {1: (2, 15.0), 2: (1, 7.0)}
+    # second batch arrives; restart from the same checkpoint
+    spark.createDataFrame([(1, 1.0), (3, 2.0)], schema).write.parquet(str(src / "b2"))
+    collected.clear()
+    run_once()
+    # user 1 CONTINUES from state (3 events, 16.0), user 3 starts fresh;
+    # user 2 had no rows in batch 2 -> no update emitted
+    assert collected == {1: (3, 16.0), 3: (1, 2.0)}

@@ -1,0 +1,98 @@
+"""Web UI (S6): the reference's Streamlit panels as a stdlib HTTP app —
+exercised end-to-end over an ephemeral port against a real store."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from vectolite_spark.embed import stub_embedder
+from vectolite_spark.store import SparkVectolite
+from vectolite_spark.ui import serve_ui
+
+
+@pytest.fixture()
+def ui(spark, tmp_path):
+    store = SparkVectolite(spark, str(tmp_path / "uidb"), embed_fn=stub_embedder(dim=8))
+    store.insert("alpha document about vectors", {"src": "seed"})
+    store.insert("beta document about parquet", {"src": "seed"})
+    server = serve_ui(store, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, store
+    server.shutdown()
+
+
+def _get(url: str) -> tuple[int, str]:
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read().decode()
+
+
+def _post(url: str, data: dict) -> tuple[int, str]:
+    body = urllib.parse.urlencode(data).encode()
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read().decode()
+
+
+def test_browse_lists_documents(ui):
+    base, _ = ui
+    status, page = _get(base + "/browse")
+    assert status == 200
+    assert "Showing 1-2 of 2" in page
+    assert "alpha document" in page and "beta document" in page
+
+
+def test_search_returns_scored_results(ui):
+    base, _ = ui
+    q = urllib.parse.quote("alpha document about vectors")
+    status, page = _get(base + f"/search?q={q}&k=2")
+    assert status == 200
+    assert "Score: 1.0000" in page  # exact text -> identical stub vector
+    assert "alpha document" in page
+
+
+def test_add_and_delete_roundtrip(ui):
+    base, store = ui
+    # add (redirect follows back to browse)
+    status, page = _post(
+        base + "/add",
+        {"text": "gamma freshly added", "metadata": json.dumps({"src": "ui"})},
+    )
+    assert status == 200 and "gamma freshly added" in page
+    assert store.count_documents() == 3
+    new_id = max(d["id"] for d in store.list_documents())
+    status, page = _post(base + "/delete", {"id": str(new_id)})
+    assert status == 200
+    assert store.count_documents() == 2
+
+
+def test_ingest_file_panel(ui, tmp_path):
+    base, store = ui
+    f = tmp_path / "uidoc.txt"
+    f.write_text("one paragraph\n\nanother paragraph")
+    status, _ = _post(
+        base + "/ingest",
+        {"path": str(f), "chunk": "on", "max_chars": "2000", "overlap": "0"},
+    )
+    assert status == 200
+    assert store.count_documents() == 3
+
+
+def test_manage_stats_and_errors(ui):
+    base, _ = ui
+    status, page = _get(base + "/manage")
+    assert status == 200 and "Total Documents: <b>2</b>" in page
+    # bad routes and bad input surface as error pages, not hangs
+    req = urllib.request.Request(base + "/nope")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/add", {"text": "x", "metadata": "{not json"})
+    assert e.value.code == 500

@@ -146,6 +146,39 @@ def make_batch_topk_mapper(qids, qvecs, k):
     return mapper
 
 
+def make_simhash_udf(bits=16):
+    """SimHash signature in one Arrow pass: md5 each normalized token's
+    leading hex nibbles -> int, then one vectorized +-1 vote per bit.
+
+    The expression form chains ``bits`` interpreted aggregate() folds that
+    each re-derive the token-hash array; worse, any projection that
+    references the signature expression N times (e.g. the 17-element
+    bit-flip probe array in simhash_near_pairs) re-evaluates the whole
+    fold chain N times — 18 s at sf0.1 vs <1 s here. Semantics identical
+    and oracle-verified."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+")
+    hexchars = bits // 4
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def one(text):
+        toks = ws.sub(" ", (text or "").strip().lower()).split(" ")
+        hv = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:hexchars], 16) for t in toks],
+            dtype=np.int64,
+        )
+        votes = (2 * ((hv[:, None] >> shifts) & 1) - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.int64) << shifts).sum())
+
+    @pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return _sim
+
+
 def make_fingerprint_udf(gram=8):
     """Winnowing fingerprint (min md5 over character n-gram shingles) in one
     Arrow pass.  The pure-expression form builds one interpreted md5 call

@@ -158,6 +158,19 @@ def cmd_show(args) -> None:
     print(f"Text:\n{d['text']}")
 
 
+def cmd_ui(args) -> None:
+    from vectolite_spark.ui import serve_ui
+
+    store = _build_store(args)
+    server = serve_ui(store, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"Vectolite UI at http://{host}:{port}/ (Ctrl-C to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vectolite-spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -211,6 +224,14 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("doc_id", type=int)
     common(sp, embed=False)
     sp.set_defaults(fn=cmd_show)
+
+    sp = sub.add_parser(
+        "ui", help="browse/search web UI (the reference's Streamlit surface)"
+    )
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8765)
+    common(sp)
+    sp.set_defaults(fn=cmd_ui)
     return p
 
 

@@ -42,6 +42,22 @@ def _managed_cache(key: str, df: DataFrame) -> DataFrame:
     return _MANAGED_CACHES[key]
 
 
+def widen_small_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Spread a small input across the cluster before a per-row-expensive
+    (Arrow UDF) stage.
+
+    A single parquet file with one row group scans as ONE task no matter
+    what maxPartitionBytes says, so a costly per-row stage runs on one
+    core. When the scan has far fewer partitions than the cluster has
+    slots, one narrow shuffle of the raw rows buys full parallelism. At
+    100 TB the source already has thousands of splits and this is a
+    NO-OP — it never adds a shuffle to an already-parallel input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def norm_tokens(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, split on single spaces."""
     c = F.col(col) if isinstance(col, str) else col
@@ -86,7 +102,7 @@ def minhash_signatures(
     # md5/concat are whole-stage-codegen scalars (interpreted HOF lambdas
     # cost ~ms/row), and the min() aggregate combines map-side, so the one
     # shuffle moves only num_hashes 32-byte minima per doc at any scale.
-    exploded = df.select(
+    exploded = widen_small_input(df).select(
         F.col(id_col), F.explode(make_shingle_udf()(F.col(text_col))).alias("s")
     )
     aggs = [
@@ -185,29 +201,43 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
+    method: str = "arrow",
 ) -> DataFrame:
     """Per-doc SimHash: each token hashes to `bits` bits (leading hex of its
     md5); bit j of the signature is the sign of the +1/-1 vote sum across
     tokens. Portable: md5 + hex-nibble parse exist in both engines.
-    Returns (id, simhash). Narrow (no shuffle)."""
-    hexchars = bits // 4
-    tokens = norm_tokens(text_col)
-    hv = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, hexchars), 16, 10).cast("long"),
-    )
-    def voter(m):
-        return lambda acc, x: acc + F.when(
-            x.bitwiseAND(F.lit(m)) != 0, 1
-        ).otherwise(-1)
+    Returns (id, simhash). Narrow (no shuffle).
 
-    sig = None
-    for j in range(bits):
-        mask = 1 << j
-        vote = F.aggregate(hv, F.lit(0), voter(mask))
-        bit = F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    method="arrow" (default): one vectorized pass per row. method="expr":
+    the pure-expression form — ``bits`` chained interpreted aggregate()
+    folds that downstream projections re-evaluate per reference (the
+    17-element probe array in ``simhash_near_pairs`` made it 18 s at
+    sf0.1); kept for differential testing only."""
+    if method == "expr":
+        hexchars = bits // 4
+        tokens = norm_tokens(text_col)
+        hv = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, hexchars), 16, 10).cast("long"),
+        )
+
+        def voter(m):
+            return lambda acc, x: acc + F.when(
+                x.bitwiseAND(F.lit(m)) != 0, 1
+            ).otherwise(-1)
+
+        sig = None
+        for j in range(bits):
+            mask = 1 << j
+            vote = F.aggregate(hv, F.lit(0), voter(mask))
+            bit = F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return df.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    from vectolite_spark._pandas_udfs import make_simhash_udf
+
+    return widen_small_input(df).select(
+        F.col(id_col), make_simhash_udf(bits)(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_dup_groups(
@@ -227,7 +257,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     radius: int = 1,
-    max_bucket_size: int = 200,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance <= ``radius`` (0 or 1) WITHOUT the
     O(N^2) signature cross-join: side A emits its signature as the probe
@@ -242,10 +272,15 @@ def simhash_near_pairs(
 
     Probe buckets larger than ``max_bucket_size`` are skipped (the LSH
     guard): a signature shared by thousands of docs is degenerate template
-    text and would go O(bucket^2). Returns (doc_a, doc_b, hamming)."""
+    text and would go O(bucket^2). Note probe buckets pool one signature
+    plus its ``bits`` one-bit neighbors, so they run ~``bits``x larger
+    than raw signature groups — size the cap accordingly (default 1000 ~
+    a 60-doc hot signature). Returns (doc_a, doc_b, hamming)."""
     if radius not in (0, 1):
         raise ValueError("radius must be 0 or 1 (bit-flip probing)")
-    s = simhash(df, text_col, id_col, bits)
+    # materialize once: the signature table feeds both join sides AND the
+    # bucket-count guard — three consumers of an Arrow-UDF result
+    s = _managed_cache("simhash_sigs", simhash(df, text_col, id_col, bits))
     a = s.select(
         F.col(id_col).alias("doc_a"),
         F.col("simhash").alias("sim_a"),
@@ -305,7 +340,7 @@ def ngram_jaccard_pairs(
     # the self-join doesn't recompute them per side
     sh = _managed_cache(
         "ngram_shingles",
-        df.select(
+        widen_small_input(df).select(
             F.col(id_col),
             F.substring(F.col(text_col), 1, block_prefix).alias("block"),
             F.array_distinct(make_shingle_udf()(F.col(text_col))).alias("sh"),
