@@ -49,6 +49,12 @@ REGISTRY_BENCH = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_srp",
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "pivot_priority_by_year",
+    "rolling_avg_order_value",
+    "dataset_split_counts",
     "ann_ivf_topk",
     "ann_ivf_built_topk",
     "dedup_simhash_r1",

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from vectolite_spark.operators.dedup import (
     embedding_cosine_pairs,
+    embedding_srp_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -178,6 +179,29 @@ def test_embedding_hot_block_capped(spark):
         for r in embedding_cosine_pairs(embs, min_score=0.9, max_block_size=5).collect()
     }
     assert pairs == {(100, 101)}  # hot block skipped, small block intact
+
+
+def test_embedding_srp_finds_dups_without_labels(spark):
+    # no label column anywhere: blocks come from the SRP buckets alone.
+    # identical vectors share EVERY table's bucket (guaranteed catch);
+    # lightly perturbed ones are caught with high probability by 4 tables.
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    rows.append((100, list(rows[3][1])))  # exact dup of 3
+    perturbed = [x + 0.01 for x in rows[5][1]]
+    rows.append((101, perturbed))  # near dup of 5
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in embedding_srp_pairs(embs, min_score=0.9).collect()}
+    assert pairs[(3, 100)] == 1.0
+    assert (5, 101) in pairs and pairs[(5, 101)] > 0.99
+    # no duplicate pair rows despite multi-table collisions
+    assert len(pairs) == len(set(pairs))
 
 
 def test_dedup_shuffles_hashes_not_text(corpus):

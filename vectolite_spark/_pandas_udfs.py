@@ -179,6 +179,61 @@ def make_simhash_udf(bits=16):
     return _sim
 
 
+def make_srp_bucket_mapper(n_tables, n_planes):
+    """mapInPandas mapper: signed-random-projection LSH buckets for cosine,
+    with DETERMINISTIC md5-derived Rademacher hyperplanes (component
+    (g, j) is +1 iff the first hex nibble of md5('g:j') >= 8) — portable,
+    so the DuckDB oracle derives the IDENTICAL planes from the same md5
+    formula instead of embedding thousands of float literals.
+
+    Emits one row per (vector, table): (vec_id, embedding, block) where
+    block = 'table:bucket' packs the n_planes sign bits. Two vectors at
+    angle theta collide in one table with prob (1 - theta/pi)^n_planes;
+    n_tables unioned tables boost recall. Narrow (one matmul per Arrow
+    batch); the groupBy on block downstream is the only shuffle.
+
+    Sign boundary note: dot products are float64; numpy's summation order
+    differs from DuckDB's left-to-right list_dot_product, so a sign could
+    in principle flip when |dot| ~ 1e-13 — the same measure-zero class as
+    every rounded-score comparison in this repo (see registry docstring).
+    """
+    import hashlib
+
+    total = n_tables * n_planes
+    state = {}
+
+    def planes_for(d):
+        P = np.empty((total, d), dtype=np.float64)
+        for g in range(total):
+            for j in range(d):
+                nib = int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[0], 16)
+                P[g, j] = 1.0 if nib >= 8 else -1.0
+        return P
+
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def mapper(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            P = state.get("P")
+            if P is None:
+                P = state.setdefault("P", planes_for(mat.shape[1]))
+            bits = (mat @ P.T >= 0).astype(np.int64)  # N x (T*b)
+            frames = []
+            for t in range(n_tables):
+                bucket = (bits[:, t * n_planes : (t + 1) * n_planes] << shifts).sum(
+                    axis=1
+                )
+                f = pdf[["vec_id", "embedding"]].copy()
+                f["block"] = [f"{t}:{b}" for b in bucket]
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return mapper
+
+
 def make_fingerprint_udf(gram=8):
     """Winnowing fingerprint (min md5 over character n-gram shingles) in one
     Arrow pass.  The pure-expression form builds one interpreted md5 call

@@ -409,3 +409,51 @@ def embedding_cosine_pairs(
     return normalized.groupBy("block").applyInPandas(
         fn, schema="id_a long, id_b long, score double"
     )
+
+
+def embedding_srp_pairs(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    min_score: float = 0.8,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a precomputed label/cluster column:
+    blocks come from signed-random-projection LSH (md5-derived Rademacher
+    hyperplanes — deterministic AND oracle-portable, see
+    ``make_srp_bucket_mapper``), the 100 TB answer to "where do the blocks
+    come from" that ``embedding_cosine_pairs`` leaves to the caller.
+
+    Plan: one narrow matmul stage emits (vector, table:bucket) rows
+    (n_tables rows per vector), one shuffle groups each bucket, one
+    upper-triangle matmul per bucket scores pairs exactly, and distinct()
+    merges pairs surfaced by multiple tables. Recall for pairs at cosine
+    ~0.9 with 4 tables of 8 planes is ~0.9; misses are the LSH trade —
+    the exact-within-block scores carry no approximation."""
+    from vectolite_spark._pandas_udfs import (
+        make_block_cosine_pairs_fn,
+        make_srp_bucket_mapper,
+    )
+
+    mapper = make_srp_bucket_mapper(n_tables, n_planes)
+    bucketed = (
+        widen_small_input(embeddings)
+        .select(F.col(id_col).alias("vec_id"), "embedding")
+        .mapInPandas(
+            mapper, schema="vec_id long, embedding array<float>, block string"
+        )
+    )
+    ok = (
+        bucketed.groupBy("block")
+        .count()
+        .filter(F.col("count") <= max_block_size)
+        .drop("count")
+    )
+    bucketed = bucketed.join(ok, "block", "left_semi")
+    fn = make_block_cosine_pairs_fn(min_score)
+    return (
+        bucketed.groupBy("block")
+        .applyInPandas(fn, schema="id_a long, id_b long, score double")
+        .distinct()
+    )

@@ -345,6 +345,233 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    Both date predicates reach the parquet scans (pushdown); the segment
+    filter rides a broadcast customer dim; revenue in exact DECIMAL so the
+    LIMIT selection is engine-identical. NTZ timestamps compared against
+    NTZ literals, emitted as date strings (timezone-proof)."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+    OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year between two nations.
+    supplier/customer/nation dims broadcast (nation twice, aliased); only
+    lineitem<->orders shuffles. The nation-pair disjunction is applied
+    AFTER the broadcast joins (cheap), the shipdate range prunes the
+    lineitem scan."""
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-12-31 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(lo, hi)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9") | (
+        F.col("supp_nation") == "NATION_9"
+    ) & (F.col("cust_nation") == "NATION_3")
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(rev)
+    )
+
+
+@register(
+    "dataset_split_counts",
+    """
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM tagged
+GROUP BY lang, CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid'
+                    ELSE 'test' END
+""",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) via content-stable
+    hash bucketing: md5(doc_id) % 100 — the training-pipeline split that
+    stays IDENTICAL across engines, re-runs, repartitions, and backfills
+    (rand(seed) is none of those). Narrow + one groupBy; the same bucket
+    expression used as a filter is a free stratified sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                    ).cast("long") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "pivot_priority_by_year",
+    """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_notspec,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+FROM orders
+GROUP BY year(o_orderdate)
+""",
+)
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per year x priority. Spark's
+    ``pivot`` with an EXPLICIT value list compiles to the same single-pass
+    conditional aggregation as the oracle's CASE columns — one shuffle on
+    the groupBy key; never omit the value list at scale (an implicit pivot
+    adds a distinct-values job over the full table first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aliases = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_notspec",
+        "5-LOW": "p5_low",
+    }
+    wide = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", list(aliases))
+        .count()
+    )
+    return wide.select(
+        "o_year",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in aliases.items()],
+    )
+
+
+@register(
+    "rolling_avg_order_value",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS rolling_avg
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame rolling aggregate: 3-order moving average of order value
+    per customer. The frame's total order is pinned (orderdate, orderkey)
+    so both engines see identical frame contents; the sum accumulates in
+    exact DECIMAL so frame evaluation order can't drift the double."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("rolling_avg"),
+    )
+
+
+@register(
     "join_revenue_by_nation",
     """
 SELECT n.n_name AS nation,
@@ -1216,6 +1443,49 @@ _SQL_COS = (
     "THEN 0.0 ELSE list_dot_product({a}, {b}) "
     "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) END, 6)"
 )
+
+
+@register(
+    "dedup_embedding_srp",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 32) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 8 AS t, p.g % 8 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.t = b.t AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       {_SQL_COS.format(a="ea.v", b="eb.v")} AS score
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE {_SQL_COS.format(a="ea.v", b="eb.v")} >= 0.3
+""",
+)
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free embedding near-dup pairs: blocks from deterministic SRP
+    LSH (md5-Rademacher hyperplanes, 4 tables x 8 planes — the SAME planes
+    the DuckDB oracle derives from the md5 formula), exact within-bucket
+    rescoring, distinct across tables. The scale answer to 'where do
+    cosine-dedup blocks come from when there is no label column'."""
+    from vectolite_spark.operators.dedup import embedding_srp_pairs
+
+    return embedding_srp_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_score=0.3
+    )
 
 
 @register(
