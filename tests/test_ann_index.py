@@ -75,6 +75,27 @@ def test_unlabeled_build_assigns_every_vector(spark, sf_dir, tmp_path):
     )
 
 
+def test_incremental_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    from vectolite_spark.operators.ann import ivf_index_append
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    first = embs.filter(F.col("vec_id") % 2 == 0)
+    later = embs.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_inc")
+    build_ivf_index(first, path)
+    ivf_index_append(spark, path, later)
+    idx = load_ivf_index(spark, path)
+    assert idx.cells().count() == embs.count()
+    qvec = [float(x) for x in later.first()["embedding"]]
+    # probing every cell after the append recovers the exact answer over
+    # the FULL corpus, old + new vectors alike
+    got = [(r["vec_id"], r["score"])
+           for r in idx.topk(qvec, k=10, n_probe=len(idx.centroids)).collect()]
+    want = [(r["vec_id"], r["score"])
+            for r in topk_ids(embs, qvec, 10).collect()]
+    assert got == want
+
+
 def test_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     embs = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivf")

@@ -50,6 +50,25 @@ def test_minhash_partial_min_before_exchange(spark, sf_dir):
     assert p.index("partial_min") > p.index("Exchange") or "Exchange" in p
 
 
+def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
+    # global scale-invariant: NO declared query may compile to an unbounded
+    # CartesianProduct — every pairwise operator must block/bucket first.
+    # (BroadcastNestedLoopJoin is allowed: it only appears broadcast-sided,
+    # e.g. for the single-row query-vector attach or non-equi range joins.)
+    from vectolite_spark import registry
+
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            p = plan_str(fn(spark, sf_dir))
+        except Exception as e:  # building the plan must not fail either
+            offenders.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in p:
+            offenders.append(f"{name}: CartesianProduct in plan")
+    assert not offenders, offenders
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     # SCALING.md §4: co-bucketing both sides on the join key removes the
     # exchange entirely — the 100 TB layout for lineitem<->orders.

@@ -272,3 +272,21 @@ class IVFIndex:
 
 def load_ivf_index(spark, index_path: str) -> IVFIndex:
     return IVFIndex(spark, index_path)
+
+
+def ivf_index_append(
+    spark, index_path: str, embeddings: DataFrame, id_col: str = "vec_id"
+) -> None:
+    """Incremental index maintenance: route NEW vectors to the EXISTING
+    centroids (one narrow matmul stage — no shuffle, no rebuild) and
+    append them to the cell-partitioned layout. The N*d build cost stays
+    amortized; queries see the new vectors immediately via the same
+    partition filters. Centroids are not moved — after heavy drift,
+    rebuild with ``build_ivf_index`` (idempotent, exact-DECIMAL)."""
+    idx = load_ivf_index(spark, index_path)
+    assigned = assign_cells(embeddings, idx.centroids, id_col=id_col)
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
