@@ -55,6 +55,7 @@ REGISTRY_BENCH = [
     "pivot_priority_by_year",
     "rolling_avg_order_value",
     "dataset_split_counts",
+    "profile_documents",
     "ann_ivf_topk",
     "ann_ivf_built_topk",
     "dedup_simhash_r1",

@@ -76,12 +76,18 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     punct_ratio = n_punct / n_chars
     stop_ratio = n_stop / n_tokens
     length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    quality = F.round(
+    # deliberately NOT rounded: both engines evaluate the identical IEEE
+    # expression tree, so the doubles are bit-identical — while ROUND(x, 6)
+    # DIVERGES when a power-of-2 token/char count parks the exact value on
+    # a decimal half-boundary (found at sf0.1: 32 tokens -> 0.2620625,
+    # Spark HALF_UP vs DuckDB round-half-even on binary-exact doubles; the
+    # same landmine class defused in multimodal round 1). Rounding is what
+    # creates the hazard here, not what removes it.
+    quality = (
         0.4 * length_score
         + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * F.least(punct_ratio * 20, F.lit(1.0))
-        + 0.1 * F.least(mean_tok_len / 10, F.lit(1.0)),
-        6,
+        + 0.1 * F.least(mean_tok_len / 10, F.lit(1.0))
     )
     return df.select(
         F.col(id_col),
@@ -89,7 +95,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
         n_stop.alias("n_stop"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        mean_tok_len.alias("mean_tok_len"),
         quality.alias("quality"),
     )
 

@@ -462,6 +462,37 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_documents",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS empty_texts,
+       MIN(length(text)) AS min_len,
+       MAX(length(text)) AS max_len,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+""",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: corpus shape in ONE scan (counts, cardinality,
+    empties, length envelope) — the health check a pipeline runs before
+    and after every transformation. Integer-exact aggregates only, so
+    the profile is bit-identical on any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    empty = F.col("text").isNull() | (F.trim("text") == "")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(empty, 1).otherwise(0)).cast("long").alias("empty_texts"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+
+
+@register(
     "dataset_split_counts",
     """
 WITH tagged AS (
@@ -1609,11 +1640,11 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,
-       ROUND(mtl, 6) AS mean_tok_len,
-       ROUND(0.4 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * least(n_stop::DOUBLE / n_tokens * 5, 1.0)
-             + 0.2 * least(n_punct::DOUBLE / n_chars_m * 20, 1.0)
-             + 0.1 * least(mtl / 10, 1.0), 6) AS quality
+       mtl AS mean_tok_len,
+       0.4 * least(n_tokens / 100.0, 1.0)
+         + 0.3 * least(n_stop::DOUBLE / n_tokens * 5, 1.0)
+         + 0.2 * least(n_punct::DOUBLE / n_chars_m * 20, 1.0)
+         + 0.1 * least(mtl / 10, 1.0) AS quality
 FROM f
 """,
 )
