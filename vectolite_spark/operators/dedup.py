@@ -367,7 +367,11 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            # unrounded int/int IEEE division — bit-identical across
+            # engines, while ROUND(x, 6) diverges when a power-of-2 union
+            # size (e.g. 128 shingles) parks the exact value on a decimal
+            # half-boundary (the text_quality landmine class)
+            (inter / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -1426,8 +1426,8 @@ WITH sh AS (
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
 FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
       / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
