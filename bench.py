@@ -52,12 +52,17 @@ REGISTRY_BENCH = [
     "dedup_embedding_srp",
     "q3_shipping_priority",
     "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "pivot_priority_by_year",
     "rolling_avg_order_value",
     "dataset_split_counts",
     "profile_documents",
+    "frequent_tokens",
     "ann_ivf_topk",
     "ann_ivf_built_topk",
+    "ann_batch_lsh",
     "dedup_simhash_r1",
     "text_quality",
     "token_count",

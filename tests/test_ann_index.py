@@ -96,6 +96,33 @@ def test_incremental_append_serves_new_vectors(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_topk_batch_lsh_recall(spark, sf_dir):
+    # big-Q path: query table x vector table joined on shared SRP buckets.
+    # Exact rescoring means every returned score is true; the LSH trade is
+    # recall, which with 8 tables x 8 planes should be high on real data.
+    from vectolite_spark.operators.ann import topk_batch_lsh
+    from vectolite_spark.operators.topk import topk_batch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = topk_batch_lsh(queries, embs, k=5)
+    exact = topk_batch(queries, embs, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.6, f"recall {recall:.2f}"
+    # self-match is in the same bucket in EVERY table -> always found
+    assert all((q, q) in a for q in range(20))
+    # scores are exact: any overlapping (q, v) pair has the same score
+    exact_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert r["score"] == exact_scores[key]
+
+
 def test_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     embs = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivf")

@@ -179,6 +179,27 @@ def make_simhash_udf(bits=16):
     return _sim
 
 
+def make_pair_cosine_udf():
+    """Row-wise cosine of two array columns in one Arrow pass: stacked
+    (N x d) elementwise products, no interpreted per-row folds (the
+    zip_with/aggregate expression costs ~ms/row — unusable on a candidate
+    relation). Zero-norm on either side -> 0.0, reference semantics."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        dots = (A * B).sum(axis=1)
+        denom = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom == 0.0, 0.0, dots / denom)
+        return pd.Series(out)
+
+    return _cos
+
+
 def make_srp_bucket_mapper(n_tables, n_planes):
     """mapInPandas mapper: signed-random-projection LSH buckets for cosine,
     with DETERMINISTIC md5-derived Rademacher hyperplanes (component

@@ -274,6 +274,78 @@ def load_ivf_index(spark, index_path: str) -> IVFIndex:
     return IVFIndex(spark, index_path)
 
 
+def topk_batch_lsh(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Big-Q batch similarity search: when the query set is ITSELF a large
+    table (closure-shipping in ``topk_batch`` stops scaling), bucket BOTH
+    sides with the same deterministic SRP planes and equi-join on
+    (table, bucket) — each query meets only its candidate vectors, never
+    the full N x Q cross. Candidates are rescored exactly; per-query
+    top-k via window. Approximate (recall < 1 is the LSH trade) — gated
+    by a recall-vs-exact pytest, not an oracle. Defaults (16 tables x 6
+    planes) target neighbors out to ~60 deg: per-table collision
+    (1-theta/pi)^6 ~ 0.09, across 16 tables ~ 0.77 — tune n_planes UP
+    (selectivity) and n_tables UP (recall) as the corpus grows and true
+    neighbors get closer.
+
+    Plan: two narrow matmul stages (bucket each side), one shuffle to
+    co-locate buckets, exact cosine on candidates, one shuffle on
+    query_id for the final top-k window. Returns
+    (query_id, vec_id, score, rn), rn in 1..k.
+    """
+    from pyspark.sql import Window
+
+    from vectolite_spark._pandas_udfs import (
+        make_pair_cosine_udf,
+        make_srp_bucket_mapper,
+    )
+
+    mapper = make_srp_bucket_mapper(n_tables, n_planes)
+    qb = queries.select(
+        F.col(qid_col).alias("vec_id"), F.col(qvec_col).alias("embedding")
+    ).mapInPandas(mapper, schema="vec_id long, embedding array<float>, block string")
+    vb = embeddings.select(F.col(id_col).alias("vec_id"), "embedding").mapInPandas(
+        mapper, schema="vec_id long, embedding array<float>, block string"
+    )
+    ok = (
+        vb.groupBy("block")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    vb = vb.join(ok, "block", "left_semi")
+    cand = (
+        qb.select(
+            F.col("block"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        .join(
+            vb.select("block", "vec_id", F.col("embedding").alias("dv")),
+            "block",
+        )
+        .select("query_id", "vec_id", "qv", "dv")
+        .distinct()  # same pair can collide in several tables
+    )
+    pair_cos = make_pair_cosine_udf()
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(pair_cos(F.col("dv"), F.col("qv")), SCORE_DECIMALS).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def ivf_index_append(
     spark, index_path: str, embeddings: DataFrame, id_col: str = "vec_id"
 ) -> None:

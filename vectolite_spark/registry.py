@@ -462,6 +462,161 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_items",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter. The date window prunes the orders scan, the returnflag
+    predicate prunes lineitem (both pushed to parquet); customer and
+    nation ride broadcasts so the only big shuffle is the
+    lineitem-orders key join; revenue in exact DECIMAL so the LIMIT
+    selection is engine-identical."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT ROUND(100.0
+         * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+       6) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. One broadcast
+    join (part is the dim), one scalar aggregate; both sums accumulate in
+    exact DECIMAL so the double division sees identical operands on both
+    engines (the ratio is rounded AFTER the inexact op — the measure-zero-
+    safe class, unlike power-of-two-denominator ratios)."""
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind >300-unit orders. The HAVING
+    subquery is a lineitem self-aggregation whose survivor set is tiny —
+    Spark expresses it as an aggregated key relation semi-joined
+    (broadcast at this selectivity, AQE picks it) into the three-way
+    join; quantity sums in exact DECIMAL for engine-identical HAVING
+    boundaries and LIMIT selection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qty.alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(qty.cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "profile_documents",
     """
 SELECT COUNT(*) AS n_rows,
@@ -1360,6 +1515,36 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_tokens",
+    f"""
+SELECT t AS token, COUNT(*) AS n
+FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+WHERE t <> ''
+GROUP BY t
+ORDER BY n DESC, t ASC
+LIMIT 50
+""",
+)
+def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (word-count, the canonical shuffle shape):
+    explode tokens -> groupBy -> top-50. The partial_count map-side
+    combine means the shuffle moves one row per distinct token per
+    partition, not one per occurrence; the final top-50 is a
+    TakeOrderedAndProject over the aggregated relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    return (
+        docs.select(F.explode(norm_tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
     "dedup_simhash",
     f"""
 WITH hv AS (
@@ -1609,6 +1794,65 @@ def ann_ivf_built_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_ivf_index(embs, index_path)  # overwrite: cheap, stale-proof
     return load_ivf_index(spark, index_path).topk(qvec, k=10, n_probe=2)
+
+
+@register(
+    "ann_batch_lsh",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 96) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 6 AS t, p.g % 6 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+  FROM keys q JOIN keys v ON q.t = v.t AND q.bucket = v.bucket
+  WHERE q.vec_id < 20
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_SQL_COS.format(a="eq.v", b="ev.v")} AS score
+  FROM cand c JOIN e eq ON eq.vec_id = c.query_id JOIN e ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def ann_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-Q batch ANN: a 20-query table joined to the vector table on
+    shared SRP buckets (16 tables x 6 md5-Rademacher planes), exact
+    rescoring, per-query top-5 window. Fully ORACLED despite being
+    approximate — the planes are md5-derived, so DuckDB reproduces the
+    identical candidate sets; the measure-zero sign-flip class near
+    dot=0 is the same one every rounded-score oracle accepts. This is
+    the scale path when ``topk_batch``'s closure-shipped query working
+    set stops fitting (reference has no batch surface at all:
+    vectolite.py:145-171 is one query per full scan)."""
+    from vectolite_spark.operators.ann import topk_batch_lsh
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_batch_lsh(queries, embs, k=5)
+    return out.withColumn("rn", F.col("rn").cast("long"))
 
 
 @register("ann_lsh_topk")  # rows-only: randomized LSH planes have no exact
