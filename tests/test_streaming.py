@@ -207,3 +207,66 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     # user 1 CONTINUES from state (3 events, 16.0), user 3 starts fresh;
     # user 2 had no rows in batch 2 -> no update emitted
     assert collected == {1: (3, 16.0), 3: (1, 2.0)}
+
+
+def test_tws_first_seen_plan_builds(spark, tmp_path):
+    # transformWithStateInPandas: plan construction + output schema are
+    # protobuf-free; only query START needs the protobuf wire protocol.
+    from vectolite_spark.streaming.tws import OUTPUT_SCHEMA, streaming_first_seen
+
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "src" / "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(tmp_path / "src") + "/*")
+    out = streaming_first_seen(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["doc_id", "content_hash", "text"]
+    assert "TransformWithStateInPySpark" in out._jdf.queryExecution().logical().toString()
+    assert OUTPUT_SCHEMA.split(",")[0].strip() == "doc_id long"
+
+
+def test_tws_first_seen_end_to_end(spark, tmp_path):
+    # Full RocksDB-backed run: container lacks google.protobuf, so this
+    # executes only where the stock Spark dependency exists.
+    from vectolite_spark.streaming.tws import has_protobuf, streaming_first_seen
+
+    if not has_protobuf():
+        pytest.skip("google.protobuf not available in this container")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = "doc_id long, text string"
+        src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+
+        def run(qname):
+            stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+            q = (
+                streaming_first_seen(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return sorted(
+                r["doc_id"] for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            )
+
+        spark.createDataFrame([(1, "aaa"), (2, "aaa"), (3, "bbb")], schema).write.parquet(
+            str(src / "b1")
+        )
+        assert run("tws_b1") == [1, 3]  # one emit per distinct content
+        # duplicate across batches is swallowed by checkpointed state
+        spark.createDataFrame([(4, "aaa"), (5, "ccc")], schema).write.parquet(
+            str(src / "b2")
+        )
+        assert run("tws_b2") == [5]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
