@@ -58,6 +58,7 @@ REGISTRY_BENCH = [
     "pivot_priority_by_year",
     "rolling_avg_order_value",
     "dataset_split_counts",
+    "merge_upsert_preview",
     "profile_documents",
     "frequent_tokens",
     "ann_ivf_topk",

@@ -156,3 +156,35 @@ def test_stats(store):
     st = store.stats()
     assert st["document_count"] == 2
     assert st["db_size_mb"] >= 0.0
+
+
+def test_upsert_replaces_and_inserts(store, spark):
+    store.insert_many(["alpha doc", "beta doc", "gamma doc"])
+    updates = spark.createDataFrame(
+        [
+            (2, "beta doc v2", '{"rev": 2}', [0.5] * 8),  # replaces id 2
+            (9, "delta doc", None, [0.25] * 8),  # new id -> insert
+        ],
+        "id long, text string, metadata string, embedding array<float>",
+    )
+    out = store.upsert(updates)
+    assert out == {"updated": 1, "inserted": 1}
+    assert store.count_documents() == 4
+    got = store.get_document(2)
+    assert got["text"] == "beta doc v2"
+    assert got["metadata"] == {"rev": 2}
+    assert store.get_document(9)["text"] == "delta doc"
+    assert store.get_document(1)["text"] == "alpha doc"  # untouched row kept
+
+
+def test_upsert_validates_dimension(store, spark):
+    store.insert("seed doc")
+    bad = spark.createDataFrame(
+        [(1, "wrong dim", None, [0.1] * 4)],
+        "id long, text string, metadata string, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        store.upsert(bad)
+    # failed merge must not clobber the store
+    assert store.count_documents() == 1
+    assert store.get_document(1)["text"] == "seed doc"

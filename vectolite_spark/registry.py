@@ -1515,6 +1515,42 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_preview",
+    """
+WITH u AS (
+  SELECT doc_id, 'v2 ' || text AS text FROM documents WHERE doc_id < 10
+),
+kept AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM u)
+),
+merged AS (SELECT * FROM kept UNION ALL SELECT * FROM u)
+SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+FROM merged WHERE doc_id < 15 ORDER BY doc_id
+""",
+)
+def merge_upsert_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational core of ``SparkVectolite.upsert`` (Delta-style
+    MERGE) as a pure query: updates (docs 0-9 with new text) anti-join
+    away their old versions, union back in; the window doc_id < 15 shows
+    both replaced and untouched rows survive with the right text. On a
+    lakehouse this exact shape is ``MERGE INTO`` with file pruning; the
+    anti-join side stays a broadcast while updates are small."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.lit("v2 "), F.col("text")).alias("text")
+    )
+    merged = docs.join(u, "doc_id", "left_anti").unionByName(u)
+    return (
+        merged.filter(F.col("doc_id") < 15)
+        .select(
+            "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "frequent_tokens",
     f"""
 SELECT t AS token, COUNT(*) AS n
