@@ -334,14 +334,19 @@ def topk_batch_lsh(
             "block",
         )
         .select("query_id", "vec_id", "qv", "dv")
-        .distinct()  # same pair can collide in several tables
     )
     pair_cos = make_pair_cosine_udf()
+    # score BEFORE deduplicating cross-table collisions: the score is a
+    # deterministic function of the pair, so distinct() on the narrow
+    # (query_id, vec_id, score) rows (~24 B) is equivalent to distinct on
+    # rows still carrying both d-float vectors (~8d B) — the dedup shuffle
+    # shrinks ~40x at d=64, for a little redundant (vectorized) math on
+    # the few pairs that collide in more than one table.
     scored = cand.select(
         "query_id",
         "vec_id",
         F.round(pair_cos(F.col("dv"), F.col("qv")), SCORE_DECIMALS).alias("score"),
-    )
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 

@@ -14,7 +14,7 @@ Scale notes:
   Bucket join + distinct pairs is the classic O(candidates) instead of
   O(N^2) pairwise.
 - SimHash: narrow per-row compute; near-dup groups = one shuffle on the
-  16-bit signature.
+  32-bit signature.
 - n-gram Jaccard / embedding-cosine: O(block^2) pairwise, gated by a
   blocking key (prefix / cluster id) — the standard blocking trick; at
   100 TB the block key is the shuffle key and AQE splits skewed blocks.
@@ -200,13 +200,20 @@ def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 32,
     method: str = "arrow",
 ) -> DataFrame:
     """Per-doc SimHash: each token hashes to `bits` bits (leading hex of its
     md5); bit j of the signature is the sign of the +1/-1 vote sum across
     tokens. Portable: md5 + hex-nibble parse exist in both engines.
     Returns (id, simhash). Narrow (no shuffle).
+
+    Default 32 bits: a 16-bit space (65 536 buckets) saturates around 1e5
+    docs — every bucket goes hot, the bucket-size caps start discarding
+    everything, and "same signature" stops meaning "similar". 32 bits
+    (4.3e9 buckets) holds to ~1e9 docs; go 48 for more (stay below 63 so
+    the 1 << j probe masks and the oracle's BIGINT sums never touch the
+    sign bit).
 
     method="arrow" (default): one vectorized pass per row. method="expr":
     the pure-expression form — ``bits`` chained interpreted aggregate()
@@ -241,7 +248,7 @@ def simhash(
 
 
 def simhash_dup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Docs sharing an identical SimHash (hamming distance 0 blocking).
     One shuffle on the signature."""
@@ -255,14 +262,14 @@ def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 32,
     radius: int = 1,
     max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs at hamming distance <= ``radius`` (0 or 1) WITHOUT the
     O(N^2) signature cross-join: side A emits its signature as the probe
     key, side B emits the signature plus every single-bit flip (bits+1
-    probes/doc for r=1), and the probe-key equi-join surfaces exactly the
+    probes/doc for r=1, 33 at the default width), and the probe-key equi-join surfaces exactly the
     pairs with sig_a in {sig_b} U {sig_b ^ 2^j} — i.e. distance <= 1. A
     final bit_count filter keeps the contract exact and r=0 a special case.
 
