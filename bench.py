@@ -67,6 +67,10 @@ REGISTRY_BENCH = [
     "dedup_simhash_r1",
     "text_quality",
     "token_count",
+    "pii_redaction",
+    "repetition_stats",
+    "token_len_histogram",
+    "q17_small_qty_revenue",
     "doc_fingerprint",
     "lang_id",
     "multimodal_features",

@@ -126,3 +126,36 @@ def test_ivf_two_probes_widen(spark):
     ]
     embs = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     assert ivf_topk(embs, [1.0, 0.0], k=10, n_probe=2).count() == 2
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from vectolite_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@test.org or call +1 (555) 123-4567 today"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io and z@w.co"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "[EMAIL]" in got[1]["redacted"] and "[PHONE]" in got[1]["redacted"]
+    assert "a.b+c@test.org" not in got[1]["redacted"]
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert got[2]["redacted"] == "no pii here"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+    assert got[3]["n_emails"] == 2 and got[3]["redacted"].count("[EMAIL]") == 2
+
+
+def test_repetition_stats_flags_looped_text(spark):
+    from vectolite_spark.operators.textstats import repetition_stats
+
+    looped = "spam ham eggs " * 20  # 58 shingles, only 3 distinct
+    varied = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, looped), (2, varied)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_distinct"] == 3
+    assert got[1]["rep_ratio"] > 0.9
+    assert got[2]["n_distinct"] == got[2]["n_shingles"]  # all unique
+    assert got[2]["rep_ratio"] == 0.0

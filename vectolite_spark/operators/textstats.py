@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectolite_spark.operators.dedup import norm_tokens
+from vectolite_spark.operators.dedup import norm_tokens, word_shingles
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -107,6 +107,58 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.size(norm_tokens(text_col)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
             "bpe_tokens"
+        ),
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_re: str = EMAIL_RE,
+    phone_re: str = PHONE_RE,
+) -> DataFrame:
+    """PII scrubbing for corpus curation: emails then phone-shaped runs
+    replaced with typed placeholders, pure codegen regexp_replace (zero
+    shuffle, linear scan — the shape that streams through 100 TB). The
+    default patterns use only syntax with identical semantics in Java
+    regex (Spark) and RE2 (DuckDB oracle): classes, counted reps, no
+    backrefs/lookaround. Returns (id, redacted, n_emails, n_phones)."""
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(email_re), F.lit(0))
+    no_email = F.regexp_replace(F.col(text_col), email_re, "[EMAIL]")
+    phones = F.regexp_extract_all(no_email, F.lit(phone_re), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(no_email, phone_re, "[PHONE]").alias("redacted"),
+        F.size(emails).alias("n_emails"),
+        F.size(phones).alias("n_phones"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repeated-3-gram stats per doc — the Gopher-style repetition quality
+    signal (a doc whose shingles are mostly duplicates is boilerplate or
+    looped generation). Pure array expressions, zero shuffle; emits the
+    exact integer counts rather than only a rounded ratio so the oracle
+    comparison never sits on a decimal half-boundary (power-of-two
+    shingle counts are common). rep_ratio = 1 - distinct/total stays for
+    human use, rounded after the (inexact) division."""
+    sh = word_shingles(norm_tokens(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "rep_ratio",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles"),
+            6,
         ),
     )
 

@@ -1580,6 +1580,163 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SQL_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+@register(
+    "pii_redaction",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+         AS text
+  FROM documents
+),
+ne AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_SQL_EMAIL}', '[EMAIL]', 'g') AS no_email,
+         CAST(len(regexp_extract_all(text, '{_SQL_EMAIL}')) AS BIGINT) AS n_emails
+  FROM w
+)
+SELECT doc_id,
+       md5(regexp_replace(no_email, '{_SQL_PHONE}', '[PHONE]', 'g')) AS redacted_md5,
+       n_emails,
+       CAST(len(regexp_extract_all(no_email, '{_SQL_PHONE}')) AS BIGINT) AS n_phones
+FROM ne
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (corpus-curation op): the testdata carries no natural
+    PII, so each doc gets a DETERMINISTIC synthetic email+phone appended
+    (derived from doc_id — identically on both engines) before
+    ``redact_pii`` strips them. Emitting md5(redacted) keeps oracle rows
+    narrow while proving byte-identical redaction; the counts prove the
+    patterns fired (>=1 each by construction). Pure codegen regex — zero
+    shuffle, linear in corpus bytes."""
+    from vectolite_spark.operators.textstats import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now."),
+        ).alias("text"),
+    )
+    out = redact_pii(with_pii)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
+@register(
+    "repetition_stats",
+    f"""
+WITH sh AS MATERIALIZED (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+c AS MATERIALIZED (
+  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+         CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct
+  FROM sh
+)
+SELECT doc_id, n_shingles, n_distinct,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) AS rep_ratio
+FROM c
+""",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram stats (Gopher-style repetition quality signal):
+    boilerplate and looped generations show high rep_ratio. Exact integer
+    counts carry the oracle comparison (power-of-two shingle counts would
+    put a rounded ratio alone on decimal half-boundaries); zero shuffle."""
+    from vectolite_spark.operators.textstats import repetition_stats as _rep
+
+    return _rep(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_len_histogram",
+    f"""
+SELECT CAST(len({_SQL_TOKENS}) // 10 * 10 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning histogram: docs per 10-token bucket.
+    Map-side partial count means the shuffle carries one row per bucket
+    per partition — a few hundred rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    return (
+        docs.select(
+            (F.floor(F.size(norm_tokens("text")) / 10) * 10)
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+             6) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand. The correlated scalar subquery (per-part average quantity)
+    decorrelates into ONE lineitem aggregation joined back on l_partkey —
+    the average is decimal-exact / COUNT so the 0.2x threshold is the
+    identical double on both engines; the brand dim rides a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    avgq = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avgq, li.l_partkey == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
 @register(
     "dedup_simhash",
     f"""
