@@ -93,6 +93,7 @@ class SparkVectolite:
         self.embed_fn = embed_fn
         ensure_shipped(spark)
         self._fs = _HadoopFS(spark, self.path)
+        self._max_id_cache: int | None = None
         self._recover()
         self._fs.mkdirs(self.path)
 
@@ -120,10 +121,20 @@ class SparkVectolite:
         return self.spark.read.schema(DOCUMENT_STORE_SCHEMA).parquet(self.path)
 
     def _max_id(self) -> int:
-        if not self._exists():
-            return 0
-        row = self.df().agg(F.max("id").alias("m")).first()
-        return int(row["m"] or 0)
+        """Current max id, cached on the instance so an insert loop is
+        O(batch) instead of O(table) per call: the first call scans
+        (parquet footer max-statistics make even that cheap), every later
+        insert just advances the cache, and any table rewrite invalidates
+        it. Multi-writer appends to the same path need Delta/Iceberg
+        transactional ids (module docstring) — same single-writer contract
+        the reference's SQLite file has (one process, vectolite.py:60)."""
+        if self._max_id_cache is None:
+            if not self._exists():
+                self._max_id_cache = 0
+            else:
+                row = self.df().agg(F.max("id").alias("m")).first()
+                self._max_id_cache = int(row["m"] or 0)
+        return self._max_id_cache
 
     def _dim(self) -> int | None:
         """Stored embedding dimension (None for an empty store). The
@@ -144,6 +155,7 @@ class SparkVectolite:
         every open and before every rewrite) restores ``.bak`` if ``path``
         is missing and clears stale leftovers."""
         self._recover()
+        self._max_id_cache = None  # rewrites may drop or remap the max id
         tmp, bak = self.path + ".tmp", self.path + ".bak"
         df.write.mode("overwrite").parquet(tmp)
         self._fs.rename(self.path, bak)
@@ -196,6 +208,7 @@ class SparkVectolite:
         ]
         df = self.spark.createDataFrame(rows, DOCUMENT_STORE_SCHEMA)
         df.write.mode("append").parquet(self.path)
+        self._max_id_cache = start + len(texts) - 1
         return list(range(start, start + len(texts)))
 
     def append_dataframe(self, df: DataFrame) -> int:
@@ -240,9 +253,17 @@ class SparkVectolite:
             F.lit(now).cast("timestamp").alias("created_at"),
         )
         obs = Observation("append")
-        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        # the same observation that returns the row count also captures the
+        # true max id (monotonically_increasing_id leaves gaps, so start+n-1
+        # would be wrong) — the cache stays exact with zero extra passes
+        out = out.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.max("id").alias("max_id")
+        )
         out.write.mode("append").parquet(self.path)
-        return int(obs.get["n"])
+        got = obs.get
+        if got["max_id"] is not None:
+            self._max_id_cache = max(self._max_id_cache or 0, int(got["max_id"]))
+        return int(got["n"])
 
     def query(
         self,
