@@ -71,6 +71,10 @@ REGISTRY_BENCH = [
     "repetition_stats",
     "token_len_histogram",
     "q17_small_qty_revenue",
+    "q4_priority_exists",
+    "q19_disjunctive_revenue",
+    "sample_per_source",
+    "approx_distinct_tokens",
     "doc_fingerprint",
     "lang_id",
     "multimodal_features",

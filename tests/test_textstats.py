@@ -159,3 +159,31 @@ def test_repetition_stats_flags_looped_text(spark):
     assert got[1]["rep_ratio"] > 0.9
     assert got[2]["n_distinct"] == got[2]["n_shingles"]  # all unique
     assert got[2]["rep_ratio"] == 0.0
+
+
+def test_approx_distinct_tokens_error_bound(spark, sf_dir):
+    # HLL++ at rsd=0.02: sketch estimate within 10% of the exact distinct
+    # count per language (wide margin over the 2% target keeps this
+    # deterministic-stable across Spark versions).
+    import __spark_entry__ as m
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    approx = {
+        r["lang"]: r["approx_distinct"]
+        for r in m.queries()["approx_distinct_tokens"](spark, sf_dir).collect()
+    }
+    from vectolite_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.select("lang", F.explode(norm_tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) / n <= 0.10, (lang, approx[lang], n)

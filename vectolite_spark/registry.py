@@ -1580,6 +1580,157 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_per_source",
+    """
+WITH rates(source, permille) AS (
+  VALUES ('src0', 250), ('src1', 1000), ('src2', 500), ('src3', 1000),
+         ('src4', 100), ('src5', 750)
+),
+s AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000 < r.permille
+)
+SELECT source, COUNT(*) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM s GROUP BY source ORDER BY source
+""",
+)
+def sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling — the curation op that rebalances a corpus
+    toward a target source distribution: per-source keep-rates (a
+    broadcast-joined rate table) applied via DETERMINISTIC md5(doc_id)
+    bucketing, never rand() (not portable, not reproducible across
+    retries at scale — a re-executed task must keep the same docs).
+    Filter is pure codegen; zero shuffle before the tiny summary agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("src0", 250), ("src1", 1000), ("src2", 500), ("src3", 1000),
+         ("src4", 100), ("src5", 750)],
+        "source string, permille int",
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("permille"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority where at least one line
+    qualifies. EXISTS decorrelates to a LEFT SEMI join — one probe per
+    order, no duplicate inflation, no distinct pass; the discount
+    predicate is pushed into the lineitem scan before the semi-join."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive cross-table predicates. The part-only
+    disjunction (brand+size) prunes the broadcast dim BEFORE the join —
+    Catalyst derives that common filter from the OR — and the mixed
+    predicate evaluates post-join in codegen; revenue in exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register("approx_distinct_tokens")  # rows-only: HLL sketch values are
+# Spark-internal (no DuckDB twin); gate = relative-error pytest vs the
+# exact count (tests/test_textstats.py)
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per language via HyperLogLog++
+    (approx_count_distinct, 2% target rsd): the sketch aggregates
+    map-side into a fixed ~kB register set per group — the 100 TB answer
+    when exact distinct-counting would shuffle every token occurrence.
+    The exact path (`frequent_tokens`-style explode+distinct) stays the
+    oracle-able twin at test scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    return (
+        docs.select("lang", F.explode(norm_tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang")
+        .agg(
+            F.approx_count_distinct("token", rsd=0.02).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 _SQL_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SQL_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
