@@ -65,6 +65,7 @@ REGISTRY_BENCH = [
     "ann_ivf_built_topk",
     "ann_batch_lsh",
     "dedup_simhash_r1",
+    "dedup_clusters",
     "text_quality",
     "token_count",
     "pii_redaction",

@@ -210,3 +210,18 @@ def test_dedup_shuffles_hashes_not_text(corpus):
     # plan-shape check: the exact-dedup shuffle key is the sha2 hash
     plan = exact_dedup(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "sha2" in plan
+
+
+def test_connected_components_chain_and_island(spark):
+    from vectolite_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4: takes multiple propagation rounds)
+    # plus the isolated pair 10-11; node 99 appears nowhere -> absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}

@@ -468,3 +468,61 @@ def embedding_srp_pairs(
         .applyInPandas(fn, schema="id_a long, id_b long, score double")
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs into dedup CLUSTERS — the step
+    every pairwise detector needs before a keep-list exists (A~B and B~C
+    must collapse to ONE representative even when A~C was never emitted).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the minimum label among itself and its neighbors;
+    fixpoint = components labeled by their minimum member id. The
+    iteration count is the component DIAMETER, and near-dup clusters are
+    shallow (stars/cliques around a template), so a handful of rounds
+    closes 100 TB of pairs; ``localCheckpoint`` truncates lineage each
+    round so plans stay O(1) deep. For adversarial long-chain graphs the
+    published fix is large-star/small-star (Kiveris et al.) — same
+    shuffle pattern, fewer rounds; not needed for dedup-shaped graphs.
+
+    Deterministic: the fixpoint (min reachable id) is partition-order
+    independent, so the DuckDB oracle reproduces it with a recursive
+    reachability CTE. Returns (node, cluster_id) for every node that
+    appears in ``edges``.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["b"] == labels["node"]).select(
+            und["a"].alias("node"), "label"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -1948,6 +1948,55 @@ def dedup_simhash_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE hv AS (
+  SELECT doc_id,
+         list_transform({_SQL_TOKENS},
+                        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS h
+  FROM documents
+),
+s AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           j -> CASE WHEN list_sum(list_transform(h,
+                  x -> CASE WHEN (x & (1 << j)) != 0 THEN 1 ELSE -1 END)) > 0
+                THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash
+  FROM hv
+),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+),
+und AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+reach(a, b) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure of the simhash hamming<=1
+    pairs via iterative min-label propagation (``connected_components``)
+    — the step that turns pairwise detections into one-representative-
+    per-cluster keep-lists (A~B~C collapses even though A~C was never
+    emitted). A genuinely ITERATIVE Spark algorithm (driver loop,
+    per-round localCheckpoint) whose deterministic fixpoint the DuckDB
+    oracle reproduces with a recursive reachability CTE."""
+    from vectolite_spark.operators.dedup import (
+        connected_components,
+        simhash_near_pairs,
+    )
+
+    pairs = simhash_near_pairs(load_table(spark, sf_dir, "documents"), radius=1)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
 WITH sh AS (
