@@ -195,6 +195,7 @@ def build_ivf_index(
     index_path: str,
     cluster_col: str | None = "label",
     id_col: str = "vec_id",
+    n_iters: int = 1,
 ) -> None:
     """Build and PERSIST the IVF index: ``{index_path}/centroids`` (tiny
     parquet of per-cell mean vectors, exact-DECIMAL so rebuilds are
@@ -213,17 +214,32 @@ def build_ivf_index(
     """
     if cluster_col is None:
         # seed centroids from a deterministic coarse partition of the id
-        # space, then one nearest-centroid refinement pass
+        # space, then ``n_iters`` Lloyd rounds (assign -> exact-DECIMAL
+        # mean). Each round is one narrow matmul stage + one skinny-row
+        # shuffle; centroids (C x d floats) round-trip through the driver
+        # because C is tiny by construction. Deterministic: seed is
+        # id-derived, means are order-independent, ties in assignment
+        # break on (rounded score, cell id) — so rebuilds at any
+        # partitioning converge to the same index.
         seeded = embeddings.withColumn(
             "_seed_cell", F.pmod(F.col(id_col), F.lit(16)).cast("int")
         )
-        seed_cents = [
-            (r["cluster"], list(r["centroid"]))
+        cents_list = [
+            (int(r["cluster"]), list(r["centroid"]))
             for r in build_centroids(seeded, "_seed_cell").collect()
         ]
-        assigned = assign_cells(embeddings, seed_cents, id_col=id_col)
-        cents_src = assigned.withColumnRenamed("cell", "_cell")
-        cents = build_centroids(cents_src, "_cell")
+        assigned = None
+        for _ in range(max(1, n_iters)):
+            assigned = assign_cells(embeddings, cents_list, id_col=id_col)
+            cents_list = [
+                (int(r["cluster"]), list(r["centroid"]))
+                for r in build_centroids(
+                    assigned.withColumnRenamed("cell", "_cell"), "_cell"
+                ).collect()
+            ]
+        cents = embeddings.sparkSession.createDataFrame(
+            [(c, v) for c, v in cents_list], "cluster bigint, centroid array<double>"
+        )
     else:
         assigned = embeddings.select(
             F.col(id_col).alias("vec_id"),
