@@ -270,3 +270,54 @@ def test_tws_first_seen_end_to_end(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    import datetime as dt
+
+    from vectolite_spark.streaming.ingest import session_window_counts
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    src, ckpt = tmp_path / "sessions", str(tmp_path / "sess_ckpt")
+
+    def run(qname):
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        emitted = []
+
+        def sink(bdf, bid):
+            emitted.extend(
+                (r["user_id"], r["n_events"]) for r in bdf.collect()
+            )
+
+        q = (
+            session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return set(emitted)
+
+    rows = [
+        # user 10: two events 10 min apart (one session), then a 2h gap
+        # (a second session); user 20: a single event
+        (1, base, 10),
+        (2, base + dt.timedelta(minutes=10), 10),
+        (3, base + dt.timedelta(hours=2), 10),
+        (4, base + dt.timedelta(minutes=5), 20),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(str(src / "b1"))
+    # availableNow advances the watermark to max(ts)-1h = 13:00 across its
+    # internal micro-batches, so append mode flushes the two sessions that
+    # END before 13:00; user 10's 14:00 session (ends 14:30) stays open
+    assert run("sess_b1") == {(10, 2), (20, 1)}
+    # batch 2 (same checkpoint): a 16:00 event pushes the watermark to
+    # 15:00 and closes the remaining session — and ONLY it is emitted
+    # (closed sessions are never re-emitted)
+    spark.createDataFrame(
+        [(5, base + dt.timedelta(hours=4), 30)], schema
+    ).write.parquet(str(src / "b2"))
+    assert run("sess_b2") == {(10, 1)}

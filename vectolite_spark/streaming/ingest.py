@@ -106,3 +106,29 @@ def dedup_within_watermark(
     the watermark horizon (bounded state — the streaming twin of
     operators/dedup.exact_dedup)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time SESSION windows (gap-based, dynamic extent): a user's
+    events merge into one session while gaps stay under ``gap``; the
+    watermark closes sessions once event time passes end+watermark, so
+    state is bounded — the streaming twin of the batch sessionization
+    operator (operators/windows.py), which must materialize lag() gaps
+    instead. Output: one row per closed session with its span and count."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
