@@ -74,6 +74,8 @@ REGISTRY_BENCH = [
     "q17_small_qty_revenue",
     "q4_priority_exists",
     "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "embedding_quantize_int8",
     "sample_per_source",
     "approx_distinct_tokens",
     "doc_fingerprint",

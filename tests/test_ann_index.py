@@ -167,3 +167,28 @@ def test_lloyd_iterations_tighten_clusters(spark, sf_dir, tmp_path):
     o4, n4 = mean_cos(str(tmp_path / "i4"))
     assert n1 == n4 == embs.count()  # every vector lands in a cell
     assert o4 >= o1 - 1e-9, (o1, o4)
+
+
+def test_int8_quantization_reconstruction(spark, sf_dir):
+    # dequantization error is bounded by half a quantization step per
+    # component: |x - q*max_abs/127| <= max_abs/254 (+ float32 noise)
+    import numpy as np
+
+    import __spark_entry__ as m
+
+    got = m.queries()["embedding_quantize_int8"](spark, sf_dir).collect()
+    raw = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert len(got) == len(raw)
+    for r in got:
+        x = raw[r["vec_id"]]
+        q = np.array(r["q"], dtype=np.float64)
+        assert np.abs(q).max() <= 127
+        m_abs = np.abs(x).max()
+        if m_abs == 0:
+            assert (q == 0).all()
+            continue
+        err = np.abs(x - q * m_abs / 127.0).max()
+        assert err <= m_abs / 254.0 + 1e-9, (r["vec_id"], err)

@@ -1844,6 +1844,110 @@ def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l.l_suppkey AS suppkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue view aggregates once and is reused by both the scalar
+    MAX subquery and the final join (cached — Spark would otherwise
+    recompute the CTE per reference); revenue in exact DECIMAL so the
+    max and the equality filter pick identical suppliers on both
+    engines."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .cache()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("m"))
+        .join(F.broadcast(supp), rev.suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+         AS max_abs
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(max_abs, 6) AS scale,
+       CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs
+                                                   + 0.5) AS INTEGER))
+       END AS q
+FROM s
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization — the ANN STORAGE answer at 100 TB: a
+    d-float vector shrinks 4x (plus the one float scale), dot products
+    run on int8 SIMD, and the IVF cells above store q instead of raw
+    floats with ~0.5% recall cost at d=64. Per-vector symmetric scale
+    (max-abs); explicit floor(x+0.5) rounding — portable half-up on both
+    engines, immune to the banker's-rounding mismatch CAST-to-int would
+    risk. Zero shuffle, pure array expressions."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    return (
+        embs.select("vec_id", v.alias("v"), max_abs.alias("max_abs"))
+        .select(
+            "vec_id",
+            F.round("max_abs", 6).alias("scale"),
+            F.when(
+                F.col("max_abs") == 0,
+                F.transform(F.col("v"), lambda x: F.lit(0)),
+            )
+            .otherwise(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(
+                        x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)
+                    ).cast("int"),
+                )
+            )
+            .alias("q"),
+        )
+    )
+
+
+@register(
     "q17_small_qty_revenue",
     """
 SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
