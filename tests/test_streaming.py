@@ -321,3 +321,44 @@ def test_streaming_session_windows(spark, tmp_path):
         [(5, base + dt.timedelta(hours=4), 30)], schema
     ).write.parquet(str(src / "b2"))
     assert run("sess_b2") == {(10, 1)}
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    import datetime as dt
+
+    from vectolite_spark.streaming.joins import clicks_with_purchases
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    spark.createDataFrame(
+        [
+            (1, base, 7),  # click -> purchase 20 min later: attributed
+            (2, base + dt.timedelta(hours=3), 7),  # click after purchase: no
+            (3, base, 8),  # click, purchase 2h later: outside 1h window
+        ],
+        schema,
+    ).write.parquet(str(cdir))
+    spark.createDataFrame(
+        [
+            (100, base + dt.timedelta(minutes=20), 7),
+            (101, base + dt.timedelta(hours=2), 8),
+        ],
+        schema,
+    ).write.parquet(str(pdir))
+    cs = spark.readStream.schema(schema).parquet(str(cdir))
+    ps = spark.readStream.schema(schema).parquet(str(pdir))
+    out = clicks_with_purchases(cs, ps, within="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attr").collect()
+    }
+    assert got == {(7, 1, 100)}
