@@ -76,6 +76,7 @@ REGISTRY_BENCH = [
     "q19_disjunctive_revenue",
     "q15_top_supplier",
     "embedding_quantize_int8",
+    "ann_quantized_topk",
     "sample_per_source",
     "approx_distinct_tokens",
     "doc_fingerprint",

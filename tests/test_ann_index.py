@@ -192,3 +192,19 @@ def test_int8_quantization_reconstruction(spark, sf_dir):
             continue
         err = np.abs(x - q * m_abs / 127.0).max()
         assert err <= m_abs / 254.0 + 1e-9, (r["vec_id"], err)
+
+
+def test_quantized_search_recall(spark, sf_dir):
+    # int8-scored top-10 should nearly match raw-float top-10 (>=80%
+    # overlap at d=64; quantization noise only reorders near-ties)
+    import __spark_entry__ as m
+
+    from vectolite_spark.operators.topk import topk_ids
+    from vectolite_spark.registry import _query_vector
+
+    quant = {r["vec_id"] for r in m.queries()["ann_quantized_topk"](spark, sf_dir).collect()}
+    embs = load_table(spark, sf_dir, "embeddings")
+    raw = {r["vec_id"] for r in topk_ids(embs, _query_vector(spark, sf_dir), 10).collect()}
+    assert len(quant) == len(raw) == 10
+    assert len(quant & raw) >= 8, sorted(quant & raw)
+    assert 0 in quant  # the query's own vector survives quantization

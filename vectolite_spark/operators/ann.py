@@ -383,3 +383,32 @@ def ivf_index_append(
         .partitionBy("cell")
         .parquet(f"{index_path}/cells")
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization (see registry.embedding_quantize_int8 for
+    the full rationale): per-vector symmetric max-abs scale, explicit
+    floor(x+0.5) half-up rounding — portable across engines. Returns
+    (id, scale, q: array<int>); zero shuffle."""
+    v = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    return embeddings.select(
+        F.col(id_col), v.alias("v"), max_abs.alias("max_abs")
+    ).select(
+        F.col(id_col),
+        F.round("max_abs", 6).alias("scale"),
+        F.when(
+            F.col("max_abs") == 0, F.transform(F.col("v"), lambda x: F.lit(0))
+        )
+        .otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(
+                    x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)
+                ).cast("int"),
+            )
+        )
+        .alias("q"),
+    )

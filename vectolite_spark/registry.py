@@ -1922,29 +1922,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max-abs); explicit floor(x+0.5) rounding — portable half-up on both
     engines, immune to the banker's-rounding mismatch CAST-to-int would
     risk. Zero shuffle, pure array expressions."""
-    embs = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(v, F.abs))
-    return (
-        embs.select("vec_id", v.alias("v"), max_abs.alias("max_abs"))
-        .select(
-            "vec_id",
-            F.round("max_abs", 6).alias("scale"),
-            F.when(
-                F.col("max_abs") == 0,
-                F.transform(F.col("v"), lambda x: F.lit(0)),
-            )
-            .otherwise(
-                F.transform(
-                    F.col("v"),
-                    lambda x: F.floor(
-                        x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)
-                    ).cast("int"),
-                )
-            )
-            .alias("q"),
-        )
-    )
+    from vectolite_spark.operators.ann import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -2200,6 +2180,52 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_srp_pairs(
         load_table(spark, sf_dir, "embeddings"), min_score=0.3
     )
+
+
+@register(
+    "ann_quantized_topk",
+    f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+         AS max_abs
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x * 127.0 / max_abs + 0.5))
+         END AS qv
+  FROM s
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS query FROM embeddings WHERE vec_id = 0
+)
+SELECT z.vec_id,
+       {_SQL_COS.format(a="z.qv", b="q.query")} AS score
+FROM qz z, q
+ORDER BY score DESC, z.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quantized search — the memory-bound regime at 100 TB:
+    the CORPUS is stored int8 (4x smaller scans, §quantize_int8), the
+    QUERY stays float, and cosine's scale-invariance means the
+    per-vector max-abs factor cancels — the int codes are scored
+    directly, no dequantization pass. Reuses the flagship zero-Exchange
+    partial-top-k plan over the quantized arrays; recall vs raw-float
+    search is pinned by pytest."""
+    from vectolite_spark.operators.ann import quantize_int8
+    from vectolite_spark.operators.topk import topk_ids
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    qdf = quantize_int8(embs).select(
+        "vec_id",
+        F.transform(F.col("q"), lambda x: x.cast("float")).alias("embedding"),
+    )
+    return topk_ids(qdf, qvec, k=10)
 
 
 @register(
