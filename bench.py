@@ -61,6 +61,7 @@ REGISTRY_BENCH = [
     "merge_upsert_preview",
     "profile_documents",
     "frequent_tokens",
+    "tfidf_top_terms",
     "ann_ivf_topk",
     "ann_ivf_built_topk",
     "ann_batch_lsh",

@@ -1731,6 +1731,68 @@ def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t
+                         FROM documents)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+idf AS (
+  SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t AS token,
+         ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / idf.df), 6) AS tfidf
+  FROM tf JOIN idf ON tf.t = idf.t CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by TF-IDF — the classic keyword/topic signal.
+    Term frequencies aggregate map-side (one row per (doc, term) per
+    partition crosses the wire); document frequencies are a second
+    aggregation over the same exploded relation joined back on the term
+    (at vocab scale a sort-merge join on term — no collect). The corpus
+    size N is one driver scalar. Rounded-score + token tie-break keeps
+    the per-doc rank selection engine-identical (ln is sub-ulp identical
+    across libms; divergence is the accepted measure-zero class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    n = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(norm_tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(idf, "t").select(
+        "doc_id",
+        F.col("t").alias("token"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
 _SQL_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SQL_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
