@@ -62,6 +62,7 @@ REGISTRY_BENCH = [
     "profile_documents",
     "frequent_tokens",
     "tfidf_top_terms",
+    "boilerplate_ngram_score",
     "ann_ivf_topk",
     "ann_ivf_built_topk",
     "ann_batch_lsh",

@@ -1793,6 +1793,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_ngram_score",
+    f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s FROM documents
+),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+j AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN df.df >= 20 THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh JOIN df ON sh.s = df.s
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_boiler AS BIGINT) AS n_boiler
+FROM j
+""",
+)
+def boilerplate_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate signal (C4-style cleaning): the count of a
+    doc's DISTINCT 3-gram shingles that are corpus-common (document
+    frequency >= 20) — headers, footers, and template text light up;
+    within-doc looping does not (that is ``repetition_stats``). One
+    shuffle on the shingle for the df aggregation, joined back on the
+    shingle (sort-merge at vocab scale); exact integer outputs, no
+    rounded-ratio hash risk."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectolite_spark.operators.dedup import norm_tokens, word_shingles
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(norm_tokens("text")))).alias("s"),
+    )
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 20, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+
 _SQL_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SQL_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
