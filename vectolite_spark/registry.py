@@ -1980,17 +1980,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(
+    from vectolite_spark.operators.dedup import _managed_cache
+
+    rev = _managed_cache(
+        "q15_rev",
+        li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
             )
             .cast("double")
             .alias("total_revenue")
-        )
-        .cache()
+        ),
     )
     mx = rev.agg(F.max("total_revenue").alias("m"))
     supp = load_table(spark, sf_dir, "supplier")
