@@ -1819,13 +1819,17 @@ def boilerplate_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-doc looping does not (that is ``repetition_stats``). One
     shuffle on the shingle for the df aggregation, joined back on the
     shingle (sort-merge at vocab scale); exact integer outputs, no
-    rounded-ratio hash risk."""
+    rounded-ratio hash risk. Shingles via the Arrow UDF: the self-join
+    shape evaluates the shingle source on BOTH sides, and the
+    interpreted-HOF expression form costs ~ms/row per side (measured
+    22 s -> 3.5 s at sf0.1, the lang_id/simhash lesson again)."""
     docs = load_table(spark, sf_dir, "documents")
-    from vectolite_spark.operators.dedup import norm_tokens, word_shingles
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+    from vectolite_spark.operators.dedup import widen_small_input
 
-    sh = docs.select(
+    sh = widen_small_input(docs).select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(norm_tokens("text")))).alias("s"),
+        F.explode(F.array_distinct(make_shingle_udf()(F.col("text")))).alias("s"),
     )
     df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
