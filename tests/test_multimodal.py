@@ -50,3 +50,26 @@ def test_sample_frames_explodes_video_only(media):
     assert frames and all(r["byte_offset"] % 100 == 0 for r in frames)
     vids = {r["media_id"] for r in frames}
     assert vids == {2, 5}  # only kind == video
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from vectolite_spark.multimodal import (
+        attach_fake_media,
+        decode_fake,
+        resize_images,
+    )
+    from vectolite_spark.schema import load_table
+
+    media = attach_fake_media(load_table(spark, sf_dir, "documents").limit(30))
+    out = resize_images(media, target_w=32, target_h=32).collect()
+    src = {r["media_id"]: (r["kind"], bytes(r["data"])) for r in media.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        kind, data = src[r["media_id"]]
+        if kind != "image":
+            assert r["width"] is None and bytes(r["data"]) == data  # passthrough
+            continue
+        assert (r["width"], r["height"]) == (32, 32)
+        meta = decode_fake("image", data)
+        expect_n = max(1, int(len(data) * 32 * 32 / (meta["width"] * meta["height"])))
+        assert len(bytes(r["data"])) == expect_n

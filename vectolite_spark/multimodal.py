@@ -118,3 +118,57 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
         "media_id",
         F.explode(offsets).alias("frame_index"),
     ).withColumn("byte_offset", F.col("frame_index") * every_n_bytes)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, use_real: bool = False
+) -> DataFrame:
+    """Image-resize plumbing (the preprocessing step before any vision
+    encoder): REAL resampling is stubbed with the rest of decode; the
+    deterministic stand-in re-derives the fake source dims and emits a
+    payload truncated/padded proportionally to the pixel-count change —
+    stable bytes both engines could verify. The Spark-side contract is
+    the real one: binary in, binary out, one Arrow batch per call, zero
+    shuffle, non-image rows pass through untouched.
+    """
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"]) if r["data"] is not None else b""
+                if r["kind"] != "image":
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": r["kind"],
+                            "data": data,
+                            "width": None,
+                            "height": None,
+                        }
+                    )
+                    continue
+                if use_real:  # pragma: no cover - env-gated
+                    decode_real("image", data)
+                meta = decode_fake("image", data)
+                src_px = meta["width"] * meta["height"]
+                tgt_px = target_w * target_h
+                n = max(1, int(len(data) * tgt_px / src_px)) if src_px else 1
+                out = (data * (n // max(1, len(data)) + 1))[:n] if data else b"\x00" * n
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": "image",
+                        "data": out,
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        mapper,
+        schema="media_id long, kind string, data binary, width int, height int",
+    )
