@@ -208,3 +208,50 @@ def test_quantized_search_recall(spark, sf_dir):
     assert len(quant) == len(raw) == 10
     assert len(quant & raw) >= 8, sorted(quant & raw)
     assert 0 in quant  # the query's own vector survives quantization
+
+
+def test_quantize_int8_properties(spark):
+    # property sweep: zero vectors, negatives, denormal-ish magnitudes,
+    # constant vectors — codes bounded, zero maps to zero, scale is max-abs
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectolite_spark.operators.ann import quantize_int8
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        import numpy as np
+
+        for r in quantize_int8(df).collect():
+            x = np.array(vecs[r["vec_id"]], dtype=np.float32).astype(np.float64)
+            q = np.array(r["q"])
+            m = np.abs(x).max()
+            if m == 0:
+                assert (q == 0).all()
+            else:
+                assert np.abs(q).max() <= 127
+                # the max-abs component maps to +-127 exactly
+                assert 127 in np.abs(q)
+
+    check()

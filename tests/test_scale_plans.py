@@ -100,3 +100,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketdemo.items_b")
         spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def test_quantized_topk_keeps_flagship_plan(spark, sf_dir):
+    # int8 scoring must inherit the zero-Exchange partial-top-k shape —
+    # quantization is a projection, not an excuse for a shuffle
+    import __spark_entry__ as m
+
+    p = plan_str(m.queries()["ann_quantized_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_q10_dims_broadcast_fact_join_keyed(spark, sf_dir):
+    # customer/nation ride broadcasts; the only non-broadcast join is the
+    # lineitem-orders key join
+    import __spark_entry__ as m
+
+    p = plan_str(m.queries()["q10_returned_items"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
