@@ -188,3 +188,14 @@ def test_upsert_validates_dimension(store, spark):
     # failed merge must not clobber the store
     assert store.count_documents() == 1
     assert store.get_document(1)["text"] == "seed doc"
+
+
+def test_upsert_rejects_duplicate_update_ids(store, spark):
+    store.insert("seed doc")
+    dup = spark.createDataFrame(
+        [(5, "first", None, [0.1] * 8), (5, "second", None, [0.2] * 8)],
+        "id long, text string, metadata string, embedding array<float>",
+    )
+    with pytest.raises(VectoliteError, match="duplicate ids"):
+        store.upsert(dup)
+    assert store.count_documents() == 1  # nothing applied

@@ -371,6 +371,14 @@ class SparkVectolite:
         )
         existing = self.df()
         n_updates = incoming.count()
+        n_distinct = incoming.select("id").distinct().count()
+        if n_distinct != n_updates:
+            # same contract as Delta/SQL MERGE: several source rows hitting
+            # one target id is ambiguous (and would append duplicate ids)
+            raise VectoliteError(
+                f"upsert updates contain duplicate ids "
+                f"({n_updates - n_distinct} extra rows)"
+            )
         n_matched = existing.join(incoming, "id", "left_semi").count()
         merged = existing.join(incoming, "id", "left_anti").unionByName(incoming)
         self._rewrite(merged)
