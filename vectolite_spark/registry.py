@@ -2670,3 +2670,316 @@ def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes round 2b: Q5, Q6, Q8, Q9, Q13, Q22 on the available columns
+# --------------------------------------------------------------------------
+
+_REV_DEC = (
+    "CAST(l.l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l.l_discount AS DECIMAL(18,2)))"
+)
+
+
+def _rev_col():
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, customers restricted to one region, one order year. The
+    region->nation restriction shrinks the broadcast dims before the fact
+    joins; the extra c_nationkey = s_nationkey equi-condition rides the
+    supplier broadcast join, so the only big shuffle is lineitem<->orders.
+    The orderdate window prunes the orders scan (pushed filter)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: what-if revenue from dropping a discount band. Pure
+    scan + scalar aggregate — all three predicates push to the parquet
+    reader, no shuffle beyond the 1-row final agg. Discount literals are
+    identical doubles on both engines, so band membership matches exactly;
+    the sum accumulates in DECIMAL."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+WITH all_volume AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         {_REV_DEC} AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM all_volume
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by order year. Every dim (part filtered to the type, supplier,
+    customer, nation x2, region) broadcasts; lineitem<->orders is the only
+    shuffle. Numerator and denominator accumulate in exact DECIMAL and the
+    double division is rounded after the fact (measure-zero-safe)."""
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nations = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = _rev_col()
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nations), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp_nations), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM({_REV_DEC}) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    year. The testdata has no partsupp table (TESTDATA.md), so profit is
+    discounted revenue without the ps_supplycost term — the join/agg
+    topology is Q9's. part is filtered by the LIKE before broadcasting
+    (the classic selective-dim broadcast); supplier/nation broadcast;
+    lineitem<->orders is the one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts (the
+    priority filter stands in for Q13's comment NOT LIKE — this testdata
+    has no o_comment). Spark pre-aggregates orders to (custkey, count)
+    BEFORE touching customer — map-side partial agg shrinks the join input
+    from |orders| to |customers| rows, then the join is broadcast-able.
+    The classic left-join-then-count plan would shuffle every order row
+    attached to its customer; this one never does."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q22_dormant_balances",
+    """
+WITH candidates AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13) AND c_acctbal > 0
+),
+avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM candidates
+)
+SELECT c.c_nationkey AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM candidates c CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+""",
+)
+def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    countries with no recent orders (country = c_nationkey — this testdata
+    has no c_phone; 'no orders at all' is degenerate here, so dormancy is
+    'no order since 2000-01-01'). The scalar average is a 1-row broadcast
+    cross join (stays in-plan, no driver collect); the dormancy check is a
+    left-anti join against the date-pruned orders scan. The average uses
+    an exact DECIMAL sum over COUNT so both engines compare against the
+    bit-identical threshold."""
+    lo = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cand = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(nations) & (F.col("c_acctbal") > 0))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = cand.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= lo
+    ).select("o_custkey")
+    return (
+        cand.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cand.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
