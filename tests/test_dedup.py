@@ -225,3 +225,82 @@ def test_connected_components_chain_and_island(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_flags_leaked_ngram(spark):
+    from vectolite_spark.operators.dedup import decontaminate
+
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares an 8-gram window with the eval doc
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta trailing"),
+            # no 8-token overlap
+            (2, "entirely unrelated text about parquet readers and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, evalset, n=8).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_shared_grams"] >= 1
+    assert out[1]["n_eval_docs"] == 1
+
+
+def test_bigstar_matches_minlabel_on_chain(spark):
+    """A 64-node chain: worst case for min-label propagation (diameter 63),
+    the motivating case for star contraction — must converge in far fewer
+    rounds and land on the identical labeling."""
+    from vectolite_spark.operators.dedup import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 64)] + [(200, 201)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    labels, rounds = connected_components_bigstar(edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    want = {i: 1 for i in range(1, 65)} | {200: 200, 201: 200}
+    assert got == want
+    assert rounds <= 8  # O(log d), not O(d)
+    # min-label propagation needs diameter-many (63) rounds on this chain:
+    # with a smaller cap it must refuse rather than mislabel the tail
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=50)
+    ml = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iter=80).collect()
+    }
+    assert ml == want
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    from vectolite_spark.operators.packing import pack_sequences
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        ("s1", 1, words(6, "a")),   # bin 0: 6
+        ("s1", 2, words(3, "b")),   # bin 0: 9
+        ("s1", 3, words(2, "c")),   # bin 0 would be 11 > 10 -> bin 1
+        ("s1", 4, words(12, "d")),  # oversized: bin 2 alone
+        ("s1", 5, words(1, "e")),   # bin 3 (4+5 would fit only if bin empty)
+        ("s2", 6, words(10, "f")),  # exactly capacity: bin 0
+        ("s2", 7, words(1, "g")),   # bin 1
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+        for r in pack_sequences(df, capacity=10).collect()
+    }
+    assert out == {
+        ("s1", 0): (2, 9),
+        ("s1", 1): (1, 2),
+        ("s1", 2): (1, 12),
+        ("s1", 3): (1, 1),
+        ("s2", 0): (1, 10),
+        ("s2", 1): (1, 1),
+    }

@@ -523,6 +523,138 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Returning unconverged labels would silently split clusters (a
+        # chain longer than max_iter keeps its tail mislabeled) — refuse
+        # instead and point at the O(log d) algorithm.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_bigstar"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``n``-gram with a held-out eval set (the pre-training hygiene step
+    — GPT-3 App. C / PaLM-style n-gram overlap, n=8 by convention: long
+    enough that boilerplate 3-grams don't fire, short enough to catch
+    paraphrase-free leakage). Returns one row per CONTAMINATED training
+    doc: (doc_id, n_shared_grams, n_eval_docs).
+
+    Plan shape for 100 TB of train vs ~1e5 eval examples: the eval side's
+    distinct grams are a small relation — broadcast it and stream the
+    train corpus through one Arrow shingle pass + hash semi-match; no
+    shuffle of training text, no train-side self-join. (If the eval side
+    ever outgrows a broadcast, the same query degrades gracefully to a
+    sort-merge on the gram.) Counts are exact integers — no rounding
+    hazard in the oracle compare."""
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+
+    sh = make_shingle_udf(n)
+    tr = widen_small_input(train).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(sh(F.col(text_col)))).alias("g"),
+    )
+    ev = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(sh(F.col(text_col)))).alias("g"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def connected_components_bigstar(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> tuple[DataFrame, int]:
+    """Connected components by large-star / small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the published fix for ``connected_components``'s one
+    weakness: min-label propagation needs diameter-many rounds, so an
+    adversarial long chain of near-dups (paginated template text) costs
+    O(d) shuffles; star operations contract the graph in O(log d) rounds.
+
+    Each phase is two shuffles, expressed relationally (no collect_list —
+    a hot node's neighborhood never materializes on one row):
+      m(u)       = min(u, min neighbor)            -- groupBy(a).min(b)
+      large-star = emit (v, m(u)) for v in N(u), v > u
+      small-star = emit (v, m(u)) for v in N(u), v < u, plus (u, m(u))
+    At the fixpoint every node points straight at its component minimum.
+    Deterministic (same min-label fixpoint as reachability closure), so
+    the same DuckDB oracle covers both algorithms.
+
+    Returns (labels, n_rounds): (doc_id, cluster_id) for every node in
+    ``edges``, and the rounds taken (exposed so tests can assert the
+    O(log d) behavior).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        for keep_larger in (True, False):  # large-star, then small-star
+            mins = und.groupBy("a").agg(
+                F.least(F.first("a"), F.min("b")).alias("m")
+            )
+            j = und.join(mins, "a")
+            if keep_larger:
+                out = j.filter(F.col("b") > F.col("a")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                )
+            else:
+                out = j.filter(F.col("b") < F.col("a")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                ).union(mins.select("a", F.col("m").alias("b")))
+            out = out.filter(F.col("a") != F.col("b")).distinct()
+            und = (
+                out.union(
+                    out.select(F.col("b").alias("a"), F.col("a").alias("b"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        new_labels = und.groupBy("a").agg(
+            F.least(F.first("a"), F.min("b")).alias("label")
+        ).localCheckpoint(eager=True)
+        if labels is not None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "a")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
+        labels = new_labels
+    return (
+        labels.select(
+            F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
+        ),
+        rounds,
     )

@@ -2142,9 +2142,10 @@ def dedup_simhash_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
-@register(
-    "dedup_clusters",
-    f"""
+# Shared by both CC registry queries: simhash hamming<=1 edges -> recursive
+# reachability closure -> min-label per node (the deterministic fixpoint any
+# correct connected-components algorithm must produce on these edges).
+_SQL_CC_MIN_LABEL = f"""
 WITH RECURSIVE hv AS (
   SELECT doc_id,
          list_transform({_SQL_TOKENS},
@@ -2172,8 +2173,10 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
 FROM reach GROUP BY a ORDER BY doc_id
-""",
-)
+"""
+
+
+@register("dedup_clusters", _SQL_CC_MIN_LABEL)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: transitive closure of the simhash hamming<=1
     pairs via iterative min-label propagation (``connected_components``)
@@ -2983,3 +2986,128 @@ def q22_dormant_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline round 2b: decontamination, sequence packing, big-graph CC
+# --------------------------------------------------------------------------
+
+
+def _sql_shingles_n(n: int) -> str:
+    """DuckDB expression for word-n-gram shingles, mirroring
+    make_shingle_udf(n) exactly (short docs fall back to the whole token
+    string)."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+  CASE WHEN len(t) >= {n}
+       THEN list_transform(range(1, len(t) - {n - 2}), i -> {parts})
+       ELSE [array_to_string(t, ' ')]
+  END
+"""
+
+
+_SQL_EVAL_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 20"
+)
+
+
+@register(
+    "decontaminate_eval_overlap",
+    f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles_n(8)})) AS g FROM tok
+),
+ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE {_SQL_EVAL_BUCKET} = 0),
+tr AS (SELECT doc_id, g FROM sh WHERE {_SQL_EVAL_BUCKET} != 0)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+""",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic 5% eval split
+    (md5(doc_id) % 20 == 0 — the same portable bucketing as
+    ``sample_per_source``; never rand()). Training docs sharing any word
+    8-gram with the eval split are flagged with exact overlap counts.
+    The eval side broadcasts; the train corpus streams through one Arrow
+    shingle pass — no shuffle of training text (see
+    ``dedup.decontaminate``)."""
+    from vectolite_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    return decontaminate(
+        docs.filter(bucket != 0), docs.filter(bucket == 0), n=8
+    )
+
+
+@register(
+    "sequence_packing",
+    f"""
+WITH RECURSIVE tok AS (
+  SELECT source, doc_id, len({_SQL_TOKENS}) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, rn, n_tok,
+         CAST(0 AS BIGINT) AS bin_id, CAST(1 AS BIGINT) AS n_docs,
+         CAST(n_tok AS BIGINT) AS fill
+  FROM tok WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n_tok,
+         CASE WHEN w.fill + t.n_tok > 256 THEN w.bin_id + 1
+              ELSE w.bin_id END,
+         CASE WHEN w.fill + t.n_tok > 256 THEN CAST(1 AS BIGINT)
+              ELSE w.n_docs + 1 END,
+         CASE WHEN w.fill + t.n_tok > 256 THEN CAST(t.n_tok AS BIGINT)
+              ELSE w.fill + t.n_tok END
+  FROM walk w JOIN tok t ON t.source = w.source AND t.rn = w.rn + 1
+),
+final AS (
+  SELECT source, bin_id, MAX(n_docs) AS n_docs, MAX(fill) AS n_tokens
+  FROM walk GROUP BY source, bin_id
+)
+SELECT source, bin_id, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM final
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token bins, greedy
+    first-fit in doc_id order within each source (see
+    ``operators.packing.pack_sequences`` for the 100 TB sharding
+    contract). The oracle replays the same sequential walk as a recursive
+    CTE: each recursion level advances every source by one document, and
+    a bin's final (n_docs, fill) is the MAX over its walk states —
+    deterministic on both engines, exact integers throughout."""
+    from vectolite_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256)
+
+
+@register("dedup_clusters_bigstar", _SQL_CC_MIN_LABEL)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering as ``dedup_clusters`` computed by a
+    DIFFERENT algorithm — large-star/small-star contraction
+    (``connected_components_bigstar``), the O(log d)-round variant for
+    adversarial long-chain graphs. Sharing the oracle with
+    ``dedup_clusters`` cross-validates both implementations against the
+    one deterministic fixpoint (min reachable id per node)."""
+    from vectolite_spark.operators.dedup import (
+        connected_components_bigstar,
+        simhash_near_pairs,
+    )
+
+    pairs = simhash_near_pairs(load_table(spark, sf_dir, "documents"), radius=1)
+    labels, _ = connected_components_bigstar(pairs)
+    return labels.orderBy("doc_id")
