@@ -1,0 +1,62 @@
+"""BM25 + reciprocal-rank fusion: ranking behavior on a corpus with known
+ground truth (the registry oracle proves engine-parity; these prove the
+retrieval SEMANTICS are right)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.retrieval import BM25_B, BM25_K1, bm25_scores, rrf_fuse
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark engine spark engine spark engine"),  # tf-heavy on both terms
+        (2, "spark runs on a cluster"),                 # one term, short
+        (3, "an engine note " + "padding " * 40),       # one term, long doc
+        (4, "nothing relevant here at all"),            # no match
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranking_and_values(corpus):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(corpus, ["spark", "engine"]).collect()
+    }
+    # doc 4 matches nothing -> absent entirely (never scored, never scanned out)
+    assert set(got) == {1, 2, 3}
+    # doc 1 hits both terms with tf=3 each; docs 2/3 hit one term once,
+    # and 3 is much longer, so length normalization must push it below 2
+    assert got[1] > got[2] > got[3]
+
+    # spot-check doc 2 against the closed-form formula
+    n_docs, dls = 4, {1: 6, 2: 5, 3: 43, 4: 5}
+    avgdl = sum(dls.values()) / n_docs
+    df_spark = 2  # docs 1 and 2
+    idf = math.log((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1)
+    tf = 1
+    expect = idf * tf * (BM25_K1 + 1) / (
+        tf + BM25_K1 * ((1 - BM25_B) + BM25_B * dls[2] / avgdl)
+    )
+    assert got[2] == pytest.approx(expect, abs=1e-6)
+
+
+def test_rrf_fusion_math(spark):
+    lex = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    vec = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in rrf_fuse(lex, vec).collect()}
+    assert set(got) == {10, 20, 30}
+    # doc 20 appears in both lists -> sum of both contributions
+    assert got[20]["rrf"] == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert got[10]["rrf"] == pytest.approx(1 / 61, abs=1e-6)
+    assert got[30]["rrf"] == pytest.approx(1 / 62, abs=1e-6)
+    assert got[10]["rank_vec"] is None and got[30]["rank_lex"] is None
+    # the doc present in both lists must outrank single-list docs here
+    order = sorted(got, key=lambda d: (-got[d]["rrf"], d))
+    assert order[0] == 20

@@ -1,0 +1,98 @@
+"""Lexical retrieval + hybrid fusion: BM25 scoring and reciprocal-rank
+fusion of a lexical list with a vector (cosine) list — the standard
+"hybrid search" every production vector store pairs with embeddings
+(the reference engine is vector-only; this is the SURVEY §2.9 extension
+that makes it a complete search engine).
+
+Scale shape: BM25 over 100 TB is NOT an inverted-index lookup here — it
+is a scan-side term filter: explode tokens, keep only the query's terms
+(a literal IN over a handful of strings, evaluated inside codegen before
+any shuffle), then one narrow (doc_id, term, tf) aggregation. The
+corpus-level stats (N, avgdl, per-term df) are tiny relations that ride
+broadcasts. Nothing Python-side anywhere.
+
+Determinism contract with the DuckDB oracle: tf/dl/df are exact
+integers; avgdl is an exact DECIMAL sum over a COUNT; idf uses ln()
+(sub-ulp identical across engines in practice — same class as
+tfidf_top_terms); final scores round 6dp with doc_id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.dedup import norm_tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score) for every doc matching >= 1 query term.
+
+    score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   (Robertson/Sparck Jones,
+    the Lucene variant that keeps idf positive).
+    """
+    toks = docs.select(F.col(id_col), norm_tokens(text_col).alias("t"))
+    dl = toks.select(id_col, F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.select(id_col, F.explode("t").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        (1 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(per_term), 6).alias("score"))
+    )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    lists: rrf(d) = sum over lists of 1/(k + rank_d). Inputs are
+    (id, rank) relations with ranks 1..n; a doc absent from a list simply
+    contributes nothing. Both lists are top-N working sets by contract
+    (ranks only mean anything for small N), so the join is a broadcast —
+    fusion never touches the corpus."""
+    a = lex.select(F.col(id_col), F.col("rank").alias("rank_lex"))
+    b = vec.select(F.col(id_col), F.col("rank").alias("rank_vec"))
+    contrib_a = F.coalesce(1.0 / (k + F.col("rank_lex")), F.lit(0.0))
+    contrib_b = F.coalesce(1.0 / (k + F.col("rank_vec")), F.lit(0.0))
+    return a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.round(contrib_a + contrib_b, 6).alias("rrf"),
+        F.col("rank_lex"),
+        F.col("rank_vec"),
+    )

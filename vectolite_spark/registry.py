@@ -3111,3 +3111,124 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_near_pairs(load_table(spark, sf_dir, "documents"), radius=1)
     labels, _ = connected_components_bigstar(pairs)
     return labels.orderBy("doc_id")
+
+
+_BM25_TERMS = ("vector", "scan", "merge")
+_SQL_BM25 = f"""
+tok AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+  WHERE term IN ('vector', 'scan', 'merge')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6)
+           AS score
+  FROM tf
+  JOIN dft ON tf.term = dft.term
+  JOIN dl d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+"""
+
+
+@register(
+    "bm25_topk",
+    "WITH "
+    + _SQL_BM25
+    + """
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical full-text retrieval: BM25 top-10 for a 3-term query (the
+    lexical half of hybrid search; see ``operators.retrieval``). The term
+    filter is a literal IN evaluated in codegen at the scan — the corpus
+    never shuffles, only (doc_id, term, tf) survivors do; N/avgdl/df are
+    broadcast relations."""
+    from vectolite_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    _COSINE_SCORED
+    + ", "
+    + _SQL_BM25
+    + """
+, lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 20)
+),
+cosr AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+  FROM (SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20)
+)
+SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + l.rank), 0)
+             + COALESCE(1.0 / (60 + c.rank), 0), 6) AS rrf,
+       l.rank AS rank_lex, c.rank AS rank_vec
+FROM lexr l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-20 fused with cosine top-20 by reciprocal-
+    rank fusion (``retrieval.rrf_fuse``), final top-10. Each list is an
+    independent corpus-scale retrieval (lexical scan-filter, vector
+    partial-top-k); the fusion itself joins two 20-row working sets — a
+    broadcast no-op at any scale. Ranks are exact integers; rrf sums two
+    explicit terms so there is no accumulation-order hazard."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from vectolite_spark.operators.topk import topk_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    lex = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    lexr = lex.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("doc_id", "rank")
+    cos = topk_ids(embs, qvec, 20).select(F.col("vec_id").alias("doc_id"), "score")
+    cosr = cos.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("doc_id", "rank")
+    return (
+        rrf_fuse(lexr, cosr)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
