@@ -80,6 +80,17 @@ REGISTRY_BENCH = [
     "embedding_quantize_int8",
     "ann_quantized_topk",
     "sample_per_source",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q22_dormant_balances",
+    "decontaminate_eval_overlap",
+    "sequence_packing",
+    "dedup_clusters_bigstar",
+    "bm25_topk",
+    "hybrid_rrf_topk",
     "approx_distinct_tokens",
     "doc_fingerprint",
     "lang_id",
