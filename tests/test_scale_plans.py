@@ -120,3 +120,39 @@ def test_q10_dims_broadcast_fact_join_keyed(spark, sf_dir):
     p = plan_str(m.queries()["q10_returned_items"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_q5_q8_all_dims_broadcast_single_fact_join(spark, sf_dir):
+    # Q5: supplier/customer/nation/region all broadcast (nation pre-joined
+    # to the region filter), so the only shuffled join is lineitem-orders.
+    # Q8 adds part and a second nation alias — same property.
+    import __spark_entry__ as m
+
+    for name, n_bcast in (("q5_local_supplier_volume", 3),
+                          ("q8_market_share", 5)):
+        p = plan_str(m.queries()[name](spark, sf_dir))
+        assert p.count("BroadcastHashJoin") >= n_bcast, name
+        assert "CartesianProduct" not in p, name
+        # exactly one non-broadcast (shuffle) join: the fact-fact key join
+        n_shuffle_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+        assert n_shuffle_joins <= 1, f"{name}: {n_shuffle_joins} shuffled joins"
+
+
+def test_bm25_stats_and_df_ride_broadcasts(spark, sf_dir):
+    # corpus stats (N, avgdl) and per-term df are tiny relations: they must
+    # broadcast onto the (doc_id, term, tf) survivors, never shuffle them
+    import __spark_entry__ as m
+
+    p = plan_str(m.queries()["bm25_topk"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    # the eval split's grams broadcast; the training corpus must not
+    # shuffle its exploded grams for the join
+    import __spark_entry__ as m
+
+    p = plan_str(m.queries()["decontaminate_eval_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
