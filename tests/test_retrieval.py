@@ -60,3 +60,39 @@ def test_rrf_fusion_math(spark):
     # the doc present in both lists must outrank single-list docs here
     order = sorted(got, key=lambda d: (-got[d]["rrf"], d))
     assert order[0] == 20
+
+
+def test_rerank_stub_deterministic_and_gated(spark):
+    import hashlib
+
+    from vectolite_spark.operators.retrieval import rerank
+
+    docs = spark.createDataFrame(
+        [(1, "first text"), (2, "second text"), (3, "third text")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    got = rerank(cands, docs, query="q").collect()
+    # only candidates scored, ordered by score desc then id
+    assert {r["doc_id"] for r in got} == {1, 3}
+    scores = [r["rerank_score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    def expect(text):
+        h = hashlib.md5(f"q|{text}".encode()).hexdigest()[:8]
+        return round(int(h, 16) % 1000000 / 1e6, 6)
+
+    by_id = {r["doc_id"]: r["rerank_score"] for r in got}
+    assert by_id == {1: expect("first text"), 3: expect("third text")}
+
+    # a second run is bit-identical (the whole point of the stub)
+    assert {r["doc_id"]: r["rerank_score"] for r in rerank(cands, docs, "q").collect()} == by_id
+
+    # provider='local' must fail loudly without model libs, inside the udf
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        rerank(cands, docs, query="q", provider="local").collect()
+    assert "sentence-transformers" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )

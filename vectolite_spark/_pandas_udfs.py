@@ -347,3 +347,53 @@ def make_embed_udf(provider="stub", dim=64, model=None):
         return pd.Series(fn(texts.tolist()))
 
     return _embed
+
+
+def make_rerank_udf(query, provider="stub", model=None):
+    """Cross-encoder reranking scores for (query, doc) pairs, Arrow-batched
+    (one model forward per batch — the shape a real cross-encoder needs;
+    row-at-a-time would re-enter the model per doc).
+
+    provider="stub": a DETERMINISTIC stand-in — md5(query|text) mapped to
+    [0, 1) at 6dp — so the full rerank pipeline is oracle-checkable in CI
+    (no model weights in this container). provider="local" loads a
+    sentence-transformers CrossEncoder per executor process, import-gated
+    exactly like the embedders.
+    """
+
+    def _stub_scores(texts):
+        import hashlib
+
+        out = []
+        for t in texts:
+            h = hashlib.md5(f"{query}|{t or ''}".encode()).hexdigest()[:8]
+            out.append(int(h, 16) % 1000000 / 1e6)
+        return out
+
+    def _resolve():
+        if provider == "stub":
+            return _stub_scores
+        if provider == "local":
+            try:
+                from sentence_transformers import CrossEncoder
+            except ImportError as e:  # pragma: no cover - no model libs here
+                raise ImportError(
+                    "provider='local' needs sentence-transformers; "
+                    "use provider='stub' in this environment"
+                ) from e
+            enc = CrossEncoder(model or "cross-encoder/ms-marco-MiniLM-L-6-v2")
+            return lambda texts: [
+                float(s) for s in enc.predict([(query, t or "") for t in texts])
+            ]
+        raise ValueError(f"unknown provider {provider!r}")
+
+    state = {}
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        fn = state.get("fn")
+        if fn is None:
+            fn = state.setdefault("fn", _resolve())
+        return pd.Series(fn(texts.tolist()))
+
+    return _score

@@ -96,3 +96,32 @@ def rrf_fuse(
         F.col("rank_lex"),
         F.col("rank_vec"),
     )
+
+
+def rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query: str,
+    provider: str = "stub",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-encoder reranking — the third retrieval stage (retrieve ->
+    fuse -> rerank). ``candidates`` is a small ranked working set (top-N
+    ids from ``rrf_fuse``); the document payload attaches by broadcasting
+    the candidate list against the corpus scan (never the reverse — at
+    100 TB you stream the corpus past 10 ids, exactly the flagship
+    payload-attach shape), then one Arrow-batched scoring pass.
+    Returns (id, rerank_score) ordered by score desc, id asc."""
+    from vectolite_spark._pandas_udfs import make_rerank_udf
+
+    udf = make_rerank_udf(query, provider=provider)
+    cand_ids = candidates.select(id_col)
+    return (
+        docs.join(F.broadcast(cand_ids), id_col)
+        .select(
+            F.col(id_col),
+            F.round(udf(F.col(text_col)), 6).alias("rerank_score"),
+        )
+        .orderBy(F.desc("rerank_score"), F.asc(id_col))
+    )

@@ -3170,8 +3170,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hybrid_rrf_topk",
+# CTE chain shared by hybrid_rrf_topk and rerank_topk: cosine scores +
+# BM25 scores -> two ranked top-20 lists -> RRF-fused relation.
+_SQL_HYBRID_CTES = (
     _COSINE_SCORED
     + ", "
     + _SQL_BM25
@@ -3184,14 +3185,24 @@ cosr AS (
   SELECT vec_id AS doc_id,
          ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rank
   FROM (SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20)
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + l.rank), 0)
+               + COALESCE(1.0 / (60 + c.rank), 0), 6) AS rrf,
+         l.rank AS rank_lex, c.rank AS rank_vec
+  FROM lexr l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
 )
-SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
-       ROUND(COALESCE(1.0 / (60 + l.rank), 0)
-             + COALESCE(1.0 / (60 + c.rank), 0), 6) AS rrf,
-       l.rank AS rank_lex, c.rank AS rank_vec
-FROM lexr l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
-ORDER BY rrf DESC, doc_id ASC
-LIMIT 10
+"""
+)
+
+
+@register(
+    "hybrid_rrf_topk",
+    _SQL_HYBRID_CTES
+    + """
+SELECT doc_id, rrf, rank_lex, rank_vec
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """,
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3232,3 +3243,63 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "rerank_topk",
+    _SQL_HYBRID_CTES
+    + """
+, top AS (
+  SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+)
+SELECT d.doc_id,
+       ROUND(CAST(CAST('0x' || substr(md5('vector scan merge|' || d.text), 1, 8)
+                       AS BIGINT) % 1000000 AS DOUBLE) / 1e6, 6) AS rerank_score
+FROM top t JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY rerank_score DESC, d.doc_id ASC
+""",
+)
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-stage retrieval pipeline: BM25 + cosine lists ->
+    RRF fusion -> cross-encoder rerank of the fused top-10
+    (``retrieval.rerank``). The scorer here is the deterministic stub
+    (md5-derived — a real CrossEncoder is provider='local', import-gated
+    like the embedders), so the WHOLE pipeline is oracle-checked
+    end-to-end; the Arrow batching, candidate broadcast, and payload
+    attach are the production plumbing either way."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.retrieval import (
+        bm25_scores,
+        rerank,
+        rrf_fuse,
+    )
+    from vectolite_spark.operators.topk import topk_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    lex = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    lexr = lex.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("doc_id", "rank")
+    cos = topk_ids(embs, qvec, 20).select(F.col("vec_id").alias("doc_id"), "score")
+    cosr = cos.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("doc_id", "rank")
+    cands = (
+        rrf_fuse(lexr, cosr)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return rerank(cands, docs, query=" ".join(_BM25_TERMS), provider="stub")
