@@ -1,0 +1,89 @@
+"""SnapshotStore: time travel, rollback, optimistic concurrency, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.errors import VectoliteError
+from vectolite_spark.snapshots import SnapshotConflict, SnapshotStore
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"doc {i}") for i in ids], "id long, text string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "snap"))
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_and_time_travel(store, spark):
+    assert store.current_version() == -1
+    with pytest.raises(VectoliteError):
+        store.read()
+    v0 = store.append(_df(spark, [1, 2]))
+    v1 = store.append(_df(spark, [3]))
+    assert (v0, v1) == (0, 1)
+    assert _ids(store.read()) == [1, 2, 3]
+    assert _ids(store.read(version=0)) == [1, 2]
+    assert store.read(version=1).count() == 3
+
+
+def test_delete_is_cow_and_history(store, spark):
+    store.append(_df(spark, [1, 2, 3]))
+    v1 = store.delete_where(F.col("id") == 2)
+    assert _ids(store.read()) == [1, 3]
+    assert _ids(store.read(version=0)) == [1, 2, 3]  # old version intact
+    hist = store.history()
+    assert [h["version"] for h in hist] == [v1, 0]
+    assert hist[0]["op"] == "delete" and hist[1]["op"] == "append"
+
+
+def test_rollback_restores_without_mutating_history(store, spark):
+    store.append(_df(spark, [1]))
+    store.append(_df(spark, [2]))
+    v2 = store.rollback(0)
+    assert v2 == 2
+    assert _ids(store.read()) == [1]
+    assert _ids(store.read(version=1)) == [1, 2]  # "bad" version still there
+    assert store.history()[0]["op"] == "rollback:0"
+
+
+def test_concurrent_commit_conflict(store, spark, monkeypatch):
+    store.append(_df(spark, [1]))
+    writer2 = SnapshotStore(spark, store.path)
+    # both writers will target version 1; writer2 lands first
+    monkeypatch.setattr(store, "current_version", lambda: 0)
+    writer2.append(_df(spark, [99]))
+    with pytest.raises(SnapshotConflict):
+        store._commit(store._read_manifest(0)["dirs"], "append")
+    # proper retry path: recompute against the real current version
+    monkeypatch.undo()
+    assert store._commit(store._read_manifest(0)["dirs"], "append") == 2
+
+
+def test_vacuum_retention(store, spark):
+    store.append(_df(spark, [1]))
+    store.append(_df(spark, [2]))
+    store.compact()
+    out = store.vacuum(keep_versions=1)
+    assert out["removed_manifests"] == 2
+    assert out["removed_dirs"] == 2  # the two append dirs are unreferenced
+    assert _ids(store.read()) == [1, 2]  # retained version reads fine
+    with pytest.raises(VectoliteError, match="vacuumed"):
+        store.read(version=0)
+
+
+def test_crash_stranded_dir_is_collected(store, spark):
+    store.append(_df(spark, [1]))
+    # simulate a writer that crashed after writing data, before committing
+    _df(spark, [42]).write.parquet(f"{store._data_dir}/v00000099-append")
+    assert _ids(store.read()) == [1]  # stranded dir is invisible to readers
+    out = store.vacuum(keep_versions=1)
+    assert out["removed_dirs"] == 1
+    assert _ids(store.read()) == [1]

@@ -1,0 +1,190 @@
+"""Snapshot-versioned table layer: manifest-listed immutable parquet data
+directories with time travel, rollback, optimistic-concurrency commits,
+and retention vacuum — the minimum table format a 100 TB store actually
+needs, and the upgrade path ``store.py`` documents (its single-directory
+COW swap is the reference-parity layer; THIS is the Delta/Iceberg-shaped
+answer, self-contained so the engine has no external table-format
+dependency).
+
+Layout:
+    <path>/data/v<NNNNNNNN>-<op>/   immutable parquet dirs, one per commit
+    <path>/_versions/v<NNNNNNNN>.json   manifests: the dir list of a version
+
+Commit protocol (single cheap primitive, works on any Hadoop FS):
+1. write the new data dir (nothing references it yet — crash leaves garbage
+   that vacuum collects, never a corrupt table);
+2. create the next manifest with overwrite=False. Two racing writers pick
+   the same version number; exactly one create succeeds, the loser raises
+   ``SnapshotConflict`` and must retry on the new current version —
+   optimistic concurrency, same shape as Delta's transaction log.
+
+Readers never list data dirs: a version IS its manifest's dir list, so a
+reader of version N is immune to concurrent commits (snapshot isolation).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectolite_spark.errors import VectoliteError
+from vectolite_spark.store import _HadoopFS
+
+
+class SnapshotConflict(VectoliteError):
+    """Another writer committed this version first; reload and retry."""
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self._fs = _HadoopFS(spark, self.path)
+        self._fs.mkdirs(self._versions_dir)
+        self._fs.mkdirs(self._data_dir)
+
+    # -- layout --------------------------------------------------------------
+
+    @property
+    def _versions_dir(self) -> str:
+        return f"{self.path}/_versions"
+
+    @property
+    def _data_dir(self) -> str:
+        return f"{self.path}/data"
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self._versions_dir}/v{version:08d}.json"
+
+    def _versions(self) -> list[int]:
+        names = self._fs.list_names(self._versions_dir)
+        return sorted(
+            int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def current_version(self) -> int:
+        """-1 for an empty store (no commits yet)."""
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def _read_manifest(self, version: int) -> dict:
+        p = self._manifest_path(version)
+        if not self._fs.exists(p):
+            raise VectoliteError(
+                f"version {version} does not exist (or was vacuumed)"
+            )
+        return json.loads(self._fs.read_text(p))
+
+    # -- commit --------------------------------------------------------------
+
+    def _commit(self, dirs: list[str], op: str) -> int:
+        version = self.current_version() + 1
+        manifest = {
+            "version": version,
+            "op": op,
+            "dirs": dirs,
+            "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        try:
+            self._fs.write_text(
+                self._manifest_path(version), json.dumps(manifest), overwrite=False
+            )
+        except Exception as e:  # py4j surfaces FileAlreadyExists as a JVM error
+            raise SnapshotConflict(
+                f"version {version} was committed concurrently; retry"
+            ) from e
+        return version
+
+    def _new_data_dir(self, version: int, op: str) -> str:
+        return f"{self._data_dir}/v{version:08d}-{op}"
+
+    def append(self, df: DataFrame) -> int:
+        """Commit ``df`` as a new version = previous dirs + one new dir.
+        The write happens BEFORE the manifest create, so a crash or a lost
+        race never corrupts the table — it only strands an unreferenced
+        dir for vacuum."""
+        version = self.current_version() + 1
+        new_dir = self._new_data_dir(version, "append")
+        df.write.mode("error").parquet(new_dir)
+        dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
+        return self._commit(dirs + [new_dir], "append")
+
+    def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
+        """Full-table rewrite (delete/update/compact all reduce to this at
+        this layer): new version references ONLY the new dir; history keeps
+        every older version readable until vacuum."""
+        version = self.current_version() + 1
+        new_dir = self._new_data_dir(version, op)
+        df.write.mode("error").parquet(new_dir)
+        return self._commit([new_dir], op)
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write delete: survivors are rewritten, the old version
+        stays time-travelable."""
+        return self.overwrite(self.read().filter(~condition), op="delete")
+
+    def compact(self, target_files: int = 1) -> int:
+        return self.overwrite(
+            self.read().coalesce(target_files), op="compact"
+        )
+
+    def rollback(self, version: int) -> int:
+        """Restore an old version AS A NEW COMMIT (never mutates history —
+        the bad versions stay inspectable, exactly Delta's RESTORE)."""
+        dirs = self._read_manifest(version)["dirs"]
+        return self._commit(dirs, f"rollback:{version}")
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: current). Snapshot-isolated:
+        the plan references exactly the manifest's immutable dirs."""
+        if version is None:
+            version = self.current_version()
+        if version < 0:
+            raise VectoliteError("store is empty (no commits yet)")
+        dirs = self._read_manifest(version)["dirs"]
+        if not dirs:
+            raise VectoliteError(f"version {version} has no data dirs")
+        return self.spark.read.parquet(*dirs)
+
+    def history(self) -> list[dict]:
+        """Newest-first commit log (version, op, n_dirs, committed_at)."""
+        out = []
+        for v in reversed(self._versions()):
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": m["op"],
+                    "n_dirs": len(m["dirs"]),
+                    "committed_at": m["committed_at"],
+                }
+            )
+        return out
+
+    # -- retention -----------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Drop manifests older than the newest ``keep_versions`` and delete
+        data dirs no retained version references (including dirs stranded
+        by crashed or conflicted commits). Returns counts for observability.
+        """
+        if keep_versions < 1:
+            raise VectoliteError("keep_versions must be >= 1")
+        vs = self._versions()
+        drop, keep = vs[:-keep_versions], vs[-keep_versions:]
+        referenced: set[str] = set()
+        for v in keep:
+            for d in self._read_manifest(v)["dirs"]:
+                referenced.add(d.rstrip("/").rsplit("/", 1)[-1])
+        removed_dirs = 0
+        for name in self._fs.list_names(self._data_dir):
+            if name not in referenced:
+                self._fs.delete(f"{self._data_dir}/{name}")
+                removed_dirs += 1
+        for v in drop:
+            self._fs.delete(self._manifest_path(v))
+        return {"removed_manifests": len(drop), "removed_dirs": removed_dirs}

@@ -47,6 +47,7 @@ class _HadoopFS:
 
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -75,6 +76,29 @@ class _HadoopFS:
         if not self.exists(path):
             return 0
         return int(self._fs.getContentSummary(self._Path(path)).getLength())
+
+    def list_names(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(self._Path(path))]
+
+    def write_text(self, path: str, text: str, overwrite: bool = False) -> None:
+        """Create-if-absent by default: ``overwrite=False`` makes the create
+        fail when the file exists — the single cheap atomic primitive every
+        Hadoop filesystem offers, used as the commit CAS for manifests."""
+        out = self._fs.create(self._Path(path), overwrite)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, path: str) -> str:
+        inp = self._fs.open(self._Path(path))
+        try:
+            jvm_ioutils = self._jvm.org.apache.commons.io.IOUtils
+            return jvm_ioutils.toString(inp, "UTF-8")
+        finally:
+            inp.close()
 
 
 class SparkVectolite:
