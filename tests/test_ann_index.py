@@ -255,3 +255,36 @@ def test_quantize_int8_properties(spark):
                 assert 127 in np.abs(q)
 
     check()
+
+
+def test_pq_encode_search_properties(spark, sf_dir):
+    import numpy as np
+
+    from vectolite_spark.operators.ann import build_pq, pq_topk
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    codes, cb = build_pq(embs, m=8, k=16)
+    assert cb.shape == (16, 64)
+    rows = codes.collect()
+    assert len(rows) == embs.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # deterministic: a rebuild yields identical codes
+    codes2, _ = build_pq(embs, m=8, k=16)
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in rows) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in codes2.collect()
+    )
+
+    # recall vs exact L2: crude first-k codebook still must beat noise,
+    # and the query's own vector must come back first (self-distance is
+    # the minimum over its own codes)
+    all_rows = embs.collect()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    V = np.array([list(r["embedding"]) for r in all_rows], dtype=np.float64)
+    q = V[list(ids).index(0)]
+    exact = set(ids[np.argsort(((V - q) ** 2).sum(axis=1))][:10].tolist())
+    got = [r["vec_id"] for r in pq_topk(codes, cb, q, k=10, m=8).collect()]
+    assert got[0] == 0
+    assert len(set(got) & exact) / 10 >= 0.2

@@ -397,3 +397,34 @@ def make_rerank_udf(query, provider="stub", model=None):
         return pd.Series(fn(texts.tolist()))
 
     return _score
+
+
+def make_pq_encode_mapper(codebook, m):
+    """mapInPandas encoder for product quantization: per batch, one
+    (N, k) distance matrix per subspace built dim-at-a-time (explicit
+    left-assoc float64 accumulation — see ann.build_pq's determinism
+    contract), then argmin (first-min = lowest centroid id on ties,
+    matching the oracle's ROW_NUMBER tie-break)."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    k, d = cb.shape
+    sub = d // m
+
+    def mapper(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                acc = np.zeros((len(pdf), k), dtype=np.float64)
+                for dim in range(sub):
+                    diff = vecs[:, j * sub + dim, None] - cb[None, :, j * sub + dim]
+                    acc = acc + diff * diff
+                codes[:, j] = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "codes": list(codes.tolist())}
+            )
+
+    return mapper

@@ -412,3 +412,87 @@ def quantize_int8(
         )
         .alias("q"),
     )
+
+
+def build_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Product quantization (Jegou et al., PAMI'11): split each d-dim
+    vector into ``m`` subvectors, encode each as the index of its nearest
+    per-subspace centroid — d floats compress to m small ints (here
+    64x4B -> 8 codes, a 32x compression). Returns (codes_df, codebook):
+    codes_df = (id, codes array<int>), codebook = numpy (k, d).
+
+    Codebook = the first ``k`` vectors by id — DETERMINISTIC by
+    construction, so the whole encode/search path is DuckDB-oracle-
+    checkable (the same reason the SRP planes are md5-derived). Real
+    deployments refine these with per-subspace Lloyd rounds on a driver
+    sample — codebooks train on samples by design, never corpus scans.
+
+    Float determinism contract: all distance math is float64 with
+    EXPLICIT left-associative accumulation over dims (a dim-at-a-time
+    loop here, a parenthesized addition chain in the oracle SQL) — numpy
+    pairwise summation would produce different ULPs than SQL's
+    sequential fold and flip argmin ties.
+    """
+    import numpy as np
+
+    from vectolite_spark._pandas_udfs import make_pq_encode_mapper
+
+    cb_rows = (
+        embeddings.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(emb_col)
+        .collect()
+    )
+    codebook = np.array([list(r[0]) for r in cb_rows], dtype=np.float64)
+    mapper = make_pq_encode_mapper(codebook, m)
+    codes = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).mapInPandas(mapper, schema="vec_id long, codes array<int>")
+    return codes, codebook
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook,
+    qvec,
+    k: int = 10,
+    m: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: the query stays full-precision; a
+    (m x n_centroids) lookup table of query-to-centroid subspace
+    distances is computed once driver-side (tiny) and shipped as a
+    literal; each stored vector's approximate distance is then m table
+    lookups + a fixed-order sum — no floats decoded, ever. The scan is
+    over CODES (32x narrower than raw vectors): this is how 100 TB of
+    embeddings fits a memory-speed scan. Returns top-k (vec_id,
+    approx_dist) by ascending distance, id tie-break."""
+    import numpy as np
+
+    q = np.asarray(list(qvec), dtype=np.float64)
+    d = codebook.shape[1]
+    sub = d // m
+    # left-assoc accumulation, dim at a time (determinism contract above)
+    qd = np.zeros((m, codebook.shape[0]), dtype=np.float64)
+    for j in range(m):
+        for dim in range(sub):
+            diff = q[j * sub + dim] - codebook[:, j * sub + dim]
+            qd[j] = qd[j] + diff * diff
+    table = [[float(x) for x in row] for row in qd]
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in table[j]]),
+            F.col("codes")[j] + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes.select("vec_id", F.round(dist, 6).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -3303,3 +3303,113 @@ def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return rerank(cands, docs, query=" ".join(_BM25_TERMS), provider="stub")
+
+
+@register(
+    "snapshot_time_travel",
+    """
+SELECT 0 AS version,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 1 AS version,
+       CAST((SELECT COUNT(*) FROM documents WHERE lang != 'de') AS BIGINT)
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format round trip: load the corpus into a ``SnapshotStore``,
+    copy-on-write delete one language, then read BOTH versions back —
+    version 0 must still see every row (snapshot isolation), version 1
+    only the survivors. The store writes/reads are fully distributed; the
+    result is two counts, so the driver-side assembly here is two longs,
+    not corpus data. Exercises manifest commit, time travel, and COW
+    delete under the oracle gate."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="vl_snap_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        s.append(docs)
+        s.delete_where(F.col("lang") == "de")
+        rows = [(0, s.read(version=0).count()), (1, s.read(version=1).count())]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+def _sql_pq_l2_chain(av: str, bv: str) -> str:
+    """Explicit LEFT-ASSOCIATIVE addition chain for a subspace-j squared-L2
+    between DOUBLE[] columns (1-indexed; j from the subs relation) — the
+    parenthesization pins the float accumulation order to match the
+    dim-at-a-time numpy loop (see ann.build_pq determinism contract)."""
+    terms = [
+        f"(({av}[subs.j*8+{d}] - {bv}[subs.j*8+{d}])"
+        f" * ({av}[subs.j*8+{d}] - {bv}[subs.j*8+{d}]))"
+        for d in range(1, 9)
+    ]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return chain
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+WITH cb AS MATERIALIZED (
+  SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+subs AS (SELECT unnest(range(0, 8)) AS j),
+d AS (
+  SELECT v.vec_id, subs.j, cb.c, {_sql_pq_l2_chain("v.ev", "cb.cv")} AS dist
+  FROM v CROSS JOIN subs CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, c AS code
+  FROM (SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist ASC, c ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT subs.j, cb.c, {_sql_pq_l2_chain("q.qv", "cb.cv")} AS dist
+  FROM q CROSS JOIN subs CROSS JOIN cb
+),
+per AS (
+  SELECT codes.vec_id, codes.j, qd.dist
+  FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.c
+),
+l AS (SELECT vec_id, list(dist ORDER BY j) AS ds FROM per GROUP BY vec_id),
+scored AS (
+  SELECT vec_id,
+         ROUND((((((((ds[1] + ds[2]) + ds[3]) + ds[4]) + ds[5]) + ds[6])
+                 + ds[7]) + ds[8]), 6) AS approx_dist
+  FROM l
+)
+SELECT vec_id, approx_dist FROM scored
+ORDER BY approx_dist ASC, vec_id ASC LIMIT 10
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: encode every vector as 8 centroid codes
+    (32x compression), search by asymmetric distance — m table lookups
+    per vector over the CODES scan, the query never decompressed against
+    raw floats (``ann.build_pq`` / ``ann.pq_topk``). This registry entry
+    composes build+search at test scale; in production the codes DF is
+    written once (like the IVF index) and only the narrow code table is
+    ever scanned. FULLY ORACLED despite being an approximate method: the
+    codebook is deterministic (first-16 vectors) and every float
+    accumulation has a pinned order on both engines."""
+    from vectolite_spark.operators.ann import build_pq, pq_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    codes, codebook = build_pq(embs, m=8, k=16)
+    return pq_topk(codes, codebook, qvec, k=10, m=8)
