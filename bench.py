@@ -91,6 +91,9 @@ REGISTRY_BENCH = [
     "dedup_clusters_bigstar",
     "bm25_topk",
     "hybrid_rrf_topk",
+    "rerank_topk",
+    "snapshot_time_travel",
+    "ann_pq_topk",
     "approx_distinct_tokens",
     "doc_fingerprint",
     "lang_id",

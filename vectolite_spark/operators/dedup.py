@@ -503,26 +503,36 @@ def connected_components(
             "label", F.col("node")
         )
     )
+    # Convergence detection rides the checkpoint job for FREE: labels are
+    # monotonically non-increasing (new = min(own, neighbors')), so the
+    # label SUM strictly decreases until the fixpoint — an Observation on
+    # the materializing plan captures it with zero extra jobs (the old
+    # join-and-count check cost one more job per round).
+    from pyspark.sql import Observation
+
+    prev_sum: int | None = None
     for _ in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["node"]).select(
             und["a"].alias("node"), "label"
         )
+        obs = Observation()
         new = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(
+                # decimal(38,0): a BIGINT sum overflows around 1e9 nodes
+                # with wide id spaces; the fixpoint test needs exactness
+                obs,
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = obs.get["s"]
         labels = new
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # Returning unconverged labels would silently split clusters (a
         # chain longer than max_iter keeps its tail mislabeled) — refuse
