@@ -288,3 +288,33 @@ def test_pq_encode_search_properties(spark, sf_dir):
     got = [r["vec_id"] for r in pq_topk(codes, cb, q, k=10, m=8).collect()]
     assert got[0] == 0
     assert len(set(got) & exact) / 10 >= 0.2
+
+
+def test_pq_lloyd_rounds_reduce_distortion(spark, sf_dir):
+    import numpy as np
+
+    from vectolite_spark.operators.ann import build_pq
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    all_rows = embs.collect()
+    V = {r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64)
+         for r in all_rows}
+
+    def distortion(codes_df, cb, m=8):
+        sub = cb.shape[1] // m
+        tot = 0.0
+        for r in codes_df.collect():
+            v = V[r["vec_id"]]
+            for j, c in enumerate(r["codes"]):
+                diff = v[j * sub:(j + 1) * sub] - cb[c, j * sub:(j + 1) * sub]
+                tot += float(diff @ diff)
+        return tot / len(V)
+
+    c0, cb0 = build_pq(embs, m=8, k=16, n_iters=0)
+    c2, cb2 = build_pq(embs, m=8, k=16, n_iters=2)
+    d0, d2 = distortion(c0, cb0), distortion(c2, cb2)
+    assert d2 < d0  # Lloyd rounds strictly improve the quantizer here
+    # rebuild determinism holds for the refined codebook too
+    _, cb2b = build_pq(embs, m=8, k=16, n_iters=2)
+    assert np.array_equal(cb2, cb2b)

@@ -420,6 +420,7 @@ def build_pq(
     k: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_iters: int = 0,
 ):
     """Product quantization (Jegou et al., PAMI'11): split each d-dim
     vector into ``m`` subvectors, encode each as the index of its nearest
@@ -429,9 +430,15 @@ def build_pq(
 
     Codebook = the first ``k`` vectors by id — DETERMINISTIC by
     construction, so the whole encode/search path is DuckDB-oracle-
-    checkable (the same reason the SRP planes are md5-derived). Real
-    deployments refine these with per-subspace Lloyd rounds on a driver
-    sample — codebooks train on samples by design, never corpus scans.
+    checkable (the same reason the SRP planes are md5-derived).
+    ``n_iters`` > 0 runs per-subspace Lloyd rounds DISTRIBUTED: encode
+    with the current codebook, then one narrow aggregation computes the
+    element-wise mean subvector per (subspace, code) — the corpus never
+    leaves the executors, only m*k*sub doubles return to the driver per
+    round. Empty cells keep their previous centroid. Still deterministic
+    (means are order-independent; argmin ties break on the lowest code),
+    but the registry oracle pins n_iters=0 — refined codebooks are gated
+    by the distortion-decrease pytest instead.
 
     Float determinism contract: all distance math is float64 with
     EXPLICIT left-associative accumulation over dims (a dim-at-a-time
@@ -450,11 +457,39 @@ def build_pq(
         .collect()
     )
     codebook = np.array([list(r[0]) for r in cb_rows], dtype=np.float64)
-    mapper = make_pq_encode_mapper(codebook, m)
-    codes = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
-    ).mapInPandas(mapper, schema="vec_id long, codes array<int>")
-    return codes, codebook
+    )
+    d = codebook.shape[1]
+    sub = d // m
+
+    def encode(cb):
+        mapper = make_pq_encode_mapper(cb, m)
+        return base.mapInPandas(mapper, schema="vec_id long, codes array<int>")
+
+    for _ in range(n_iters):
+        assigned = base.join(encode(codebook), "vec_id").select(
+            "embedding", F.posexplode("codes").alias("j", "code")
+        )
+        means = (
+            assigned.groupBy("j", "code")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at("embedding", (F.col("j") * sub + di + 1))
+                        .cast("double")
+                    ).alias(f"d{di}")
+                    for di in range(sub)
+                ]
+            )
+            .collect()
+        )
+        new_cb = codebook.copy()
+        for r in means:
+            for di in range(sub):
+                new_cb[r["code"], r["j"] * sub + di] = r[f"d{di}"]
+        codebook = new_cb
+    return encode(codebook), codebook
 
 
 def pq_topk(
