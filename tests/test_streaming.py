@@ -362,3 +362,45 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attr").collect()
     }
     assert got == {(7, 1, 100)}
+
+
+def test_streaming_topk_matches_batch_and_resumes(spark, sf_dir, tmp_path):
+    """Batch-twin + incremental refresh: the running top-k after draining N
+    parquet drops equals the one-shot batch top-k over the union, and a
+    LATER drop processed through the same checkpoint updates the state
+    without rescanning earlier drops."""
+    from vectolite_spark.operators.topk import topk_ids
+    from vectolite_spark.schema import load_table
+    from vectolite_spark.streaming.topk import stream_embeddings, streaming_topk
+
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    drops = str(tmp_path / "drops")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = embs.filter(F.col("vec_id") % 3 != 0)
+    late = embs.filter(F.col("vec_id") % 3 == 0)
+    first.filter("vec_id % 2 = 0").write.parquet(f"{drops}/d0")
+    first.filter("vec_id % 2 = 1").write.parquet(f"{drops}/d1")
+
+    src = stream_embeddings(spark, f"{drops}/*")
+    streaming_topk(src, qvec, 10, state, ckpt).awaitTermination(120)
+    got = [(r["vec_id"], r["score"]) for r in
+           spark.read.parquet(state).orderBy(F.desc("score"), "vec_id").collect()]
+    want = [(r["vec_id"], r["score"]) for r in topk_ids(first, qvec, 10).collect()]
+    assert got == want
+
+    late.write.parquet(f"{drops}/d2")
+    streaming_topk(
+        stream_embeddings(spark, f"{drops}/*"), qvec, 10, state, ckpt
+    ).awaitTermination(120)
+    got2 = [(r["vec_id"], r["score"]) for r in
+            spark.read.parquet(state).orderBy(F.desc("score"), "vec_id").collect()]
+    want2 = [(r["vec_id"], r["score"]) for r in topk_ids(embs, qvec, 10).collect()]
+    assert got2 == want2
+    # the query's own vector is in the corpus: score 1.0 must lead
+    assert got2[0][0] == 0 and got2[0][1] == 1.0
