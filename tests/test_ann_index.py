@@ -318,3 +318,37 @@ def test_pq_lloyd_rounds_reduce_distortion(spark, sf_dir):
     # rebuild determinism holds for the refined codebook too
     _, cb2b = build_pq(embs, m=8, k=16, n_iters=2)
     assert np.array_equal(cb2, cb2b)
+
+
+def test_ivfpq_build_query_and_pruning(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+    from vectolite_spark.operators.topk import topk_ids
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(embs, path, n_cells=8, m=8, pq_k=16, pq_iters=1)
+    idx = IVFPQIndex(spark, path, m=8)
+
+    # full-probe + generous refine: the exact-rescore stage must put the
+    # query's own vector first and recover most of the true top-10
+    got = idx.topk(qvec, k=10, n_probe=8, refine=100).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["score"] == 1.0
+    exact = {r["vec_id"] for r in topk_ids(embs, qvec, 10).collect()}
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.5, recall
+
+    # narrow probe: the codes scan must carry a cell partition filter
+    # (directory pruning — only probed cells are read)
+    probes = idx.probe(qvec, n_probe=2)
+    plan = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin([int(p) for p in probes]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan

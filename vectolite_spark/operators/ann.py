@@ -531,3 +531,103 @@ def pq_topk(
         .orderBy(F.asc("approx_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    pq_iters: int = 2,
+) -> None:
+    """Build and persist an IVF-PQ index (the FAISS IVFPQ shape — the
+    standard billion-scale layout): vectors are routed to IVF cells
+    (partition pruning at query time) AND product-quantized (32x narrower
+    scan within each probed cell). Layout:
+
+        {path}/centroids   IVF cell centroids (tiny)
+        {path}/codebook    PQ codebook, (code, centroid) rows (tiny)
+        {path}/cells       (vec_id, codes, embedding) partitioned by cell
+
+    Raw embeddings ride along INSIDE the partitioned layout solely for the
+    exact-rescore refine step — at query time they are read only for the
+    ~4k PQ survivors, never scanned (column pruning: the codes scan never
+    materializes the embedding column)."""
+    seeded = embeddings.withColumn(
+        "_seed_cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
+    )
+    cents_list = [
+        (int(r["cluster"]), list(r["centroid"]))
+        for r in build_centroids(seeded, "_seed_cell").collect()
+    ]
+    assigned = assign_cells(embeddings, cents_list, id_col=id_col)
+    codes, codebook = build_pq(embeddings, m=m, k=pq_k, id_col=id_col,
+                               n_iters=pq_iters)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(c, v) for c, v in cents_list], "cluster bigint, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [(i, [float(x) for x in codebook[i]]) for i in range(codebook.shape[0])],
+        "code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebook")
+    (
+        assigned.join(codes, "vec_id")
+        .select("vec_id", "codes", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
+
+
+class IVFPQIndex:
+    """Handle over a persisted IVF-PQ index. Query = probe cells
+    (partition pruning) -> PQ asymmetric distance over the narrow codes
+    columns -> exact cosine rescore of the top ``refine`` survivors (the
+    classic refine step: approximate order finds candidates, full
+    precision ranks them)."""
+
+    def __init__(self, spark, index_path: str, m: int = 8):
+        import numpy as np
+
+        self.spark = spark
+        self.path = index_path
+        self.m = m
+        self.centroids = [
+            (int(r["cluster"]), list(r["centroid"]))
+            for r in spark.read.parquet(f"{index_path}/centroids").collect()
+        ]
+        cb_rows = sorted(
+            (
+                (int(r["code"]), list(r["centroid"]))
+                for r in spark.read.parquet(f"{index_path}/codebook").collect()
+            )
+        )
+        self.codebook = np.array([v for _, v in cb_rows], dtype=np.float64)
+
+    def probe(self, qvec: Sequence[float], n_probe: int = 1) -> list[int]:
+        return greedy_probes(self.centroids, qvec, n_probe)
+
+    def topk(
+        self,
+        qvec: Sequence[float],
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 100,
+    ) -> DataFrame:
+        from vectolite_spark.operators.topk import topk_ids
+
+        probes = greedy_probes(self.centroids, qvec, n_probe)
+        cells = self.spark.read.parquet(f"{self.path}/cells").filter(
+            F.col("cell").isin([int(p) for p in probes])
+        )
+        survivors = pq_topk(
+            cells.select("vec_id", "codes"), self.codebook, qvec,
+            k=refine, m=self.m,
+        )
+        refine_set = cells.join(
+            F.broadcast(survivors.select("vec_id")), "vec_id"
+        ).select("vec_id", "embedding")
+        return topk_ids(refine_set, qvec, k)
