@@ -94,6 +94,7 @@ REGISTRY_BENCH = [
     "rerank_topk",
     "snapshot_time_travel",
     "ann_pq_topk",
+    "funnel_conversion",
     "approx_distinct_tokens",
     "doc_fingerprint",
     "lang_id",

@@ -3413,3 +3413,88 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vector(spark, sf_dir)
     codes, codebook = build_pq(embs, m=8, k=16)
     return pq_topk(codes, codebook, qvec, k=10, m=8)
+
+
+@register(
+    "ann_ivfpq_exact_rescore",
+    _COSINE_SCORED
+    + """
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+)
+def ann_ivfpq_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ pipeline correctness: build the composite index
+    (cell routing + PQ codes + rescore payload), then query with FULL
+    probe and refine >= N — in that regime the approximate stages must
+    hand every vector to the exact-rescore stage, so the result is
+    REQUIRED to equal brute-force cosine top-k (the flagship oracle).
+    Any bug in cell assignment, code layout, candidate handoff, or
+    rescore breaks the hash. Partial-probe recall behavior is gated by
+    pytest (test_ivfpq_build_query_and_pruning)."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    n = embs.count()
+    base = tempfile.mkdtemp(prefix="vl_ivfpq_")
+    try:
+        build_ivfpq_index(embs, f"{base}/idx", n_cells=16, m=8, pq_k=16,
+                          pq_iters=0)
+        idx = IVFPQIndex(spark, f"{base}/idx", m=8)
+        rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["vec_id"], r["score"]) for r in rows], "vec_id long, score double"
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+WITH stage AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM stage
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per user the
+    EARLIEST time of each stage, a stage counts only if it happens
+    strictly after the previous one — the classic product-analytics
+    conversion query. One narrow shuffle on user_id with map-side partial
+    MINs; stage predicates are NULL-safe by construction (a missing or
+    out-of-order stage contributes 0). Exact integer outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag(viewed).alias("viewed"),
+        flag(clicked).alias("clicked_after_view"),
+        flag(purchased).alias("purchased_after_click"),
+    )
