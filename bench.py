@@ -95,6 +95,8 @@ REGISTRY_BENCH = [
     "snapshot_time_travel",
     "ann_pq_topk",
     "funnel_conversion",
+    "skew_safe_distinct",
+    "weighted_sample_aes",
     "approx_distinct_tokens",
     "doc_fingerprint",
     "lang_id",

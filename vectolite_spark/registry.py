@@ -3498,3 +3498,69 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(clicked).alias("clicked_after_view"),
         flag(purchased).alias("purchased_after_click"),
     )
+
+
+@register(
+    "skew_safe_distinct",
+    """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+""",
+)
+def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact COUNT(DISTINCT): explicit two-phase expansion —
+    distinct over the (key, value) PAIR first (the shuffle key carries the
+    value's entropy, so a hot event_type spreads over all partitions
+    instead of landing on one reducer), then a counted group-by on the
+    key. This is the plan-level fix for the aggregation skew AQE cannot
+    split (single-key distinct state); Spark's own partial aggregation
+    composes with it. Exact integers out."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("distinct_users")
+    )
+
+
+@register(
+    "weighted_sample_aes",
+    """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 1000000 + 1) / 1000001.0) / n_chars AS ekey
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, ROUND(ekey, 6) AS ekey
+FROM keyed
+ORDER BY ekey ASC, doc_id ASC
+LIMIT 20
+""",
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement via exponential
+    keys (Efraimidis-Spirakis A-ES): each row draws u from a DETERMINISTIC
+    md5 uniform (never rand() — task retries and both engines must agree),
+    keyed by -ln(u)/weight; the global smallest-key n rows ARE a weighted
+    sample. The top-n is a TakeOrderedAndProject — no full sort, no
+    shuffle of the corpus — which is why A-ES is THE distributed weighted
+    sampler (one pass, mergeable across partitions). Weight here is
+    n_chars (longer docs proportionally likelier). ln() is sub-ulp
+    identical across engines in practice (tfidf precedent); ORDER is on
+    the raw key, output rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000 + 1
+    ) / F.lit(1000001.0)
+    ekey = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            ekey.alias("raw_ekey"),
+        )
+        .orderBy(F.asc("raw_ekey"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "weight", F.round("raw_ekey", 6).alias("ekey"))
+    )
