@@ -3564,3 +3564,41 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "weight", F.round("raw_ekey", 6).alias("ekey"))
     )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH wk AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - 1704067200000000) // 604800000000 AS INT) AS week
+  FROM events
+),
+cohorts AS (SELECT user_id, MIN(week) AS cohort FROM wk GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT c.cohort, a.week, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM cohorts c JOIN active a ON c.user_id = a.user_id
+GROUP BY c.cohort, a.week
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity week
+    (cohort), counted as active in every week they appear — the standard
+    product-analytics triangle. Week ids come from exact INTEGER epoch
+    division (microseconds DIV week — no float boundary risk, timezone-
+    proof). Plan: two narrow aggregations on user_id (map-side partial)
+    and one join keyed on user_id; the cohort relation is |users| rows —
+    broadcastable against the (user, week) activity pairs at any corpus
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr(
+        "CAST((unix_micros(ts) - 1704067200000000) DIV 604800000000 AS INT)"
+    ).alias("week")
+    wk = ev.select("user_id", week)
+    cohorts = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = wk.distinct()
+    return (
+        active.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort", "week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
