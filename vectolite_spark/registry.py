@@ -3602,3 +3602,138 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the nation-revenue 'materialized view'
+    is computed as TWO partial aggregates — history (orders before
+    1998-01-01) and a delta batch (the rest) — merged by re-aggregating
+    the partials. Because the accumulator is exact DECIMAL end to end,
+    merge(partial(A), partial(B)) == full(A ∪ B) BIT-FOR-BIT, which the
+    full-recompute oracle enforces. This mergeability is what makes the
+    agg maintainable at 100 TB: a new day of orders touches |nations|
+    partial rows, never the history."""
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def partial(df):
+        return (
+            df.join(F.broadcast(cust), df.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ps")
+            )
+        )
+
+    history = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    return (
+        history.union(delta)
+        .groupBy("nation")
+        .agg(F.sum("ps").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "minhash_estimation_error",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+                        h -> list_min(list_transform(shingles,
+                                      s -> md5(h::VARCHAR || ':' || s)))) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band_id, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS band_key
+  FROM sigs, UNNEST(range(0, 4)) AS t(b)
+),
+ok AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 200
+),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN ok USING (band_id, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(list_sum(list_transform(range(1, 9),
+               h -> CASE WHEN sa.mh[h] = sb.mh[h] THEN 1 ELSE 0 END)) / 8.0, 6)
+           AS est_sim
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  WHERE list_sum(list_transform(range(1, 9),
+        h -> CASE WHEN sa.mh[h] = sb.mh[h] THEN 1 ELSE 0 END)) / 8.0 >= 0.5
+),
+shd AS (SELECT doc_id, list_distinct(shingles) AS sd FROM sh)
+SELECT e.doc_a, e.doc_b, e.est_sim,
+       len(list_intersect(a.sd, b.sd))
+         / CAST(len(list_distinct(list_concat(a.sd, b.sd))) AS DOUBLE)
+         AS jaccard,
+       ROUND(ABS(e.est_sim
+                 - len(list_intersect(a.sd, b.sd))
+                   / CAST(len(list_distinct(list_concat(a.sd, b.sd))) AS DOUBLE)),
+             6) AS abs_err
+FROM est e
+JOIN shd a ON a.doc_id = e.doc_a
+JOIN shd b ON b.doc_id = e.doc_b
+""",
+)
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality EVAL as a first-class oracled query: for every
+    MinHash-LSH candidate pair, the 8-hash similarity estimate next to the
+    TRUE shingle Jaccard and the absolute error — the measurement that
+    tells a pipeline owner whether the banding config is tight enough
+    before a 100 TB run. Per-pair rows (no corpus-wide mean) keep every
+    output either exact-integer-derived or a single rounded-after-inexact
+    value — no accumulation-order hazard. The exact side reuses the same
+    Arrow shingle pass the estimator used (cached), so the eval costs one
+    extra broadcast join, not a recompute."""
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+    from vectolite_spark.operators.dedup import minhash_lsh_pairs, widen_small_input
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sh = widen_small_input(docs).select(
+        F.col("doc_id"),
+        F.array_distinct(make_shingle_udf()(F.col("text"))).alias("sd"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sd_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sd_b"))
+    jac = F.size(F.array_intersect("sd_a", "sd_b")) / F.size(
+        F.array_union("sd_a", "sd_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_sim",
+            jac.alias("jaccard"),
+            F.round(F.abs(F.col("est_sim") - jac), 6).alias("abs_err"),
+        )
+    )
