@@ -3737,3 +3737,61 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_sim") - jac), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "training_shards",
+    """
+WITH kept AS (
+  SELECT doc_id, source,
+         len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+             ' ')) AS n_tok,
+         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 8 AS shard
+  FROM documents
+  WHERE n_chars >= 100
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM kept GROUP BY shard
+""",
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a curation pipeline: assign surviving documents to
+    training output shards by DETERMINISTIC md5 bucketing (reshuffle-stable:
+    a task retry or a re-run lands every doc in the same shard — the
+    property that makes resumable multi-day 100 TB writes safe), and
+    emit the per-shard manifest (docs, distinct sources, token budget)
+    a data loader consumes. In production each shard group becomes one
+    `partitionBy("shard")` write; here the manifest is the checkable
+    artifact. Exact integers only."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    ).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "source",
+            F.size(norm_tokens("text")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
