@@ -87,3 +87,31 @@ def test_crash_stranded_dir_is_collected(store, spark):
     out = store.vacuum(keep_versions=1)
     assert out["removed_dirs"] == 1
     assert _ids(store.read()) == [1]
+
+
+def test_streaming_append_exactly_once(store, spark, tmp_path):
+    from vectolite_spark.snapshots import last_stream_batch_id, streaming_append
+
+    drops = str(tmp_path / "sdrops")
+    _df(spark, [1, 2]).write.parquet(f"{drops}/d0")
+    _df(spark, [3]).write.parquet(f"{drops}/d1")
+    stream = spark.readStream.schema("id long, text string").parquet(f"{drops}/*")
+    streaming_append(store, stream, str(tmp_path / "sckpt")).awaitTermination(120)
+    assert _ids(store.read()) == [1, 2, 3]
+    n_versions = store.current_version() + 1
+    assert last_stream_batch_id(store) >= 0
+
+    # draining again with the same checkpoint commits nothing new
+    stream2 = spark.readStream.schema("id long, text string").parquet(f"{drops}/*")
+    streaming_append(store, stream2, str(tmp_path / "sckpt")).awaitTermination(120)
+    assert store.current_version() + 1 == n_versions
+
+    # a REPLAYED batch (the at-least-once window: sink ran, checkpoint
+    # offset write was lost) must be skipped by the REAL sink, not
+    # double-appended — drive the actual foreachBatch closure with an
+    # already-committed batch id
+    from vectolite_spark.snapshots import make_stream_sink
+
+    make_stream_sink(store)(_df(spark, [99]), last_stream_batch_id(store))
+    assert _ids(store.read()) == [1, 2, 3]
+    assert store.current_version() + 1 == n_versions

@@ -3795,3 +3795,69 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "dedup_keep_list",
+    _SQL_CC_MIN_LABEL.replace(
+        """SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id""",
+        """, labels AS (
+  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+scored AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT cluster_id,
+       CAST(doc_id AS BIGINT) AS keep_id,
+       CAST(n_chars AS BIGINT) AS keep_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM (
+  SELECT cluster_id, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1""",
+    ),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER clustering that produces the actual dedup output: one
+    canonical KEEPER per near-dup cluster — here the longest document
+    (n_chars, ties to lowest id), the common curation policy ('keep the
+    most complete copy'). Composition: simhash r<=1 pairs -> connected
+    components -> per-cluster argmax via window. The window partitions by
+    cluster_id, so the heavy corpus never sorts globally; payload joins by
+    doc_id. Completes the pairs -> clusters -> keep-list dedup pipeline as
+    an oracled unit."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.dedup import (
+        connected_components,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, radius=1)
+    labels = connected_components(pairs)
+    scored = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").cast("long").alias("keep_chars"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -79,13 +79,14 @@ class SnapshotStore:
 
     # -- commit --------------------------------------------------------------
 
-    def _commit(self, dirs: list[str], op: str) -> int:
+    def _commit(self, dirs: list[str], op: str, extra: dict | None = None) -> int:
         version = self.current_version() + 1
         manifest = {
             "version": version,
             "op": op,
             "dirs": dirs,
             "committed_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+            **(extra or {}),
         }
         try:
             self._fs.write_text(
@@ -188,3 +189,54 @@ class SnapshotStore:
         for v in drop:
             self._fs.delete(self._manifest_path(v))
         return {"removed_manifests": len(drop), "removed_dirs": removed_dirs}
+
+
+def last_stream_batch_id(store: SnapshotStore) -> int:
+    """Highest streaming batch id ever committed (-1 if none): the replay
+    fence for the exactly-once sink below."""
+    best = -1
+    for v in store._versions():
+        m = store._read_manifest(v)
+        best = max(best, int(m.get("batch_id", -1)))
+    return best
+
+
+def streaming_append(store: SnapshotStore, stream, checkpoint_dir: str):
+    """EXACTLY-ONCE streaming sink into the snapshot store — the property
+    a plain `writeStream.format("parquet")` cannot give you across sinks:
+    each micro-batch becomes one commit whose manifest RECORDS the batch
+    id, so a replayed batch (checkpoint lost between sink and offset
+    write — the classic at-least-once window) is detected and skipped
+    instead of double-appended. The batch's data dir is written with
+    overwrite (idempotent: a crashed attempt's partial dir is simply
+    rewritten), and the manifest create is the atomic commit point.
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+
+    return (
+        stream.writeStream.foreachBatch(make_stream_sink(store))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_stream_sink(store: SnapshotStore):
+    """The foreachBatch commit function (exposed so the replay fence is
+    directly testable without forging a checkpoint loss)."""
+
+    def sink(batch_df, batch_id: int) -> None:
+        if int(batch_id) <= last_stream_batch_id(store):
+            return  # replayed batch: already committed, exactly-once skip
+        version = store.current_version() + 1
+        new_dir = f"{store._data_dir}/v{version:08d}-stream"
+        batch_df.write.mode("overwrite").parquet(new_dir)
+        dirs = (
+            store._read_manifest(version - 1)["dirs"] if version > 0 else []
+        )
+        store._commit(
+            dirs + [new_dir], f"stream:{batch_id}",
+            extra={"batch_id": int(batch_id)},
+        )
+
+    return sink
