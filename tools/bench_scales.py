@@ -1,0 +1,60 @@
+"""Per-scale timing sweep for headline queries: run each at
+sf0.001/0.01/0.1 (100x data spread), warm, and print a markdown table of
+seconds per scale plus the 0.1/0.001 ratio — the direct evidence for
+which operators are scheduler-floor-flat (indexes, top-k) vs data-linear
+(scans), i.e. how each path extrapolates toward 100 TB.
+
+Usage: python tools/bench_scales.py  (appends nothing; prints the table)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from vectolite_spark import registry  # noqa: E402
+from vectolite_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_topk",
+    "ann_ivf_built_topk",
+    "ann_pq_topk",
+    "bm25_topk",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "funnel_conversion",
+]
+SCALES = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    spark = get_spark("bench-scales")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        times = []
+        for sf in SCALES:
+            sf_dir = f"/root/testdata/sf{sf}"
+            fn(spark, sf_dir).count()  # warm (plan + scan cache)
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        ratio = times[-1] / times[0] if times[0] > 0 else float("inf")
+        rows.append((name, times, ratio))
+    print("| query | sf0.001 | sf0.01 | sf0.1 | 100x-data time ratio |")
+    print("|---|---|---|---|---|")
+    for name, times, ratio in rows:
+        cells = " | ".join(f"{t:.2f}s" for t in times)
+        print(f"| {name} | {cells} | {ratio:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
