@@ -3861,3 +3861,71 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+@register(
+    "embedding_cluster_stats",
+    """
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, i.j,
+         CAST(SUM(CAST(v[i.j] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+  GROUP BY label, i.j
+),
+cents AS (SELECT label, list(c ORDER BY j) AS cent FROM dims GROUP BY label),
+scored AS (
+  SELECT e.label,
+         sqrt(list_dot_product(cent, cent)) AS cnorm,
+         CASE WHEN list_dot_product(e.v, e.v) = 0
+                OR list_dot_product(cent, cent) = 0
+              THEN 0.0
+              ELSE list_dot_product(e.v, cent)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cent, cent)))
+         END AS cos
+  FROM e JOIN cents USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(MIN(cnorm), 6) AS centroid_norm,
+       ROUND(CAST(SUM(CAST(ROUND(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS cohesion
+FROM scored GROUP BY label
+""",
+)
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster diagnostics: per label the exact-DECIMAL
+    centroid, its norm, and COHESION (mean cosine of members to their
+    centroid) — the health metric that tells you whether labels/IVF cells
+    are tight enough to index before a 100 TB build. Centroids reuse
+    ``build_centroids`` (order-independent decimal means); each member
+    cosine is rounded then accumulated in DECIMAL so the mean has no
+    summation-order hazard; centroids broadcast onto the member scan."""
+    from vectolite_spark.functions.vector import dot_product, l2_norm
+    from vectolite_spark.operators.ann import build_centroids
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = build_centroids(embs, "label").withColumnRenamed("cluster", "label")
+    joined = embs.join(F.broadcast(cents), "label")
+    vnorm = l2_norm("embedding")
+    cnorm = l2_norm("centroid")
+    cos = F.when(
+        (dot_product("embedding", "embedding") == 0)
+        | (dot_product("centroid", "centroid") == 0),
+        F.lit(0.0),
+    ).otherwise(dot_product("embedding", "centroid") / (vnorm * cnorm))
+    return (
+        joined.select("label", cnorm.alias("cn"), cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("cn"), 6).alias("centroid_norm"),
+            F.round(
+                F.sum(F.round("cos", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cohesion"),
+        )
+    )
