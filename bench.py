@@ -97,6 +97,11 @@ REGISTRY_BENCH = [
     "funnel_conversion",
     "skew_safe_distinct",
     "weighted_sample_aes",
+    "cohort_retention",
+    "incremental_agg_merge",
+    "training_shards",
+    "embedding_cluster_stats",
+    "dedup_keep_list",
     "approx_distinct_tokens",
     "doc_fingerprint",
     "lang_id",

@@ -24,15 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_embeddings(
-    spark: SparkSession, input_dir: str, dim: int = 64
-) -> DataFrame:
+def stream_embeddings(spark: SparkSession, input_dir: str) -> DataFrame:
     """Streaming parquet source of (vec_id, embedding) drops."""
     from vectolite_spark.session import ensure_shipped
 
     ensure_shipped(spark)
     return (
-        spark.readStream.schema(f"vec_id long, embedding array<float>")
+        spark.readStream.schema("vec_id long, embedding array<float>")
         .parquet(input_dir)
     )
 
