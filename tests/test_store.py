@@ -199,3 +199,30 @@ def test_upsert_rejects_duplicate_update_ids(store, spark):
     with pytest.raises(VectoliteError, match="duplicate ids"):
         store.upsert(dup)
     assert store.count_documents() == 1  # nothing applied
+
+
+def test_hybrid_query_fuses_lexical_and_vector(spark, tmp_path):
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    db = SparkVectolite(
+        spark, str(tmp_path / "hybrid_db"), embed_fn=stub_embedder(dim=16)
+    )
+    db.insert_many(
+        [
+            "spark engine tuning guide",      # lexical match for the query
+            "cooking pasta at home",          # neither
+            "spark engine spark engine",      # strongest lexical match
+        ]
+    )
+    out = db.hybrid_query("spark engine", top_k=3)
+    assert [type(r["score"]) for r in out] == [float] * len(out)
+    ids = [r["id"] for r in out]
+    # both spark docs must outrank the unrelated one; scores descend
+    assert ids.index(3) < ids.index(2) and ids.index(1) < ids.index(2)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # exact self-query via the stub embedder puts doc 3's text closest to
+    # itself lexically AND its own embedding -> must win overall
+    out1 = db.hybrid_query("spark engine spark engine", top_k=1)
+    assert out1[0]["id"] == 3

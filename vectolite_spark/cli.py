@@ -60,7 +60,10 @@ def cmd_add(args) -> None:
 
 def cmd_query(args) -> None:
     store = _build_store(args)
-    results = store.query(args.text, top_k=args.top_k)
+    if getattr(args, "hybrid", False):
+        results = store.hybrid_query(args.text, top_k=args.top_k)
+    else:
+        results = store.query(args.text, top_k=args.top_k)
     if not results:
         print("No results found.")
         return
@@ -191,6 +194,11 @@ def make_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("query", help="cosine top-k search")
     sp.add_argument("text")
     sp.add_argument("--top-k", type=int, default=3)
+    sp.add_argument(
+        "--hybrid",
+        action="store_true",
+        help="fuse BM25 over stored text with the cosine list (RRF)",
+    )
     common(sp)
     sp.set_defaults(fn=cmd_query)
 

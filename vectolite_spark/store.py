@@ -491,3 +491,62 @@ class SparkVectolite:
             "db_size_mb": round(size / 1024 / 1024, 2),
             "db_path": self.path,
         }
+
+    def hybrid_query(self, query_text: str, top_k: int = 3) -> list[dict]:
+        """Hybrid search over the store (engine extension; the reference is
+        vector-only): BM25 over the stored text + cosine over the stored
+        embeddings, fused by reciprocal rank (``operators.retrieval``).
+        Lexical terms are the query's normalized tokens; both retrieval
+        lists are top-(4*k) working sets before fusion. Result shape
+        matches ``query`` with the fused score in ``score``."""
+        if not query_text or not query_text.strip():
+            raise VectoliteError("Query text cannot be empty")
+        if top_k <= 0:
+            raise VectoliteError("top_k must be positive")
+        if self.embed_fn is None:
+            raise VectoliteError("No embedding function configured")
+        from pyspark.sql import Window
+
+        from vectolite_spark.operators.retrieval import bm25_scores, rrf_fuse
+        from vectolite_spark.operators.topk import topk_ids
+
+        terms = [t for t in query_text.strip().lower().split() if t]
+        qvec = [float(x) for x in self.embed_fn([query_text])[0]]
+        base = self.df()
+        n = 4 * top_k
+
+        def ranked(df, score_col, id_col):
+            w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+            return (
+                df.orderBy(F.desc(score_col), F.asc(id_col))
+                .limit(n)
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .select(F.col(id_col).alias("id"), "rank")
+            )
+
+        lex = ranked(bm25_scores(base, terms, id_col="id"), "score", "id")
+        cos = ranked(
+            topk_ids(base.select("id", "embedding"), qvec, n, id_col="id"),
+            "score",
+            "id",
+        )
+        fused = (
+            rrf_fuse(lex, cos, id_col="id")
+            .orderBy(F.desc("rrf"), F.asc("id"))
+            .limit(top_k)
+        )
+        rows = (
+            base.join(F.broadcast(fused), "id")
+            .select("id", "text", "metadata", "rrf")
+            .orderBy(F.desc("rrf"), F.asc("id"))
+            .collect()
+        )
+        return [
+            {
+                "id": r["id"],
+                "score": float(r["rrf"]),
+                "text": r["text"],
+                "metadata": json.loads(r["metadata"] or "{}"),
+            }
+            for r in rows
+        ]
