@@ -3929,3 +3929,83 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cohesion"),
         )
     )
+
+
+@register(
+    "resample_ffill",
+    """
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+grid AS (
+  SELECT u.user_id, CAST(m.m AS INTEGER) AS minute
+  FROM u CROSS JOIN (SELECT unnest(range(0, 360)) AS m) m
+),
+obs AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - 1704067200000000) // 60000000 AS INTEGER) AS minute,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+  FROM events
+  WHERE user_id < 10
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-01 06:00:00'
+  GROUP BY user_id, minute
+),
+joined AS (
+  SELECT g.user_id, g.minute, o.v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.minute = g.minute
+)
+SELECT user_id, minute,
+       COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY minute
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_filled,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM joined
+""",
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (the hypertable `time_bucket_gapfill` +
+    `locf` shape): per-user minute buckets over a fixed 6-hour grid,
+    missing minutes forward-filled from the last observation (0.0 before
+    the first). The grid is generated IN-PLAN (sequence+explode — never a
+    driver loop), observations aggregate in exact DECIMAL, and the fill
+    is one `last(ignorenulls)` window per user — a single narrow shuffle
+    on user_id. At 100 TB the grid explodes per entity on executors and
+    the window partitions bound state to one entity's timeline."""
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-01 06:00:00").cast("timestamp_ntz")
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    minute = F.expr(
+        "CAST((unix_micros(ts) - 1704067200000000) DIV 60000000 AS INT)"
+    )
+    obs = (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select("user_id", minute.alias("minute"), "value")
+        .groupBy("user_id", "minute")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("v")
+        )
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(359))).alias("minute"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(obs, ["user_id", "minute"], "left").select(
+        "user_id",
+        "minute",
+        F.coalesce(
+            F.col("v"), F.last("v", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("v_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
