@@ -4009,3 +4009,89 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
     )
+
+
+@register(
+    "clean_corpus_summary",
+    _SQL_CC_MIN_LABEL.replace(
+        """SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id""",
+        f""", labels AS (
+  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+losers AS (
+  SELECT doc_id FROM (
+    SELECT l.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+    FROM labels l JOIN documents d USING (doc_id)
+  ) WHERE rn > 1
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+shd AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles_n(8)})) AS g FROM tok
+),
+cont AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, g FROM shd WHERE {_SQL_EVAL_BUCKET} != 0) tr
+  JOIN (SELECT doc_id, g FROM shd WHERE {_SQL_EVAL_BUCKET} = 0) ev
+    ON tr.g = ev.g
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM losers)
+                      AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM documents d
+WHERE {_SQL_EVAL_BUCKET} != 0
+GROUP BY d.lang""",
+    ),
+)
+def clean_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation composition — what a real pre-training run
+    executes end-to-end: near-dup clustering keeps one doc per cluster
+    (longest wins), eval-overlap decontamination drops leaked training
+    docs, and the survivors are counted per language against the raw
+    training split. Every stage is an operator already oracled alone
+    (dedup_keep_list, decontaminate_eval_overlap); this entry proves the
+    COMPOSITION stays deterministic. Drop-lists are tiny id relations
+    (anti-joins ride broadcasts); the corpus scans once per stage."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.dedup import (
+        connected_components,
+        decontaminate,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    train = docs.filter(bucket != 0)
+    evalset = docs.filter(bucket == 0)
+    cont = decontaminate(train, evalset, n=8).select("doc_id")
+    labels = connected_components(simhash_near_pairs(docs, radius=1))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    losers = (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    clean = train.join(F.broadcast(losers), "doc_id", "left_anti").join(
+        F.broadcast(cont), "doc_id", "left_anti"
+    )
+    n_clean = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
+    n_train = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train"))
+    return n_train.join(n_clean, "lang", "left").select(
+        "lang",
+        "n_train",
+        F.coalesce("n_clean", F.lit(0).cast("long")).alias("n_clean"),
+    )
