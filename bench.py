@@ -103,6 +103,11 @@ REGISTRY_BENCH = [
     "embedding_cluster_stats",
     "dedup_keep_list",
     "approx_distinct_tokens",
+    "dup_span_coverage",
+    "dup_graph_degree",
+    "char_entropy",
+    "fuzzy_doc_pairs",
+    "top_quality_per_source",
     "doc_fingerprint",
     "lang_id",
     "multimodal_features",

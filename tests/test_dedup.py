@@ -345,3 +345,61 @@ def test_pack_sequences_invariants_hypothesis(spark):
             assert a + b > cap or d2 > 1
 
     check()
+
+
+def test_duplicate_span_coverage(spark):
+    from vectolite_spark.operators.dedup import duplicate_span_coverage
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta"),   # 12 tokens, 8 covered
+            (2, "prefix " + shared),                   # 9 tokens, 8 covered
+            (3, "totally unique text with nine different words here ok"),
+            (4, "short doc"),                          # < 8 tokens -> no grams
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(docs, n=8).collect()
+    }
+    assert out[1]["covered_tokens"] == 8 and out[1]["n_tokens"] == 12
+    assert abs(out[1]["dup_coverage"] - round(8 / 12, 6)) < 1e-9
+    assert out[2]["covered_tokens"] == 8 and out[2]["n_tokens"] == 9
+    assert out[3]["covered_tokens"] == 0 and out[3]["dup_coverage"] == 0.0
+    assert out[4]["covered_tokens"] == 0 and out[4]["n_tokens"] == 2
+
+
+def test_duplicate_span_coverage_overlapping_spans_union(spark):
+    from vectolite_spark.operators.dedup import duplicate_span_coverage
+
+    # 10 shared tokens -> three overlapping dup 8-grams in each doc; the
+    # covered-position UNION must count 10, not 3*8
+    shared = " ".join(f"tok{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, shared + " xx yy"), (2, "zz " + shared)],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in duplicate_span_coverage(docs, n=8).collect()}
+    assert out[1]["covered_tokens"] == 10
+    assert out[2]["covered_tokens"] == 10
+
+
+def test_blocked_fuzzy_pairs_finds_and_caps(spark):
+    from vectolite_spark.operators.dedup import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "acme widget"),
+        (2, "acme widgot"),   # dist 1 from id 1
+        (3, "acme gadget"),   # dist > 2 from both
+        (4, "zeta part"),     # different block
+    ]
+    # a hot block bigger than the cap must be dropped entirely
+    rows += [(100 + i, f"hot item {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "k INT, nm STRING")
+    out = blocked_fuzzy_pairs(df, "k", "nm", max_distance=2, max_block_size=5)
+    got = {(r["key_a"], r["key_b"], r["edit_dist"]) for r in out.collect()}
+    # widget~widgot dist 1; widget~gadget dist 2; widgot~gadget dist 3 (out);
+    # the 6-row "hot" block exceeds the cap and is dropped wholesale
+    assert got == {(1, 2, 1), (1, 3, 2)}

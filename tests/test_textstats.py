@@ -187,3 +187,28 @@ def test_approx_distinct_tokens_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for lang, n in exact.items():
         assert abs(approx[lang] - n) / n <= 0.10, (lang, approx[lang], n)
+
+
+def test_char_entropy_closed_form(spark):
+    import math
+
+    from vectolite_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["char_entropy"] == 0.0
+    assert out[1]["distinct_chars"] == 1 and out[1]["n_chars_counted"] == 4
+    assert abs(out[2]["char_entropy"] - round(math.log(2), 4)) < 1e-9
+    assert abs(out[3]["char_entropy"] - round(math.log(4), 4)) < 1e-9
+
+
+def test_char_entropy_counts_spaces(spark):
+    from vectolite_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame([(1, "a a")], "doc_id INT, text STRING")
+    r = char_entropy(docs).collect()[0]
+    # chars are {a:2, ' ':1} -> n=3, distinct=2
+    assert r["n_chars_counted"] == 3 and r["distinct_chars"] == 2

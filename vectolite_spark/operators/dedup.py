@@ -668,3 +668,105 @@ def connected_components_bigstar(
         ),
         rounds,
     )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicate-span coverage (the exact-substring-dedup signal from
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2021): the fraction of each document's tokens that sit inside an
+    ``n``-token gram that also appears verbatim in at least one OTHER
+    document.  High coverage = boilerplate / mirrored content; a curation
+    pass drops or trims those spans.
+
+    Plan shape (scales to 100 TB):
+      1. per-row gram generation — narrow, no shuffle; grams are hashed to
+         md5 IMMEDIATELY so every downstream shuffle moves 32-char keys,
+         never text;
+      2. groupBy gram hash -> docs-per-gram (one shuffle, map-side partial
+         count via count_distinct's partial aggregation);
+      3. hash-join grams back to the duplicated-gram set (shuffle join on
+         the same key — AQE will pick broadcast when the dup set is small);
+      4. per-(doc, position) distinct + per-doc count (one shuffle keyed on
+         doc_id, which is also where the final join lands).
+    Docs shorter than ``n`` tokens have no grams and coverage 0.0.
+    """
+    toks = norm_tokens(text_col)
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens"), toks.alias("toks")
+    )
+    # sequence(0, size-n) is only valid when size >= n: Spark's sequence()
+    # DESCENDS (step -1) when start > stop, which would fabricate grams for
+    # short docs — hence the explicit guard to an empty array.
+    gram_hashes = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "gram_h")
+    )
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_h")
+    )
+    covered = (
+        grams.join(dup, "gram_h")
+        .select(F.col(id_col), F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+    return base.select(id_col, "n_tokens").join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        cov.alias("covered_tokens"),
+        F.round(cov / F.col("n_tokens"), 6).alias("dup_coverage"),
+    )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_distance: int = 2,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Entity-resolution fuzzy pairs: candidate pairs whose names are within
+    ``max_distance`` Levenshtein edits, blocked on the first token of the
+    name so the self-join is per-block instead of all-pairs (the standard
+    blocking trick — O(sum block^2), not O(N^2)).
+
+    Blocks larger than ``max_block_size`` are dropped via the same
+    count-filter semi-join guard the LSH operators use, so one degenerate
+    hot block (every row named "item ...") cannot go quadratic on an
+    executor.  Levenshtein runs JVM-side (built-in, codegen'd) only on
+    within-block candidates.
+    """
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(name_col).alias("nm"),
+        F.split(F.trim(F.lower(F.col(name_col))), r"\s+").getItem(0).alias("blk"),
+    )
+    ok = b.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") <= max_block_size
+    ).select("blk")
+    b = b.join(ok, "blk")
+    left = b.select(F.col("blk"), F.col("k").alias("key_a"), F.col("nm").alias("name_a"))
+    right = b.select(F.col("blk"), F.col("k").alias("key_b"), F.col("nm").alias("name_b"))
+    return (
+        left.join(right, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= max_distance)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )

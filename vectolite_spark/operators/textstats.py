@@ -191,3 +191,43 @@ def fingerprint(
 
         fp = make_fingerprint_udf(gram)(t)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats): a classic
+    gibberish / compression-quality signal — natural prose lands ~3-4.3,
+    single-char spam near 0, uniform random base64 near ln(64).
+
+    Pure built-in plan: split-to-chars + explode (narrow), one shuffle to
+    count (doc_id, char) pairs, one shuffle keyed on doc_id to fold counts
+    into the entropy sum.  Per-term doubles are quantized to DECIMAL(30,10)
+    before the fold so the sum is order-independent (Spark partial
+    aggregation order vs DuckDB's would otherwise produce last-ulp drift),
+    then rounded to 4 dp.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+    )
+    n_tot = F.col("n")
+    # -(c/n) * ln(c/n), quantized per term, summed exactly as DECIMAL
+    term = (-(F.col("c") / n_tot) * F.log(F.col("c") / n_tot)).cast(
+        "decimal(30,10)"
+    )
+    ent = (
+        counts.join(per_doc.select(id_col, "n", "distinct_chars"), id_col)
+        .groupBy(id_col, "n", "distinct_chars")
+        .agg(F.round(F.sum(term).cast("double"), 4).alias("char_entropy"))
+    )
+    return ent.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_chars_counted"),
+        F.col("distinct_chars").cast("long").alias("distinct_chars"),
+        "char_entropy",
+    )

@@ -4095,3 +4095,191 @@ def clean_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         F.coalesce("n_clean", F.lit(0).cast("long")).alias("n_clean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 late additions: substring-dedup signal, fuzzy pairs, dup-graph
+# diagnostics, char entropy, grouped top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "dup_span_coverage",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+8], ' ')) AS gram_h
+  FROM toks, UNNEST(range(0, len(t) - 7)) AS u(i)
+),
+dup AS (
+  SELECT gram_h FROM grams GROUP BY gram_h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, p
+  FROM grams g JOIN dup USING (gram_h), UNNEST(range(g.pos, g.pos + 8)) AS v(p)
+),
+covered AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       ROUND(COALESCE(c.covered_tokens, 0) / len(t.t), 6) AS dup_coverage
+FROM toks t LEFT JOIN covered c USING (doc_id)
+""",
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span coverage per doc (Lee et al. 2021 exact-substring
+    dedup signal): fraction of tokens inside an 8-gram appearing verbatim in
+    >= 2 documents. Shuffles carry md5(gram) keys, never text."""
+    from vectolite_spark.operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(load_table(spark, sf_dir, "documents"), n=8)
+
+
+_MINHASH_PAIRS_SQL = ORACLES["dedup_minhash_pairs"]
+
+
+@register(
+    "dup_graph_degree",
+    f"""
+WITH deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (
+    SELECT doc_a AS doc_id FROM ({_MINHASH_PAIRS_SQL}) p1
+    UNION ALL
+    SELECT doc_b AS doc_id FROM ({_MINHASH_PAIRS_SQL}) p2
+  )
+  GROUP BY doc_id
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+""",
+)
+def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash-LSH near-dup pair graph — the
+    diagnostic that tells a curation run whether duplication is pairwise
+    scatter (degree 1) or dense boilerplate clusters (high degree = one
+    template repeated; those clusters dominate removal yield).  One extra
+    explode + two count aggregations over the (small) pair relation."""
+    from vectolite_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "char_entropy",
+    """
+WITH chars AS (
+  SELECT doc_id, c AS ch
+  FROM documents, UNNEST(string_split(text, '')) AS u(c)
+  WHERE c != ''
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS distinct_chars
+  FROM counts GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_chars_counted,
+       p.distinct_chars,
+       ROUND(CAST(SUM(CAST(-(c.c / p.n) * ln(c.c / p.n) AS DECIMAL(30,10)))
+                  AS DOUBLE), 4) AS char_entropy
+FROM counts c JOIN per_doc p USING (doc_id)
+GROUP BY p.doc_id, p.n, p.distinct_chars
+""",
+)
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc (gibberish / compressibility
+    signal). DECIMAL-quantized per-term accumulation makes the double sum
+    order-independent across engines."""
+    from vectolite_spark.operators.textstats import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fuzzy_doc_pairs",
+    """
+WITH b AS (
+  SELECT doc_id AS k, substr(text, 1, 80) AS nm,
+         string_split_regex(trim(lower(text)), '\\s+')[1] AS blk
+  FROM documents
+),
+ok AS (
+  SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= 1000
+),
+bb AS (SELECT b.* FROM b JOIN ok USING (blk))
+SELECT a.k AS key_a, c.k AS key_b, a.nm AS name_a, c.nm AS name_b,
+       CAST(levenshtein(a.nm, c.nm) AS BIGINT) AS edit_dist
+FROM bb a JOIN bb c ON a.blk = c.blk AND a.k < c.k
+WHERE levenshtein(a.nm, c.nm) <= 5
+""",
+)
+def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy near-dup pairs on 80-char document prefixes,
+    blocked on the first token (per-block self-join with a hot-block cap,
+    never all-pairs; levenshtein is JVM-builtin codegen)."""
+    from vectolite_spark.operators.dedup import blocked_fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("prefix")
+    )
+    return blocked_fuzzy_pairs(docs, "doc_id", "prefix", max_distance=5)
+
+
+@register(
+    "top_quality_per_source",
+    f"""
+WITH f AS (
+  SELECT doc_id, source,
+         0.4 * least(len({_SQL_TOKENS}) / 100.0, 1.0)
+           + 0.3 * least(len(list_intersect(list_distinct({_SQL_TOKENS}),
+               ['the','and','of','to','is','in','that','it','a','an','for','on','with','as','at']))::DOUBLE
+               / len({_SQL_TOKENS}) * 5, 1.0)
+           + 0.2 * least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / length(text) * 20, 1.0)
+           + 0.1 * least(list_sum(list_transform({_SQL_TOKENS}, x -> length(x)))::DOUBLE
+               / len({_SQL_TOKENS}) / 10, 1.0) AS quality
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rnk
+  FROM f
+)
+SELECT source, doc_id, quality, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: 3 highest-quality docs per source via a rank window
+    (deterministic doc_id tie-break). The shape of per-domain sampling in a
+    curation pipeline; quality doubles stay unrounded (bit-identical IEEE
+    expression trees in both engines — see text_quality note)."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .join(feats, "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "doc_id", "quality", "rnk")
+    )
