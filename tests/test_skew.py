@@ -54,3 +54,16 @@ def test_salted_join_left_outer_and_rejects_dim_preserving(spark):
     for bad in ("right", "full", "full_outer", "rightouter"):
         with _pytest.raises(ValueError):
             salted_join(fact, dim, ["k"], n_salts=4, how=bad)
+
+
+def test_zscore_anomalies_closed_form(spark):
+    from vectolite_spark.operators.windows import zscore_anomalies
+
+    # ten 10s and one 110: sample sd = sqrt(909.09...), z(110) ~ 3.015
+    rows = [(i, 7, 10.0) for i in range(10)] + [(10, 7, 110.0)]
+    # a constant-valued user must not divide by zero / reach sqrt(<0)
+    rows += [(20 + i, 8, 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id INT, user_id INT, value DOUBLE")
+    got = zscore_anomalies(df, "value", "user_id", threshold=3.0).collect()
+    assert [(r["event_id"], r["user_id"]) for r in got] == [(10, 7)]
+    assert abs(got[0]["z_score"] - 3.0151134457776365) < 1e-12

@@ -212,3 +212,23 @@ def test_char_entropy_counts_spaces(spark):
     r = char_entropy(docs).collect()[0]
     # chars are {a:2, ' ':1} -> n=3, distinct=2
     assert r["n_chars_counted"] == 3 and r["distinct_chars"] == 2
+
+
+def test_bigram_lm_closed_form(spark):
+    import math
+
+    from vectolite_spark.operators.textstats import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus counts: C(a b)=3, C(b a)=1, C(b c)=1; left counts a->3, b->2
+    # doc1 bigrams (a b),(b a),(a b): nll = (0 + ln2 + 0)/3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_nll"] - round(math.log(2) / 3, 4)) < 1e-9
+    # doc2 bigrams (a b),(b c): nll = (0 + ln2)/2
+    assert out[2]["n_bigrams"] == 2
+    assert abs(out[2]["avg_nll"] - round(math.log(2) / 2, 4)) < 1e-9
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None

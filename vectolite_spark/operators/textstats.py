@@ -231,3 +231,62 @@ def char_entropy(
         F.col("distinct_chars").cast("long").alias("distinct_chars"),
         "char_entropy",
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram LM negative log-likelihood per document — the
+    CCNet-style "perplexity filter" shape: train MLE bigram statistics on
+    the corpus itself, then score each doc's average -ln P(w2|w1).
+    Outlier docs (word salad, boilerplate with rare transitions) score
+    high; fluent in-domain text scores low.
+
+    Scale plan: bigrams are md5-hashed at generation so all three shuffles
+    (bigram counts, left-token counts, count join back) carry 32-char
+    keys; counts get map-side partial aggregation; the count join is
+    co-keyed with the count shuffle. Per-term doubles are DECIMAL-
+    quantized so the per-doc sum is order-independent across engines.
+    Docs with < 2 tokens have no bigrams: n_bigrams 0, avg_nll NULL.
+    """
+    toks = norm_tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("t"))
+    pairs_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.md5(F.element_at(F.col("t"), i)).alias("w1_h"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                    )
+                ).alias("bg_h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1_h:string,bg_h:string>>"))
+    big = base.select(F.col(id_col), F.explode(pairs_arr).alias("p")).select(
+        F.col(id_col), F.col("p.w1_h").alias("w1_h"), F.col("p.bg_h").alias("bg_h")
+    )
+    cb = big.groupBy("bg_h").agg(F.count(F.lit(1)).alias("cb"))
+    cl = big.groupBy("w1_h").agg(F.count(F.lit(1)).alias("cl"))
+    term = (-F.log(F.col("cb") / F.col("cl"))).cast("decimal(30,10)")
+    scored = (
+        big.join(cb, "bg_h")
+        .join(cl, "w1_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            # decimal sum -> double FIRST, then double/long division: Spark's
+            # decimal/integer division would pick an engine-specific quotient
+            # scale; double division is the same IEEE op DuckDB runs
+            F.round(F.sum(term).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_nll"
+            ),
+        )
+    )
+    return base.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        "avg_nll",
+    )

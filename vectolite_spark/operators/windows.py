@@ -56,3 +56,43 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outliers: events whose value deviates from the key's
+    mean by >= ``threshold`` sample standard deviations.
+
+    Built-in ``stddev_samp`` sums doubles in partition order, which is
+    nondeterministic across engines/runs — instead the sums (sum, sum of
+    squares) accumulate as exact DECIMALs of the 2-dp-quantized values, so
+    mean/std derive from order-independent numbers and the z expression is
+    the same IEEE tree on both engines (bit-identical, no rounding
+    needed). One shuffle for the per-key stats (map-side partial agg), one
+    broadcast-or-shuffle join back keyed the same way.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    stats = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum((v * v).cast("decimal(30,4)")).alias("ss"),
+    )
+    s_d, ss_d, n_d = (
+        F.col("s").cast("double"),
+        F.col("ss").cast("double"),
+        F.col("n").cast("double"),
+    )
+    mean = s_d / n_d
+    var = (ss_d - s_d * s_d / n_d) / (n_d - 1)
+    # var > 0 filters BEFORE any sqrt: fp cancellation can drive the exact-
+    # decimal-derived variance a hair negative for constant-valued keys,
+    # and the DuckDB twin hard-errors on sqrt(negative)
+    joined = df.join(stats, key_col).filter((F.col("n") >= 2) & (var > 0))
+    z = (F.col(value_col).cast("decimal(18,2)").cast("double") - mean) / F.sqrt(var)
+    return joined.withColumn("z_score", z).filter(
+        F.abs(F.col("z_score")) >= threshold
+    )

@@ -4283,3 +4283,77 @@ def top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("source", "doc_id", "quality", "rnk")
     )
+
+
+@register(
+    "bigram_lm_nll",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, md5(t[i]) AS w1_h, md5(t[i] || ' ' || t[i+1]) AS bg_h
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (SELECT bg_h, COUNT(*) AS cb FROM big GROUP BY bg_h),
+cl AS (SELECT w1_h, COUNT(*) AS cl FROM big GROUP BY w1_h),
+scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(-ln(cb.cb::DOUBLE / cl.cl) AS DECIMAL(30,10)))
+                    AS DOUBLE) / COUNT(*), 4) AS avg_nll
+  FROM big b JOIN cb USING (bg_h) JOIN cl USING (w1_h)
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.avg_nll
+FROM toks t LEFT JOIN scored s USING (doc_id)
+""",
+)
+def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM average negative log-likelihood per doc —
+    the CCNet-style perplexity quality filter, self-trained on the corpus.
+    All shuffles carry md5 keys; count joins are co-keyed."""
+    from vectolite_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "event_zscore_anomalies",
+    """
+WITH s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sm,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                  AS DECIMAL(30,4))) AS ss
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.event_id, e.user_id, e.value,
+         CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         (CAST(ss AS DOUBLE)
+            - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1) AS var
+  FROM events e JOIN s USING (user_id)
+  WHERE n >= 2
+)
+SELECT event_id, user_id, value,
+       (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sqrt(var) AS z_score
+FROM j
+WHERE var > 0
+  AND abs((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - mean) / sqrt(var)) >= 3
+""",
+)
+def event_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier events (|z| >= 3): DECIMAL-exact sum /
+    sum-of-squares so mean and variance are order-independent, then one
+    identical IEEE double expression tree on both engines — no rounding
+    needed (see text_quality note)."""
+    from vectolite_spark.operators.windows import zscore_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_anomalies(ev, "value", "user_id", threshold=3.0).select(
+        "event_id", "user_id", "value", "z_score"
+    )
