@@ -403,3 +403,32 @@ def test_blocked_fuzzy_pairs_finds_and_caps(spark):
     # widget~widgot dist 1; widget~gadget dist 2; widgot~gadget dist 3 (out);
     # the 6-row "hot" block exceeds the cap and is dropped wholesale
     assert got == {(1, 2, 1), (1, 3, 2)}
+
+
+def test_incremental_new_unique(spark):
+    from vectolite_spark.operators.dedup import incremental_new_unique
+
+    # cutoff = floor(0.8 * 10) = 8: ids 8,9 are the "new batch".
+    # id 8 duplicates old id 1's text and must be dropped; id 9 survives.
+    rows = [(i, f"old text {i}", "s", 10) for i in range(8)]
+    rows += [(8, "old text 1", "s", 10), (9, "genuinely new", "s", 13)]
+    df = spark.createDataFrame(
+        rows, "doc_id INT, text STRING, source STRING, n_chars INT"
+    )
+    got = incremental_new_unique(df).collect()
+    assert [(r["doc_id"], r["n_chars"]) for r in got] == [(9, 13)]
+
+
+def test_incremental_new_unique_dedups_only_against_old(spark):
+    from vectolite_spark.operators.dedup import incremental_new_unique
+
+    # two identical NEW docs with no old twin both survive (the operator
+    # dedups new-vs-corpus, not new-vs-new — intra-batch dedup is
+    # exact_dedup's job)
+    rows = [(i, f"old {i}", "s", 5) for i in range(8)]
+    rows += [(8, "same new", "s", 8), (9, "same new", "s", 8)]
+    df = spark.createDataFrame(
+        rows, "doc_id INT, text STRING, source STRING, n_chars INT"
+    )
+    got = sorted(r["doc_id"] for r in incremental_new_unique(df).collect())
+    assert got == [8, 9]

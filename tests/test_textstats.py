@@ -232,3 +232,28 @@ def test_bigram_lm_closed_form(spark):
     assert out[2]["n_bigrams"] == 2
     assert abs(out[2]["avg_nll"] - round(math.log(2) / 2, 4)) < 1e-9
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_nll"] is None
+
+
+def test_char_pair_counts_closed_form(spark):
+    from vectolite_spark.operators.textstats import char_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab"), (2, "x")], "doc_id INT, text STRING"
+    )
+    # words: aba -> (ab, ba), ab -> (ab); "x" is length-1, excluded
+    got = [(r["pair"], r["cnt"]) for r in char_pair_counts(docs).collect()]
+    assert got == [("ab", 2), ("ba", 1)]
+
+
+def test_source_mixture_weights_alpha_half(spark):
+    from vectolite_spark.operators.textstats import source_mixture_weights
+
+    # token counts 1 and 4 -> sqrt 1 and 2 -> weights 1/3, 2/3
+    docs = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "a b c d", "s2")],
+        "doc_id INT, text STRING, source STRING",
+    )
+    got = {r["source"]: r for r in source_mixture_weights(docs).collect()}
+    assert got["s1"]["n_tokens"] == 1 and got["s2"]["n_tokens"] == 4
+    assert abs(got["s1"]["weight"] - round(1 / 3, 6)) < 1e-12
+    assert abs(got["s2"]["weight"] - round(2 / 3, 6)) < 1e-12

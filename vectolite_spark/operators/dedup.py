@@ -770,3 +770,38 @@ def blocked_fuzzy_pairs(
         .filter(F.col("edit_dist") <= max_distance)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
+
+
+def incremental_new_unique(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cutoff_frac: float = 0.8,
+) -> DataFrame:
+    """Incremental-ingest dedup: treat the top ``1 - cutoff_frac`` id range
+    as the newly arrived batch and return only the new rows whose text does
+    not already exist in the established corpus (ids below the cutoff).
+    This is the shape every continuously-fed training pipeline needs — new
+    crawl snapshots dedup against everything already ingested, not just
+    against themselves.
+
+    Scale plan: the anti-join carries sha2-256 hashes (32 bytes), never
+    text; the old side reduces to DISTINCT hashes before joining, so the
+    shuffle moves one row per distinct old document. The cutoff is a
+    1-row aggregate broadcast into both filters. At 100 TB the "old
+    hashes" relation is the persisted signature store; here it derives
+    in-plan from the same table.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    cut = df.agg(
+        F.floor(F.lit(cutoff_frac) * (F.max(id_col) + 1)).cast("long").alias("cutoff")
+    )
+    hashed = df.select(F.col(id_col), h.alias("_h")).crossJoin(F.broadcast(cut))
+    old_hashes = hashed.filter(F.col(id_col) < F.col("cutoff")).select("_h").distinct()
+    new = hashed.filter(F.col(id_col) >= F.col("cutoff"))
+    return (
+        new.join(old_hashes, "_h", "left_anti")
+        .select(F.col(id_col))
+        .join(df, id_col)
+        .select(id_col, "source", "n_chars")
+    )

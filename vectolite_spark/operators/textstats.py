@@ -290,3 +290,71 @@ def bigram_lm_scores(
         F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
         "avg_nll",
     )
+
+
+def char_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """One BPE-style merge iteration at the character level: count adjacent
+    within-word character pairs across the corpus (frequency-weighted — every
+    token occurrence counts) and return the top ``top_n`` merge candidates.
+    This is the inner loop of byte-pair-encoding vocabulary induction; run
+    iteratively with merges applied it yields a BPE vocab.
+
+    Scale plan: tokens explode narrowly (no shuffle), pairs derive from
+    substring arithmetic in whole-stage codegen (no Python), then ONE
+    shuffle of 2-char keys with map-side partial counts, finished by
+    TakeOrderedAndProject for the global top-N (no full sort). Ordering is
+    deterministic: count desc, pair asc.
+    """
+    toks = norm_tokens(text_col)
+    words = df.select(F.explode(toks).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed data-mixing weights per source: the standard
+    multilingual/multi-source training-mix recipe — sample source s with
+    probability n_s^alpha / sum_t n_t^alpha (alpha < 1 upweights small
+    sources). Emits per-source doc/token counts and the alpha=0.5 weight.
+
+    Scale plan: one shuffle for the per-source counts (map-side partial
+    agg over a handful of groups); the normalizer is a scalar broadcast.
+    sqrt(count) is an exact IEEE op on both engines; weights are rounded
+    to 6 dp so the tiny-group double sum cannot leak order sensitivity.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(norm_tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    smoothed = counts.withColumn(
+        "_p", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    total = smoothed.agg(F.sum("_p").alias("_z"))
+    return (
+        smoothed.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
+        )
+    )

@@ -4357,3 +4357,74 @@ def event_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_anomalies(ev, "value", "user_id", threshold=3.0).select(
         "event_id", "user_id", "value", "z_score"
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+WITH w AS (
+  SELECT UNNEST({_SQL_TOKENS}) AS w FROM documents
+),
+p AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w FROM w WHERE len(w) >= 2) t, UNNEST(range(1, len(w))) AS u(i)
+)
+SELECT pair, COUNT(*) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 50
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One character-level BPE merge iteration: top-50 adjacent within-word
+    char pairs, frequency-weighted — the inner loop of tokenizer vocab
+    induction. One shuffle of 2-char keys; top-N via TakeOrderedAndProject."""
+    from vectolite_spark.operators.textstats import char_pair_counts
+
+    return char_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mixture_weights",
+    f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM c),
+z AS (SELECT SUM(p) AS z FROM s)
+SELECT source, n_docs, n_tokens, ROUND(p / z, 6) AS weight FROM s, z
+""",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha=0.5) per-source training-mix sampling
+    weights from token counts — the standard multi-source mixing recipe."""
+    from vectolite_spark.operators.textstats import source_mixture_weights
+
+    return source_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental",
+    """
+WITH m AS (
+  SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS cutoff FROM documents
+),
+h AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d, m
+WHERE d.doc_id >= m.cutoff
+  AND sha256(d.text) NOT IN (
+    SELECT DISTINCT h.h FROM h, m WHERE h.doc_id < m.cutoff
+  )
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the newest 20% id range anti-joined (on
+    sha2-256, 32 bytes per row) against the distinct hashes of the
+    established corpus — new-snapshot-vs-corpus dedup, the continuous
+    pipeline shape."""
+    from vectolite_spark.operators.dedup import incremental_new_unique
+
+    return incremental_new_unique(load_table(spark, sf_dir, "documents"))
