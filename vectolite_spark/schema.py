@@ -44,15 +44,25 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; Catalyst handles column pruning + filter pushdown.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as nanos-long (legacy conf) and normalize to
-    a microsecond TimestampType (integer div — no double round-trip, which
-    would lose precision above 2^53 ns).
+    ``events.ts`` may be physically TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects) or plain TIMESTAMP(MICROS) depending on how
+    the fixture was written. With the legacy conf set, a nanos column reads
+    as nanos-long and we normalize to a microsecond TimestampType (integer
+    div — no double round-trip, which would lose precision above 2^53 ns);
+    a micros column reads as TIMESTAMP_NTZ and is cast to TimestampType.
+    Either way downstream code sees a TimestampType ``ts``; with the session
+    timezone pinned to UTC (session.py) the cast is value-preserving and
+    epoch-based query results match the DuckDB oracle bit-for-bit.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
