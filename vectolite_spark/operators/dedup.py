@@ -750,7 +750,12 @@ def blocked_fuzzy_pairs(
     count-filter semi-join guard the LSH operators use, so one degenerate
     hot block (every row named "item ...") cannot go quadratic on an
     executor.  Levenshtein runs JVM-side (built-in, codegen'd) only on
-    within-block candidates.
+    within-block candidates, and with the ``threshold`` argument so the
+    DP early-exits at O(len * max_distance) per pair instead of
+    O(len^2) — at 1000-row blocks that bound is the difference between
+    seconds and minutes per block.  A length-difference pre-filter
+    (|len_a - len_b| > max_distance implies distance > max_distance)
+    discards impossible pairs before the DP ever runs.
     """
     b = df.select(
         F.col(key_col).alias("k"),
@@ -766,8 +771,14 @@ def blocked_fuzzy_pairs(
     return (
         left.join(right, "blk")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("edit_dist") <= max_distance)
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_distance)
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b", max_distance).cast("long"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_distance))
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
 
