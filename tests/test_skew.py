@@ -67,3 +67,28 @@ def test_zscore_anomalies_closed_form(spark):
     got = zscore_anomalies(df, "value", "user_id", threshold=3.0).collect()
     assert [(r["event_id"], r["user_id"]) for r in got] == [(10, 7)]
     assert abs(got[0]["z_score"] - 3.0151134457776365) < 1e-12
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.windows import global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["rnk"]
+        for r in global_rank(df, order, rank_col="rnk", num_partitions=8).collect()
+    }
+    want = {
+        r["id"]: r["rnk"]
+        for r in df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want

@@ -257,3 +257,45 @@ def test_source_mixture_weights_alpha_half(spark):
     assert got["s1"]["n_tokens"] == 1 and got["s2"]["n_tokens"] == 4
     assert abs(got["s1"]["weight"] - round(1 / 3, 6)) < 1e-12
     assert abs(got["s2"]["weight"] - round(2 / 3, 6)) < 1e-12
+
+
+def test_vocab_coverage_closed_form(spark):
+    from vectolite_spark.operators.textstats import vocab_coverage
+
+    # 10 a's, 5 b's, 1 c -> total 16; top-1 covers 10/16, top-2 15/16
+    df = spark.createDataFrame(
+        [(0, "a a a a a a a a a a"), (1, "b b b b b c")], ["doc_id", "text"]
+    )
+    rows = {r["k"]: r for r in vocab_coverage(df, ks=(1, 2, 3)).collect()}
+    assert rows[1]["cum_tokens"] == 10 and rows[1]["total_tokens"] == 16
+    assert rows[2]["cum_tokens"] == 15
+    assert rows[3]["coverage"] == 1.0
+
+
+def test_zipf_slope_flat_distribution_is_zero(spark):
+    from vectolite_spark.operators.textstats import zipf_slope
+
+    # every word equally frequent -> ln(freq) constant -> slope 0
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc dd")], ["doc_id", "text"]
+    )
+    row = zipf_slope(df).collect()[0]
+    assert row["n_terms"] == 4
+    assert abs(row["slope"]) < 1e-9
+    import math
+
+    assert abs(row["intercept"] - math.log(2.0)) < 1e-6
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    from vectolite_spark.operators.textstats import ngram_novelty
+
+    base = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "an entirely different sentence here now")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert rows[0]["novelty"] == 1.0  # first occurrence owns every shingle
+    assert rows[1]["novelty"] == 0.0  # exact copy contributes nothing new
+    assert rows[2]["novelty"] == 1.0

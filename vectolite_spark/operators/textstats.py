@@ -358,3 +358,151 @@ def source_mixture_weights(
             F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (5, 10, 25),
+) -> DataFrame:
+    """Top-K vocabulary coverage: what fraction of all corpus token
+    occurrences is covered by the K most frequent words, for each K — the
+    first number a tokenizer/vocab designer asks for (how far does a tiny
+    vocab go) and the standard head-heaviness summary of a corpus.
+
+    Scale plan: one shuffle builds word counts with map-side partial
+    aggregation; the global top-max(K) is a TakeOrderedAndProject (heap
+    per partition, no full sort); the cumulative-sum window then runs over
+    only max(K) <= 100 rows, so the single-partition window — normally a
+    scale smell — is bounded by a constant, not by corpus size.  The
+    corpus-total token count is a 1-row aggregate broadcast in.
+    Ordering ties break on the word itself, so ranks are deterministic
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    top_k = max(ks)
+    wc = (
+        df.select(F.explode(norm_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = wc.agg(F.sum("n").cast("long").alias("total"))
+    top = wc.orderBy(F.col("n").desc(), F.col("w").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .cast("long")
+        .alias("k"),
+        F.sum("n").over(w).cast("long").alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("k").isin(*ks))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "cum_tokens",
+            F.col("total").alias("total_tokens"),
+            F.round(F.col("cum_tokens") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf rank-frequency fit over the top ``top_n`` words: least-squares
+    slope/intercept of ln(freq) on ln(rank).  Natural corpora sit near
+    slope -1; synthetic or templated text drifts far off — a cheap whole-
+    corpus "does this look like language" diagnostic.
+
+    Scale plan: word counts shuffle once (partial agg); the top-N is a
+    TakeOrderedAndProject; the regression runs over N <= 100 points via
+    order-free DECIMAL-quantized sums (each ln-term and product is an
+    identical IEEE double on both engines, quantized to 12 dp BEFORE
+    summation so partition order cannot perturb the total), then the
+    closed-form slope/intercept arithmetic happens on exact sums.
+    """
+    from pyspark.sql import Window
+
+    wc = (
+        df.select(F.explode(norm_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.col("n").desc(), F.col("w").asc()).limit(top_n)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .cast("double")
+        .alias("rnk"),
+        F.col("n").cast("double").alias("freq"),
+    )
+    x = F.log("rnk")
+    y = F.log("freq")
+    q = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(q(x)).alias("sx"),
+        F.sum(q(y)).alias("sy"),
+        F.sum(q(x * y)).alias("sxy"),
+        F.sum(q(x * x)).alias("sxx"),
+    )
+    c = F.col("c").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (c * sxy - sx * sy) / (c * sxx - sx * sx)
+    return s.select(
+        F.col("c").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / c, 6).alias("intercept"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty in ingestion (id) order: the fraction
+    of a doc's distinct 3-token shingles whose FIRST corpus occurrence is
+    this doc.  Crawl-curation uses exactly this signal to measure how much
+    genuinely new content each snapshot/source contributes (novelty ~0 ==
+    the doc is stitched from already-seen text; the per-source average
+    ranks feeds by marginal value).
+
+    Scale plan: two shuffles — distinct (shingle, doc) pairs reduce
+    map-side, then min(doc_id) per shingle; the join back is co-keyed on
+    the shingle hash (md5, 32 bytes) so no text ever shuffles twice.
+    """
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+
+    pairs = (
+        df.select(
+            F.col(id_col),
+            F.explode(make_shingle_udf()(F.col(text_col))).alias("s"),
+        )
+        .select(F.col(id_col), F.md5("s").alias("sh"))
+        .distinct()
+    )
+    first = pairs.groupBy("sh").agg(F.min(id_col).alias("first_doc"))
+    return (
+        pairs.join(first, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+    )

@@ -96,3 +96,55 @@ def zscore_anomalies(
     return joined.withColumn("z_score", z).filter(
         F.abs(F.col("z_score")) >= threshold
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over ``order_by`` WITHOUT the
+    single-partition window (``Window.orderBy`` with no partitionBy pulls
+    the whole relation into one task — the classic global-sort scale
+    wall).  Two bounded shuffles instead:
+
+    1. ``repartitionByRange`` on the order keys — a distributed range
+       sort; partition ids follow the global order.
+    2. a per-partition ``row_number`` (window keyed on partition id, so
+       every task sorts only its own range) plus per-partition counts
+       rolled into cumulative offsets — a <= num_partitions row relation,
+       broadcast back.  global rank = partition offset + local rank.
+
+    The order must be a strict total order (include a unique id
+    tie-break), otherwise ranks at partition boundaries are undefined.
+    This is the building block for curriculum ordering, deterministic
+    training-data shuffles, and exact ntile-style staging at corpus scale.
+
+    The locally-ranked relation is pinned with ``localCheckpoint`` before
+    fan-out: the offsets branch and the join branch would otherwise each
+    re-execute the range exchange, and RangePartitioner draws its
+    boundary sample with a per-exchange-instance seed — two executions
+    can place the same row in different partitions, silently corrupting
+    ranks (observed at sf0.1: duplicate/gapped ranks when exchange reuse
+    didn't kick in).  One materialization is the price of consistency;
+    it is a single pass over data that the sort already materialized.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
+    ).localCheckpoint(eager=True)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )

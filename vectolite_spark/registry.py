@@ -4428,3 +4428,207 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectolite_spark.operators.dedup import incremental_new_unique
 
     return incremental_new_unique(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_coverage",
+    f"""
+WITH wc AS (
+  SELECT t AS w, COUNT(*) AS n
+  FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+  WHERE t <> '' GROUP BY t
+),
+tot AS (SELECT SUM(n) AS total FROM wc),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS k,
+         SUM(n) OVER (ORDER BY n DESC, w ASC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM wc
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(tot.total AS BIGINT) AS total_tokens,
+       ROUND(CAST(cum AS DOUBLE) / tot.total, 6) AS coverage
+FROM ranked, tot WHERE k IN (5, 10, 25)
+""",
+)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary coverage (K=5/10/25): the head-heaviness summary
+    a tokenizer/vocab design starts from. One word-count shuffle, a
+    top-100 heap (TakeOrderedAndProject), and a constant-bounded (<=100
+    row) cumulative window — corpus size never touches the window."""
+    from vectolite_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "zipf_slope",
+    f"""
+WITH wc AS (
+  SELECT t AS w, COUNT(*) AS n
+  FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+  WHERE t <> '' GROUP BY t
+),
+top AS (SELECT w, n FROM wc ORDER BY n DESC, w ASC LIMIT 100),
+pts AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+         SUM(CAST(x AS DECIMAL(30,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(30,12))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx
+  FROM pts
+)
+SELECT c AS n_terms,
+       ROUND((c * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (c * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (c * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (c * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / c, 6) AS intercept
+FROM s
+""",
+)
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency regression over the top-100 words — the
+    'does this corpus look like language' diagnostic. DECIMAL-quantized
+    per-term sums keep the regression order-free across engines."""
+    from vectolite_spark.operators.textstats import zipf_slope
+
+    return zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_novelty",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents)
+),
+first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM pairs GROUP BY s)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM pairs p JOIN first_seen f USING (s)
+GROUP BY p.doc_id
+""",
+)
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty in ingestion order: fraction of a doc's
+    distinct shingles first seen in that doc — the marginal-value signal
+    for crawl snapshots. Shuffles carry md5 shingle hashes, never text."""
+    from vectolite_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_dim_variance",
+    """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (
+  SELECT i.j AS dim, COUNT(*) AS n,
+         SUM(CAST(v[i.j] AS DECIMAL(28,12))) AS s,
+         SUM(CAST(v[i.j] * v[i.j] AS DECIMAL(28,12))) AS s2
+  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+  GROUP BY i.j
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_val,
+       ROUND(CAST(s2 AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+         AS variance
+FROM d
+""",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding column — the dead- and
+    dominant-dimension diagnostic run before whitening, PQ codebook
+    training, or index tuning. posexplode -> one shuffle of (dim, DECIMAL
+    partials) with map-side combine; variance from exact power sums."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "val")
+    )
+    vd = F.col("val").cast("double")
+    d = e.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vd.cast("decimal(28,12)")).alias("s"),
+        F.sum((vd * vd).cast("decimal(28,12)")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return d.select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        "n",
+        F.round(mean, 6).alias("mean_val"),
+        F.round(F.col("s2").cast("double") / F.col("n") - mean * mean, 6).alias(
+            "variance"
+        ),
+    )
+
+
+@register(
+    "curriculum_stages",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         0.4 * least(len({_SQL_TOKENS}) / 100.0, 1.0)
+           + 0.3 * least(len(list_intersect(list_distinct({_SQL_TOKENS}),
+               ['the','and','of','to','is','in','that','it','a','an','for','on','with','as','at']))::DOUBLE
+               / len({_SQL_TOKENS}) * 5, 1.0)
+           + 0.2 * least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / length(text) * 20, 1.0)
+           + 0.1 * least(list_sum(list_transform({_SQL_TOKENS}, x -> length(x)))::DOUBLE
+               / len({_SQL_TOKENS}) / 10, 1.0) AS quality,
+         len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, quality, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM f
+)
+SELECT CAST(((rnk - 1) * 4) // total + 1 AS INT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM r GROUP BY 1
+""",
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: exact global quality ordering split into 4
+    equal stages (stage 1 = highest quality), with per-stage token
+    budgets. The global order comes from ``global_rank`` — range
+    repartition + per-partition offsets, NOT a single-partition window —
+    so the ordering scales with executors; the stage formula
+    ((rank-1)*stages) div N matches the oracle's integer arithmetic
+    exactly, and min/max quality are order-free aggregates of the
+    unrounded (bit-identical) IEEE quality doubles."""
+    from vectolite_spark.operators.textstats import quality_features
+    from vectolite_spark.operators.windows import global_rank
+
+    feats = quality_features(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    ranked = global_rank(
+        feats, [F.desc("quality"), F.asc("doc_id")], rank_col="rnk"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("total"))
+    staged = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "stage",
+        (F.expr("((rnk - 1) * 4) div total") + F.lit(1)).cast("int"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
