@@ -112,3 +112,57 @@ def test_read_files_schema(spark, tmp_path):
     df = read_files(spark, str(f))
     r = df.first()
     assert r["filename"] == "a.txt" and r["text"] == "body text"
+
+
+def test_read_jsonl_extracts_text_and_meta(spark, tmp_path):
+    import json as _json
+
+    from vectolite_spark.ingest import read_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"text": "first document body", "url": "http://a", "lang": "en"},
+        {"text": "  ", "url": "http://blank"},          # whitespace -> dropped
+        {"url": "http://notext"},                        # missing -> dropped
+        {"text": "second document body", "lang": "fr"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    df = read_jsonl(spark, str(p), meta_fields=["url", "lang"])
+    got = {r["text"]: (r["url"], r["lang"]) for r in df.collect()}
+    assert got == {
+        "first document body": ("http://a", "en"),
+        "second document body": (None, "fr"),
+    }
+    assert df.columns == ["source", "filename", "text", "url", "lang"]
+
+
+def test_read_jsonl_rejects_bad_suffix_and_missing(spark, tmp_path):
+    import pytest as _pytest
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.ingest import read_jsonl
+
+    bad = tmp_path / "corpus.csv"
+    bad.write_text("text\nx\n")
+    with _pytest.raises(VectoliteError):
+        read_jsonl(spark, str(bad))
+    with _pytest.raises(VectoliteError):
+        read_jsonl(spark, str(tmp_path / "nope.jsonl"))
+
+
+def test_ingest_jsonl_end_to_end(spark, tmp_path):
+    import json as _json
+
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.ingest import ingest_jsonl
+    from vectolite_spark.store import SparkVectolite
+
+    p = tmp_path / "corpus.jsonl"
+    docs = [{"text": f"jsonl doc number {i} about topic {i % 3}"} for i in range(20)]
+    p.write_text("\n".join(_json.dumps(r) for r in docs) + "\n")
+    store = SparkVectolite(spark, str(tmp_path / "db"), embed_fn=stub_embedder(dim=16))
+    n = ingest_jsonl(store, str(p), chunk=False, embed_dim=16)
+    assert n == 20
+    assert store.count_documents() == 20
+    hits = store.query("jsonl doc number 7 about topic 1", top_k=1)
+    assert hits and "jsonl doc" in hits[0]["text"]

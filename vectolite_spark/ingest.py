@@ -133,3 +133,88 @@ def ingest_files(
         embed_dim=embed_dim,
     )
     return store.append_dataframe(pipe)
+
+
+JSONL_SUFFIXES = (".jsonl", ".json", ".ndjson", ".jsonl.gz", ".ndjson.gz")
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: list[str] | str,
+    text_field: str = "text",
+    meta_fields: list[str] | None = None,
+) -> DataFrame:
+    """JSONL corpus source — the interchange format every large training
+    corpus actually ships in (one JSON object per line; optionally
+    gzipped, which Spark decompresses per-file).  Returns the same
+    (source, filename, text) contract as ``read_files`` so the whole
+    chunk->embed->append pipeline is format-agnostic, with requested
+    metadata fields carried through as JSON.
+
+    Scale notes: the schema is PINNED (text + meta fields as strings) —
+    no sampling inference pass, so the corpus is read exactly once; a
+    million-file glob parallelizes per file split.  Rows with a missing/
+    empty text field are dropped here, mirroring the reference's empty-
+    insert guard.  Extraction of meta fields uses get_json_object over
+    the raw line, so heterogeneous records cost nothing beyond the
+    requested keys.
+    """
+    from vectolite_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    if isinstance(paths, str):
+        paths = [paths]
+    for p in paths:
+        if "*" not in p and "?" not in p:
+            if not os.path.exists(p):
+                raise VectoliteError(f"File does not exist: {p}")
+            low = p.lower()
+            if not any(low.endswith(s) for s in JSONL_SUFFIXES):
+                raise VectoliteError(
+                    "Unsupported file type. Use .jsonl/.json/.ndjson (optionally .gz)."
+                )
+    # read as text lines, not spark.read.json: pinned extraction beats
+    # inference, and malformed lines degrade to NULL text (dropped) rather
+    # than poisoning a corrupt-record column
+    raw = spark.read.text(paths)
+    text = F.get_json_object(F.col("value"), f"$.{text_field}")
+    meta_cols = [
+        F.get_json_object(F.col("value"), f"$.{m}").alias(m)
+        for m in (meta_fields or [])
+    ]
+    return (
+        raw.select(
+            F.input_file_name().alias("source"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+            text.alias("text"),
+            *meta_cols,
+        )
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+    )
+
+
+def ingest_jsonl(
+    store,
+    paths: list[str] | str,
+    text_field: str = "text",
+    base_metadata: dict | None = None,
+    chunk: bool = True,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    overlap: int = DEFAULT_OVERLAP,
+    embed_provider: str = "stub",
+    embed_dim: int = 64,
+) -> int:
+    """End-to-end JSONL corpus ingest: lines -> chunks -> embeddings ->
+    distributed store append (same fully-distributed path as
+    ``ingest_files`` — nothing passes through driver memory)."""
+    files_df = read_jsonl(store.spark, paths, text_field=text_field)
+    pipe = ingest_pipeline(
+        files_df,
+        base_metadata=base_metadata,
+        chunk=chunk,
+        max_chars=max_chars,
+        overlap=overlap,
+        embed_provider=embed_provider,
+        embed_dim=embed_dim,
+    )
+    return store.append_dataframe(pipe)

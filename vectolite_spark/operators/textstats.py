@@ -479,16 +479,21 @@ def ngram_novelty(
     Scale plan: two shuffles — distinct (shingle, doc) pairs reduce
     map-side, then min(doc_id) per shingle; the join back is co-keyed on
     the shingle hash (md5, 32 bytes) so no text ever shuffles twice.
+    The hashed-pairs relation feeds both the first-seen aggregate and the
+    join, so it is cached (managed, replaced on next call) — otherwise
+    the shingle UDF re-reads and re-shingles the full corpus twice.
     """
     from vectolite_spark._pandas_udfs import make_shingle_udf
+    from vectolite_spark.operators.dedup import _managed_cache
 
-    pairs = (
+    pairs = _managed_cache(
+        "novelty_pairs",
         df.select(
             F.col(id_col),
             F.explode(make_shingle_udf()(F.col(text_col))).alias("s"),
         )
         .select(F.col(id_col), F.md5("s").alias("sh"))
-        .distinct()
+        .distinct(),
     )
     first = pairs.groupBy("sh").agg(F.min(id_col).alias("first_doc"))
     return (
