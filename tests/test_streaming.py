@@ -404,3 +404,47 @@ def test_streaming_topk_matches_batch_and_resumes(spark, sf_dir, tmp_path):
     assert got2 == want2
     # the query's own vector is in the corpus: score 1.0 must lead
     assert got2[0][0] == 0 and got2[0][1] == 1.0
+
+
+def test_enrich_stream_with_dim_matches_batch_twin(spark, tmp_path):
+    """Stream-static left join == the same join run in batch; unmatched
+    keys survive with null attributes."""
+    import datetime as dt
+
+    from vectolite_spark.streaming.joins import enrich_stream_with_dim
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    edir = tmp_path / "events"
+    events = [
+        (1, base, 7, 10.0),
+        (2, base + dt.timedelta(minutes=1), 8, 20.0),
+        (3, base + dt.timedelta(minutes=2), 99, 30.0),  # no dim row
+    ]
+    spark.createDataFrame(events, schema).write.parquet(str(edir))
+    dim = spark.createDataFrame(
+        [(7, "gold", "emea"), (8, "silver", "apac")],
+        "user_id long, tier string, region string",
+    )
+    es = spark.readStream.schema(schema).parquet(str(edir))
+    out = enrich_stream_with_dim(es, dim, on="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"], r["region"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch_twin = {
+        (r["event_id"], r["tier"], r["region"])
+        for r in enrich_stream_with_dim(
+            spark.read.parquet(str(edir)), dim, on="user_id"
+        ).collect()
+    }
+    assert got == batch_twin
+    assert got == {(1, "gold", "emea"), (2, "silver", "apac"), (3, None, None)}

@@ -4632,3 +4632,128 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+@register(
+    "equi_depth_histogram",
+    """
+WITH r AS (
+  SELECT l_extendedprice AS price,
+         ROW_NUMBER() OVER (
+           ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+         ) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM lineitem
+)
+SELECT CAST(((rnk - 1) * 10) // total + 1 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(price) AS lo,
+       MAX(price) AS hi
+FROM r GROUP BY 1
+""",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH price histogram (10 equal-count buckets with their data-
+    driven boundaries) — the histogram an optimizer or drift monitor
+    actually wants, vs the equi-width `price_histogram`. Exact bucket
+    assignment comes from ``global_rank`` (range repartition + offsets,
+    never a single-partition window), so the plan scales with executors;
+    bucket edges are order-free MIN/MAX aggregates."""
+    from vectolite_spark.operators.windows import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_rank(
+        li,
+        [F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rank_col="rnk",
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bucket", (F.expr("((rnk - 1) * 10) div total") + F.lit(1)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+    )
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+dims AS (
+  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cents AS (
+  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM dims GROUP BY label
+),
+probe AS (
+  SELECT c.label
+  FROM cents c, q
+  ORDER BY {_SQL_COS.format(a="c.centroid", b="q.qv")} DESC, c.label ASC
+  LIMIT 1
+),
+approx AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  WHERE e.label = (SELECT label FROM probe)
+  ORDER BY {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} DESC,
+           e.vec_id ASC
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) / 10.0, 6)
+         AS recall_at_10
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index quality self-evaluation: recall@10 of the 1-probe IVF search
+    against the exact brute-force top-10 for the same query — the number
+    that decides n_probe/n_cells tuning before an index rollout. Both
+    sides are deterministic (DECIMAL centroids, 6-dp HALF_UP scores, id
+    tie-breaks), so recall itself is oracle-exact. The overlap join is
+    10x10 ids — the heavy lifting stays in the two top-k plans."""
+    from vectolite_spark.functions.vector import cosine_score
+    from vectolite_spark.operators.ann import ivf_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    exact = (
+        embs.select(
+            "vec_id", cosine_score("embedding", qvec).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    approx = ivf_topk(embs, qvec, k=10).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.lit(10.0), 6).alias("recall_at_10"),
+    )

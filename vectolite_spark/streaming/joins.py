@@ -62,3 +62,31 @@ def clicks_with_purchases(
         "click_ts",
         "purchase_ts",
     )
+
+
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment — the most common production streaming
+    join: a continuous event stream decorated with attributes from a
+    static (or slowly-refreshed) dimension table.  Unlike stream-stream,
+    the static side needs NO watermark and NO state-store buffering: each
+    micro-batch simply joins against the dimension as of that batch.
+
+    ``broadcast_dim=True`` ships the dimension to every executor once per
+    batch — the right call whenever the dim fits in memory (catalogs,
+    user tables), because it removes the per-batch shuffle of the
+    unbounded stream side entirely.  For a dimension too big to
+    broadcast, pass False and Spark shuffles both sides on the key (the
+    stream side's shuffle is per-batch-sized, not history-sized, so this
+    stays bounded too).
+
+    Left join keeps events whose key is missing from the dimension
+    (attributes null) — dropping unmatched telemetry silently is a
+    pipeline bug, not a join strategy.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, "left")
