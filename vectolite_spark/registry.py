@@ -4757,3 +4757,38 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / F.lit(10.0), 6).alias("recall_at_10"),
     )
+
+
+@register(
+    "salted_segment_revenue",
+    """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment revenue computed THROUGH ``salted_join`` — the
+    skew-mitigation path, oracle-gated against the plain join's answer
+    (salting must be invisible in the result: same rows, same sums).
+    The fact side carries a deterministic salt, the replicated dim side
+    joins on (key, salt), so one hot customer key spreads over 16 shuffle
+    partitions instead of one straggler task. DECIMAL accumulation keeps
+    the revenue sum partition-order-free."""
+    from vectolite_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on=["c_custkey"], n_salts=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
