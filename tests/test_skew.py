@@ -92,3 +92,20 @@ def test_global_rank_matches_single_partition_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_rank_tie_heavy_total_order(spark):
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.windows import global_rank
+
+    # every value identical: the strict total order rests entirely on the
+    # id tie-break, and every range-partition boundary splits a tie run
+    df = spark.createDataFrame([(i, 1.0) for i in range(300)], ["id", "v"]).repartition(7)
+    got = {
+        r["id"]: r["rnk"]
+        for r in global_rank(
+            df, [F.desc("v"), F.asc("id")], rank_col="rnk", num_partitions=6
+        ).collect()
+    }
+    assert got == {i: i + 1 for i in range(300)}
