@@ -448,3 +448,50 @@ def test_enrich_stream_with_dim_matches_batch_twin(spark, tmp_path):
     }
     assert got == batch_twin
     assert got == {(1, "gold", "emea"), (2, "silver", "apac"), (3, None, None)}
+
+
+def test_streaming_ivf_append_keeps_index_exact_and_resumes(spark, sf_dir, tmp_path):
+    """Index lifecycle under streaming: build on the initial corpus,
+    stream-append two drops of new vectors, and (a) a full-probe query
+    over the maintained index equals exact brute force over the union,
+    (b) a later drop through the same checkpoint appends only the new
+    rows (no rescan, no duplicates)."""
+    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
+    from vectolite_spark.operators.topk import topk_ids
+    from vectolite_spark.schema import load_table
+    from vectolite_spark.streaming.topk import stream_embeddings, streaming_ivf_append
+
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x) for x in embs.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    base = embs.filter(F.col("vec_id") % 3 == 0)
+    drop1 = embs.filter(F.col("vec_id") % 3 == 1)
+    drop2 = embs.filter(F.col("vec_id") % 3 == 2)
+    idx_path, drops, ckpt = (
+        str(tmp_path / "ivf"),
+        str(tmp_path / "drops"),
+        str(tmp_path / "ckpt"),
+    )
+    build_ivf_index(base, idx_path, cluster_col=None, n_iters=1)
+    n_cells = len(load_ivf_index(spark, idx_path).centroids)
+
+    drop1.write.parquet(f"{drops}/d0")
+    src = stream_embeddings(spark, f"{drops}/*")
+    streaming_ivf_append(src, idx_path, ckpt).awaitTermination(120)
+    idx = load_ivf_index(spark, idx_path)
+    assert idx.cells().count() == base.count() + drop1.count()
+
+    drop2.write.parquet(f"{drops}/d1")
+    streaming_ivf_append(
+        stream_embeddings(spark, f"{drops}/*"), idx_path, ckpt
+    ).awaitTermination(120)
+    idx = load_ivf_index(spark, idx_path)
+    assert idx.cells().count() == embs.count()  # resume appended drop2 only
+
+    got = [
+        (r["vec_id"], r["score"])
+        for r in idx.topk(qvec, k=10, n_probe=n_cells).collect()
+    ]
+    want = [(r["vec_id"], r["score"]) for r in topk_ids(embs, qvec, 10).collect()]
+    assert got == want

@@ -73,3 +73,36 @@ def streaming_topk(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ivf_append(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming IVF index maintenance: each micro-batch of new vectors is
+    routed to the EXISTING centroids (narrow matmul, no shuffle, no
+    rebuild) and appended into the cell-partitioned layout — the index
+    stays queryable and fresh while builds stay amortized.  Completes the
+    build -> append -> probe lifecycle for a continuously-fed corpus.
+
+    Delivery is at-least-once per micro-batch (a parquet append retried
+    after a mid-write crash can duplicate rows); for exactly-once
+    appends, fence on batch id in a manifest as
+    ``snapshots.streaming_append`` does, or land batches through that
+    store and append to the index from its committed snapshots.  After
+    heavy drift, rebuild with ``build_ivf_index`` (idempotent).
+    """
+    from vectolite_spark.operators.ann import ivf_index_append
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_append(batch_df.sparkSession, index_path, batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
