@@ -4792,3 +4792,96 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "corpus_checksum",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(('0x' || substr(sha256(text), 1, 12)) AS BIGINT)) AS BIGINT)
+         AS text_checksum,
+       CAST(SUM(doc_id * n_chars) AS BIGINT) AS id_weighted_chars
+FROM documents
+""",
+)
+def corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive corpus checksum — the pipeline-handoff integrity
+    gate (did the copy/migration/shard reassembly preserve every row?).
+    Sum of per-row 48-bit sha2 prefixes: commutative, so ANY partitioning
+    or row order yields the same value; exact BIGINT arithmetic (48-bit
+    summands cannot overflow 63 bits below ~32T rows); any dropped,
+    duplicated, or bit-flipped row moves the sum. One map-side-combined
+    aggregate, zero joins — streams at scan speed over 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("text_checksum"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).cast("long").alias(
+            "id_weighted_chars"
+        ),
+    )
+
+
+@register(
+    "winsorized_stats",
+    """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       ROUND(b.lo, 6) AS lo,
+       ROUND(b.hi, 6) AS hi,
+       ROUND(SUM(CAST(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+                      AS DECIMAL(28,10)))::DOUBLE / COUNT(*), 6)
+         AS winsorized_mean_chars
+FROM documents d JOIN b USING (source)
+GROUP BY d.source, b.lo, b.hi
+""",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized length stats: clip each doc's n_chars into
+    the source's [p5, p95] band and report the robust mean plus how many
+    rows the band clips — the outlier-trim step before any length-based
+    mixing/budgeting decision. Exact interpolated percentiles (one
+    grouped agg), broadcast band join, DECIMAL-quantized clipped sum so
+    the mean is partition-order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    j = docs.join(F.broadcast(bands), "source")
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return j.groupBy("source", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clipped"),
+        F.sum(clipped.cast("decimal(28,10)")).cast("double").alias("_s"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_clipped",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round(F.col("_s") / F.col("n_docs"), 6).alias("winsorized_mean_chars"),
+    )
