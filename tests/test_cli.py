@@ -50,3 +50,18 @@ def test_cli_add_query_roundtrip(spark, tmp_path, monkeypatch, capsys):
     assert "[id=1] score=1.0000" in out
     cli.main(["stats", "--db", str(tmp_path / "db")])
     assert "Documents: 1" in capsys.readouterr().out
+
+
+def test_cli_ingest_jsonl_routes_to_corpus_path(spark, tmp_path, capsys):
+    import json as _json
+
+    from vectolite_spark import cli
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        "\n".join(_json.dumps({"text": f"cli jsonl doc {i}"}) for i in range(5)) + "\n"
+    )
+    db = str(tmp_path / "db")
+    cli.main(["ingest-file", str(p), "--db", db, "--no-chunk", "--dim", "8"])
+    out = capsys.readouterr().out
+    assert "Ingested 5 chunk(s)" in out

@@ -75,10 +75,17 @@ def cmd_query(args) -> None:
 
 
 def cmd_ingest_file(args) -> None:
-    from vectolite_spark.ingest import ingest_files
+    from vectolite_spark.ingest import JSONL_SUFFIXES, ingest_files, ingest_jsonl
 
     store = _build_store(args)
-    n = ingest_files(
+    # .jsonl/.ndjson (optionally .gz) go through the corpus-ingest path
+    # (one JSON doc per line); .txt/.md keep the reference's whole-file path
+    fn = (
+        ingest_jsonl
+        if args.file.lower().endswith(JSONL_SUFFIXES)
+        else ingest_files
+    )
+    n = fn(
         store,
         args.file,
         base_metadata=_parse_metadata(args.metadata),
@@ -202,7 +209,9 @@ def make_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.set_defaults(fn=cmd_query)
 
-    sp = sub.add_parser("ingest-file", help="chunk + embed + insert a .txt/.md file")
+    sp = sub.add_parser(
+        "ingest-file", help="chunk + embed + insert a .txt/.md or .jsonl corpus file"
+    )
     sp.add_argument("file")
     sp.add_argument("--metadata", help="JSON object")
     sp.add_argument("--no-chunk", action="store_true")
