@@ -4885,3 +4885,48 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi", 6).alias("hi"),
         F.round(F.col("_s") / F.col("n_docs"), 6).alias("winsorized_mean_chars"),
     )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY hour_bucket, event_type
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming path, ORACLED: the events table is
+    replayed through a real streaming query (file source -> watermarked
+    tumbling-window count -> availableNow -> memory sink) and the final
+    state must hash-match the batch SQL twin — proving the streaming
+    operator graph computes exactly the batch semantics, not just
+    approximately. The memory sink holds only the aggregated windows
+    (thousands of rows), never raw events; window starts are emitted as
+    epoch hour buckets so both engines compare exact integers."""
+    import tempfile
+    import uuid
+
+    from vectolite_spark.streaming.ingest import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src_dir = tempfile.mkdtemp(prefix="vl_stream_events_") + "/src"
+    events.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        F.expr("unix_micros(window_start) div 3600000000").alias("hour_bucket"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
