@@ -31,103 +31,15 @@ from vectolite_spark.session import ensure_shipped, get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-REGISTRY_BENCH = [
-    "flagship_topk",
-    "topk_filtered",
-    "batch_topk",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "window_top_orders",
-    "sessionize_events",
-    "events_window_agg",
-    "grouped_doc_stats",
-    "json_access",
-    "pagination",
-    "chunk_documents",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_srp",
-    "q3_shipping_priority",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "pivot_priority_by_year",
-    "rolling_avg_order_value",
-    "dataset_split_counts",
-    "merge_upsert_preview",
-    "profile_documents",
-    "frequent_tokens",
-    "tfidf_top_terms",
-    "boilerplate_ngram_score",
-    "ann_ivf_topk",
-    "ann_ivf_built_topk",
-    "ann_batch_lsh",
-    "dedup_simhash_r1",
-    "dedup_clusters",
-    "text_quality",
-    "token_count",
-    "pii_redaction",
-    "repetition_stats",
-    "token_len_histogram",
-    "q17_small_qty_revenue",
-    "q4_priority_exists",
-    "q19_disjunctive_revenue",
-    "q15_top_supplier",
-    "embedding_quantize_int8",
-    "ann_quantized_topk",
-    "sample_per_source",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_order_distribution",
-    "q22_dormant_balances",
-    "decontaminate_eval_overlap",
-    "sequence_packing",
-    "dedup_clusters_bigstar",
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "rerank_topk",
-    "snapshot_time_travel",
-    "ann_pq_topk",
-    "funnel_conversion",
-    "skew_safe_distinct",
-    "weighted_sample_aes",
-    "cohort_retention",
-    "incremental_agg_merge",
-    "training_shards",
-    "embedding_cluster_stats",
-    "dedup_keep_list",
-    "approx_distinct_tokens",
-    "dup_span_coverage",
-    "dup_graph_degree",
-    "char_entropy",
-    "fuzzy_doc_pairs",
-    "top_quality_per_source",
-    "doc_fingerprint",
-    "lang_id",
-    "multimodal_features",
-    "rollup_revenue",
-    "price_histogram",
-    "top_customers_by_revenue",
-    "asia_customer_orders",
-    "parts_per_flag",
-    "ann_lsh_topk",
-    "asof_last_click",
-    "range_join_value_bands",
-    "sql_shipyear_revenue",
-    "corpus_curation",
-    "quantile_stats",
-    "moment_stats",
-    "click_and_purchase_users",
-    "big_ticket_orders",
-    "cube_order_counts",
-    "embedding_norm_stats",
-]
+# Every registered query gets benched: the list derives from the registry at
+# run time, so a new operator lands in BENCH_r{N}.json the moment it is
+# registered — no drift between coverage and measurement. Order is the
+# registration order (cheap reference-parity queries warm the session
+# before the heavy dedup/ANN plans).
+def _registry_bench() -> list[str]:
+    from vectolite_spark import registry
+
+    return list(registry.QUERIES)
 
 
 def _bench_reference(qvecs: list[list[float]], n_vecs: int) -> dict[str, float]:
@@ -255,7 +167,7 @@ def main() -> None:
     # -- registry queries (cold plans, parquet scans included) -------------
     from vectolite_spark import registry
 
-    for name in REGISTRY_BENCH:
+    for name in _registry_bench():
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
