@@ -115,3 +115,34 @@ def test_streaming_append_exactly_once(store, spark, tmp_path):
     make_stream_sink(store)(_df(spark, [99]), last_stream_batch_id(store))
     assert _ids(store.read()) == [1, 2, 3]
     assert store.current_version() + 1 == n_versions
+
+
+def test_delete_where_prunes_unaffected_dirs(store, spark):
+    store.append(_df(spark, [1, 2]))
+    store.append(_df(spark, [3, 4]))
+    store.append(_df(spark, [5, 6]))
+    dirs_before = store._read_manifest(2)["dirs"]
+    v = store.delete_where(F.col("id") == 3)
+    m = store._read_manifest(v)
+    # only the dir holding id 3 was rewritten; the other two are reused
+    assert m["rewritten_dirs"] == 1 and m["pruned_dirs"] == 2
+    assert len(set(dirs_before) & set(m["dirs"])) == 2
+    assert _ids(store.read()) == [1, 2, 4, 5, 6]
+    assert _ids(store.read(version=2)) == [1, 2, 3, 4, 5, 6]  # COW intact
+
+
+def test_merge_prunes_and_upserts(store, spark):
+    store.append(_df(spark, [1, 2]))
+    store.append(_df(spark, [3, 4]))
+    incoming = spark.createDataFrame(
+        [(2, "doc 2 v2"), (9, "doc 9")], "id long, text string"
+    )
+    dirs_before = store._read_manifest(1)["dirs"]
+    v = store.merge(incoming, key="id")
+    m = store._read_manifest(v)
+    assert m["rewritten_dirs"] == 1 and m["pruned_dirs"] == 1
+    assert len(set(dirs_before) & set(m["dirs"])) == 1
+    rows = {r["id"]: r["text"] for r in store.read().collect()}
+    assert rows == {1: "doc 1", 2: "doc 2 v2", 3: "doc 3", 4: "doc 4", 9: "doc 9"}
+    # pre-merge state still travelable
+    assert _ids(store.read(version=1)) == [1, 2, 3, 4]

@@ -619,12 +619,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "profile_documents",
     """
-SELECT COUNT(*) AS n_rows,
-       COUNT(DISTINCT lang) AS n_langs,
-       COUNT(DISTINCT source) AS n_sources,
-       SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS empty_texts,
-       MIN(length(text)) AS min_len,
-       MAX(length(text)) AS max_len,
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS empty_texts,
+       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+       CAST(MAX(length(text)) AS BIGINT) AS max_len,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents
 """,
@@ -633,17 +634,20 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling pass: corpus shape in ONE scan (counts, cardinality,
     empties, length envelope) — the health check a pipeline runs before
     and after every transformation. Integer-exact aggregates only, so
-    the profile is bit-identical on any partitioning."""
+    the profile is bit-identical on any partitioning. Every column is cast
+    BIGINT on BOTH sides: DuckDB emits HUGEINT for SUM(CASE…) and BIGINT
+    for length() while Spark emits INT — the driver's value hash is
+    type-sensitive (r2's one red row), so the casts are load-bearing."""
     docs = load_table(spark, sf_dir, "documents")
     empty = F.col("text").isNull() | (F.trim("text") == "")
     return docs.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
         F.sum(F.when(empty, 1).otherwise(0)).cast("long").alias("empty_texts"),
-        F.min(F.length("text")).alias("min_len"),
-        F.max(F.length("text")).alias("max_len"),
-        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
     )
 
 

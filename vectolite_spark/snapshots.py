@@ -122,9 +122,63 @@ class SnapshotStore:
         return self._commit([new_dir], op)
 
     def delete_where(self, condition) -> int:
-        """Copy-on-write delete: survivors are rewritten, the old version
-        stays time-travelable."""
-        return self.overwrite(self.read().filter(~condition), op="delete")
+        """DIR-PRUNED copy-on-write delete (the Delta/Iceberg shape): only
+        the data dirs that actually CONTAIN matching rows are rewritten;
+        untouched dirs are carried into the new manifest unchanged. The
+        per-dir probe is a ``limit(1)`` existence check — parquet min/max
+        footer stats make it metadata-only for equality/range predicates —
+        so at 100 TB a one-document delete rewrites one commit's worth of
+        files, not the table. The old version stays time-travelable."""
+        version = self.current_version() + 1
+        if version == 0:
+            raise VectoliteError("store is empty (no commits yet)")
+        dirs = self._read_manifest(version - 1)["dirs"]
+        kept: list[str] = []
+        rewritten = 0
+        for i, d in enumerate(dirs):
+            part = self.spark.read.parquet(d)
+            if part.filter(condition).limit(1).count() == 0:
+                kept.append(d)
+                continue
+            new_dir = f"{self._new_data_dir(version, 'delete')}-{i:04d}"
+            part.filter(~condition).write.mode("error").parquet(new_dir)
+            kept.append(new_dir)
+            rewritten += 1
+        return self._commit(
+            kept,
+            "delete",
+            extra={"rewritten_dirs": rewritten, "pruned_dirs": len(dirs) - rewritten},
+        )
+
+    def merge(self, incoming: DataFrame, key: str = "id") -> int:
+        """Dir-pruned MERGE (upsert): dirs containing a matched key are
+        rewritten WITHOUT those rows (anti-join against the broadcast key
+        set), untouched dirs are carried over, and ``incoming`` lands as
+        one new dir — O(delta + affected dirs), the Delta ``MERGE INTO``
+        shape. Caller guarantees ``incoming`` has distinct keys."""
+        from pyspark.sql import functions as F
+
+        version = self.current_version() + 1
+        dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
+        keys = F.broadcast(incoming.select(key).distinct())
+        kept: list[str] = []
+        rewritten = 0
+        for i, d in enumerate(dirs):
+            part = self.spark.read.parquet(d)
+            if part.join(keys, key, "left_semi").limit(1).count() == 0:
+                kept.append(d)
+                continue
+            new_dir = f"{self._new_data_dir(version, 'merge')}-{i:04d}"
+            part.join(keys, key, "left_anti").write.mode("error").parquet(new_dir)
+            kept.append(new_dir)
+            rewritten += 1
+        inc_dir = f"{self._new_data_dir(version, 'merge')}-in"
+        incoming.write.mode("error").parquet(inc_dir)
+        return self._commit(
+            kept + [inc_dir],
+            "merge",
+            extra={"rewritten_dirs": rewritten, "pruned_dirs": len(dirs) - rewritten},
+        )
 
     def compact(self, target_files: int = 1) -> int:
         return self.overwrite(

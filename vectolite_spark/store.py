@@ -109,7 +109,14 @@ class SparkVectolite:
         spark: SparkSession,
         path: str,
         embed_fn: EmbedFn | None = None,
+        versioned: bool = False,
     ):
+        """``versioned=True`` backs the store with ``snapshots.SnapshotStore``
+        instead of a single parquet directory: every mutation becomes a
+        manifest commit (CAS, crash = stranded dir, never a corrupt table),
+        deletes/upserts are dir-pruned O(delta) rewrites, and the store
+        gains ``history()/read_version()/rollback()/vacuum()``. The flat
+        backend keeps the reference's simple single-dir layout."""
         from vectolite_spark.session import ensure_shipped
 
         self.spark = spark
@@ -118,8 +125,14 @@ class SparkVectolite:
         ensure_shipped(spark)
         self._fs = _HadoopFS(spark, self.path)
         self._max_id_cache: int | None = None
-        self._recover()
-        self._fs.mkdirs(self.path)
+        self._snap = None
+        if versioned:
+            from vectolite_spark.snapshots import SnapshotStore
+
+            self._snap = SnapshotStore(spark, self.path)
+        else:
+            self._recover()
+            self._fs.mkdirs(self.path)
 
     # -- internals ---------------------------------------------------------
 
@@ -136,12 +149,18 @@ class SparkVectolite:
                 self._fs.delete(stale)
 
     def _exists(self) -> bool:
+        if self._snap is not None:
+            return self._snap.current_version() >= 0
         return self._fs.has_parquet_file(self.path)
 
     def df(self) -> DataFrame:
         """The documents table as a DataFrame (empty if nothing inserted)."""
         if not self._exists():
             return self.spark.createDataFrame([], DOCUMENT_STORE_SCHEMA)
+        if self._snap is not None:
+            return self._snap.read().select(
+                "id", "text", "metadata", "embedding", "created_at"
+            )
         return self.spark.read.schema(DOCUMENT_STORE_SCHEMA).parquet(self.path)
 
     def _max_id(self) -> int:
@@ -177,7 +196,14 @@ class SparkVectolite:
         renames is made RECOVERABLE instead: the live rows always exist in
         exactly one of ``path`` or ``path.bak``, and ``_recover`` (run on
         every open and before every rewrite) restores ``.bak`` if ``path``
-        is missing and clears stale leftovers."""
+        is missing and clears stale leftovers.
+
+        Versioned backend: the rewrite is a snapshot ``overwrite`` commit —
+        atomic by manifest CAS, and the prior version stays readable."""
+        if self._snap is not None:
+            self._max_id_cache = None
+            self._snap.overwrite(df)
+            return
         self._recover()
         self._max_id_cache = None  # rewrites may drop or remap the max id
         tmp, bak = self.path + ".tmp", self.path + ".bak"
@@ -185,6 +211,14 @@ class SparkVectolite:
         self._fs.rename(self.path, bak)
         self._fs.rename(tmp, self.path)
         self._fs.delete(bak)
+
+    def _append(self, df: DataFrame) -> None:
+        """Route an append through the active backend: flat parquet append,
+        or a snapshot ``append`` commit (new dir + manifest CAS)."""
+        if self._snap is not None:
+            self._snap.append(df)
+        else:
+            df.write.mode("append").parquet(self.path)
 
     # -- reference API (vectolite.py:81-298) -------------------------------
 
@@ -231,7 +265,7 @@ class SparkVectolite:
             for i, (t, m, e) in enumerate(zip(texts, metadatas, embeddings))
         ]
         df = self.spark.createDataFrame(rows, DOCUMENT_STORE_SCHEMA)
-        df.write.mode("append").parquet(self.path)
+        self._append(df)
         self._max_id_cache = start + len(texts) - 1
         return list(range(start, start + len(texts)))
 
@@ -283,7 +317,7 @@ class SparkVectolite:
         out = out.observe(
             obs, F.count(F.lit(1)).alias("n"), F.max("id").alias("max_id")
         )
-        out.write.mode("append").parquet(self.path)
+        self._append(out)
         got = obs.get
         if got["max_id"] is not None:
             self._max_id_cache = max(self._max_id_cache or 0, int(got["max_id"]))
@@ -404,8 +438,13 @@ class SparkVectolite:
                 f"({n_updates - n_distinct} extra rows)"
             )
         n_matched = existing.join(incoming, "id", "left_semi").count()
-        merged = existing.join(incoming, "id", "left_anti").unionByName(incoming)
-        self._rewrite(merged)
+        if self._snap is not None:
+            # dir-pruned MERGE: O(delta + affected dirs), not O(table)
+            self._max_id_cache = None
+            self._snap.merge(incoming, key="id")
+        else:
+            merged = existing.join(incoming, "id", "left_anti").unionByName(incoming)
+            self._rewrite(merged)
         return {"updated": n_matched, "inserted": n_updates - n_matched}
 
     def count_documents(self) -> int:
@@ -413,11 +452,18 @@ class SparkVectolite:
         return self.df().count()
 
     def delete_document(self, doc_id: int) -> bool:
-        """P3 (vectolite.py:186-199): returns True iff the row existed."""
+        """P3 (vectolite.py:186-199): returns True iff the row existed.
+        Versioned backend: dir-pruned COW delete — only the commit dirs
+        containing the id are rewritten (parquet footer min/max stats make
+        the per-dir probe metadata-only), history stays travelable."""
         df = self.df()
         if df.filter(F.col("id") == doc_id).limit(1).count() == 0:
             return False
-        self._rewrite(df.filter(F.col("id") != doc_id))
+        if self._snap is not None:
+            self._max_id_cache = None
+            self._snap.delete_where(F.col("id") == doc_id)
+        else:
+            self._rewrite(df.filter(F.col("id") != doc_id))
         return True
 
     def get_document(self, doc_id: int) -> dict | None:
@@ -491,6 +537,37 @@ class SparkVectolite:
             "db_size_mb": round(size / 1024 / 1024, 2),
             "db_path": self.path,
         }
+
+    # -- versioned-backend API (snapshots.SnapshotStore passthrough) --------
+
+    def _require_versioned(self):
+        if self._snap is None:
+            raise VectoliteError(
+                "store is not versioned; open with SparkVectolite(..., versioned=True)"
+            )
+        return self._snap
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first (versioned stores only)."""
+        return self._require_versioned().history()
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: the documents table as of ``version``."""
+        return (
+            self._require_versioned()
+            .read(version=version)
+            .select("id", "text", "metadata", "embedding", "created_at")
+        )
+
+    def rollback(self, version: int) -> int:
+        """Restore ``version`` as a NEW commit (history is never mutated)."""
+        snap = self._require_versioned()
+        self._max_id_cache = None
+        return snap.rollback(version)
+
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Drop old manifests + unreferenced data dirs (retention GC)."""
+        return self._require_versioned().vacuum(keep_versions)
 
     def hybrid_query(self, query_text: str, top_k: int = 3) -> list[dict]:
         """Hybrid search over the store (engine extension; the reference is
