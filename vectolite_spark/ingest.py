@@ -135,7 +135,11 @@ def ingest_files(
     return store.append_dataframe(pipe)
 
 
-JSONL_SUFFIXES = (".jsonl", ".json", ".ndjson", ".jsonl.gz", ".ndjson.gz")
+# NDJSON suffixes only: bare .json is deliberately ABSENT — a pretty-printed
+# or array-style .json parsed line-by-line yields NULL text on nearly every
+# line and would silently ingest 0 documents (ADVICE r2). ``read_jsonl``
+# additionally hard-fails when a concrete (non-glob) input yields 0 rows.
+JSONL_SUFFIXES = (".jsonl", ".ndjson", ".jsonl.gz", ".ndjson.gz")
 
 
 def read_jsonl(
@@ -171,7 +175,9 @@ def read_jsonl(
             low = p.lower()
             if not any(low.endswith(s) for s in JSONL_SUFFIXES):
                 raise VectoliteError(
-                    "Unsupported file type. Use .jsonl/.json/.ndjson (optionally .gz)."
+                    "Unsupported file type. Use .jsonl/.ndjson (optionally .gz); "
+                    "bare .json is not NDJSON and is rejected rather than "
+                    "silently ingesting 0 documents."
                 )
     # read as text lines, not spark.read.json: pinned extraction beats
     # inference, and malformed lines degrade to NULL text (dropped) rather
@@ -206,7 +212,10 @@ def ingest_jsonl(
 ) -> int:
     """End-to-end JSONL corpus ingest: lines -> chunks -> embeddings ->
     distributed store append (same fully-distributed path as
-    ``ingest_files`` — nothing passes through driver memory)."""
+    ``ingest_files`` — nothing passes through driver memory). A concrete
+    (non-glob) input that yields 0 documents raises instead of silently
+    appending nothing — the file exists but is not line-delimited JSON,
+    or has no non-empty text field (ADVICE r2)."""
     files_df = read_jsonl(store.spark, paths, text_field=text_field)
     pipe = ingest_pipeline(
         files_df,
@@ -217,4 +226,12 @@ def ingest_jsonl(
         embed_provider=embed_provider,
         embed_dim=embed_dim,
     )
-    return store.append_dataframe(pipe)
+    n = store.append_dataframe(pipe)
+    paths_list = [paths] if isinstance(paths, str) else list(paths)
+    if n == 0 and all("*" not in p and "?" not in p for p in paths_list):
+        raise VectoliteError(
+            f"0 documents ingested from {paths_list}: no line had a "
+            f"non-empty {text_field!r} JSON field — is the file really "
+            "NDJSON (one JSON object per line)?"
+        )
+    return n

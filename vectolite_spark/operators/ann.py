@@ -541,6 +541,7 @@ def build_ivfpq_index(
     pq_k: int = 16,
     id_col: str = "vec_id",
     pq_iters: int = 2,
+    ivf_iters: int = 2,
 ) -> None:
     """Build and persist an IVF-PQ index (the FAISS IVFPQ shape — the
     standard billion-scale layout): vectors are routed to IVF cells
@@ -562,6 +563,21 @@ def build_ivfpq_index(
         (int(r["cluster"]), list(r["centroid"]))
         for r in build_centroids(seeded, "_seed_cell").collect()
     ]
+    # Lloyd refinement of the IVF level: id-modulo seed groups all average
+    # to ~the data mean, so WITHOUT these rounds cell routing is near-random
+    # and partial-probe recall collapses (caught by the r3 recall sweep
+    # gate). Each round = one narrow matmul assign + one exact-DECIMAL mean
+    # shuffle; deterministic, so rebuilds converge identically. The FINAL
+    # assignment below uses the refined centroids — routing at query time
+    # must agree with the cells on disk.
+    for _ in range(max(0, ivf_iters)):
+        refined = assign_cells(embeddings, cents_list, id_col=id_col)
+        cents_list = [
+            (int(r["cluster"]), list(r["centroid"]))
+            for r in build_centroids(
+                refined.withColumnRenamed("cell", "_cell"), "_cell"
+            ).collect()
+        ]
     assigned = assign_cells(embeddings, cents_list, id_col=id_col)
     codes, codebook = build_pq(embeddings, m=m, k=pq_k, id_col=id_col,
                                n_iters=pq_iters)

@@ -341,25 +341,26 @@ def ngram_jaccard_pairs(
     block that common is template text, not a near-dup signal. The scale
     path for those is MinHash LSH, whose banding keys on the whole
     document, not a prefix."""
+    from pyspark.sql import Window
+
     from vectolite_spark._pandas_udfs import make_shingle_udf
 
-    # shingles via one Arrow batch per partition, materialized (cached) so
-    # the self-join doesn't recompute them per side
+    # shingles via one Arrow batch per partition; the block-size cap is a
+    # COUNT OVER (PARTITION BY block) on the same relation — ONE shuffle on
+    # block (which the self-join needs anyway) instead of the r2
+    # groupBy+semi-join round trip (VERDICT r2 item 5). The CACHED relation
+    # is the already-filtered one, so neither join side recomputes the
+    # window or the shingle UDF.
+    base = widen_small_input(df).select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, block_prefix).alias("block"),
+        F.array_distinct(make_shingle_udf()(F.col(text_col))).alias("sh"),
+    )
+    bc = F.count(F.lit(1)).over(Window.partitionBy("block"))
     sh = _managed_cache(
         "ngram_shingles",
-        widen_small_input(df).select(
-            F.col(id_col),
-            F.substring(F.col(text_col), 1, block_prefix).alias("block"),
-            F.array_distinct(make_shingle_udf()(F.col(text_col))).alias("sh"),
-        ),
+        base.withColumn("_bc", bc).filter(F.col("_bc") <= max_block_size).drop("_bc"),
     )
-    ok_blocks = (
-        sh.groupBy("block")
-        .count()
-        .filter(F.col("count") <= max_block_size)
-        .drop("count")
-    )
-    sh = sh.join(ok_blocks, "block", "left_semi")
     a = sh.select(
         F.col("block"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
     )

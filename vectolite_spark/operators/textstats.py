@@ -459,10 +459,14 @@ def zipf_slope(
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     slope = (c * sxy - sx * sy) / (c * sxx - sx * sx)
+    # a single-distinct-token corpus (c == 1) has an exactly-zero
+    # denominator: the fit is undefined, so slope/intercept are explicit
+    # NULLs rather than a platform-dependent div-by-zero artifact
+    defined = F.col("c") >= 2
     return s.select(
         F.col("c").alias("n_terms"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / c, 6).alias("intercept"),
+        F.round(F.when(defined, slope), 6).alias("slope"),
+        F.round(F.when(defined, (sy - slope * sx) / c), 6).alias("intercept"),
     )
 
 

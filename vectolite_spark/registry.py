@@ -23,6 +23,10 @@ from vectolite_spark.schema import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# per-process parquet copies of the events table used as streaming sources
+# (keyed by sf_dir; reused across invocations instead of leaking tempdirs)
+_STREAM_SRC_CACHE: dict[str, str] = {}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -187,7 +191,7 @@ def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CASE WHEN length(text) > 100 THEN substr(text, 1, 100) || '...'
             ELSE text END AS text_preview,
-       length(text) AS full_text_length
+       CAST(length(text) AS INTEGER) AS full_text_length
 FROM documents
 """,
 )
@@ -1710,9 +1714,32 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_tokens")  # rows-only: HLL sketch values are
-# Spark-internal (no DuckDB twin); gate = relative-error pytest vs the
-# exact count (tests/test_textstats.py)
+# Bounded-error oracles (VERDICT r2 item 7): a sketch has no exact DuckDB
+# twin, but its ERROR CONTRACT does — the local harness joins the Spark
+# result to this SQL on `key` and asserts each `rel_tol` column lies within
+# the declared relative band of the exact value (exact columns must match
+# outright). The driver still records these entries as rows-only; the
+# bounded check documents the accuracy contract in-repo.
+RANGE_ORACLES: dict[str, dict] = {}
+
+RANGE_ORACLES["approx_distinct_tokens"] = {
+    "sql": f"""
+WITH t AS (SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents)
+SELECT lang,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS approx_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM t WHERE token != '' GROUP BY lang ORDER BY lang
+""",
+    "key": ["lang"],
+    # HLL++ at rsd=0.02: assert within ±2·rsd = ±4% of the exact count
+    "rel_tol": {"approx_distinct": 0.04},
+    "exact": ["n_tokens"],
+}
+
+
+@register("approx_distinct_tokens")  # rows-only for the driver: HLL sketch
+# values are Spark-internal (no exact DuckDB twin); gates = the ±2·rsd
+# RANGE_ORACLES band above + relative-error pytest (tests/test_textstats.py)
 def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token cardinality per language via HyperLogLog++
     (approx_count_distinct, 2% target rsd): the sketch aggregates
@@ -2525,7 +2552,11 @@ WITH f AS (
            / len({_SQL_TOKENS}) AS mtl
   FROM documents
 )
-SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stop,
+SELECT doc_id,
+       CAST(n_chars_m AS INTEGER) AS n_chars_m,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_punct AS INTEGER) AS n_punct,
+       CAST(n_stop AS INTEGER) AS n_stop,
        mtl AS mean_tok_len,
        0.4 * least(n_tokens / 100.0, 1.0)
          + 0.3 * least(n_stop::DOUBLE / n_tokens * 5, 1.0)
@@ -2546,8 +2577,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     f"""
 SELECT doc_id,
-       len({_SQL_TOKENS}) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+       CAST(len({_SQL_TOKENS}) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+            AS INTEGER) AS bpe_tokens
 FROM documents
 """,
 )
@@ -4537,12 +4569,15 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dim_variance",
     """
 WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT unnest(v) AS val, generate_subscripts(v, 1) AS j FROM e
+),
 d AS (
-  SELECT i.j AS dim, COUNT(*) AS n,
-         SUM(CAST(v[i.j] AS DECIMAL(28,12))) AS s,
-         SUM(CAST(v[i.j] * v[i.j] AS DECIMAL(28,12))) AS s2
-  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
-  GROUP BY i.j
+  SELECT j AS dim, COUNT(*) AS n,
+         SUM(CAST(val AS DECIMAL(28,12))) AS s,
+         SUM(CAST(val * val AS DECIMAL(28,12))) AS s2
+  FROM x
+  GROUP BY j
 )
 SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
        ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_val,
@@ -4913,11 +4948,17 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from vectolite_spark.errors import VectoliteError
     from vectolite_spark.streaming.ingest import windowed_event_counts
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    src_dir = tempfile.mkdtemp(prefix="vl_stream_events_") + "/src"
-    events.write.mode("overwrite").parquet(src_dir)
+    # one source copy per (process, sf_dir): repeated invocations (bench,
+    # oracle sweeps) reuse it instead of leaking a tempdir each call
+    src_dir = _STREAM_SRC_CACHE.get(sf_dir)
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="vl_stream_events_") + "/src"
+        events.write.mode("overwrite").parquet(src_dir)
+        _STREAM_SRC_CACHE[sf_dir] = src_dir
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     name = f"swc_{uuid.uuid4().hex[:8]}"
@@ -4928,9 +4969,225 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # timeout: the sink table is in a PARTIAL state — fail loudly
+        # instead of returning silently-incomplete counts
+        q.stop()
+        raise VectoliteError("streaming_windowed_counts did not drain in 180s")
     return spark.table(name).select(
         F.expr("unix_micros(window_start) div 3600000000").alias("hour_bucket"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "ann_ivfpq_probe_prebuilt",
+    _COSINE_SCORED
+    + """
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+)
+def ann_ivfpq_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ PROBE against a prebuilt persisted index (VERDICT r2 item 4):
+    the index is built once into ``.cache/`` and reused across calls, so
+    the measured time is the serving-path query latency — probe cells,
+    PQ-scan, exact rescore — with the build cost amortized where it
+    belongs. Full probe + refine >= N keeps the exact-rescore guarantee,
+    so the result is REQUIRED to equal brute-force cosine top-k (the
+    flagship oracle). ``ann_ivfpq_exact_rescore`` keeps measuring the
+    cold build+query path; this entry is the warm path a 100 TB serving
+    deployment actually runs."""
+    import os
+
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    n = embs.count()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # v2: cache key versions the BUILD RECIPE (v2 = Lloyd-refined IVF
+    # routing) — bump it whenever build_ivfpq_index's layout or routing
+    # changes so a stale on-disk index can never serve a new code path
+    index_path = os.path.join(
+        repo_root,
+        ".cache",
+        "ivfpq_v2_c16m8k16_" + os.path.basename(os.path.abspath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(index_path, "cells", "_SUCCESS")):
+        build_ivfpq_index(embs, index_path, n_cells=16, m=8, pq_k=16, pq_iters=0)
+    idx = IVFPQIndex(spark, index_path, m=8)
+    rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
+    return spark.createDataFrame(
+        [(r["vec_id"], r["score"]) for r in rows], "vec_id long, score double"
+    )
+
+
+@register(
+    "snapshot_pruned_delete",
+    """
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows_v0,
+       CAST((SELECT COUNT(*) FROM documents WHERE lang != 'de') AS BIGINT)
+         AS n_rows_v1,
+       CAST(3 AS BIGINT) AS dirs_total,
+       CAST((SELECT COUNT(DISTINCT doc_id % 3) FROM documents
+             WHERE lang = 'de') AS BIGINT) AS dirs_rewritten
+""",
+)
+def snapshot_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dir-pruned COW delete under the oracle gate: the corpus lands in
+    THREE append commits (split by doc_id % 3), then ``delete_where``
+    must rewrite exactly the commits that contain a matching row — the
+    oracle computes that number independently as the count of distinct
+    doc_id%3 groups holding a 'de' document. Proves both snapshot
+    isolation (v0 count intact) and the O(affected-files) rewrite bound
+    that makes deletes survivable at 100 TB."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="vl_snapprune_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        for c in range(3):
+            s.append(docs.filter(F.col("doc_id") % 3 == c))
+        v = s.delete_where(F.col("lang") == "de")
+        m = s._read_manifest(v)
+        rows = [
+            (
+                s.read(version=2).count(),
+                s.read(version=v).count(),
+                3,
+                m["rewritten_dirs"],
+            )
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows_v0 long, n_rows_v1 long, dirs_total long, dirs_rewritten long"
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver verification-window ordering (VERDICT r2 item 1)
+# --------------------------------------------------------------------------
+# The driver verifies exactly the FIRST 50 entries of ``queries()`` each
+# round. Registration above follows file/module structure; HERE the dicts
+# are reordered so the verified window covers (a) the ~15-query core
+# reference-parity set and (b) every query that has never had a
+# driver-green CORRECTNESS row (the round-2/3 additions). Queries that
+# already earned a green row in rounds 1-2 are demoted to the tail.
+# ROTATE the window each round until every entry has an authoritative row.
+
+_DRIVER_WINDOW = [
+    # core reference-parity set (keep driver-green every round)
+    "flagship_topk",
+    "topk_filtered",
+    "batch_topk",
+    "chunk_documents",
+    "pagination",
+    "point_lookup",
+    "delete_as_filter",
+    "count_documents",
+    "projection_truncate",
+    "profile_documents",  # r2's one red row — cast fix needs a green row
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "json_access",
+    # round-2/3 additions, never driver-verified (VERDICT r2 item 1 list)
+    "ann_ivf_built_topk",
+    "dedup_simhash_r1",
+    "dedup_clusters",
+    "dedup_clusters_bigstar",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "snapshot_time_travel",
+    "ann_ivfpq_exact_rescore",
+    "sequence_packing",
+    "decontaminate_eval_overlap",
+    "dedup_keep_list",
+    "ann_ivfpq_probe_prebuilt",
+    "snapshot_pruned_delete",
+    "rerank_topk",
+    "ann_pq_topk",
+    "ann_batch_lsh",
+    "ann_quantized_topk",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_srp",
+    "dedup_incremental",
+    "dup_span_coverage",
+    "dup_graph_degree",
+    "fuzzy_doc_pairs",
+    "clean_corpus_summary",
+    "training_shards",
+    "curriculum_stages",
+    "pii_redaction",
+    "repetition_stats",
+    "boilerplate_ngram_score",
+    "bigram_lm_nll",
+    "bpe_merge_candidates",
+    "mixture_weights",
+    "vocab_coverage",
+    "zipf_slope",
+    "streaming_windowed_counts",
+]
+
+# driver-green in r1/r2 (CORRECTNESS_r01/r02.json) — safe to re-verify last
+_DEMOTED_STABLE = [
+    "agg_pricing_summary",
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "dataset_split_counts",
+    "pivot_priority_by_year",
+    "rolling_avg_order_value",
+    "join_revenue_by_nation",
+    "window_top_orders",
+    "sessionize_events",
+    "events_window_agg",
+    "customers_without_orders",
+    "grouped_doc_stats",
+    "rollup_revenue",
+    "price_histogram",
+    "top_customers_by_revenue",
+    "asia_customer_orders",
+    "parts_per_flag",
+    "sql_shipyear_revenue",
+    "click_and_purchase_users",
+    "big_ticket_orders",
+    "moment_stats",
+    "cube_order_counts",
+    "embedding_norm_stats",
+    "quantile_stats",
+    "asof_last_click",
+    "range_join_value_bands",
+    "corpus_curation",
+    "merge_upsert_preview",
+    "frequent_tokens",
+    "sample_per_source",
+    "q4_priority_exists",
+    "q19_disjunctive_revenue",
+    "tfidf_top_terms",
+]
+
+
+def _reorder_registry() -> None:
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    missing = [n for n in _DRIVER_WINDOW + _DEMOTED_STABLE if n not in QUERIES]
+    assert not missing, f"unknown names in ordering lists: {missing}"
+    placed = set(_DRIVER_WINDOW) | set(_DEMOTED_STABLE)
+    middle = [n for n in QUERIES if n not in placed]
+    ordered = _DRIVER_WINDOW + middle + _DEMOTED_STABLE
+    for d in (QUERIES, ORACLES):
+        snap = dict(d)
+        d.clear()
+        d.update({n: snap[n] for n in ordered if n in snap})
+
+
+_reorder_registry()
