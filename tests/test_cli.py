@@ -65,3 +65,31 @@ def test_cli_ingest_jsonl_routes_to_corpus_path(spark, tmp_path, capsys):
     cli.main(["ingest-file", str(p), "--db", db, "--no-chunk", "--dim", "8"])
     out = capsys.readouterr().out
     assert "Ingested 5 chunk(s)" in out
+
+
+def test_cli_versioned_store_lifecycle(spark, tmp_path, monkeypatch, capsys):
+    """--versioned flag + auto-detection: add/delete become snapshot
+    commits, history prints them, rollback restores, and later commands
+    pick the versioned backend WITHOUT the flag (layout detection)."""
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    db = str(tmp_path / "vdb")
+    cli.main(["add", "first doc", "--db", db, "--dim", "8", "--versioned"])
+    cli.main(["add", "second doc", "--db", db, "--dim", "8", "--versioned"])
+    # no flag from here on: the _versions layout is auto-detected
+    cli.main(["delete", "1", "--db", db])
+    assert "Deleted document 1" in capsys.readouterr().out
+    cli.main(["history", "--db", db])
+    out = capsys.readouterr().out
+    assert "delete" in out and "append" in out
+    cli.main(["rollback", "1", "--db", db])
+    assert "new commit v3" in capsys.readouterr().out
+    cli.main(["list", "--db", db, "--limit", "10"])
+    out = capsys.readouterr().out
+    assert "first doc" in out and "second doc" in out
+    cli.main(["vacuum", "--db", db, "--keep", "1"])
+    assert "manifest(s)" in capsys.readouterr().out
+    cli.main(["stats", "--db", db])
+    assert "Documents: 2" in capsys.readouterr().out

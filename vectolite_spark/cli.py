@@ -19,6 +19,27 @@ import sys
 from vectolite_spark.errors import VectoliteError
 
 
+def _wants_versioned(args) -> bool:
+    """--versioned opts in; an existing snapshot layout (a ``_versions``
+    dir) is auto-detected so a versioned store never gets misread as a
+    flat parquet dir when the flag is forgotten."""
+    import os
+
+    return bool(getattr(args, "versioned", False)) or os.path.isdir(
+        os.path.join(args.db, "_versions")
+    )
+
+
+def _open_store(args):
+    """Read-path store (no embedder needed)."""
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.store import SparkVectolite
+
+    spark = get_spark("vectolite-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return SparkVectolite(spark, args.db, versioned=_wants_versioned(args))
+
+
 def _build_store(args):
     from vectolite_spark.embed import resolve_embed_fn, stub_embedder
     from vectolite_spark.session import get_spark
@@ -33,7 +54,9 @@ def _build_store(args):
         embed_fn = resolve_embed_fn(
             getattr(args, "model", None), local=(embedder == "local")
         )
-    return SparkVectolite(spark, args.db, embed_fn=embed_fn)
+    return SparkVectolite(
+        spark, args.db, embed_fn=embed_fn, versioned=_wants_versioned(args)
+    )
 
 
 def _parse_metadata(raw: str | None) -> dict | None:
@@ -98,12 +121,7 @@ def cmd_ingest_file(args) -> None:
 
 
 def cmd_stats(args) -> None:
-    from vectolite_spark.session import get_spark
-    from vectolite_spark.store import SparkVectolite
-
-    spark = get_spark("vectolite-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    store = SparkVectolite(spark, args.db)  # read path needs no embedder
+    store = _open_store(args)  # read path needs no embedder
     st = store.stats()
     print(f"Documents: {st['document_count']}")
     print(f"Store size: {st['db_size_mb']} MB")
@@ -111,12 +129,7 @@ def cmd_stats(args) -> None:
 
 
 def cmd_delete(args) -> None:
-    from vectolite_spark.session import get_spark
-    from vectolite_spark.store import SparkVectolite
-
-    spark = get_spark("vectolite-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    store = SparkVectolite(spark, args.db)
+    store = _open_store(args)
     if store.delete_document(args.doc_id):
         print(f"Deleted document {args.doc_id}")
     else:
@@ -124,12 +137,7 @@ def cmd_delete(args) -> None:
 
 
 def cmd_list(args) -> None:
-    from vectolite_spark.session import get_spark
-    from vectolite_spark.store import SparkVectolite
-
-    spark = get_spark("vectolite-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    store = SparkVectolite(spark, args.db)
+    store = _open_store(args)
     total = store.count_documents()
     docs = store.list_documents(
         limit=args.limit,
@@ -151,12 +159,7 @@ def cmd_list(args) -> None:
 
 
 def cmd_show(args) -> None:
-    from vectolite_spark.session import get_spark
-    from vectolite_spark.store import SparkVectolite
-
-    spark = get_spark("vectolite-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    store = SparkVectolite(spark, args.db)
+    store = _open_store(args)
     d = store.get_document(args.doc_id)
     if d is None:
         print(f"Document {args.doc_id} not found")
@@ -166,6 +169,34 @@ def cmd_show(args) -> None:
     print(f"Length: {len(d['text'])} chars")
     print(f"Metadata: {json.dumps(d['metadata'])}")
     print(f"Text:\n{d['text']}")
+
+
+def cmd_history(args) -> None:
+    store = _open_store(args)
+    hist = store.history()
+    if not hist:
+        print("No commits.")
+        return
+    for h in hist:
+        print(
+            f"v{h['version']:>4}  {h['op']:<14} {h['n_dirs']:>3} dir(s)  "
+            f"{h['committed_at']}"
+        )
+
+
+def cmd_rollback(args) -> None:
+    store = _open_store(args)
+    v = store.rollback(args.version)
+    print(f"Restored version {args.version} as new commit v{v}")
+
+
+def cmd_vacuum(args) -> None:
+    store = _open_store(args)
+    out = store.vacuum(keep_versions=args.keep)
+    print(
+        f"Removed {out['removed_manifests']} manifest(s) and "
+        f"{out['removed_dirs']} unreferenced data dir(s)"
+    )
 
 
 def cmd_ui(args) -> None:
@@ -187,6 +218,12 @@ def make_parser() -> argparse.ArgumentParser:
 
     def common(sp, embed=True):
         sp.add_argument("--db", default="vectolite_store", help="store directory")
+        sp.add_argument(
+            "--versioned",
+            action="store_true",
+            help="snapshot-versioned backend (time travel, rollback); "
+            "auto-detected for existing versioned stores",
+        )
         if embed:
             sp.add_argument("--embedder", choices=["stub", "local", "openai"], default="stub")
             sp.add_argument("--model", default=None)
@@ -241,6 +278,24 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("doc_id", type=int)
     common(sp, embed=False)
     sp.set_defaults(fn=cmd_show)
+
+    sp = sub.add_parser("history", help="commit log of a versioned store")
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_history)
+
+    sp = sub.add_parser(
+        "rollback", help="restore an old version as a new commit"
+    )
+    sp.add_argument("version", type=int)
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_rollback)
+
+    sp = sub.add_parser(
+        "vacuum", help="drop old versions + unreferenced data dirs"
+    )
+    sp.add_argument("--keep", type=int, default=2, help="versions to retain")
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser(
         "ui", help="browse/search web UI (the reference's Streamlit surface)"
