@@ -146,3 +146,14 @@ def test_merge_prunes_and_upserts(store, spark):
     assert rows == {1: "doc 1", 2: "doc 2 v2", 3: "doc 3", 4: "doc 4", 9: "doc 9"}
     # pre-merge state still travelable
     assert _ids(store.read(version=1)) == [1, 2, 3, 4]
+
+
+def test_delete_where_null_predicate_keeps_row(store, spark):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    (here: NULL lang) must SURVIVE the delete, not vanish silently."""
+    df = spark.createDataFrame(
+        [(1, "de"), (2, None), (3, "en")], "id long, lang string"
+    )
+    store.append(df)
+    store.delete_where(F.col("lang") == "de")
+    assert _ids(store.read()) == [2, 3]  # the NULL-lang row is kept

@@ -54,10 +54,14 @@ def point_lookup(df: DataFrame, id_col: str, id_value) -> DataFrame:
 
 def delete_where(df: DataFrame, predicate: Column) -> DataFrame:
     """P3 (vectolite.py:186-199) as an immutable rewrite: rows NOT matching
-    the predicate survive. At 100 TB the real answer is a Delta/Iceberg
-    ``DELETE WHERE`` (file-level rewrite of affected files only); plain
-    parquet requires full rewrite — documented trade-off, same semantics."""
-    return df.filter(~predicate)
+    the predicate survive. SQL ``DELETE WHERE`` semantics exactly: only
+    rows where the predicate is TRUE are deleted — a NULL predicate (e.g.
+    ``lang = 'de'`` on a NULL lang) KEEPS the row; a bare ``~predicate``
+    filter would silently drop it. At 100 TB the real answer is a
+    Delta/Iceberg ``DELETE WHERE`` (file-level rewrite of affected files
+    only); plain parquet requires full rewrite — documented trade-off,
+    same semantics."""
+    return df.filter(~F.coalesce(predicate, F.lit(False)))
 
 
 def json_get(col: Column | str, path: str) -> Column:

@@ -129,19 +129,24 @@ class SnapshotStore:
         footer stats make it metadata-only for equality/range predicates —
         so at 100 TB a one-document delete rewrites one commit's worth of
         files, not the table. The old version stays time-travelable."""
+        from pyspark.sql import functions as F
+
         version = self.current_version() + 1
         if version == 0:
             raise VectoliteError("store is empty (no commits yet)")
         dirs = self._read_manifest(version - 1)["dirs"]
         kept: list[str] = []
         rewritten = 0
+        # SQL DELETE semantics: only predicate==TRUE rows die; a NULL
+        # predicate keeps the row (bare ~condition would drop it)
+        survives = ~F.coalesce(condition, F.lit(False))
         for i, d in enumerate(dirs):
             part = self.spark.read.parquet(d)
             if part.filter(condition).limit(1).count() == 0:
                 kept.append(d)
                 continue
             new_dir = f"{self._new_data_dir(version, 'delete')}-{i:04d}"
-            part.filter(~condition).write.mode("error").parquet(new_dir)
+            part.filter(survives).write.mode("error").parquet(new_dir)
             kept.append(new_dir)
             rewritten += 1
         return self._commit(
