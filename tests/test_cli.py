@@ -26,6 +26,14 @@ def test_parser_covers_reference_commands():
             assert getattr(args, k) == v
 
 
+def test_reference_embedder_flag_aliases():
+    p = make_parser()
+    # the reference's --local / --remote backend flags (vectolite.py:424-447)
+    assert p.parse_args(["add", "t", "--local"]).embedder == "local"
+    assert p.parse_args(["add", "t", "--remote"]).embedder == "openai"
+    assert p.parse_args(["add", "t"]).embedder == "stub"
+
+
 def test_metadata_validation():
     assert _parse_metadata(None) is None
     assert _parse_metadata('{"a": [1, null]}') == {"a": [1, None]}

@@ -96,3 +96,28 @@ def test_manage_stats_and_errors(ui):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base + "/add", {"text": "x", "metadata": "{not json"})
     assert e.value.code == 500
+
+
+def test_manage_history_and_rollback_versioned(spark, tmp_path):
+    store = SparkVectolite(
+        spark,
+        str(tmp_path / "uivdb"),
+        embed_fn=stub_embedder(dim=8),
+        versioned=True,
+    )
+    store.insert("keep me around")
+    store.insert("delete me soon")
+    store.delete_document(2)
+    server = serve_ui(store, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, page = _get(base + "/manage")
+        assert status == 200
+        assert "Version History" in page and "delete" in page
+        status, _ = _post(base + "/rollback", {"version": "1"})
+        assert status == 200
+        assert store.count_documents() == 2  # pre-delete state restored
+    finally:
+        server.shutdown()

@@ -226,6 +226,22 @@ def make_parser() -> argparse.ArgumentParser:
         )
         if embed:
             sp.add_argument("--embedder", choices=["stub", "local", "openai"], default="stub")
+            # reference-parity aliases (vectolite.py:424-447): --local /
+            # --remote select the embedding backend directly
+            sp.add_argument(
+                "--local",
+                action="store_const",
+                const="local",
+                dest="embedder",
+                help="alias for --embedder local (reference flag)",
+            )
+            sp.add_argument(
+                "--remote",
+                action="store_const",
+                const="openai",
+                dest="embedder",
+                help="alias for --embedder openai (reference flag)",
+            )
             sp.add_argument("--model", default=None)
             sp.add_argument("--dim", type=int, default=64, help="stub embedder dim")
 

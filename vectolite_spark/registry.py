@@ -5136,6 +5136,21 @@ _DRIVER_WINDOW = [
     "streaming_windowed_counts",
 ]
 
+# ROTATION BACKLOG for the r4 window (queries still without any
+# driver-green row after r3, in priority order — swap these into
+# _DRIVER_WINDOW next round, keeping only the ~14 core-parity entries):
+#   text_quality, token_count, doc_fingerprint, lang_id,
+#   multimodal_features, funnel_conversion, skew_safe_distinct,
+#   weighted_sample_aes, cohort_retention, incremental_agg_merge,
+#   minhash_estimation_error, embedding_cluster_stats, resample_ffill,
+#   char_entropy, top_quality_per_source, event_zscore_anomalies,
+#   ngram_novelty, embedding_dim_variance, equi_depth_histogram,
+#   ann_recall_eval, salted_segment_revenue, corpus_checksum,
+#   winsorized_stats, token_len_histogram, embedding_quantize_int8,
+#   dedup_simhash, ann_ivf_topk, q5/q6/q8/q9/q13/q15/q17/q22
+# (rows-only by design, no row possible: ann_lsh_topk,
+# approx_distinct_tokens)
+
 # driver-green in r1/r2 (CORRECTNESS_r01/r02.json) — safe to re-verify last
 _DEMOTED_STABLE = [
     "agg_pricing_summary",

@@ -120,6 +120,9 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
                 elif url.path == "/delete":
                     ok = store.delete_document(int(form["id"]))
                     self._redirect(f"/browse?deleted={int(ok)}")
+                elif url.path == "/rollback":
+                    v = store.rollback(int(form["version"]))
+                    self._redirect(f"/manage?restored={v}")
                 else:
                     self._send("<p class=err>Not found.</p>", 404)
             except Exception as e:
@@ -194,7 +197,7 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
 
         def page_manage(self, q):
             st = store.stats()
-            self._send(
+            body = [
                 "<h2>Database Management</h2>"
                 f"<p>Total Documents: <b>{st['document_count']}</b></p>"
                 f"<p>Database Size: <b>{st['db_size_mb']} MB</b></p>"
@@ -203,7 +206,18 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
                 "<form method=post action=/delete>"
                 "<p>Document ID to delete: <input name=id size=8> "
                 "<button>Delete Document by ID</button></p></form>"
-            )
+            ]
+            if getattr(store, "_snap", None) is not None:
+                body.append("<hr><h3>Version History</h3>")
+                for h in store.history():
+                    body.append(
+                        f"<div class=card>v{h['version']} — {_esc(h['op'])} "
+                        f"({h['n_dirs']} dirs) {_esc(h['committed_at'])} "
+                        "<form method=post action=/rollback style=display:inline>"
+                        f'<input type=hidden name=version value={h["version"]}>'
+                        "<button>Rollback to this</button></form></div>"
+                    )
+            self._send("".join(body))
 
     return Handler
 
