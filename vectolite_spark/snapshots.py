@@ -165,20 +165,30 @@ class SnapshotStore:
 
         version = self.current_version() + 1
         dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
-        keys = F.broadcast(incoming.select(key).distinct())
-        kept: list[str] = []
-        rewritten = 0
-        for i, d in enumerate(dirs):
-            part = self.spark.read.parquet(d)
-            if part.join(keys, key, "left_semi").limit(1).count() == 0:
-                kept.append(d)
-                continue
-            new_dir = f"{self._new_data_dir(version, 'merge')}-{i:04d}"
-            part.join(keys, key, "left_anti").write.mode("error").parquet(new_dir)
-            kept.append(new_dir)
-            rewritten += 1
-        inc_dir = f"{self._new_data_dir(version, 'merge')}-in"
-        incoming.write.mode("error").parquet(inc_dir)
+        # the key set probes EVERY dir — cache it once so an expensive
+        # incoming pipeline is not re-executed per dir (callers with a
+        # heavy upstream should also persist `incoming` itself: it is
+        # evaluated once more for the final write below)
+        key_set = incoming.select(key).distinct().cache()
+        try:
+            keys = F.broadcast(key_set)
+            kept: list[str] = []
+            rewritten = 0
+            for i, d in enumerate(dirs):
+                part = self.spark.read.parquet(d)
+                if part.join(keys, key, "left_semi").limit(1).count() == 0:
+                    kept.append(d)
+                    continue
+                new_dir = f"{self._new_data_dir(version, 'merge')}-{i:04d}"
+                part.join(keys, key, "left_anti").write.mode("error").parquet(
+                    new_dir
+                )
+                kept.append(new_dir)
+                rewritten += 1
+            inc_dir = f"{self._new_data_dir(version, 'merge')}-in"
+            incoming.write.mode("error").parquet(inc_dir)
+        finally:
+            key_set.unpersist(blocking=False)
         return self._commit(
             kept + [inc_dir],
             "merge",
