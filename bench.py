@@ -179,8 +179,9 @@ def main() -> None:
 
     idx = IVFPQIndex(spark, idx_path, m=8)
     idx.topk(qvecs[0], k=10, n_probe=4, refine=100).count()  # warm plans
+    probe_q = qvecs[1 % len(qvecs)]  # tiny SFs may sample only one vector
     t0 = time.time()
-    idx.topk(qvecs[1], k=10, n_probe=4, refine=100).count()
+    idx.topk(probe_q, k=10, n_probe=4, refine=100).count()
     timings["ivfpq_probe_partial_1q"] = round(time.time() - t0, 4)
 
     # -- registry queries (cold plans, parquet scans included) -------------

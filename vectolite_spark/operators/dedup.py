@@ -155,13 +155,19 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_key"),
     )
-    ok_buckets = (
-        band_rows.groupBy("band_id", "band_key")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .drop("count")
+    # bucket cap via COUNT OVER (PARTITION BY band) — one shuffle on the
+    # band key (which the self-join below needs anyway) instead of a
+    # groupBy+semi-join round trip; the CACHED relation is the filtered
+    # one, so neither join side recomputes the window
+    from pyspark.sql import Window
+
+    bc = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+    band_rows = _managed_cache(
+        "minhash_bands",
+        band_rows.withColumn("_bc", bc)
+        .filter(F.col("_bc") <= max_bucket_size)
+        .drop("_bc"),
     )
-    band_rows = band_rows.join(ok_buckets, ["band_id", "band_key"], "left_semi")
     a = band_rows.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("doc_a")
     )
