@@ -311,13 +311,12 @@ def simhash_near_pairs(
         F.col("simhash").alias("sim_b"),
         F.explode(probes).alias("probe"),
     )
-    ok = (
-        b.groupBy("probe")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .drop("count")
-    )
-    b = b.join(ok, "probe", "left_semi")
+    from pyspark.sql import Window
+
+    # probe-bucket cap as COUNT OVER (PARTITION BY probe): one shuffle on
+    # the probe key the join below needs anyway, no groupBy+semi round trip
+    bc = F.count(F.lit(1)).over(Window.partitionBy("probe"))
+    b = b.withColumn("_bc", bc).filter(F.col("_bc") <= max_bucket_size).drop("_bc")
     return (
         a.join(b, "probe")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -417,13 +416,18 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("vec_id"),
         "embedding",
     )
-    ok_blocks = (
-        normalized.groupBy("block")
-        .count()
-        .filter(F.col("count") <= max_block_size)
-        .drop("count")
+    # block cap via COUNT OVER (PARTITION BY block): the window's hash
+    # partitioning on block already satisfies applyInPandas's grouping
+    # distribution, so the cap costs ZERO extra shuffles (vs the old
+    # groupBy+semi-join round trip)
+    from pyspark.sql import Window
+
+    bc = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    normalized = (
+        normalized.withColumn("_bc", bc)
+        .filter(F.col("_bc") <= max_block_size)
+        .drop("_bc")
     )
-    normalized = normalized.join(ok_blocks, "block", "left_semi")
     return normalized.groupBy("block").applyInPandas(
         fn, schema="id_a long, id_b long, score double"
     )
@@ -462,13 +466,15 @@ def embedding_srp_pairs(
             mapper, schema="vec_id long, embedding array<float>, block string"
         )
     )
-    ok = (
-        bucketed.groupBy("block")
-        .count()
-        .filter(F.col("count") <= max_block_size)
-        .drop("count")
+    # same zero-extra-shuffle window cap as embedding_cosine_pairs
+    from pyspark.sql import Window
+
+    bc = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    bucketed = (
+        bucketed.withColumn("_bc", bc)
+        .filter(F.col("_bc") <= max_block_size)
+        .drop("_bc")
     )
-    bucketed = bucketed.join(ok, "block", "left_semi")
     fn = make_block_cosine_pairs_fn(min_score)
     return (
         bucketed.groupBy("block")
@@ -769,10 +775,12 @@ def blocked_fuzzy_pairs(
         F.col(name_col).alias("nm"),
         F.split(F.trim(F.lower(F.col(name_col))), r"\s+").getItem(0).alias("blk"),
     )
-    ok = b.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") <= max_block_size
-    ).select("blk")
-    b = b.join(ok, "blk")
+    # block cap via a window on blk — one shuffle, feeding the self-join
+    # on the same key (no groupBy+inner-join round trip)
+    from pyspark.sql import Window
+
+    bc = F.count(F.lit(1)).over(Window.partitionBy("blk"))
+    b = b.withColumn("_bc", bc).filter(F.col("_bc") <= max_block_size).drop("_bc")
     left = b.select(F.col("blk"), F.col("k").alias("key_a"), F.col("nm").alias("name_a"))
     right = b.select(F.col("blk"), F.col("k").alias("key_b"), F.col("nm").alias("name_b"))
     return (
