@@ -157,3 +157,16 @@ def test_delete_where_null_predicate_keeps_row(store, spark):
     store.append(df)
     store.delete_where(F.col("lang") == "de")
     assert _ids(store.read()) == [2, 3]  # the NULL-lang row is kept
+
+
+def test_maybe_compact_threshold(store, spark):
+    assert store.maybe_compact() is None  # empty store: no-op
+    for i in range(5):
+        store.append(_df(spark, [i]))
+    assert store.maybe_compact(max_dirs=10) is None  # under threshold
+    v = store.maybe_compact(max_dirs=3, target_files=1)
+    assert v == 5 and store.history()[0]["op"] == "compact"
+    assert len(store._read_manifest(v)["dirs"]) == 1
+    assert _ids(store.read()) == [0, 1, 2, 3, 4]
+    # idempotent once compacted
+    assert store.maybe_compact(max_dirs=3) is None

@@ -200,6 +200,23 @@ class SnapshotStore:
             self.read().coalesce(target_files), op="compact"
         )
 
+    def maybe_compact(self, max_dirs: int = 64, target_files: int = 8) -> int | None:
+        """Threshold-gated compaction — the small-files policy a long-lived
+        table needs: every append/stream commit adds a dir, and a scan of
+        10k tiny dirs is listing- and open-bound long before it is
+        IO-bound. When the current version references more than
+        ``max_dirs`` dirs, rewrite into ``target_files`` files (one
+        commit; history intact; vacuum reclaims later). Returns the new
+        version, or None when under threshold. Call it from ingest loops
+        or a maintenance schedule — it is deliberately not automatic in
+        the write path, so commit latency stays predictable."""
+        version = self.current_version()
+        if version < 0:
+            return None
+        if len(self._read_manifest(version)["dirs"]) <= max_dirs:
+            return None
+        return self.compact(target_files)
+
     def rollback(self, version: int) -> int:
         """Restore an old version AS A NEW COMMIT (never mutates history —
         the bad versions stay inspectable, exactly Delta's RESTORE)."""
