@@ -96,3 +96,40 @@ def test_rerank_stub_deterministic_and_gated(spark):
     assert "sentence-transformers" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError
     )
+
+
+def test_bm25_index_matches_scan_side(spark, sf_dir, tmp_path):
+    """The persisted inverted index must reproduce the scan-side BM25
+    scores exactly, and the probe must read only the query terms'
+    partitions (partition pruning on bucket)."""
+    from vectolite_spark.operators.retrieval import (
+        BM25Index,
+        build_bm25_index,
+        bm25_scores,
+        term_bucket,
+    )
+    from vectolite_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25idx")
+    build_bm25_index(docs, path, n_buckets=16)
+    idx = BM25Index(spark, path)
+    terms = ["vector", "scan", "merge"]
+    got = {(r["doc_id"], r["score"]) for r in idx.topk(terms, k=10).collect()}
+    want = {
+        (r["doc_id"], r["score"])
+        for r in bm25_scores(docs, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    }
+    assert got == want and len(got) == 10
+    # pruning: the probe plan carries a bucket partition filter, and the
+    # probed bucket set is exactly the terms' buckets
+    plan = idx.scores(terms)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+    assert {term_bucket(t, 16) for t in terms} == {
+        term_bucket(t, idx.n_buckets) for t in terms
+    }
+    # stats survive the parquet round trip
+    assert idx.n_docs == docs.count() and idx.n_buckets == 16

@@ -125,3 +125,115 @@ def rerank(
         )
         .orderBy(F.desc("rerank_score"), F.asc(id_col))
     )
+
+
+# -- persisted inverted index (build/probe split for lexical search) --------
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the bucket expression below: md5-prefix of the
+    term mod n_buckets. Both sides MUST agree — the probe prunes to the
+    buckets of the query's terms."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(term_col, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Build and PERSIST the inverted index for BM25 — the lexical
+    analogue of ``ann.build_ivf_index``'s build/probe split. Layout:
+
+        {path}/postings   (term, doc_id, tf, dl, df) partitioned by
+                          bucket = md5(term) % n_buckets
+        {path}/stats      one row: n_docs, avgdl (exact-DECIMAL mean),
+                          n_buckets
+
+    ``bm25_scores`` re-scans and re-tokenizes the corpus per query — right
+    when term stats ride an existing scan, wrong amortization for a query
+    workload. Here tokenization/tf/df/dl are paid ONCE; a query reads only
+    the probed term-buckets (partition pruning), so serving cost scales
+    with posting-list size, not corpus size. df rides denormalized on the
+    posting rows so the probe needs no second lookup table."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    ).withColumn("n_buckets", F.lit(n_buckets))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    (
+        tf.join(df_tbl, "term")
+        .join(dl, "doc_id")
+        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+        .select("bucket", "term", "doc_id", "tf", "dl", "df")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )
+
+
+class BM25Index:
+    """Handle over a persisted BM25 inverted index. Query = probe the
+    buckets of the query's terms (partition pruning) -> score posting
+    rows with the SAME formula as ``bm25_scores`` -> one skinny
+    (doc_id, partial-score) aggregation. The corpus itself is never
+    touched at query time."""
+
+    def __init__(self, spark, index_path: str):
+        self.spark = spark
+        self.path = index_path
+        row = spark.read.parquet(f"{index_path}/stats").first()
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+        self.n_buckets = int(row["n_buckets"])
+
+    def scores(self, terms: Sequence[str]) -> DataFrame:
+        terms = list(terms)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        p = (
+            self.spark.read.parquet(f"{self.path}/postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        idf = F.log(
+            (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        norm = F.col("tf") + BM25_K1 * (
+            (1 - BM25_B) + BM25_B * F.col("dl") / F.lit(self.avgdl)
+        )
+        per_term = idf * F.col("tf") * (BM25_K1 + 1) / norm
+        return p.groupBy("doc_id").agg(
+            F.round(F.sum(per_term), 6).alias("score")
+        )
+
+    def topk(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        return (
+            self.scores(terms)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

@@ -5070,6 +5070,36 @@ def snapshot_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_indexed_topk",
+    "WITH "
+    + _SQL_BM25
+    + """
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index (build-once into
+    ``.cache``, probe per query) — the lexical build/probe split
+    (``retrieval.build_bm25_index``). The query reads only the term
+    buckets of the 3 query terms (partition pruning on the postings
+    layout) and never touches the corpus. REQUIRED to equal the
+    scan-side ``bm25_topk`` result, whose SQL is the shared oracle."""
+    import os
+
+    from vectolite_spark.operators.retrieval import BM25Index, build_bm25_index
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    index_path = os.path.join(
+        repo_root, ".cache",
+        "bm25_v1_b32_" + os.path.basename(os.path.abspath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(index_path, "postings", "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        build_bm25_index(docs, index_path, n_buckets=32)
+    return BM25Index(spark, index_path).topk(_BM25_TERMS, k=10)
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -5147,7 +5177,8 @@ _DRIVER_WINDOW = [
 #   ngram_novelty, embedding_dim_variance, equi_depth_histogram,
 #   ann_recall_eval, salted_segment_revenue, corpus_checksum,
 #   winsorized_stats, token_len_histogram, embedding_quantize_int8,
-#   dedup_simhash, ann_ivf_topk, q5/q6/q8/q9/q13/q15/q17/q22
+#   dedup_simhash, ann_ivf_topk, bm25_indexed_topk,
+#   q5/q6/q8/q9/q13/q15/q17/q22
 # (rows-only by design, no row possible: ann_lsh_topk,
 # approx_distinct_tokens)
 
