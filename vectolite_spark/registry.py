@@ -5100,6 +5100,65 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BM25Index(spark, index_path).topk(_BM25_TERMS, k=10)
 
 
+@register(
+    "hybrid_indexed_topk",
+    _SQL_HYBRID_CTES
+    + """
+SELECT doc_id, rrf, rank_lex, rank_vec
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+)
+def hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search served ENTIRELY from persisted indexes: BM25 top-20
+    from the inverted-index probe + cosine top-20 from the IVF index
+    (full probe == exact), RRF-fused — at query time neither side scans
+    or tokenizes the corpus; the only reads are the query terms' posting
+    buckets and the probed IVF cells. Shares ``hybrid_rrf_topk``'s
+    oracle, so index-served results are REQUIRED to equal the scan-side
+    pipeline bit-for-bit."""
+    import os
+
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
+    from vectolite_spark.operators.retrieval import (
+        BM25Index,
+        build_bm25_index,
+        rrf_fuse,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_tag = os.path.basename(os.path.abspath(sf_dir))
+    bm25_path = os.path.join(repo_root, ".cache", "bm25_v1_b32_" + sf_tag)
+    if not os.path.exists(os.path.join(bm25_path, "postings", "_SUCCESS")):
+        build_bm25_index(
+            load_table(spark, sf_dir, "documents"), bm25_path, n_buckets=32
+        )
+    ivf_path = os.path.join(repo_root, ".cache", "ivf_" + sf_tag)
+    if not os.path.exists(os.path.join(ivf_path, "cells", "_SUCCESS")):
+        build_ivf_index(load_table(spark, sf_dir, "embeddings"), ivf_path)
+    qvec = _query_vector(spark, sf_dir)
+    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lexr = (
+        BM25Index(spark, bm25_path)
+        .topk(_BM25_TERMS, k=20)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .select("doc_id", "rank")
+    )
+    ivf = load_ivf_index(spark, ivf_path)
+    cosr = (
+        ivf.topk(qvec, k=20, n_probe=len(ivf.centroids))
+        .select(F.col("vec_id").alias("doc_id"), "score")
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .select("doc_id", "rank")
+    )
+    return (
+        rrf_fuse(lexr, cosr)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -5177,7 +5236,7 @@ _DRIVER_WINDOW = [
 #   ngram_novelty, embedding_dim_variance, equi_depth_histogram,
 #   ann_recall_eval, salted_segment_revenue, corpus_checksum,
 #   winsorized_stats, token_len_histogram, embedding_quantize_int8,
-#   dedup_simhash, ann_ivf_topk, bm25_indexed_topk,
+#   dedup_simhash, ann_ivf_topk, bm25_indexed_topk, hybrid_indexed_topk,
 #   q5/q6/q8/q9/q13/q15/q17/q22
 # (rows-only by design, no row possible: ann_lsh_topk,
 # approx_distinct_tokens)
