@@ -166,3 +166,28 @@ def test_ingest_jsonl_end_to_end(spark, tmp_path):
     assert store.count_documents() == 20
     hits = store.query("jsonl doc number 7 about topic 1", top_k=1)
     assert hits and "jsonl doc" in hits[0]["text"]
+
+
+def test_ingest_pipeline_into_versioned_store(spark, tmp_path):
+    """Distributed ingest (chunk -> embed -> append_dataframe) lands in a
+    snapshot commit when the store is versioned: the Observation row
+    count still reports correctly (the write happens inside
+    SnapshotStore.append), and the ingest is one time-travelable commit."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.ingest import ingest_files
+    from vectolite_spark.store import SparkVectolite
+
+    f = tmp_path / "vcorpus.txt"
+    f.write_text("first paragraph\n\nsecond paragraph\n\nthird paragraph")
+    store = SparkVectolite(
+        spark, str(tmp_path / "vdb"), embed_fn=stub_embedder(dim=8), versioned=True
+    )
+    # max_chars=20 forces one chunk per paragraph
+    n = ingest_files(store, str(f), chunk=True, max_chars=20, overlap=0, embed_dim=8)
+    assert n == 3 and store.count_documents() == 3
+    hist = store.history()
+    assert [h["op"] for h in hist] == ["append"]
+    # a second ingest is a second commit; v0 still sees only the first
+    n2 = ingest_files(store, str(f), chunk=True, max_chars=20, overlap=0, embed_dim=8)
+    assert n2 == 3 and store.count_documents() == 6
+    assert store.read_version(0).count() == 3
