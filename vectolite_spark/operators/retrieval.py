@@ -4,12 +4,13 @@ fusion of a lexical list with a vector (cosine) list — the standard
 (the reference engine is vector-only; this is the SURVEY §2.9 extension
 that makes it a complete search engine).
 
-Scale shape: BM25 over 100 TB is NOT an inverted-index lookup here — it
-is a scan-side term filter: explode tokens, keep only the query's terms
-(a literal IN over a handful of strings, evaluated inside codegen before
-any shuffle), then one narrow (doc_id, term, tf) aggregation. The
-corpus-level stats (N, avgdl, per-term df) are tiny relations that ride
-broadcasts. Nothing Python-side anywhere.
+Scale shape: scan-side BM25 over 100 TB is two narrow passes and zero
+wide shuffles: per-doc tf for each query term is a codegen'd array
+filter (the term set is tiny and literal), corpus stats (N, avgdl,
+per-term df) collapse to ONE broadcast aggregation row, and scoring is
+a projection feeding TakeOrdered. Nothing Python-side anywhere. For a
+query workload, the persisted inverted index below amortizes the scans
+away entirely.
 
 Determinism contract with the DuckDB oracle: tf/dl/df are exact
 integers; avgdl is an exact DECIMAL sum over a COUNT; idf uses ln()
@@ -41,36 +42,68 @@ def bm25_scores(
     score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
     idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)   (Robertson/Sparck Jones,
     the Lucene variant that keeps idf positive).
+
+    Shape: the query's term set is tiny and known up front, so per-doc tf
+    for EACH term is a codegen'd array ``filter``+``size`` on the token
+    array — no explode, no (doc_id, term) shuffle. One global aggregation
+    produces n_docs/avgdl/df_t together as a single broadcast row; the
+    final pass re-scans, keeps docs with >= 1 hit, and projects the score
+    expression. Two narrow corpus scans, zero wide shuffles (the r3
+    explode/groupBy formulation paid four tokenization passes and three
+    shuffles for the same answer).
     """
-    toks = docs.select(F.col(id_col), norm_tokens(text_col).alias("t"))
-    dl = toks.select(id_col, F.size("t").alias("dl"))
-    stats = dl.agg(
+    terms = list(dict.fromkeys(terms))
+
+    def _is_term(term):
+        # one-arg lambda only: F.filter treats a 2-arg lambda as (x, idx)
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    per_doc = docs.select(
+        F.col(id_col), norm_tokens(text_col).alias("t")
+    ).select(
+        id_col,
+        F.size("t").alias("dl"),
+        *[
+            F.size(F.filter("t", _is_term(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum(F.col("dl").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.select(id_col, F.explode("t").alias("term"))
-        .filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    norm = F.col("tf") + BM25_K1 * (
-        (1 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    per_term = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    any_hit = None
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1
+        )
+        norm = tf + BM25_K1 * (
+            (1 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        contribs.append(
+            F.when(tf > 0, idf * tf * (BM25_K1 + 1) / norm).otherwise(0.0)
+        )
+        hit = tf > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
     return (
-        tf.join(F.broadcast(df_tbl), "term")
-        .join(dl, id_col)
+        per_doc.filter(any_hit)
         .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(per_term), 6).alias("score"))
+        .select(F.col(id_col), F.round(total, 6).alias("score"))
     )
 
 
