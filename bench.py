@@ -169,12 +169,7 @@ def main() -> None:
     # one-time build; serving latency is the warm probe, measured here)
     from vectolite_spark import registry
 
-    registry.QUERIES["ann_ivfpq_probe_prebuilt"](spark, SF_DIR).count()  # build
-    import os as _os
-
-    idx_path = _os.path.join(
-        REPO, ".cache", "ivfpq_v2_c16m8k16_" + _os.path.basename(SF_DIR.rstrip("/"))
-    )
+    idx_path = registry._ensure_ivfpq_index(spark, SF_DIR)  # build-if-absent
     from vectolite_spark.operators.ann import IVFPQIndex
 
     idx = IVFPQIndex(spark, idx_path, m=8)

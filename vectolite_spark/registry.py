@@ -46,6 +46,68 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def index_cache_path(recipe: str, sf_dir: str) -> str:
+    """Repo-local ``.cache`` location for a prebuilt (build-once,
+    probe-many) index. The key is recipe tag + dataset basename + an
+    absolute-path fingerprint, so two datasets that happen to share a
+    directory basename can never silently serve each other's index
+    (ADVICE r3). Bump the recipe tag whenever the build layout or
+    routing changes so a stale on-disk index never serves a new code
+    path."""
+    import hashlib
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ap = os.path.abspath(sf_dir)
+    fp = hashlib.md5(ap.encode("utf-8")).hexdigest()[:8]
+    return os.path.join(
+        repo_root, ".cache", f"{recipe}_{os.path.basename(ap)}-{fp}"
+    )
+
+
+def _ensure_ivfpq_index(spark, sf_dir: str, embs: DataFrame | None = None) -> str:
+    """Build-if-absent IVF-PQ index (recipe ivfpq_v2: Lloyd-refined
+    routing, 16 cells, m=8, k=16); returns its path. Shared by every
+    IVFPQ registry entry and by bench.py so build cost is paid once per
+    dataset, never per query."""
+    import os
+
+    from vectolite_spark.operators.ann import build_ivfpq_index
+
+    path = index_cache_path("ivfpq_v2_c16m8k16", sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        if embs is None:
+            embs = load_table(spark, sf_dir, "embeddings")
+        build_ivfpq_index(embs, path, n_cells=16, m=8, pq_k=16, pq_iters=0)
+    return path
+
+
+def _ensure_bm25_index(spark, sf_dir: str) -> str:
+    """Build-if-absent persisted BM25 inverted index; returns its path."""
+    import os
+
+    from vectolite_spark.operators.retrieval import build_bm25_index
+
+    path = index_cache_path("bm25_v1_b32", sf_dir)
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        build_bm25_index(
+            load_table(spark, sf_dir, "documents"), path, n_buckets=32
+        )
+    return path
+
+
+def _ensure_ivf_index(spark, sf_dir: str) -> str:
+    """Build-if-absent persisted IVF index; returns its path."""
+    import os
+
+    from vectolite_spark.operators.ann import build_ivf_index
+
+    path = index_cache_path("ivf_v1", sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        build_ivf_index(load_table(spark, sf_dir, "embeddings"), path)
+    return path
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """The 'embed the query' step (reference vectolite.py:141) — driver-side,
     one tiny lookup; the vector ships into the plan as a literal."""
@@ -2449,19 +2511,13 @@ def ann_ivf_built_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids + cell-PARTITIONED vectors — is persisted once, then the
     query scans only the n_probe=2 probed partitions (partition filter,
     zero Exchange, no posexplode; plan-asserted in test_scale_plans).
-    The build cost amortizes across queries instead of recurring per call.
+    The build cost amortizes across queries instead of recurring per call
+    (build-if-absent via the shared fingerprinted ``.cache`` layout).
     """
-    import os
+    from vectolite_spark.operators.ann import load_ivf_index
 
-    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
-
-    embs = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    index_path = os.path.join(
-        repo_root, ".cache", "ivf_" + os.path.basename(os.path.abspath(sf_dir))
-    )
-    build_ivf_index(embs, index_path)  # overwrite: cheap, stale-proof
+    index_path = _ensure_ivf_index(spark, sf_dir)
     return load_ivf_index(spark, index_path).topk(qvec, k=10, n_probe=2)
 
 
@@ -3466,23 +3522,23 @@ def ann_ivfpq_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     REQUIRED to equal brute-force cosine top-k (the flagship oracle).
     Any bug in cell assignment, code layout, candidate handoff, or
     rescore breaks the hash. Partial-probe recall behavior is gated by
-    pytest (test_ivfpq_build_query_and_pruning)."""
-    import shutil
-    import tempfile
+    pytest (test_ivfpq_build_query_and_pruning).
 
-    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+    The index comes from the SAME build-if-absent ``.cache`` layout as
+    ``ann_ivfpq_probe_prebuilt`` (VERDICT r3 item 3) — building into a
+    tempdir per call conflated one-time build cost with query latency.
+    The first call in a process pays the build; every later call (and
+    every other entry sharing the recipe) probes the persisted index,
+    exactly like a serving deployment."""
+    from vectolite_spark.operators.ann import IVFPQIndex
 
     embs = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
     n = embs.count()
-    base = tempfile.mkdtemp(prefix="vl_ivfpq_")
-    try:
-        build_ivfpq_index(embs, f"{base}/idx", n_cells=16, m=8, pq_k=16,
-                          pq_iters=0)
-        idx = IVFPQIndex(spark, f"{base}/idx", m=8)
-        rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    idx = IVFPQIndex(
+        spark, _ensure_ivfpq_index(spark, sf_dir, embs), m=8
+    )
+    rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
     return spark.createDataFrame(
         [(r["vec_id"], r["score"]) for r in rows], "vec_id long, score double"
     )
@@ -4995,28 +5051,13 @@ def ann_ivfpq_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ-scan, exact rescore — with the build cost amortized where it
     belongs. Full probe + refine >= N keeps the exact-rescore guarantee,
     so the result is REQUIRED to equal brute-force cosine top-k (the
-    flagship oracle). ``ann_ivfpq_exact_rescore`` keeps measuring the
-    cold build+query path; this entry is the warm path a 100 TB serving
-    deployment actually runs."""
-    import os
-
-    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+    flagship oracle)."""
+    from vectolite_spark.operators.ann import IVFPQIndex
 
     embs = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
     n = embs.count()
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # v2: cache key versions the BUILD RECIPE (v2 = Lloyd-refined IVF
-    # routing) — bump it whenever build_ivfpq_index's layout or routing
-    # changes so a stale on-disk index can never serve a new code path
-    index_path = os.path.join(
-        repo_root,
-        ".cache",
-        "ivfpq_v2_c16m8k16_" + os.path.basename(os.path.abspath(sf_dir)),
-    )
-    if not os.path.exists(os.path.join(index_path, "cells", "_SUCCESS")):
-        build_ivfpq_index(embs, index_path, n_cells=16, m=8, pq_k=16, pq_iters=0)
-    idx = IVFPQIndex(spark, index_path, m=8)
+    idx = IVFPQIndex(spark, _ensure_ivfpq_index(spark, sf_dir, embs), m=8)
     rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
     return spark.createDataFrame(
         [(r["vec_id"], r["score"]) for r in rows], "vec_id long, score double"
@@ -5085,19 +5126,11 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets of the 3 query terms (partition pruning on the postings
     layout) and never touches the corpus. REQUIRED to equal the
     scan-side ``bm25_topk`` result, whose SQL is the shared oracle."""
-    import os
+    from vectolite_spark.operators.retrieval import BM25Index
 
-    from vectolite_spark.operators.retrieval import BM25Index, build_bm25_index
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    index_path = os.path.join(
-        repo_root, ".cache",
-        "bm25_v1_b32_" + os.path.basename(os.path.abspath(sf_dir)),
+    return BM25Index(spark, _ensure_bm25_index(spark, sf_dir)).topk(
+        _BM25_TERMS, k=10
     )
-    if not os.path.exists(os.path.join(index_path, "postings", "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents")
-        build_bm25_index(docs, index_path, n_buckets=32)
-    return BM25Index(spark, index_path).topk(_BM25_TERMS, k=10)
 
 
 @register(
@@ -5116,27 +5149,13 @@ def hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets and the probed IVF cells. Shares ``hybrid_rrf_topk``'s
     oracle, so index-served results are REQUIRED to equal the scan-side
     pipeline bit-for-bit."""
-    import os
-
     from pyspark.sql import Window
 
-    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
-    from vectolite_spark.operators.retrieval import (
-        BM25Index,
-        build_bm25_index,
-        rrf_fuse,
-    )
+    from vectolite_spark.operators.ann import load_ivf_index
+    from vectolite_spark.operators.retrieval import BM25Index, rrf_fuse
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sf_tag = os.path.basename(os.path.abspath(sf_dir))
-    bm25_path = os.path.join(repo_root, ".cache", "bm25_v1_b32_" + sf_tag)
-    if not os.path.exists(os.path.join(bm25_path, "postings", "_SUCCESS")):
-        build_bm25_index(
-            load_table(spark, sf_dir, "documents"), bm25_path, n_buckets=32
-        )
-    ivf_path = os.path.join(repo_root, ".cache", "ivf_" + sf_tag)
-    if not os.path.exists(os.path.join(ivf_path, "cells", "_SUCCESS")):
-        build_ivf_index(load_table(spark, sf_dir, "embeddings"), ivf_path)
+    bm25_path = _ensure_bm25_index(spark, sf_dir)
+    ivf_path = _ensure_ivf_index(spark, sf_dir)
     qvec = _query_vector(spark, sf_dir)
     rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lexr = (
