@@ -170,3 +170,83 @@ def test_maybe_compact_threshold(store, spark):
     assert _ids(store.read()) == [0, 1, 2, 3, 4]
     # idempotent once compacted
     assert store.maybe_compact(max_dirs=3) is None
+
+
+def test_delete_during_concurrent_commit_raises_not_lost_update(store, spark):
+    """The lost-update window (ADVICE r3): a writer that planned its dir
+    list against version N-1 must FAIL with SnapshotConflict if another
+    commit lands while it rewrites — not silently commit a manifest that
+    drops the concurrent commit's dirs."""
+    store.append(_df(spark, [1, 2]))
+    store.append(_df(spark, [3, 4]))
+
+    # interleave: a second writer commits while delete_where is between
+    # its manifest read and its _commit
+    writer2 = SnapshotStore(spark, store.path)
+    orig = store._affected_dirs
+
+    def racing_probe(dirs, probe):
+        writer2.append(_df(spark, [99]))  # lands version 2 first
+        return orig(dirs, probe)
+
+    store._affected_dirs = racing_probe
+    with pytest.raises(SnapshotConflict):
+        store.delete_where(F.col("id") == 3)
+    # the concurrent append survives; a plain retry now sees it
+    store._affected_dirs = orig
+    assert 99 in _ids(store.read())
+    store.delete_where(F.col("id") == 3)
+    assert _ids(store.read()) == [1, 2, 4, 99]
+
+
+def test_conflicted_delete_retry_self_heals(store, spark):
+    """A conflicted attempt strands a uniquely-named data dir; the retry
+    of the same operation at the same version must succeed (no
+    path-already-exists from deterministic names) and vacuum collects
+    the stranded dir."""
+    store.append(_df(spark, [1, 2, 3]))
+    writer2 = SnapshotStore(spark, store.path)
+    orig = store._affected_dirs
+
+    def racing_probe(dirs, probe):
+        store._affected_dirs = orig  # race once
+        writer2.append(_df(spark, [50]))
+        return orig(dirs, probe)
+
+    store._affected_dirs = racing_probe
+    with pytest.raises(SnapshotConflict):
+        store.delete_where(F.col("id") == 2)
+    store.delete_where(F.col("id") == 2)  # retry at the new version
+    assert _ids(store.read()) == [1, 3, 50]
+    res = store.vacuum(keep_versions=1)
+    assert res["removed_dirs"] >= 1  # the conflicted attempt's stranded dir
+
+
+def test_delete_all_rows_of_a_dir_keeps_table_readable(store, spark):
+    store.append(_df(spark, [1, 2]))
+    store.append(_df(spark, [3, 4]))
+    v = store.delete_where(F.col("id").isin([3, 4]))
+    m = store._read_manifest(v)
+    assert m["rewritten_dirs"] == 1 and m["pruned_dirs"] == 1
+    # the all-rows-dead rewrite must leave the table readable (an empty
+    # parquet part still carries schema; a data-file-less dir is dropped)
+    assert len(m["dirs"]) <= 2
+    assert _ids(store.read()) == [1, 2]
+
+
+def test_single_probe_job_for_many_dirs(store, spark):
+    """The matched-dir probe is ONE Spark job regardless of dir count."""
+    for c in range(6):
+        store.append(_df(spark, [c * 10, c * 10 + 1]))
+    sc = spark.sparkContext
+    sc.setJobGroup("snap-delete-jobs", "count jobs in delete_where")
+    try:
+        store.delete_where(F.col("id") == 30)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("snap-delete-jobs")
+    # constant job count (probe + rewrite + schema/AQE bookkeeping), never
+    # O(dirs) round trips — the r3 shape ran >= 1 probe job PER dir (>= 7
+    # jobs here before the rewrite even started)
+    assert len(jobs) <= 6, f"delete ran {len(jobs)} jobs for 6 dirs"
+    assert _ids(store.read()) == [0, 1, 10, 11, 20, 21, 31, 40, 41, 50, 51]

@@ -19,15 +19,18 @@ import sys
 from vectolite_spark.errors import VectoliteError
 
 
-def _wants_versioned(args) -> bool:
+def _wants_versioned(args, spark) -> bool:
     """--versioned opts in; an existing snapshot layout (a ``_versions``
     dir) is auto-detected so a versioned store never gets misread as a
-    flat parquet dir when the flag is forgotten."""
-    import os
+    flat parquet dir when the flag is forgotten. The probe goes through
+    the same Hadoop FS abstraction the store uses, so detection also
+    works for non-local --db paths (hdfs://, s3a://), not just POSIX."""
+    if bool(getattr(args, "versioned", False)):
+        return True
+    from vectolite_spark.store import _HadoopFS
 
-    return bool(getattr(args, "versioned", False)) or os.path.isdir(
-        os.path.join(args.db, "_versions")
-    )
+    db = args.db.rstrip("/")
+    return _HadoopFS(spark, db).exists(f"{db}/_versions")
 
 
 def _open_store(args):
@@ -37,7 +40,9 @@ def _open_store(args):
 
     spark = get_spark("vectolite-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    return SparkVectolite(spark, args.db, versioned=_wants_versioned(args))
+    return SparkVectolite(
+        spark, args.db, versioned=_wants_versioned(args, spark)
+    )
 
 
 def _build_store(args):
@@ -55,7 +60,8 @@ def _build_store(args):
             getattr(args, "model", None), local=(embedder == "local")
         )
     return SparkVectolite(
-        spark, args.db, embed_fn=embed_fn, versioned=_wants_versioned(args)
+        spark, args.db, embed_fn=embed_fn,
+        versioned=_wants_versioned(args, spark),
     )
 
 

@@ -217,6 +217,18 @@ def ingest_jsonl(
     appending nothing — the file exists but is not line-delimited JSON,
     or has no non-empty text field (ADVICE r2)."""
     files_df = read_jsonl(store.spark, paths, text_field=text_field)
+    # emptiness check BEFORE the append: on a versioned store the append
+    # is a commit, and a failed ingest must not leave an empty 'append'
+    # version in history (ADVICE r3)
+    if files_df.limit(1).count() == 0:
+        paths_list = [paths] if isinstance(paths, str) else list(paths)
+        if all("*" not in p and "?" not in p for p in paths_list):
+            raise VectoliteError(
+                f"0 documents ingested from {paths_list}: no line had a "
+                f"non-empty {text_field!r} JSON field — is the file really "
+                "NDJSON (one JSON object per line)?"
+            )
+        return 0  # empty glob: nothing to ingest, nothing committed
     pipe = ingest_pipeline(
         files_df,
         base_metadata=base_metadata,
@@ -226,12 +238,4 @@ def ingest_jsonl(
         embed_provider=embed_provider,
         embed_dim=embed_dim,
     )
-    n = store.append_dataframe(pipe)
-    paths_list = [paths] if isinstance(paths, str) else list(paths)
-    if n == 0 and all("*" not in p and "?" not in p for p in paths_list):
-        raise VectoliteError(
-            f"0 documents ingested from {paths_list}: no line had a "
-            f"non-empty {text_field!r} JSON field — is the file really "
-            "NDJSON (one JSON object per line)?"
-        )
-    return n
+    return store.append_dataframe(pipe)

@@ -5190,7 +5190,7 @@ def hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # core reference-parity set (keep driver-green every round)
+    # core reference-parity keepers (multiple green rows; re-verify)
     "flagship_topk",
     "topk_filtered",
     "batch_topk",
@@ -5200,65 +5200,59 @@ _DRIVER_WINDOW = [
     "delete_as_filter",
     "count_documents",
     "projection_truncate",
-    "profile_documents",  # r2's one red row — cast fix needs a green row
     "dedup_exact",
     "dedup_minhash",
-    "dedup_minhash_pairs",
-    "json_access",
-    # round-2/3 additions, never driver-verified (VERDICT r2 item 1 list)
-    "ann_ivf_built_topk",
-    "dedup_simhash_r1",
-    "dedup_clusters",
-    "dedup_clusters_bigstar",
+    # code touched in round 4 (bm25 single-pass, shared index cache,
+    # snapshot commit protocol) — r3 green rows are stale for these
     "bm25_topk",
     "hybrid_rrf_topk",
-    "snapshot_time_travel",
+    "rerank_topk",
     "ann_ivfpq_exact_rescore",
-    "sequence_packing",
-    "decontaminate_eval_overlap",
-    "dedup_keep_list",
     "ann_ivfpq_probe_prebuilt",
     "snapshot_pruned_delete",
-    "rerank_topk",
-    "ann_pq_topk",
-    "ann_batch_lsh",
-    "ann_quantized_topk",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_srp",
-    "dedup_incremental",
-    "dup_span_coverage",
-    "dup_graph_degree",
-    "fuzzy_doc_pairs",
-    "clean_corpus_summary",
-    "training_shards",
-    "curriculum_stages",
-    "pii_redaction",
-    "repetition_stats",
-    "boilerplate_ngram_score",
-    "bigram_lm_nll",
-    "bpe_merge_candidates",
-    "mixture_weights",
-    "vocab_coverage",
-    "zipf_slope",
-    "streaming_windowed_counts",
+    "snapshot_time_travel",
+    # the 32 entries with no driver row in any CORRECTNESS_r* yet
+    # (VERDICT r3 item 1 — this completes the rotation; 30 oracled +
+    # the 2 rows-only-by-design entries)
+    "bm25_indexed_topk",
+    "hybrid_indexed_topk",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_dormant_balances",
+    "funnel_conversion",
+    "cohort_retention",
+    "char_entropy",
+    "minhash_estimation_error",
+    "ann_recall_eval",
+    "salted_segment_revenue",
+    "corpus_checksum",
+    "winsorized_stats",
+    "token_len_histogram",
+    "embedding_quantize_int8",
+    "resample_ffill",
+    "event_zscore_anomalies",
+    "ngram_novelty",
+    "embedding_dim_variance",
+    "equi_depth_histogram",
+    "top_quality_per_source",
+    "embedding_cluster_stats",
+    "incremental_agg_merge",
+    "skew_safe_distinct",
+    "weighted_sample_aes",
+    "ann_lsh_topk",
+    "approx_distinct_tokens",
 ]
 
-# ROTATION BACKLOG for the r4 window (queries still without any
-# driver-green row after r3, in priority order — swap these into
-# _DRIVER_WINDOW next round, keeping only the ~14 core-parity entries):
-#   text_quality, token_count, doc_fingerprint, lang_id,
-#   multimodal_features, funnel_conversion, skew_safe_distinct,
-#   weighted_sample_aes, cohort_retention, incremental_agg_merge,
-#   minhash_estimation_error, embedding_cluster_stats, resample_ffill,
-#   char_entropy, top_quality_per_source, event_zscore_anomalies,
-#   ngram_novelty, embedding_dim_variance, equi_depth_histogram,
-#   ann_recall_eval, salted_segment_revenue, corpus_checksum,
-#   winsorized_stats, token_len_histogram, embedding_quantize_int8,
-#   dedup_simhash, ann_ivf_topk, bm25_indexed_topk, hybrid_indexed_topk,
-#   q5/q6/q8/q9/q13/q15/q17/q22
-# (rows-only by design, no row possible: ann_lsh_topk,
-# approx_distinct_tokens)
+# With this r4 window, every one of the 125 registry queries has either a
+# driver-green CORRECTNESS row (r1-r3) or sits in the window above for its
+# first authoritative row — the rotation prescribed by VERDICT r2/r3 item 1
+# completes this round. Future rounds: put any query whose code changed
+# back into the window; keep the core-parity keepers.
 
 # driver-green in r1/r2 (CORRECTNESS_r01/r02.json) — safe to re-verify last
 _DEMOTED_STABLE = [

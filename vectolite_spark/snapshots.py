@@ -79,8 +79,21 @@ class SnapshotStore:
 
     # -- commit --------------------------------------------------------------
 
-    def _commit(self, dirs: list[str], op: str, extra: dict | None = None) -> int:
-        version = self.current_version() + 1
+    def _commit(
+        self,
+        dirs: list[str],
+        op: str,
+        extra: dict | None = None,
+        version: int | None = None,
+    ) -> int:
+        # ``version`` is the number the WRITER planned against (it read
+        # version-1's manifest to build ``dirs``). Recomputing here would
+        # open a lost-update window: a concurrent commit during a long
+        # rewrite would bump current_version(), this create would succeed
+        # at a LATER number, and the concurrent commit's dirs would be
+        # silently dropped instead of raising SnapshotConflict.
+        if version is None:
+            version = self.current_version() + 1
         manifest = {
             "version": version,
             "op": op,
@@ -99,7 +112,21 @@ class SnapshotStore:
         return version
 
     def _new_data_dir(self, version: int, op: str) -> str:
-        return f"{self._data_dir}/v{version:08d}-{op}"
+        # per-attempt unique suffix: a crashed or commit-conflicted attempt
+        # strands a dir for vacuum, and the RETRY of the same operation at
+        # the same version gets a fresh path instead of failing on
+        # mode('error') path-already-exists — retries are self-healing
+        import uuid
+
+        return f"{self._data_dir}/v{version:08d}-{op}-{uuid.uuid4().hex[:8]}"
+
+    def _dir_has_data(self, path: str) -> bool:
+        """True if a just-written parquet dir contains any data files (an
+        all-rows-filtered rewrite writes only _SUCCESS; referencing such a
+        dir in a manifest would break schema inference on read)."""
+        return any(
+            not n.startswith("_") for n in self._fs.list_names(path)
+        )
 
     def append(self, df: DataFrame) -> int:
         """Commit ``df`` as a new version = previous dirs + one new dir.
@@ -110,7 +137,7 @@ class SnapshotStore:
         new_dir = self._new_data_dir(version, "append")
         df.write.mode("error").parquet(new_dir)
         dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
-        return self._commit(dirs + [new_dir], "append")
+        return self._commit(dirs + [new_dir], "append", version=version)
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
         """Full-table rewrite (delete/update/compact all reduce to this at
@@ -119,40 +146,62 @@ class SnapshotStore:
         version = self.current_version() + 1
         new_dir = self._new_data_dir(version, op)
         df.write.mode("error").parquet(new_dir)
-        return self._commit([new_dir], op)
+        return self._commit([new_dir], op, version=version)
+
+    def _affected_dirs(self, dirs: list[str], probe) -> list[str]:
+        """ONE Spark job that finds which data dirs contain rows matched
+        by ``probe`` (a DataFrame -> DataFrame transform): all dirs scan as
+        a single DataFrame, each row tagged with its source dir via
+        ``input_file_name()``, and the matched-dir set aggregates in one
+        pass. The r3 shape — a sequential ``limit(1).count()`` per dir —
+        was O(dirs) driver round-trips; this is O(1) jobs regardless of
+        dir count, and the predicate still pushes down into every scan."""
+        from pyspark.sql import functions as F
+
+        tagged = self.spark.read.parquet(*dirs).withColumn(
+            "_src_dir", F.element_at(F.split(F.input_file_name(), "/"), -2)
+        )
+        hit = {
+            r["_src_dir"]
+            for r in probe(tagged).select("_src_dir").distinct().collect()
+        }
+        return [d for d in dirs if d.rstrip("/").rsplit("/", 1)[-1] in hit]
 
     def delete_where(self, condition) -> int:
         """DIR-PRUNED copy-on-write delete (the Delta/Iceberg shape): only
         the data dirs that actually CONTAIN matching rows are rewritten;
-        untouched dirs are carried into the new manifest unchanged. The
-        per-dir probe is a ``limit(1)`` existence check — parquet min/max
-        footer stats make it metadata-only for equality/range predicates —
-        so at 100 TB a one-document delete rewrites one commit's worth of
-        files, not the table. The old version stays time-travelable."""
+        untouched dirs are carried into the new manifest unchanged, so at
+        100 TB a one-document delete rewrites one commit's worth of files,
+        not the table. The probe is ONE job over all dirs (see
+        ``_affected_dirs``); the survivors of every affected dir rewrite
+        together as one new dir in a second job. The old version stays
+        time-travelable."""
         from pyspark.sql import functions as F
 
         version = self.current_version() + 1
         if version == 0:
             raise VectoliteError("store is empty (no commits yet)")
         dirs = self._read_manifest(version - 1)["dirs"]
-        kept: list[str] = []
-        rewritten = 0
-        # SQL DELETE semantics: only predicate==TRUE rows die; a NULL
-        # predicate keeps the row (bare ~condition would drop it)
-        survives = ~F.coalesce(condition, F.lit(False))
-        for i, d in enumerate(dirs):
-            part = self.spark.read.parquet(d)
-            if part.filter(condition).limit(1).count() == 0:
-                kept.append(d)
-                continue
-            new_dir = f"{self._new_data_dir(version, 'delete')}-{i:04d}"
-            part.filter(survives).write.mode("error").parquet(new_dir)
-            kept.append(new_dir)
-            rewritten += 1
+        matched = self._affected_dirs(dirs, lambda df: df.filter(condition))
+        kept = [d for d in dirs if d not in set(matched)]
+        if matched:
+            # SQL DELETE semantics: only predicate==TRUE rows die; a NULL
+            # predicate keeps the row (bare ~condition would drop it)
+            survives = ~F.coalesce(condition, F.lit(False))
+            new_dir = self._new_data_dir(version, "delete")
+            self.spark.read.parquet(*matched).filter(survives).write.mode(
+                "error"
+            ).parquet(new_dir)
+            if self._dir_has_data(new_dir):
+                kept.append(new_dir)
         return self._commit(
             kept,
             "delete",
-            extra={"rewritten_dirs": rewritten, "pruned_dirs": len(dirs) - rewritten},
+            extra={
+                "rewritten_dirs": len(matched),
+                "pruned_dirs": len(dirs) - len(matched),
+            },
+            version=version,
         )
 
     def merge(self, incoming: DataFrame, key: str = "id") -> int:
@@ -160,39 +209,47 @@ class SnapshotStore:
         rewritten WITHOUT those rows (anti-join against the broadcast key
         set), untouched dirs are carried over, and ``incoming`` lands as
         one new dir — O(delta + affected dirs), the Delta ``MERGE INTO``
-        shape. Caller guarantees ``incoming`` has distinct keys."""
+        shape. The matched-dir probe is ONE job over all dirs
+        (``_affected_dirs``), and all affected dirs rewrite together in a
+        second job. Caller guarantees ``incoming`` has distinct keys."""
         from pyspark.sql import functions as F
 
         version = self.current_version() + 1
         dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
-        # the key set probes EVERY dir — cache it once so an expensive
-        # incoming pipeline is not re-executed per dir (callers with a
-        # heavy upstream should also persist `incoming` itself: it is
-        # evaluated once more for the final write below)
+        # cache the key set: it drives the probe, the rewrite anti-join,
+        # and would otherwise re-execute an expensive incoming pipeline
+        # (callers with a heavy upstream should also persist `incoming`:
+        # it is evaluated once more for the final write below)
         key_set = incoming.select(key).distinct().cache()
         try:
             keys = F.broadcast(key_set)
-            kept: list[str] = []
-            rewritten = 0
-            for i, d in enumerate(dirs):
-                part = self.spark.read.parquet(d)
-                if part.join(keys, key, "left_semi").limit(1).count() == 0:
-                    kept.append(d)
-                    continue
-                new_dir = f"{self._new_data_dir(version, 'merge')}-{i:04d}"
-                part.join(keys, key, "left_anti").write.mode("error").parquet(
-                    new_dir
+            matched = (
+                self._affected_dirs(
+                    dirs, lambda df: df.join(keys, key, "left_semi")
                 )
-                kept.append(new_dir)
-                rewritten += 1
-            inc_dir = f"{self._new_data_dir(version, 'merge')}-in"
+                if dirs
+                else []
+            )
+            kept = [d for d in dirs if d not in set(matched)]
+            if matched:
+                new_dir = self._new_data_dir(version, "merge")
+                self.spark.read.parquet(*matched).join(
+                    keys, key, "left_anti"
+                ).write.mode("error").parquet(new_dir)
+                if self._dir_has_data(new_dir):
+                    kept.append(new_dir)
+            inc_dir = self._new_data_dir(version, "merge-in")
             incoming.write.mode("error").parquet(inc_dir)
         finally:
             key_set.unpersist(blocking=False)
         return self._commit(
             kept + [inc_dir],
             "merge",
-            extra={"rewritten_dirs": rewritten, "pruned_dirs": len(dirs) - rewritten},
+            extra={
+                "rewritten_dirs": len(matched),
+                "pruned_dirs": len(dirs) - len(matched),
+            },
+            version=version,
         )
 
     def compact(self, target_files: int = 1) -> int:
@@ -221,7 +278,9 @@ class SnapshotStore:
         """Restore an old version AS A NEW COMMIT (never mutates history —
         the bad versions stay inspectable, exactly Delta's RESTORE)."""
         dirs = self._read_manifest(version)["dirs"]
-        return self._commit(dirs, f"rollback:{version}")
+        return self._commit(
+            dirs, f"rollback:{version}", version=self.current_version() + 1
+        )
 
     # -- read ----------------------------------------------------------------
 
@@ -323,6 +382,7 @@ def make_stream_sink(store: SnapshotStore):
         store._commit(
             dirs + [new_dir], f"stream:{batch_id}",
             extra={"batch_id": int(batch_id)},
+            version=version,
         )
 
     return sink
