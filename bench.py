@@ -127,10 +127,19 @@ def main() -> None:
         .cache()
     )
     nq = queries.count()
+    # AQE off here too: the single-partition serving path is shuffle-free
+    # (rank emitted in-mapper), so adaptive planning is pure overhead.
+    # Median of 3 — single-shot numbers on this box swing +-30-70%
+    # (VERDICT r3 calibration note), which drowned the actual signal.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     topk_batch(queries, embs, k=10).count()  # warm
-    t0 = time.time()
-    topk_batch(queries, embs, k=10).count()
-    batch_sec = time.time() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        topk_batch(queries, embs, k=10).count()
+        runs.append(time.time() - t0)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    batch_sec = sorted(runs)[1]
     timings["batch_topk_100q_total"] = round(batch_sec, 4)
     timings["batch_topk_per_query"] = round(batch_sec / nq, 5)
 

@@ -99,7 +99,7 @@ def make_lang_udf(markers):
     return _pred
 
 
-def make_batch_topk_mapper(qids, qvecs, k):
+def make_batch_topk_mapper(qids, qvecs, k, rank_mode=False):
     """mapInPandas mapper: per Arrow batch, score ALL queries against the
     batch with ONE (N x d) @ (d x Q) matmul and emit each query's local
     top-k rows, selected by the exact global ordering (rounded score desc,
@@ -107,43 +107,61 @@ def make_batch_topk_mapper(qids, qvecs, k):
 
     Output per batch: <= k * Q rows — the distributed partial top-k that
     makes batch similarity search shuffle only k*P*Q rows instead of N*Q.
+
+    ``rank_mode``: for a SINGLE-partition input (the cached working-set
+    serving regime) the partition-local top-k IS the global top-k, so the
+    mapper buffers the partition's Arrow batches, computes the final
+    ranking itself, and emits an ``rn`` column — letting the caller skip
+    the merge shuffle entirely. Only correct when the whole table is one
+    partition (the caller checks); memory is bounded by that partition,
+    which the caller already chose to be a single task's worth.
     """
     qarr = np.asarray(qvecs, dtype=np.float64)  # Q x d
     qn = np.sqrt((qarr * qarr).sum(axis=1))  # Q
     qid_arr = np.asarray(qids, dtype=np.int64)
 
+    def score_block(pdf):
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        ids = pdf["vec_id"].to_numpy()
+        dn = np.sqrt((mat * mat).sum(axis=1))  # N
+        scores = mat @ qarr.T  # N x Q
+        denom = np.outer(dn, qn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom == 0.0, 0.0, scores / denom)
+        return ids, round_half_up(scores, 6)
+
+    def topk_frame(ids, scores, with_rank):
+        out = {"query_id": [], "vec_id": [], "score": []}
+        if with_rank:
+            out["rn"] = []
+        for j in range(len(qid_arr)):
+            col = scores[:, j]
+            # exact (score desc, id asc) selection: lexsort's LAST key is
+            # the primary sort key
+            order = np.lexsort((ids, -col))
+            if len(order) > k:
+                order = order[:k]
+            out["query_id"].append(np.full(len(order), qid_arr[j], dtype=np.int64))
+            out["vec_id"].append(ids[order])
+            out["score"].append(col[order])
+            if with_rank:
+                out["rn"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+        return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+
     def mapper(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
-            ids = pdf["vec_id"].to_numpy()
-            dn = np.sqrt((mat * mat).sum(axis=1))  # N
-            scores = mat @ qarr.T  # N x Q
-            denom = np.outer(dn, qn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                scores = np.where(denom == 0.0, 0.0, scores / denom)
-            scores = round_half_up(scores, 6)
-            out_q, out_id, out_s = [], [], []
-            for j in range(len(qid_arr)):
-                col = scores[:, j]
-                # exact (score desc, id asc) selection: lexsort's LAST key is
-                # the primary sort key
-                order = np.lexsort((ids, -col))
-                if len(order) > k:
-                    order = order[:k]
-                out_q.append(np.full(len(order), qid_arr[j], dtype=np.int64))
-                out_id.append(ids[order])
-                out_s.append(col[order])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_id),
-                    "score": np.concatenate(out_s),
-                }
-            )
+            yield topk_frame(*score_block(pdf), with_rank=False)
 
-    return mapper
+    def rank_mapper(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        whole = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        yield topk_frame(*score_block(whole), with_rank=True)
+
+    return rank_mapper if rank_mode else mapper
 
 
 def make_simhash_udf(bits=16):

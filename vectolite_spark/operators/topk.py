@@ -104,17 +104,28 @@ def topk_batch(
     from vectolite_spark._pandas_udfs import make_batch_topk_mapper
 
     qrows = queries.select(qid_col, qvec_col).collect()
-    mapper = make_batch_topk_mapper(
-        [r[qid_col] for r in qrows],
-        [[float(x) for x in r[qvec_col]] for r in qrows],
-        k,
-    )
-    partial = (
-        embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
-        .mapInPandas(mapper, schema="query_id long, vec_id long, score double")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    out = partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    qids = [r[qid_col] for r in qrows]
+    qv = [[float(x) for x in r[qvec_col]] for r in qrows]
+    src = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+    if src.rdd.getNumPartitions() == 1:
+        # single-partition (cached working-set) serving regime: the
+        # partition-local top-k IS the global top-k — the mapper emits the
+        # final ranking and the merge shuffle + window disappear entirely
+        mapper = make_batch_topk_mapper(qids, qv, k, rank_mode=True)
+        out = src.mapInPandas(
+            mapper, schema="query_id long, vec_id long, score double, rn long"
+        )
+    else:
+        mapper = make_batch_topk_mapper(qids, qv, k)
+        partial = src.mapInPandas(
+            mapper, schema="query_id long, vec_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        out = partial.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
     if id_col != "vec_id":
         out = out.withColumnRenamed("vec_id", id_col)
     return out.withColumnRenamed("query_id", qid_col) if qid_col != "query_id" else out
