@@ -25,6 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _queries(path: str) -> dict[str, float]:
     with open(path) as f:
         data = json.load(f)
+    # driver artifacts wrap the bench's stdout JSON under "parsed"
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
     q = data.get("queries", data)
     return {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
 

@@ -542,6 +542,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     pq_iters: int = 2,
     ivf_iters: int = 2,
+    cluster_col: str | None = None,
 ) -> None:
     """Build and persist an IVF-PQ index (the FAISS IVFPQ shape — the
     standard billion-scale layout): vectors are routed to IVF cells
@@ -555,30 +556,47 @@ def build_ivfpq_index(
     Raw embeddings ride along INSIDE the partitioned layout solely for the
     exact-rescore refine step — at query time they are read only for the
     ~4k PQ survivors, never scanned (column pruning: the codes scan never
-    materializes the embedding column)."""
-    seeded = embeddings.withColumn(
-        "_seed_cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
-    )
-    cents_list = [
-        (int(r["cluster"]), list(r["centroid"]))
-        for r in build_centroids(seeded, "_seed_cell").collect()
-    ]
-    # Lloyd refinement of the IVF level: id-modulo seed groups all average
-    # to ~the data mean, so WITHOUT these rounds cell routing is near-random
-    # and partial-probe recall collapses (caught by the r3 recall sweep
-    # gate). Each round = one narrow matmul assign + one exact-DECIMAL mean
-    # shuffle; deterministic, so rebuilds converge identically. The FINAL
-    # assignment below uses the refined centroids — routing at query time
-    # must agree with the cells on disk.
-    for _ in range(max(0, ivf_iters)):
-        refined = assign_cells(embeddings, cents_list, id_col=id_col)
+    materializes the embedding column).
+
+    ``cluster_col``: route cells by an existing cluster column (centroids
+    = exact-DECIMAL per-cluster means) instead of Lloyd-refined k-means —
+    the oracle-replicable routing the registry's partial-probe recall
+    entry uses."""
+    if cluster_col is not None:
         cents_list = [
             (int(r["cluster"]), list(r["centroid"]))
-            for r in build_centroids(
-                refined.withColumnRenamed("cell", "_cell"), "_cell"
-            ).collect()
+            for r in build_centroids(embeddings, cluster_col).collect()
         ]
-    assigned = assign_cells(embeddings, cents_list, id_col=id_col)
+        assigned = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            "embedding",
+            F.col(cluster_col).cast("long").alias("cell"),
+        )
+    else:
+        seeded = embeddings.withColumn(
+            "_seed_cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
+        )
+        cents_list = [
+            (int(r["cluster"]), list(r["centroid"]))
+            for r in build_centroids(seeded, "_seed_cell").collect()
+        ]
+        # Lloyd refinement of the IVF level: id-modulo seed groups all
+        # average to ~the data mean, so WITHOUT these rounds cell routing
+        # is near-random and partial-probe recall collapses (caught by the
+        # r3 recall sweep gate). Each round = one narrow matmul assign +
+        # one exact-DECIMAL mean shuffle; deterministic, so rebuilds
+        # converge identically. The FINAL assignment below uses the
+        # refined centroids — routing at query time must agree with the
+        # cells on disk.
+        for _ in range(max(0, ivf_iters)):
+            refined = assign_cells(embeddings, cents_list, id_col=id_col)
+            cents_list = [
+                (int(r["cluster"]), list(r["centroid"]))
+                for r in build_centroids(
+                    refined.withColumnRenamed("cell", "_cell"), "_cell"
+                ).collect()
+            ]
+        assigned = assign_cells(embeddings, cents_list, id_col=id_col)
     codes, codebook = build_pq(embeddings, m=m, k=pq_k, id_col=id_col,
                                n_iters=pq_iters)
     spark = embeddings.sparkSession

@@ -5065,6 +5065,99 @@ def ann_ivfpq_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_partial_probe",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} DESC,
+           e.vec_id ASC
+  LIMIT 10
+),
+dims AS (
+  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cents AS (
+  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM dims GROUP BY label
+),
+ranked_cells AS (
+  SELECT c.label,
+         ROW_NUMBER() OVER (
+           ORDER BY {_SQL_COS.format(a="c.centroid", b="q.qv")} DESC,
+                    c.label ASC) AS rk
+  FROM cents c, q
+),
+probes AS (SELECT p FROM (VALUES (1), (2), (4)) AS t(p)),
+approx AS (
+  SELECT p.p AS n_probe, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p
+           ORDER BY {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} DESC,
+                    e.vec_id ASC) AS rn
+  FROM probes p
+  JOIN ranked_cells rc ON rc.rk <= p.p
+  JOIN embeddings e ON e.label = rc.label
+  CROSS JOIN q
+)
+SELECT CAST(p.p AS BIGINT) AS n_probe,
+       CAST((SELECT COUNT(*) FROM approx a JOIN exact x USING (vec_id)
+             WHERE a.n_probe = p.p AND a.rn <= 10) AS BIGINT) AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM approx a JOIN exact x USING (vec_id)
+              WHERE a.n_probe = p.p AND a.rn <= 10) / 10.0, 6) AS recall_at_10
+FROM probes p
+ORDER BY n_probe
+""",
+)
+def ann_ivfpq_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ PARTIAL-probe recall, fully oracle-gated (VERDICT r3 item
+    8): the index routes cells by the label column (centroids =
+    exact-DECIMAL label means — the same oracle-replicable routing as
+    ``ann_recall_eval``), and each query runs with ``refine`` covering
+    every probed row, so the result is REQUIRED to equal the exact top-10
+    restricted to the probed cells. The oracle recomputes probe selection
+    AND the restricted top-10 independently for n_probe of 1, 2, and 4 —
+    any bug in centroid math, probe ordering, PQ candidate handoff, or
+    rescore breaks the hash. The Lloyd-routed production index's recall
+    curve is gated by pytest (test_ivfpq_partial_probe_recall_sweep,
+    where honest bounds are data-dependent)."""
+    import os
+
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    n = embs.count()
+    path = index_cache_path("ivfpq_lbl_m8k16", sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        build_ivfpq_index(
+            embs, path, m=8, pq_k=16, pq_iters=0, cluster_col="label"
+        )
+    idx = IVFPQIndex(spark, path, m=8)
+    exact = {
+        r["vec_id"]
+        for r in topk_op.topk_ids(embs, qvec, 10).select("vec_id").collect()
+    }
+    rows = []
+    for p in (1, 2, 4):
+        got = {
+            r["vec_id"]
+            for r in idx.topk(qvec, k=10, n_probe=p, refine=n).collect()
+        }
+        ov = len(got & exact)
+        rows.append((p, ov, round(ov / 10.0, 6)))
+    return spark.createDataFrame(
+        rows, "n_probe long, n_overlap long, recall_at_10 double"
+    )
+
+
+@register(
     "snapshot_pruned_delete",
     """
 SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows_v0,
@@ -5198,10 +5291,11 @@ _DRIVER_WINDOW = [
     "pagination",
     "point_lookup",
     "delete_as_filter",
-    "count_documents",
     "projection_truncate",
     "dedup_exact",
     "dedup_minhash",
+    # new in r4 — needs its first driver row
+    "ann_ivfpq_partial_probe",
     # code touched in round 4 (bm25 single-pass, shared index cache,
     # snapshot commit protocol) — r3 green rows are stale for these
     "bm25_topk",
