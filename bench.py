@@ -109,10 +109,13 @@ def main() -> None:
         [float(x) for x in r["embedding"]]
         for r in embs.filter(F.col("vec_id") % 199 == 7).limit(12).collect()
     ]
-    # warm-up (plan compilation, codegen); AQE off for the latency loop —
-    # these jobs have no shuffle, AQE only adds planning overhead
+    # warm-up (plan compilation, codegen, JVM JIT); AQE off for the
+    # latency loop — these jobs have no shuffle, AQE only adds planning
+    # overhead. A single warm query leaves the JIT cold and inflates the
+    # first measured loop ~2x on this box, so warm with a FULL loop.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    topk_ids(embs, qvecs[0], 10).collect()
+    for qv in qvecs:
+        topk_ids(embs, qv, 10).collect()
     t0 = time.time()
     for qv in qvecs:
         topk_ids(embs, qv, 10).collect()
@@ -178,7 +181,30 @@ def main() -> None:
     # one-time build; serving latency is the warm probe, measured here)
     from vectolite_spark import registry
 
-    idx_path = registry._ensure_ivfpq_index(spark, SF_DIR)  # build-if-absent
+    # Build each persisted index ONCE, timed explicitly — the registry
+    # loop below then measures warm probes for every serving entry (the
+    # build/probe split the architecture is built around). Build times
+    # land in their own keys instead of polluting the first probe row.
+    # Clear any prior cache first so the build numbers are real, not
+    # build-if-absent no-ops from an earlier run.
+    import shutil as _shutil
+
+    for recipe in ("ivfpq_v2_c16m8k16", "bm25_v1_b32", "ivf_v1", "ivfpq_lbl_m8k16"):
+        _shutil.rmtree(
+            registry.index_cache_path(recipe, SF_DIR), ignore_errors=True
+        )
+    t0 = time.time()
+    idx_path = registry._ensure_ivfpq_index(spark, SF_DIR)
+    timings["ivfpq_index_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    registry._ensure_bm25_index(spark, SF_DIR)
+    timings["bm25_index_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    registry._ensure_ivf_index(spark, SF_DIR)
+    timings["ivf_index_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    registry.QUERIES["ann_ivfpq_partial_probe"](spark, SF_DIR).count()
+    timings["ivfpq_label_index_build_and_eval"] = round(time.time() - t0, 4)
     from vectolite_spark.operators.ann import IVFPQIndex
 
     idx = IVFPQIndex(spark, idx_path, m=8)
@@ -218,6 +244,9 @@ def main() -> None:
         "ingest_embed_write_total",
         "ingest_docs_per_sec",
         "ivfpq_probe_partial_1q",
+        "ivfpq_index_build",
+        "bm25_index_build",
+        "ivf_index_build",
         "reference_1q_sec",
         "reference_ingest_docs_per_sec",
         "flagship_topk",
@@ -227,6 +256,8 @@ def main() -> None:
         "ann_ivfpq_exact_rescore",
         "ann_pq_topk",
         "bm25_topk",
+        "bm25_indexed_topk",
+        "hybrid_indexed_topk",
         "dedup_minhash_pairs",
         "dedup_clusters",
         "dedup_ngram_jaccard",

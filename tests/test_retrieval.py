@@ -133,3 +133,47 @@ def test_bm25_index_matches_scan_side(spark, sf_dir, tmp_path):
     }
     # stats survive the parquet round trip
     assert idx.n_docs == docs.count() and idx.n_buckets == 16
+
+
+@pytest.mark.parametrize("seed", [3, 17, 92])
+def test_bm25_matches_naive_reference(spark, seed):
+    """Differential: the single-pass array-filter formulation must equal a
+    naive pure-Python BM25 over randomized corpora (duplicate terms in
+    the query, repeated tokens, docs with zero hits, single-token docs)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(25)
+    ]
+    terms = ["alpha", "gamma", "alpha"]  # duplicate on purpose
+
+    # naive reference
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    uniq = list(dict.fromkeys(terms))
+    df = {t: sum(1 for v in toks.values() if t in v) for t in uniq}
+    expected = {}
+    for i, v in toks.items():
+        s = 0.0
+        hit = False
+        for t in uniq:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * len(v) / avgdl)
+            )
+        if hit:
+            expected[i] = round(s, 6)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(sdf, terms).collect()}
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i] == pytest.approx(expected[i], abs=2e-6), i

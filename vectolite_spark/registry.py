@@ -4476,6 +4476,73 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_pair_counts(load_table(spark, sf_dir, "documents"))
 
 
+_TOKEN_BUDGET = 5000
+
+
+@register(
+    "token_budget_sample",
+    f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+kept AS (SELECT * FROM c WHERE cum - n_tok < {_TOKEN_BUDGET})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling — the data-mixing step that caps each
+    source's contribution at a token budget: docs take a deterministic
+    pseudo-random order (md5 of the id — stable across engines and
+    reruns), a running token total accumulates per source, and a doc is
+    kept while the budget is not yet exhausted BEFORE it (so the doc
+    crossing the line is included and every source with data contributes
+    at least one doc). One shuffle on source for the window; token counts
+    are exact integers, so the cutoff is oracle-exact. At 100 TB the
+    window partitions by source (bounded cardinality) — for a skewed
+    mega-source the same cumsum runs over the salted two-phase shape in
+    ``operators.skew``."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(norm_tokens("text")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = t.withColumn("cum", F.sum("n_tok").over(w)).filter(
+        F.col("cum") - F.col("n_tok") < _TOKEN_BUDGET
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+
 @register(
     "mixture_weights",
     f"""
@@ -5289,13 +5356,13 @@ _DRIVER_WINDOW = [
     "batch_topk",
     "chunk_documents",
     "pagination",
-    "point_lookup",
     "delete_as_filter",
     "projection_truncate",
     "dedup_exact",
     "dedup_minhash",
-    # new in r4 — needs its first driver row
+    # new in r4 — need their first driver rows
     "ann_ivfpq_partial_probe",
+    "token_budget_sample",
     # code touched in round 4 (bm25 single-pass, shared index cache,
     # snapshot commit protocol) — r3 green rows are stale for these
     "bm25_topk",
