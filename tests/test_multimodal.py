@@ -220,3 +220,30 @@ def test_resize_images_plumbing(spark, sf_dir):
         meta = decode_fake("image", data)
         expect_n = max(1, int(len(data) * 32 * 32 / (meta["width"] * meta["height"])))
         assert len(bytes(r["data"])) == expect_n
+
+
+def test_png_codec_roundtrip_property():
+    """Property: encode->decode is the identity for arbitrary 8-bit
+    images across all supported channel counts (gray, gray+alpha, RGB,
+    RGBA) and degenerate dims (1x1, 1xN, Nx1)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectolite_spark.multimodal import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(w, h, c, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        img = decode_png(encode_png(px))
+        assert (img["width"], img["height"], img["channels"]) == (w, h, c)
+        assert np.array_equal(img["pixels"], px)
+
+    roundtrip()

@@ -44,9 +44,13 @@ def main() -> None:
         for sf in SCALES:
             sf_dir = f"/root/testdata/sf{sf}"
             fn(spark, sf_dir).count()  # warm (plan + scan cache)
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            times.append(time.time() - t0)
+            # median of 3: single shots on this box swing +-30-70%
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            times.append(sorted(runs)[1])
         ratio = times[-1] / times[0] if times[0] > 0 else float("inf")
         rows.append((name, times, ratio))
     print("| query | sf0.001 | sf0.01 | sf0.1 | 100x-data time ratio |")
