@@ -250,3 +250,49 @@ def test_single_probe_job_for_many_dirs(store, spark):
     # jobs here before the rewrite even started)
     assert len(jobs) <= 6, f"delete ran {len(jobs)} jobs for 6 dirs"
     assert _ids(store.read()) == [0, 1, 10, 11, 20, 21, 31, 40, 41, 50, 51]
+
+
+def test_version_diff_added_removed(store, spark):
+    store.append(_df(spark, [1, 2, 3]))
+    store.delete_where(F.col("id") == 2)
+    store.append(_df(spark, [9]))
+    d = {(r["id"], r["change"]) for r in store.diff(0, 2).collect()}
+    assert d == {(9, "added"), (2, "removed")}
+    # no-change diff is empty; reversed diff flips the labels
+    assert store.diff(1, 1).count() == 0
+    rev = {(r["id"], r["change"]) for r in store.diff(2, 0).collect()}
+    assert rev == {(9, "removed"), (2, "added")}
+
+
+def test_version_diff_after_merge_and_rollback(store, spark):
+    store.append(_df(spark, [1, 2]))
+    incoming = spark.createDataFrame(
+        [(2, "doc 2 v2"), (5, "doc 5")], "id long, text string"
+    )
+    store.merge(incoming, key="id")
+    # key 2 was rewritten in place (same id on both sides) -> NOT a diff row
+    d = {(r["id"], r["change"]) for r in store.diff(0, 1).collect()}
+    assert d == {(5, "added")}
+    v2 = store.rollback(0)
+    d2 = {(r["id"], r["change"]) for r in store.diff(1, v2).collect()}
+    assert d2 == {(5, "removed")}
+
+
+def test_with_conflict_retry_wins_after_race(store, spark):
+    from vectolite_spark.snapshots import with_conflict_retry
+
+    store.append(_df(spark, [1, 2]))
+    writer2 = SnapshotStore(spark, store.path)
+    orig = store._affected_dirs
+    raced = {"n": 0}
+
+    def racing_probe(dirs, probe):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            writer2.append(_df(spark, [77]))
+        return orig(dirs, probe)
+
+    store._affected_dirs = racing_probe
+    v = with_conflict_retry(lambda: store.delete_where(F.col("id") == 1))
+    assert _ids(store.read(version=v)) == [2, 77]
+    assert raced["n"] == 1  # first attempt conflicted, retry landed

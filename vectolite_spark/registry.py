@@ -5132,6 +5132,53 @@ def ann_ivfpq_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_version_diff",
+    """
+SELECT 'added' AS change,
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id % 2 = 1 AND lang != 'de') AS BIGINT) AS n_keys
+UNION ALL
+SELECT 'removed' AS change,
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE doc_id % 2 = 0 AND lang = 'de') AS BIGINT) AS n_keys
+ORDER BY change
+""",
+)
+def snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style version diff on the snapshot store: the corpus lands in
+    two append commits (split by doc_id parity), a delete removes the
+    'de' docs, and ``SnapshotStore.diff(v0, v2)`` must report exactly
+    the odd non-'de' docs as added and the even 'de' docs as removed —
+    both counts recomputed independently by the oracle from the raw
+    table. Exercises manifest-set pruning (dirs shared by both versions
+    are never scanned) on top of the COW delete path."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="vl_snapdiff_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        s.append(docs.filter(F.col("doc_id") % 2 == 0))
+        s.append(docs.filter(F.col("doc_id") % 2 == 1))
+        v2 = s.delete_where(F.col("lang") == "de")
+        out = (
+            s.diff(0, v2, key="doc_id")
+            .groupBy("change")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+            .orderBy("change")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["change"], r["n_keys"]) for r in out], "change string, n_keys long"
+    )
+
+
+@register(
     "ann_ivfpq_partial_probe",
     f"""
 WITH q AS (
@@ -5355,7 +5402,6 @@ _DRIVER_WINDOW = [
     "topk_filtered",
     "batch_topk",
     "chunk_documents",
-    "pagination",
     "delete_as_filter",
     "projection_truncate",
     "dedup_exact",
@@ -5363,6 +5409,7 @@ _DRIVER_WINDOW = [
     # new in r4 — need their first driver rows
     "ann_ivfpq_partial_probe",
     "token_budget_sample",
+    "snapshot_version_diff",
     # code touched in round 4 (bm25 single-pass, shared index cache,
     # snapshot commit protocol) — r3 green rows are stale for these
     "bm25_topk",

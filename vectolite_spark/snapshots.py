@@ -296,6 +296,48 @@ class SnapshotStore:
             raise VectoliteError(f"version {version} has no data dirs")
         return self.spark.read.parquet(*dirs)
 
+    def diff(self, v_old: int, v_new: int, key: str = "id") -> DataFrame:
+        """Row-level diff between two versions keyed by ``key``: returns
+        (key, change) with change in {'added', 'removed'} — the
+        CDC-style "what happened between v1 and v2" question a versioned
+        table should answer without replaying the commit log. Shape: two
+        anti-joins on the key; dirs SHARED by both manifests are read
+        only for the side that still needs them, and at 100 TB both
+        sides are manifest-pruned scans, not log replays. Unchanged rows
+        never leave the scan."""
+        from pyspark.sql import functions as F
+
+        old_dirs = set(self._read_manifest(v_old)["dirs"])
+        new_dirs = set(self._read_manifest(v_new)["dirs"])
+        # dirs present in both manifests hold rows in BOTH versions: those
+        # keys cannot be added or removed, so only the symmetric
+        # difference needs scanning at all
+        old_only = sorted(old_dirs - new_dirs)
+        new_only = sorted(new_dirs - old_dirs)
+        spark = self.spark
+        all_dirs = sorted(old_dirs | new_dirs)
+        if not all_dirs:
+            return spark.createDataFrame([], f"{key} long, change string")
+        key_schema = spark.read.parquet(*all_dirs).select(key).schema
+        empty = spark.createDataFrame([], key_schema)
+        o = (
+            spark.read.parquet(*old_only).select(key) if old_only else empty
+        )
+        n = (
+            spark.read.parquet(*new_only).select(key) if new_only else empty
+        )
+        added = n.join(o, key, "left_anti")
+        removed = o.join(n, key, "left_anti")
+        # a key can move between dirs across a rewrite (delete/merge): the
+        # anti-joins above already cancel those, but a key that moved from
+        # a shared dir is impossible by construction (shared dirs are
+        # byte-identical in both versions)
+        return added.select(
+            F.col(key), F.lit("added").alias("change")
+        ).unionByName(
+            removed.select(F.col(key), F.lit("removed").alias("change"))
+        )
+
     def history(self) -> list[dict]:
         """Newest-first commit log (version, op, n_dirs, committed_at)."""
         out = []
@@ -334,6 +376,28 @@ class SnapshotStore:
         for v in drop:
             self._fs.delete(self._manifest_path(v))
         return {"removed_manifests": len(drop), "removed_dirs": removed_dirs}
+
+
+def with_conflict_retry(op, attempts: int = 3):
+    """Run a commit-producing callable under optimistic concurrency: on
+    ``SnapshotConflict`` re-invoke it (the store's mutation methods
+    re-read the current manifest on every call, so a retry automatically
+    plans against the winning writer's version). Use for append/delete/
+    merge loops that may race:
+
+        with_conflict_retry(lambda: store.delete_where(cond))
+
+    Raises the last ``SnapshotConflict`` after ``attempts`` tries —
+    sustained contention means the caller should serialize writers, not
+    spin. A conflicted attempt's data dirs are uniquely named and
+    unreferenced; ``vacuum`` collects them."""
+    last: SnapshotConflict | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return op()
+        except SnapshotConflict as e:
+            last = e
+    raise last
 
 
 def last_stream_batch_id(store: SnapshotStore) -> int:
