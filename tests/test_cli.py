@@ -92,8 +92,14 @@ def test_cli_versioned_store_lifecycle(spark, tmp_path, monkeypatch, capsys):
     cli.main(["history", "--db", db])
     out = capsys.readouterr().out
     assert "delete" in out and "append" in out
+    cli.main(["diff", "1", "2", "--db", db])
+    out = capsys.readouterr().out
+    assert "0 added, 1 removed" in out and "removed  id=1" in out
     cli.main(["rollback", "1", "--db", db])
     assert "new commit v3" in capsys.readouterr().out
+    cli.main(["diff", "2", "3", "--db", db])
+    out = capsys.readouterr().out
+    assert "1 added, 0 removed" in out and "added    id=1" in out
     cli.main(["list", "--db", db, "--limit", "10"])
     out = capsys.readouterr().out
     assert "first doc" in out and "second doc" in out

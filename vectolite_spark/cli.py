@@ -177,6 +177,26 @@ def cmd_show(args) -> None:
     print(f"Text:\n{d['text']}")
 
 
+def cmd_diff(args) -> None:
+    from pyspark.sql import functions as F
+
+    store = _open_store(args)
+    d = store.diff(args.v_old, args.v_new).cache()
+    try:
+        counts = {
+            r["change"]: r["n"]
+            for r in d.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(
+            f"v{args.v_old} -> v{args.v_new}: "
+            f"{counts.get('added', 0)} added, {counts.get('removed', 0)} removed"
+        )
+        for r in d.orderBy("change", "id").limit(args.limit).collect():
+            print(f"  {r['change']:<8} id={r['id']}")
+    finally:
+        d.unpersist(blocking=False)
+
+
 def cmd_history(args) -> None:
     store = _open_store(args)
     hist = store.history()
@@ -318,6 +338,15 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep", type=int, default=2, help="versions to retain")
     common(sp, embed=False)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser(
+        "diff", help="row ids added/removed between two versions"
+    )
+    sp.add_argument("v_old", type=int)
+    sp.add_argument("v_new", type=int)
+    sp.add_argument("--limit", type=int, default=20, help="sample ids shown")
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_diff)
 
     sp = sub.add_parser(
         "ui", help="browse/search web UI (the reference's Streamlit surface)"

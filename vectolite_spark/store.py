@@ -569,6 +569,13 @@ class SparkVectolite:
         """Drop old manifests + unreferenced data dirs (retention GC)."""
         return self._require_versioned().vacuum(keep_versions)
 
+    def diff(self, v_old: int, v_new: int) -> DataFrame:
+        """CDC-style row diff between two versions: (id, change) with
+        change in {'added', 'removed'}; unchanged docs never leave the
+        scan (manifest-set pruning, see ``snapshots.SnapshotStore.diff``).
+        """
+        return self._require_versioned().diff(v_old, v_new, key="id")
+
     def hybrid_query(self, query_text: str, top_k: int = 3) -> list[dict]:
         """Hybrid search over the store (engine extension; the reference is
         vector-only): BM25 over the stored text + cosine over the stored
