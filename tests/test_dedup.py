@@ -268,12 +268,21 @@ def test_bigstar_matches_minlabel_on_chain(spark):
     # min-label propagation needs diameter-many (63) rounds on this chain:
     # with a smaller cap it must refuse rather than mislabel the tail
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=50)
+        connected_components(edges, max_iter=50, small_graph_limit=0)
     ml = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(edges, max_iter=80).collect()
+        for r in connected_components(
+            edges, max_iter=80, small_graph_limit=0
+        ).collect()
     }
     assert ml == want
+    # the default path routes this tiny graph to driver-side union-find,
+    # which must produce the IDENTICAL min-label fixpoint
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert fast == want
 
 
 def test_pack_sequences_greedy_boundaries(spark):

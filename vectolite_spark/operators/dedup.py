@@ -483,11 +483,42 @@ def embedding_srp_pairs(
     )
 
 
+_SMALL_GRAPH_EDGES = 200_000
+
+
+def _union_find_labels(spark, pairs):
+    """Driver-side union-find over a collected pair list: always attach
+    the larger root under the smaller, so every root IS its component's
+    minimum id — the exact fixpoint both distributed algorithms compute.
+    Path-compressed; O(alpha(n)) per edge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return spark.createDataFrame(
+        sorted((n, find(n)) for n in nodes), "doc_id long, cluster_id long"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    small_graph_limit: int = _SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs into dedup CLUSTERS — the step
     every pairwise detector needs before a keep-list exists (A~B and B~C
@@ -507,10 +538,30 @@ def connected_components(
     independent, so the DuckDB oracle reproduces it with a recursive
     reachability CTE. Returns (node, cluster_id) for every node that
     appears in ``edges``.
+
+    Hybrid execution: candidate pair sets are blocked AND capped upstream,
+    so after near-dup detection the edge list is usually tiny relative to
+    the corpus. When the (deduplicated, undirected) edge count — observed
+    for free on the materializing checkpoint job — is at most
+    ``small_graph_limit``, the closure runs as driver-side union-find
+    (microseconds, identical min-label fixpoint) instead of paying
+    per-round shuffle + checkpoint jobs. The distributed loop remains the
+    path for edge lists that don't fit a driver working set; pass
+    ``small_graph_limit=0`` to force it (tests do).
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.distinct().localCheckpoint(eager=True)
+    obs0 = Observation()
+    und = (
+        und.distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    if int(obs0.get["n"]) <= small_graph_limit:
+        pairs = [(r["a"], r["b"]) for r in und.collect()]
+        return _union_find_labels(edges.sparkSession, pairs)
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn(
             "label", F.col("node")
@@ -521,8 +572,6 @@ def connected_components(
     # label SUM strictly decreases until the fixpoint — an Observation on
     # the materializing plan captures it with zero extra jobs (the old
     # join-and-count check cost one more job per round).
-    from pyspark.sql import Observation
-
     prev_sum: int | None = None
     for _ in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["node"]).select(

@@ -5399,13 +5399,14 @@ def hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # core reference-parity keepers (multiple green rows; re-verify)
     "flagship_topk",
-    "topk_filtered",
     "batch_topk",
-    "chunk_documents",
-    "delete_as_filter",
     "projection_truncate",
     "dedup_exact",
     "dedup_minhash",
+    # CC hybrid fast path landed r4 — these three route through it
+    "dedup_clusters",
+    "dedup_keep_list",
+    "clean_corpus_summary",
     # new in r4 — need their first driver rows
     "ann_ivfpq_partial_probe",
     "token_budget_sample",
