@@ -177,3 +177,34 @@ def test_bm25_matches_naive_reference(spark, seed):
     assert set(got) == set(expected)
     for i in expected:
         assert got[i] == pytest.approx(expected[i], abs=2e-6), i
+
+
+def test_bm25_index_batch_topk_equals_per_query(spark, tmp_path):
+    """One batched probe must produce exactly each query's individual
+    indexed top-k (fan-out join and shared bucket read change the plan,
+    never the answer), and the probe must prune to the union's buckets."""
+    from vectolite_spark.operators.retrieval import BM25Index, build_bm25_index
+
+    rows = [
+        (1, "spark engine spark cluster"),
+        (2, "query filter join merge"),
+        (3, "stream window batch stream"),
+        (4, "spark join window"),
+        (5, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25idx")
+    build_bm25_index(docs, path, n_buckets=8)
+    idx = BM25Index(spark, path)
+    queries = [(10, ["spark", "join"]), (20, ["stream", "window"])]
+    got = {
+        (r["query_id"], r["rn"]): (r["doc_id"], r["score"])
+        for r in idx.batch_topk(queries, k=3).collect()
+    }
+    for qid, terms in queries:
+        solo = idx.topk(terms, k=3).collect()
+        for rank, r in enumerate(solo, start=1):
+            assert got[(qid, rank)] == (r["doc_id"], r["score"]), (qid, rank)
+    assert len(got) == sum(
+        min(3, idx.scores(t).count()) for _, t in queries
+    )

@@ -270,3 +270,49 @@ class BM25Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def batch_topk(
+        self, queries: Sequence[tuple[int, Sequence[str]]], k: int = 10
+    ) -> DataFrame:
+        """Serve MANY lexical queries from ONE index probe — the lexical
+        analogue of ``topk.topk_batch``. All queries' terms union into a
+        single partition-pruned postings read (buckets of the union, then
+        the term filter); a broadcast (query_id, term) relation fans each
+        posting row out to exactly the queries that asked for its term;
+        one skinny (query_id, doc_id) aggregation and a per-query window
+        produce every query's top-k. Probe cost scales with the union's
+        posting lists, not with Q x corpus — and the corpus itself is
+        never touched. Returns (query_id, doc_id, score, rn)."""
+        from pyspark.sql import Window
+
+        qt = [
+            (int(qid), t)
+            for qid, terms in queries
+            for t in dict.fromkeys(terms)
+        ]
+        all_terms = sorted({t for _, t in qt})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        p = (
+            self.spark.read.parquet(f"{self.path}/postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(all_terms))
+        )
+        qt_df = self.spark.createDataFrame(qt, "query_id long, term string")
+        idf = F.log(
+            (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        norm = F.col("tf") + BM25_K1 * (
+            (1 - BM25_B) + BM25_B * F.col("dl") / F.lit(self.avgdl)
+        )
+        per_term = idf * F.col("tf") * (BM25_K1 + 1) / norm
+        scored = (
+            p.join(F.broadcast(qt_df), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum(per_term), 6).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return scored.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).filter(F.col("rn") <= k)

@@ -5340,6 +5340,77 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_BATCH_QUERIES = (
+    (1, ("vector", "scan", "merge")),
+    (2, ("filter", "join")),
+    (3, ("stream", "window", "batch")),
+)
+_SQL_BM25_BATCH_QTERMS = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_BATCH_QUERIES for t in terms
+)
+
+
+@register(
+    "bm25_batch_indexed_topk",
+    f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+qterms(query_id, term) AS (VALUES {_SQL_BM25_BATCH_QTERMS}),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6)
+           AS score
+  FROM tf
+  JOIN qterms q ON q.term = tf.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def bm25_batch_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch lexical serving: THREE queries answered by ONE partition-
+    pruned probe of the persisted BM25 index (``BM25Index.batch_topk`` —
+    the union of the queries' term buckets reads once, a broadcast
+    (query_id, term) relation fans postings out, one skinny aggregation
+    + per-query window ranks all queries together). The oracle
+    recomputes every query's BM25 top-5 independently from the raw
+    corpus, so the persisted tf/dl/df and the fan-out join are all
+    hash-gated. Probe cost scales with the union's posting lists — at
+    100 TB a thousand-query batch still reads only its term buckets,
+    never the corpus."""
+    from vectolite_spark.operators.retrieval import BM25Index
+
+    idx = BM25Index(spark, _ensure_bm25_index(spark, sf_dir))
+    return idx.batch_topk(_BM25_BATCH_QUERIES, k=5)
+
+
 @register(
     "hybrid_indexed_topk",
     _SQL_HYBRID_CTES
@@ -5400,9 +5471,9 @@ _DRIVER_WINDOW = [
     # core reference-parity keepers (multiple green rows; re-verify)
     "flagship_topk",
     "batch_topk",
-    "projection_truncate",
     "dedup_exact",
     "dedup_minhash",
+    "bm25_batch_indexed_topk",
     # CC hybrid fast path landed r4 — these three route through it
     "dedup_clusters",
     "dedup_keep_list",
