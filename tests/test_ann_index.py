@@ -436,3 +436,34 @@ def test_ivfpq_partial_probe_recall_sweep(spark, tmp_path):
     # gate 3: more probes never hurt
     assert mean_recall[1] <= mean_recall[2] + 1e-9
     assert mean_recall[2] <= mean_recall[4] + 1e-9
+
+
+def test_ivf_batch_topk_equals_per_query(spark, sf_dir):
+    """One batched probe over the union of probed cells must reproduce
+    each query's individual IVF top-k exactly — the broadcast
+    (query_id, cell) fan-out may never let a query score a cell it did
+    not probe, nor miss one it did."""
+    import os
+    import tempfile
+
+    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory(prefix="vl_ivfbatch_") as d:
+        path = os.path.join(d, "ivf")
+        build_ivf_index(embs, path)
+        idx = load_ivf_index(spark, path)
+        qrows = embs.filter(F.col("vec_id").isin([0, 3, 11])).collect()
+        queries = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in qrows
+        ]
+        got = {
+            (r["query_id"], r["rn"]): (r["vec_id"], r["score"])
+            for r in idx.batch_topk(queries, k=4, n_probe=2).collect()
+        }
+        for qid, vec in queries:
+            solo = idx.topk(vec, k=4, n_probe=2).collect()
+            for rank, r in enumerate(solo, start=1):
+                assert got[(qid, rank)] == (r["vec_id"], r["score"]), (qid, rank)
+        assert len(got) == 3 * 4

@@ -285,6 +285,50 @@ class IVFIndex:
         cell = self.cells().filter(F.col("cell").isin([int(p) for p in probes]))
         return topk_ids(cell, qvec, k)
 
+    def batch_topk(
+        self,
+        queries: Sequence[tuple[int, Sequence[float]]],
+        k: int = 10,
+        n_probe: int = 1,
+    ) -> DataFrame:
+        """Serve MANY vector queries from ONE index probe — the IVF
+        analogue of ``BM25Index.batch_topk``. Probe selection runs
+        driver-side per query (centroids are tiny); the UNION of probed
+        cells reads once (partition pruning), and a broadcast
+        (query_id, cell, qvec) relation pairs each vector row with
+        exactly the queries that probed its cell — a query never scores
+        a cell it did not probe. One Arrow pair-cosine pass + a
+        per-query window produce every query's top-k. Probe cost scales
+        with the union's cell sizes, not Q x corpus. Returns
+        (query_id, vec_id, score, rn)."""
+        from pyspark.sql import Window
+
+        from vectolite_spark._pandas_udfs import make_pair_cosine_udf
+
+        qcells = [
+            (int(qid), int(c), [float(x) for x in vec])
+            for qid, vec in queries
+            for c in self.probe(vec, n_probe)
+        ]
+        qdf = self.spark.createDataFrame(
+            qcells, "query_id long, cell long, qv array<float>"
+        )
+        cells = self.cells().filter(
+            F.col("cell").isin(sorted({c for _, c, _ in qcells}))
+        )
+        cos = make_pair_cosine_udf()
+        scored = cells.join(F.broadcast(qdf), "cell").select(
+            "query_id",
+            "vec_id",
+            F.round(cos(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return scored.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).filter(F.col("rn") <= k)
+
 
 def load_ivf_index(spark, index_path: str) -> IVFIndex:
     return IVFIndex(spark, index_path)

@@ -5412,6 +5412,65 @@ def bm25_batch_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_batch_topk",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+dims AS (
+  SELECT label, pos, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cents AS (
+  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM dims GROUP BY label
+),
+probe AS (
+  SELECT q.query_id, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_SQL_COS.format(a="c.centroid", b="q.qv")} DESC,
+                    c.label ASC) AS rk
+  FROM cents c, qs q
+),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS score
+  FROM qs q
+  JOIN probe p ON p.query_id = q.query_id AND p.rk <= 2
+  JOIN embeddings e ON e.label = p.label
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM cand
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, score,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch vector serving on the persisted IVF index
+    (``IVFIndex.batch_topk``): three query vectors, each probing its own
+    2 nearest cells, answered by ONE partition-pruned read of the probed
+    cells' union — a broadcast (query_id, cell, qvec) relation pairs
+    rows with exactly the queries that probed them, so no query ever
+    scores an unprobed cell. The oracle independently recomputes every
+    query's probe selection AND its probed-restricted top-5 from the raw
+    table."""
+    from vectolite_spark.operators.ann import load_ivf_index
+
+    idx = load_ivf_index(spark, _ensure_ivf_index(spark, sf_dir))
+    queries = [(qid, _query_vector(spark, sf_dir, vec_id=qid)) for qid in (0, 1, 2)]
+    return idx.batch_topk(queries, k=5, n_probe=2)
+
+
+@register(
     "hybrid_indexed_topk",
     _SQL_HYBRID_CTES
     + """
@@ -5472,8 +5531,8 @@ _DRIVER_WINDOW = [
     "flagship_topk",
     "batch_topk",
     "dedup_exact",
-    "dedup_minhash",
     "bm25_batch_indexed_topk",
+    "ann_ivf_batch_topk",
     # CC hybrid fast path landed r4 — these three route through it
     "dedup_clusters",
     "dedup_keep_list",
