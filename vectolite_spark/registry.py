@@ -5515,6 +5515,138 @@ def hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_BATCH_TERMS = {1: ("vector", "scan", "merge"), 2: ("filter", "join")}
+_SQL_HYBRID_BATCH_QTERMS = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in sorted(_HYBRID_BATCH_TERMS.items()) for t in terms
+)
+
+
+@register(
+    "hybrid_batch_indexed_topk",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (1, 2)
+),
+qterms(query_id, term) AS (VALUES {_SQL_HYBRID_BATCH_QTERMS}),
+tok AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm25s AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6)
+           AS score
+  FROM tf
+  JOIN qterms q ON q.term = tf.term
+  JOIN dft ON tf.term = dft.term
+  JOIN dl d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+lexr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM bm25s
+  ) WHERE rank <= 20
+),
+coss AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS score
+  FROM embeddings e, qs q
+),
+cosr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM coss
+  ) WHERE rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, c.query_id) AS query_id,
+         COALESCE(l.doc_id, c.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + l.rank), 0)
+               + COALESCE(1.0 / (60 + c.rank), 0), 6) AS rrf,
+         l.rank AS rank_lex, c.rank AS rank_vec
+  FROM lexr l FULL OUTER JOIN cosr c
+    ON l.query_id = c.query_id AND l.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf, rank_lex, rank_vec,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rn
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_vec AS BIGINT) AS rank_vec,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
+def hybrid_batch_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED hybrid serving — the capstone composition: two queries,
+    each with its own term set and query vector, answered entirely from
+    the two persisted indexes in one pass per side
+    (``BM25Index.batch_topk`` + ``IVFIndex.batch_topk`` with full probe,
+    so the vector side is exact), then per-query reciprocal-rank fusion.
+    Neither side scans or tokenizes the corpus at query time. The oracle
+    recomputes both retrieval lists AND the fusion independently for
+    every query from the raw tables."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.retrieval import BM25Index
+
+    from vectolite_spark.operators.ann import load_ivf_index
+
+    bm25 = BM25Index(spark, _ensure_bm25_index(spark, sf_dir))
+    ivf = load_ivf_index(spark, _ensure_ivf_index(spark, sf_dir))
+    qids = sorted(_HYBRID_BATCH_TERMS)
+    lexr = bm25.batch_topk(
+        [(q, _HYBRID_BATCH_TERMS[q]) for q in qids], k=20
+    ).select("query_id", "doc_id", F.col("rn").alias("rank_lex"))
+    qvecs = [(q, _query_vector(spark, sf_dir, vec_id=q)) for q in qids]
+    cosr = ivf.batch_topk(
+        qvecs, k=20, n_probe=len(ivf.centroids)
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").alias("rank_vec"),
+    )
+    fused = lexr.join(cosr, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "rank_lex",
+        "rank_vec",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 10
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -5530,9 +5662,9 @@ _DRIVER_WINDOW = [
     # core reference-parity keepers (multiple green rows; re-verify)
     "flagship_topk",
     "batch_topk",
-    "dedup_exact",
     "bm25_batch_indexed_topk",
     "ann_ivf_batch_topk",
+    "hybrid_batch_indexed_topk",
     # CC hybrid fast path landed r4 — these three route through it
     "dedup_clusters",
     "dedup_keep_list",
