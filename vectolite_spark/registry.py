@@ -4470,7 +4470,8 @@ LIMIT 50
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One character-level BPE merge iteration: top-50 adjacent within-word
     char pairs, frequency-weighted — the inner loop of tokenizer vocab
-    induction. One shuffle of 2-char keys; top-N via TakeOrderedAndProject."""
+    induction. Two-level Zipf aggregation (occurrences -> distinct-word
+    counts -> weighted pair sums); top-N via TakeOrderedAndProject."""
     from vectolite_spark.operators.textstats import char_pair_counts
 
     return char_pair_counts(load_table(spark, sf_dir, "documents"))
