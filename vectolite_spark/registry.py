@@ -5648,6 +5648,42 @@ def hybrid_batch_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bucketed_join_revenue",
+    """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through the BUCKETED table layout
+    (``operators/layout.py``): lineitem and orders are each persisted once
+    clustered into matching buckets on the order key, so this join — the
+    dominant recurring shuffle of any TPC-H-shaped pipeline — reads
+    co-located buckets with NO exchange above either scan (plan-asserted
+    in tests/test_layout.py; the only shuffle left is the 5-group
+    aggregation). Build-once/join-many: the same persisted-layout
+    economics the IVF/BM25 indexes give the retrieval paths, applied to
+    relational serving. Results are layout-invariant, so the oracle is
+    the plain join."""
+    from vectolite_spark.operators.layout import bucketed_join
+
+    j = bucketed_join(
+        spark, sf_dir, "lineitem", "orders", "l_orderkey", "o_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
