@@ -202,6 +202,14 @@ def main() -> None:
     t0 = time.time()
     registry._ensure_ivf_index(spark, SF_DIR)
     timings["ivf_index_build"] = round(time.time() - t0, 4)
+    # bucketed layout is build-once/join-many like the indexes: time the
+    # build separately so the registry entry reflects steady-state serving
+    from vectolite_spark.operators.layout import ensure_bucketed_table
+
+    t0 = time.time()
+    ensure_bucketed_table(spark, SF_DIR, "lineitem", "l_orderkey")
+    ensure_bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
+    timings["bucketed_layout_build"] = round(time.time() - t0, 4)
     t0 = time.time()
     registry.QUERIES["ann_ivfpq_partial_probe"](spark, SF_DIR).count()
     timings["ivfpq_label_index_build_and_eval"] = round(time.time() - t0, 4)

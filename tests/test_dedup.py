@@ -441,3 +441,63 @@ def test_incremental_new_unique_dedups_only_against_old(spark):
     )
     got = sorted(r["doc_id"] for r in incremental_new_unique(df).collect())
     assert got == [8, 9]
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _lcg_text(n: int, seed: int = 7) -> str:
+    # deterministic pseudo-random lowercase text with spaces
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        # high bits: LCG low bits are periodic and would collapse the
+        # window-hash distribution (few boundaries, degenerate chunks)
+        out.append("abcdefghijklmnopqrstuvwxyz      "[(x >> 16) % 32])
+    return "".join(out)
+
+
+def test_cdc_identical_docs_share_every_chunk(spark):
+    from vectolite_spark.operators.dedup import cdc_chunk_duplicates
+
+    t = _lcg_text(2000)
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    rows = cdc_chunk_duplicates(df, min_docs=2).collect()
+    assert rows, "identical docs must share chunks"
+    assert all(r["n_docs"] == 2 and r["n_occurrences"] == 2 for r in rows)
+    # chunk lengths tile the doc exactly
+    assert sum(r["chunk_len"] for r in rows) == len(t)
+
+
+def test_cdc_boundaries_resync_after_prefix_insertion(spark):
+    from vectolite_spark.operators.dedup import cdc_chunk_duplicates
+
+    t = _lcg_text(3000)
+    df = spark.createDataFrame(
+        [(1, t), (2, "ZQX" + t)], ["doc_id", "text"]
+    )
+    shared = cdc_chunk_duplicates(df, min_docs=2).collect()
+    # fixed-size chunking would share NOTHING after a prefix insertion;
+    # CDC re-synchronizes at the first content boundary
+    assert shared, "CDC must recover shared chunks after a prefix edit"
+    assert sum(r["chunk_len"] for r in shared) > len(t) // 2
+
+
+def test_cdc_unrelated_docs_share_nothing(spark):
+    from vectolite_spark.operators.dedup import cdc_chunk_duplicates
+
+    df = spark.createDataFrame(
+        [(1, _lcg_text(1500, seed=1)), (2, _lcg_text(1500, seed=2))],
+        ["doc_id", "text"],
+    )
+    assert cdc_chunk_duplicates(df, min_docs=2).count() == 0
+
+
+def test_cdc_short_doc_is_one_chunk(spark):
+    from vectolite_spark.operators.dedup import cdc_chunk_duplicates
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], ["doc_id", "text"])
+    rows = cdc_chunk_duplicates(df, min_docs=2).collect()
+    assert len(rows) == 1 and rows[0]["chunk_len"] == 4

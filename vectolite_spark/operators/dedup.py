@@ -880,3 +880,77 @@ def incremental_new_unique(
         .join(df, id_col)
         .select(id_col, "source", "n_chars")
     )
+
+
+def cdc_chunk_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+    top_n: int = 100,
+) -> DataFrame:
+    """Content-defined-chunking (CDC) duplicate detection: the storage /
+    training-data primitive that finds REPEATED SPANS across documents
+    even when whole-document hashes and shingle sketches disagree.
+
+    Each document is cut at content-defined boundaries — positions whose
+    ``window``-char context hashes into a fixed bucket (md5 prefix
+    ``00``, ~1/256 of positions) — so identical passages produce
+    identical chunks regardless of where they sit in a document (the
+    property fixed-size chunking lacks: one inserted character shifts
+    every later fixed-size chunk, but CDC boundaries re-synchronize).
+    Chunks are hashed and grouped; a chunk seen in >= ``min_docs``
+    distinct documents is a shared span (boilerplate, license header,
+    template, quotation).
+
+    Scale plan: boundary detection + chunk slicing are array expressions
+    in whole-stage codegen (no Python, no explode until chunks exist);
+    the ONE shuffle carries (md5, len, doc_id) — never chunk text. The
+    final top-N is TakeOrderedAndProject under a strict total order
+    (n_docs desc, occurrences desc, hash asc). At 100 TB the per-window
+    md5 would swap for a Gear/Buzhash rolling fingerprint in an
+    Arrow-batched UDF (8x less hashing work); the plan shape — narrow
+    chunking, hash-only shuffle — is unchanged.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    positions = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bs = F.filter(
+        positions,
+        lambda i: F.md5(text.substr(i, F.lit(window))).substr(1, 2) == "00",
+    )
+    cuts = F.concat(F.array(F.lit(1)), bs, F.array(n + 1))
+    idxs = F.sequence(F.lit(0), F.size(cuts) - 2)
+    chunks = F.filter(
+        F.transform(
+            idxs,
+            lambda j: text.substr(F.get(cuts, j), F.get(cuts, j + 1) - F.get(cuts, j)),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+    per_chunk = (
+        widen_small_input(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(chunks).alias("_chunk"))
+        .select(
+            F.col(id_col),
+            F.md5("_chunk").alias("chunk_hash"),
+            F.length("_chunk").alias("_len"),
+        )
+    )
+    return (
+        per_chunk.groupBy("chunk_hash")
+        .agg(
+            F.min("_len").cast("long").alias("chunk_len"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_hash", "chunk_len", "n_docs", "n_occurrences")
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_hash")
+        )
+        .limit(top_n)
+    )
