@@ -1,0 +1,61 @@
+"""Covariance operators: the DECIMAL-exact path and the numpy
+Gram-partial scale path must agree; the matrix must be a valid
+covariance (PSD, diagonal = per-dim variance)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vectolite_spark.operators.linalg import (
+    embedding_covariance,
+    gram_partials_covariance,
+)
+from vectolite_spark.schema import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _as_matrix(rows):
+    d = max(r["dim_j"] for r in rows)
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        m[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    return m
+
+
+def test_exact_and_gram_paths_agree(spark):
+    e = load_table(spark, SF, "embeddings")
+    exact = {(r["dim_i"], r["dim_j"]): r["cov"] for r in embedding_covariance(e).collect()}
+    fast = {(r["dim_i"], r["dim_j"]): r["cov"] for r in gram_partials_covariance(e).collect()}
+    assert set(exact) == set(fast)
+    assert max(abs(exact[k] - fast[k]) for k in exact) < 1e-6
+
+
+def test_covariance_matches_numpy_reference(spark):
+    e = load_table(spark, SF, "embeddings")
+    vecs = np.asarray(
+        [list(r["embedding"]) for r in e.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    want = np.cov(vecs, rowvar=False, bias=True)  # population (divide by n)
+    got = _as_matrix(embedding_covariance(e).collect())
+    assert np.max(np.abs(got - want)) < 1e-6
+
+
+def test_covariance_is_psd(spark):
+    e = load_table(spark, SF, "embeddings")
+    m = _as_matrix(embedding_covariance(e).collect())
+    evals = np.linalg.eigvalsh(m)
+    assert evals.min() > -1e-6  # PSD up to the 6dp output rounding
+
+
+def test_partitioning_invariance(spark):
+    # the DECIMAL accumulation contract: any partitioning, same matrix
+    e = load_table(spark, SF, "embeddings")
+    a = {(r["dim_i"], r["dim_j"]): r["cov"] for r in embedding_covariance(e).collect()}
+    b = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance(e.repartition(13)).collect()
+    }
+    assert a == b

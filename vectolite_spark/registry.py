@@ -5729,6 +5729,41 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "embedding_covariance",
+    """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS val
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+p AS (
+  SELECT a.i AS dim_i, b.i AS dim_j,
+         COUNT(*) AS n,
+         SUM(CAST(a.val * b.val AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(a.val AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(b.val AS DECIMAL(28,12))) AS sy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       ROUND(CAST(sxy AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS cov
+FROM p
+""",
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle embedding covariance matrix — the PCA / whitening /
+    OPQ-rotation input, computed with order-free DECIMAL accumulation so
+    any partitioning gives the identical matrix. The shuffle carries
+    d*(d+1)/2 fixed-size partials per partition regardless of corpus
+    size (map-side combine); the numpy Gram-partial fast path
+    (``linalg.gram_partials_covariance``) is pytest-pinned to agree to
+    1e-6."""
+    from vectolite_spark.operators.linalg import embedding_covariance
+
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
