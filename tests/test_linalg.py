@@ -59,3 +59,32 @@ def test_partitioning_invariance(spark):
         for r in embedding_covariance(e.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_pca_projection_invariants(spark):
+    from vectolite_spark.operators.linalg import pca_project
+
+    e = load_table(spark, SF, "embeddings")
+    proj, explained = pca_project(e, k=4)
+    mat = np.asarray([r["pca"] for r in proj.select("pca").collect()])
+    assert mat.shape[1] == 4
+    assert explained == sorted(explained, reverse=True)
+    # component variance == eigenvalue (population), components decorrelate
+    pc_cov = np.cov(mat, rowvar=False, bias=True)
+    assert np.allclose(np.diag(pc_cov), explained, rtol=1e-5, atol=1e-8)
+    off = pc_cov - np.diag(np.diag(pc_cov))
+    assert np.max(np.abs(off)) < 1e-6
+    # components are mean-centered
+    assert np.max(np.abs(mat.mean(axis=0))) < 1e-9
+    # matches the direct numpy projection up to per-component sign
+    vecs = np.asarray(
+        [list(r["embedding"]) for r in e.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    centered = vecs - vecs.mean(axis=0)
+    ev, evec = np.linalg.eigh(np.cov(vecs, rowvar=False, bias=True))
+    ref = centered @ evec[:, np.argsort(ev)[::-1][:4]]
+    for c in range(4):
+        d_same = np.max(np.abs(mat[:, c] - ref[:, c]))
+        d_flip = np.max(np.abs(mat[:, c] + ref[:, c]))
+        assert min(d_same, d_flip) < 1e-6

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_covariance", "gram_partials_covariance"]
+__all__ = ["embedding_covariance", "gram_partials_covariance", "pca_project"]
 
 
 def embedding_covariance(
@@ -132,3 +132,62 @@ def gram_partials_covariance(
     return df.sparkSession.createDataFrame(
         out, "dim_i int, dim_j int, cov double"
     )
+
+
+def pca_project(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple[DataFrame, "list[float]"]:
+    """Top-``k`` PCA projection of the embedding column — the dimension
+    reduction run before ANN index build or representation audits.
+
+    The d x d covariance comes from the Gram-partial pass (one shuffle of
+    fixed-size partials); its eigendecomposition is a driver-side numpy
+    call on a d x d matrix — O(d^3) with d=64..4096, never
+    corpus-dependent — and the top-k basis (plus the per-component mean
+    offsets) ships into the plan as LITERAL arrays, so the projection is
+    k dot products per row in JVM array expressions: no Python in the
+    per-row path, no shuffle at all. Returns (projected_df,
+    explained_variance) where the df gains ``pca array<double>`` (length
+    k, components ordered by descending eigenvalue) and
+    explained_variance lists the top-k eigenvalues.
+
+    No SQL oracle (eigendecomposition has no DuckDB twin); the pytest
+    contract instead pins the linear-algebra invariants: projected
+    component variances equal the eigenvalues, components decorrelate,
+    and the top-k eigenvalue mass bounds captured variance.
+    """
+    import numpy as np
+
+    rows = gram_partials_covariance(df, vec_col).collect()
+    d = max(r["dim_j"] for r in rows)
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    basis = evecs[:, order]  # d x k
+    explained = [float(evals[i]) for i in order]
+
+    mean = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean:
+        mu[r["i"]] = r["m"]
+    offsets = mu @ basis  # dot(mean, w_c) per component, driver-side
+
+    v = F.col(vec_col)
+    comps = []
+    for c in range(k):
+        w = F.array(*[F.lit(float(x)) for x in basis[:, c]])
+        dot = F.aggregate(
+            F.zip_with(v, w, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(dot - F.lit(float(offsets[c])))
+    return df.withColumn("pca", F.array(*comps)), explained
