@@ -38,10 +38,29 @@ def embedding_covariance(
     cov[i,j] = E[x_i x_j] - E[x_i] E[x_j], population form (divide by n)
     — matching the dim-variance query's convention.
     """
+    from vectolite_spark.operators.dedup import widen_small_input
+
+    src = widen_small_input(df.select(vec_col))
     v = F.col(vec_col)
     d = F.size(v)
-    # (i, j) upper-triangle pair ids flattened as i*d + j (0-based), with
-    # the product quantized per element — order-free partial aggregation
+    # per-dim DECIMAL sums (d rows) — the means; broadcast back into the
+    # pair aggregate below instead of replicating x/y decimals per pair
+    dims = (
+        src.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("double").cast("decimal(28,12)")).alias("s"),
+        )
+        .select(
+            (F.col("i") + 1).alias("dim"),
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("m"),
+        )
+    )
+    # (i, j) upper-triangle pair ids flattened as i*d + j (0-based), the
+    # product quantized per element — order-free partial aggregation; ONE
+    # decimal per pair (means come from the d-row relation above)
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), d - 1),
@@ -54,28 +73,32 @@ def embedding_covariance(
                     )
                     .cast("decimal(28,12)")
                     .alias("xy"),
-                    F.get(v, i).cast("double").cast("decimal(28,12)").alias("x"),
-                    F.get(v, j).cast("double").cast("decimal(28,12)").alias("y"),
                 ),
             ),
         )
     )
-    exploded = df.select(F.col(vec_col), d.alias("_d")).select(
-        "_d", F.explode(pairs).alias("e")
-    )
+    exploded = src.select(d.alias("_d"), F.explode(pairs).alias("e"))
     agg = exploded.groupBy(F.col("e.p").alias("p"), F.col("_d")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("e.xy").alias("sxy"),
-        F.sum("e.x").alias("sx"),
-        F.sum("e.y").alias("sy"),
     )
-    mean_xy = F.col("sxy").cast("double") / F.col("n")
-    mean_x = F.col("sx").cast("double") / F.col("n")
-    mean_y = F.col("sy").cast("double") / F.col("n")
-    return agg.select(
+    keyed = agg.select(
         (F.floor(F.col("p") / F.col("_d")) + 1).cast("int").alias("dim_i"),
         (F.col("p") % F.col("_d") + 1).cast("int").alias("dim_j"),
-        F.round(mean_xy - mean_x * mean_y, round_to).alias("cov"),
+        (F.col("sxy").cast("double") / F.col("n")).alias("mean_xy"),
+    )
+    mi = dims.select(F.col("dim").alias("dim_i"), F.col("m").alias("m_i"))
+    mj = dims.select(F.col("dim").alias("dim_j"), F.col("m").alias("m_j"))
+    return (
+        keyed.join(F.broadcast(mi), "dim_i")
+        .join(F.broadcast(mj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                F.col("mean_xy") - F.col("m_i") * F.col("m_j"), round_to
+            ).alias("cov"),
+        )
     )
 
 

@@ -5836,10 +5836,15 @@ _DRIVER_WINDOW = [
     "approx_distinct_tokens",
 ]
 
-# With this r4 window, every one of the 125 registry queries has either a
-# driver-green CORRECTNESS row (r1-r3) or sits in the window above for its
-# first authoritative row — the rotation prescribed by VERDICT r2/r3 item 1
-# completes this round. Future rounds: put any query whose code changed
+# With this r4 window, every query that existed before round 4 has either
+# a driver-green CORRECTNESS row (r1-r3) or sits in the window above for
+# its first authoritative row — the rotation prescribed by VERDICT r2/r3
+# item 1 completes this round. The late-r4 additions outside the window
+# (bm25/ivf/hybrid batch serving, token_budget_sample,
+# snapshot_version_diff are IN it; bucketed_join_revenue, cdc_chunk_dedup,
+# embedding_covariance land in the middle section) are oracle-verified by
+# tools/check_oracle.py at 2-3 scales this round and are first in line
+# for round 5's window. Future rounds: put any query whose code changed
 # back into the window; keep the core-parity keepers.
 
 # driver-green in r1/r2 (CORRECTNESS_r01/r02.json) — safe to re-verify last
