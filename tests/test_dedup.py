@@ -501,3 +501,44 @@ def test_cdc_short_doc_is_one_chunk(spark):
     df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], ["doc_id", "text"])
     rows = cdc_chunk_duplicates(df, min_docs=2).collect()
     assert len(rows) == 1 and rows[0]["chunk_len"] == 4
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_join_equals_brute_force(spark):
+    """The prefix filter is an OPTIMIZATION, not an approximation: its
+    result must equal the all-pairs brute force exactly (completeness =
+    no pair above threshold is pruned; soundness = verify step)."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.dedup import (
+        norm_tokens,
+        prefix_filter_jaccard_pairs,
+    )
+    from vectolite_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    t = 0.9
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    sets = docs.select(
+        "doc_id", F.array_distinct(F.sort_array(norm_tokens("text"))).alias("ts")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    brute = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .collect()
+    }
+    assert got == brute and len(brute) > 0

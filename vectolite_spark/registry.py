@@ -5764,6 +5764,58 @@ def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "jaccard_prefix_join",
+    f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+dfr AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+ranked AS (
+  SELECT k.doc_id, k.t,
+         ROW_NUMBER() OVER (PARTITION BY k.doc_id
+                            ORDER BY d.df ASC, k.t ASC) AS pos,
+         s.n
+  FROM tok k JOIN dfr d USING (t) JOIN sz s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, t, n FROM ranked
+  WHERE pos <= n - CAST(ceil(0.95 * n) AS INT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.t = b.t AND a.doc_id < b.doc_id
+   AND b.n >= CAST(ceil(0.95 * a.n) AS INT)
+   AND a.n >= CAST(ceil(0.95 * b.n) AS INT)
+),
+sets AS (SELECT doc_id, list_sort(list(t)) AS ts FROM tok GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.ts, sb.ts))
+           / CAST(len(sa.ts) + len(sb.ts)
+                  - len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) AS j
+  FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+              JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard
+FROM scored WHERE j >= 0.95
+""",
+)
+def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-family prefix filter) at
+    Jaccard >= 0.95 — no approximation, no missed pairs, candidates
+    generated only through each doc's RAREST tokens (the frequent tokens
+    that would make hot join keys are exactly the ones the prefix
+    excludes) plus a size-compatibility filter. The exhaustive
+    complement to the MinHash/SimHash estimators."""
+    from vectolite_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
