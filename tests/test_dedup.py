@@ -542,3 +542,23 @@ def test_prefix_filter_join_equals_brute_force(spark):
         .collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_pagerank_closed_form_cliques(spark):
+    """A 3-clique, a 2-clique, and an isolated doc: uniform rank inside a
+    clique is a PageRank fixed point ((1-d)/N + d*r = r when every node
+    receives exactly its own rank back), so members hold 1/N while the
+    isolated doc decays to the (1-d)/N floor."""
+    from vectolite_spark.operators.dedup import dup_graph_pagerank
+
+    rows = [
+        (1, BASE), (2, BASE), (3, BASE),                      # clique of 3
+        (4, BASE.replace("fox", "wolf")),                     # clique of 2
+        (5, BASE.replace("fox", "wolf")),
+        (6, "entirely unrelated text about parquet readers"), # isolated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["rank_millis"] for r in dup_graph_pagerank(df).collect()}
+    for i in (1, 2, 3, 4, 5):
+        assert got[i] == round(1000.0 / 6, 6), got
+    assert got[6] == round(1000.0 * 0.15 / 6, 6), got

@@ -1037,3 +1037,74 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def dup_graph_pagerank(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_n: int = 20,
+) -> DataFrame:
+    """PageRank over the MinHash-LSH near-duplicate graph — the NUMERIC
+    iterative graph computation next to connected-components'
+    combinatorial fixpoint. Rank concentrates on documents whose
+    near-dup neighborhoods are large and interlinked (template hubs):
+    the removal-priority signal when a curation budget can't delete
+    every duplicate.
+
+    Fixed-iteration power method, engine-deterministic by construction:
+    each neighbor contribution ``r/deg`` is an IEEE-identical double
+    division, quantized to DECIMAL(28,14) BEFORE the sum (so
+    accumulation order cannot change the iterate), and the affine update
+    is the same double arithmetic in Spark and the SQL oracle. Dangling
+    (isolated) documents keep the (1-d)/N floor and their mass is not
+    redistributed — a documented variant choice mirrored exactly in the
+    oracle.
+
+    Scale: the edge list is built once (cached; the same capped LSH
+    relation every dup-graph operator uses) and each iteration is one
+    join + one map-side-combined shuffle of (node, decimal) rows; the
+    rank relation carries (id, double). O(iterations) bounded rounds,
+    lineage pinned by the cached edges.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col)
+    edges = _managed_cache(
+        "pagerank_edges",
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = df.select(F.col(id_col).alias("doc_id"))
+    n = nodes.count()
+    rank = nodes.select("doc_id", F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.col("r") / F.col("deg")).cast("decimal(28,14)").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return (
+        rank.orderBy(F.desc("r"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            "doc_id", F.round(F.col("r") * 1000, 6).alias("rank_millis")
+        )
+    )

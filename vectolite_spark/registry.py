@@ -5869,6 +5869,59 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("source", "n_unique")
 
 
+@register(
+    "dup_graph_pagerank",
+    f"""
+WITH pairs AS ({{MINHASH_PAIRS}}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+it0 AS (SELECT doc_id, 1.0 / n AS r FROM documents, nn),
+it1 AS (
+  SELECT d.doc_id, 0.15 / nn.n + 0.85 * COALESCE(CAST(m.s AS DOUBLE), 0) AS r
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(CAST(r0.r / dg.deg AS DECIMAL(28,14))) AS s
+    FROM edges e JOIN it0 r0 ON r0.doc_id = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) m ON m.doc_id = d.doc_id
+),
+it2 AS (
+  SELECT d.doc_id, 0.15 / nn.n + 0.85 * COALESCE(CAST(m.s AS DOUBLE), 0) AS r
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(CAST(r1.r / dg.deg AS DECIMAL(28,14))) AS s
+    FROM edges e JOIN it1 r1 ON r1.doc_id = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) m ON m.doc_id = d.doc_id
+),
+it3 AS (
+  SELECT d.doc_id, 0.15 / nn.n + 0.85 * COALESCE(CAST(m.s AS DOUBLE), 0) AS r
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(CAST(r2.r / dg.deg AS DECIMAL(28,14))) AS s
+    FROM edges e JOIN it2 r2 ON r2.doc_id = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) m ON m.doc_id = d.doc_id
+)
+SELECT doc_id, ROUND(r * 1000, 6) AS rank_millis
+FROM it3 ORDER BY r DESC, doc_id ASC LIMIT 20
+""".replace("{MINHASH_PAIRS}", _MINHASH_PAIRS_SQL),
+)
+def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the MinHash-LSH near-dup graph
+    (removal-priority hubs). Per-iteration DECIMAL(28,14) quantization
+    of neighbor contributions makes every iterate engine-identical —
+    the oracle unrolls the same three power steps as chained CTEs."""
+    from vectolite_spark.operators.dedup import dup_graph_pagerank
+
+    return dup_graph_pagerank(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
