@@ -495,28 +495,31 @@ def ngram_novelty(
     the doc is stitched from already-seen text; the per-source average
     ranks feeds by marginal value).
 
-    Scale plan: two shuffles — distinct (shingle, doc) pairs reduce
-    map-side, then min(doc_id) per shingle; the join back is co-keyed on
-    the shingle hash (md5, 32 bytes) so no text ever shuffles twice.
-    The hashed-pairs relation feeds both the first-seen aggregate and the
-    join, so it is cached (managed, replaced on next call) — otherwise
-    the shingle UDF re-reads and re-shingles the full corpus twice.
+    Scale plan: two shuffles total — distinct (shingle-hash, doc) pairs
+    reduce map-side, then the first-seen doc comes from MIN OVER
+    (PARTITION BY hash) on the SAME shuffle the distinct already placed
+    (no separate groupBy + re-join round trip), and the per-doc rollup is
+    the second shuffle. Only md5 hashes (32 bytes) ever move; the input
+    is widened first so the Arrow shingle UDF runs on every core even
+    when the source is a single-split file.
     """
-    from vectolite_spark._pandas_udfs import make_shingle_udf
-    from vectolite_spark.operators.dedup import _managed_cache
+    from pyspark.sql import Window
 
-    pairs = _managed_cache(
-        "novelty_pairs",
-        df.select(
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+    from vectolite_spark.operators.dedup import widen_small_input
+
+    pairs = (
+        widen_small_input(df)
+        .select(
             F.col(id_col),
             F.explode(make_shingle_udf()(F.col(text_col))).alias("s"),
         )
         .select(F.col(id_col), F.md5("s").alias("sh"))
-        .distinct(),
+        .distinct()
     )
-    first = pairs.groupBy("sh").agg(F.min(id_col).alias("first_doc"))
+    first = F.min(id_col).over(Window.partitionBy("sh"))
     return (
-        pairs.join(first, "sh")
+        pairs.withColumn("first_doc", first)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
