@@ -562,3 +562,63 @@ def test_pagerank_closed_form_cliques(spark):
     for i in (1, 2, 3, 4, 5):
         assert got[i] == round(1000.0 / 6, 6), got
     assert got[6] == round(1000.0 * 0.15 / 6, 6), got
+
+
+def test_cdc_differential_vs_python_reference(spark):
+    """Hypothesis differential: the Spark CDC pipeline must agree with an
+    independent pure-Python implementation of the same contract
+    (boundary = 8-char window md5 prefix '00', chunks between cuts) on
+    arbitrary unicode corpora."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectolite_spark.operators.dedup import cdc_chunk_duplicates
+
+    def py_cdc(texts):
+        agg = {}
+        for doc_id, t in texts:
+            n = len(t)
+            bs = [
+                i
+                for i in range(1, n - 7 + 1)
+                if hashlib.md5(t[i - 1 : i + 7].encode("utf-8"))
+                .hexdigest()
+                .startswith("00")
+            ]
+            cuts = [1] + bs + [n + 1]
+            for a, b in zip(cuts, cuts[1:]):
+                if b > a:
+                    c = t[a - 1 : b - 1]
+                    h = hashlib.md5(c.encode("utf-8")).hexdigest()
+                    e = agg.setdefault(h, [len(c), set(), 0])
+                    e[1].add(doc_id)
+                    e[2] += 1
+        return {
+            h: (ln, len(docs), occ)
+            for h, (ln, docs, occ) in agg.items()
+            if len(docs) >= 1
+        }
+
+    alphabet = st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z")
+    )
+    texts_strategy = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=60),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts_strategy)
+    def run(texts):
+        rows = [(i + 1, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["chunk_hash"]: (r["chunk_len"], r["n_docs"], r["n_occurrences"])
+            for r in cdc_chunk_duplicates(df, min_docs=1, top_n=10_000).collect()
+        }
+        assert got == py_cdc(rows)
+
+    run()
