@@ -993,38 +993,67 @@ def prefix_filter_jaccard_pairs(
     tok = _managed_cache("ppjoin_tok", tok)
     sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     dfr = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        tok.join(dfr, "t")
-        .join(sz, id_col)
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("t"))
-            ),
-        )
+    # dense integer token ids in the SAME global (df asc, token asc)
+    # ordering the prefix uses: verify then intersects small int arrays
+    # instead of string arrays, and position becomes a simple tid rank.
+    # The single-partition ranking window is over the (small) distinct
+    # VOCABULARY, not the corpus — at 100 TB this is the term dictionary,
+    # bounded by language, not data size.
+    tid = dfr.withColumn(
+        "tid",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.asc("df"), F.asc("t"))
+        ),
+    ).select("t", "tid")
+    toki = _managed_cache("ppjoin_toki", tok.join(tid, "t").select(id_col, "tid"))
+    ranked = toki.join(sz, id_col).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy(id_col).orderBy(F.asc("tid"))),
     )
     min_sz = F.ceil(F.lit(threshold) * F.col("n")).cast("int")
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - min_sz + 1
-    ).select(id_col, "t", "n")
+    ).select(id_col, "tid", "n", "pos")
     a = prefix.select(
-        F.col(id_col).alias("doc_a"), "t", F.col("n").alias("na")
+        F.col(id_col).alias("doc_a"),
+        "tid",
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
     )
     b = prefix.select(
-        F.col(id_col).alias("doc_b"), "t", F.col("n").alias("nb")
+        F.col(id_col).alias("doc_b"),
+        "tid",
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
+    )
+    # PPJoin positional filter: a qualifying pair's FIRST shared token
+    # satisfies overlap <= 1 + min(remaining_a, remaining_b), so pruning
+    # candidate rows against the required overlap ceil(t/(1+t)*(na+nb))
+    # never loses a true pair (ANY surviving row re-candidates the pair).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
     )
     cand = (
-        a.join(b, "t")
+        a.join(b, "tid")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")).cast("int"))
             & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")).cast("int"))
+            & (
+                F.lit(1)
+                + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                >= alpha
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = tok.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("t")).alias("ts")
+    # doc -> sorted int-id set: one small row per doc. Deliberately NOT
+    # force-broadcast: AQE upgrades these joins to broadcast while the
+    # relation is small (it is, locally) and keeps the scale-correct
+    # shuffle join when a 100 TB corpus makes per-doc rows too big to ship
+    sets = toki.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tid")).alias("ts")
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("ts").alias("ts_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("ts").alias("ts_b"))
