@@ -1107,8 +1107,14 @@ def dup_graph_pagerank(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         ),
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = df.select(F.col(id_col).alias("doc_id"))
+    # deg and the node list appear in every iteration's subtree: cache
+    # them once or each fixed-point step recomputes them from scratch
+    deg = _managed_cache(
+        "pagerank_deg", edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nodes = _managed_cache(
+        "pagerank_nodes", df.select(F.col(id_col).alias("doc_id"))
+    )
     n = nodes.count()
     rank = nodes.select("doc_id", F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):
@@ -1130,6 +1136,11 @@ def dup_graph_pagerank(
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("r"),
         )
+        # NOTE: deliberately no per-step localCheckpoint — measured slower
+        # here (each eager materialization re-runs the edge join pipeline;
+        # re-executing lineage over the CACHED edges/deg/nodes is cheaper
+        # at 3 iterations). For deep iteration counts the CC loop's
+        # truncation pattern applies.
     return (
         rank.orderBy(F.desc("r"), F.asc("doc_id"))
         .limit(top_n)
