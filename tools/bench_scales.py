@@ -30,6 +30,10 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality",
     "funnel_conversion",
+    "cdc_chunk_dedup",
+    "embedding_covariance",
+    "bucketed_join_revenue",
+    "bpe_merge_candidates",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
