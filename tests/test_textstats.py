@@ -299,3 +299,17 @@ def test_ngram_novelty_copy_scores_zero(spark):
     assert rows[0]["novelty"] == 1.0  # first occurrence owns every shingle
     assert rows[1]["novelty"] == 0.0  # exact copy contributes nothing new
     assert rows[2]["novelty"] == 1.0
+
+
+def test_bpe_train_closed_form(spark):
+    """Corpus 'aaab aaab ab': merge1 = (a,a) weight 4; left-to-right
+    application turns aaab into [aa, a, b] (the third 'a' survives), so
+    merge2 = (a,b) weight 3, and merge3 = (aa, ab) weight 2."""
+    from vectolite_spark.operators.textstats import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left_tok"], r["right_tok"], r["cnt"])
+        for r in bpe_train_merges(df).orderBy("iteration").collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]

@@ -533,3 +533,94 @@ def ngram_novelty(
             "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
         )
     )
+
+
+BPE_SEP = "\x1f"  # unit separator: token-boundary sentinel for BPE merges
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", iterations: int = 3
+) -> DataFrame:
+    """Iterative BPE vocabulary induction — not just one candidate pass
+    (``char_pair_counts``) but the actual training LOOP: pick the most
+    frequent adjacent pair, APPLY the merge corpus-wide, recount, repeat.
+    Returns one row per iteration: (iteration, left_tok, right_tok, cnt).
+
+    The trick that keeps every step in engine-portable string ops: a
+    word's tokenization is a SEP-delimited string (``\\x1f h \\x1f e …``),
+    so applying merge (x, y) is one literal ``replace`` of
+    ``SEP x SEP y SEP`` with ``SEP xy SEP`` — and because ``replace``
+    scans left-to-right without overlap in Spark, DuckDB, and Python
+    alike, it reproduces BPE's single-pass merge semantics exactly
+    (``a a a`` + merge(a,a) -> ``aa a``). Merged symbols participate in
+    later iterations like any token.
+
+    Scale plan: the working relation is the DISTINCT-WORD vocabulary with
+    occurrence weights (Zipf: thousands of rows for billions of tokens),
+    cached and rewritten in place per merge; each iteration is one
+    explode + map-side-combined count of 2-token keys plus one driver
+    fetch of a single winner row. O(iterations) bounded rounds — the
+    same shape a 100 TB tokenizer-training job wants, with the corpus
+    touched exactly once at the start.
+    """
+    from vectolite_spark.operators.dedup import (
+        _managed_cache,
+        norm_tokens,
+        widen_small_input,
+    )
+
+    words = (
+        widen_small_input(df)
+        .select(F.explode(norm_tokens(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit(BPE_SEP), F.array_join(chars, BPE_SEP), F.lit(BPE_SEP)
+        ).alias("s"),
+        "wc",
+    )
+    merges = []
+    for it in range(1, iterations + 1):
+        vocab = _managed_cache(f"bpe_vocab_{it % 2}", vocab)
+        toks = F.filter(F.split("s", BPE_SEP), lambda x: x != "")
+        # a fully-merged word has one token and no pairs; sequence(1, 0)
+        # would DESCEND through index 0, so gate on size >= 2
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = vocab.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("l"),
+                        F.element_at(toks, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            "wc",
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        merges.append((it, top["l"], top["r"], int(top["cnt"])))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + top["l"] + BPE_SEP + top["r"] + BPE_SEP),
+                F.lit(BPE_SEP + top["l"] + top["r"] + BPE_SEP),
+            ).alias("s"),
+            "wc",
+        )
+    return df.sparkSession.createDataFrame(
+        merges, "iteration int, left_tok string, right_tok string, cnt long"
+    )

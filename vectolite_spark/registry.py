@@ -5922,6 +5922,64 @@ def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_graph_pagerank(load_table(spark, sf_dir, "documents"))
 
 
+_BPE_SEP = "\x1f"
+_BPE_PAIRS = """
+  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT)+1] AS r, SUM(wc) AS cnt
+  FROM (SELECT list_filter(string_split(s, '{sep}'), x -> x != '') AS t, wc
+        FROM {src}),
+       UNNEST(range(1, len(t))) u(i)
+  GROUP BY 1, 2
+"""
+_BPE_APPLY = """
+  SELECT replace(s, '{sep}' || m.l || '{sep}' || m.r || '{sep}',
+                    '{sep}' || m.l || m.r || '{sep}') AS s, wc
+  FROM {src}, {m} m
+"""
+
+
+@register(
+    "bpe_train",
+    f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+v0 AS (
+  SELECT '{_BPE_SEP}' || array_to_string(string_split(w, ''), '{_BPE_SEP}')
+         || '{_BPE_SEP}' AS s, wc
+  FROM words
+),
+p1 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v0")}),
+m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v1 AS ({_BPE_APPLY.format(sep=_BPE_SEP, src="v0", m="m1")}),
+p2 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v1")}),
+m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v2 AS ({_BPE_APPLY.format(sep=_BPE_SEP, src="v1", m="m2")}),
+p3 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v2")}),
+m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+SELECT 1 AS iteration, l AS left_tok, r AS right_tok, CAST(cnt AS BIGINT) AS cnt
+FROM m1
+UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM m2
+UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM m3
+ORDER BY iteration
+""",
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE vocabulary induction: three merge rounds actually
+    APPLIED corpus-wide (pick top pair -> rewrite every word -> recount),
+    not just the single candidate pass. Tokenizations live as
+    SEP-delimited strings so a merge is one literal left-to-right
+    ``replace`` with identical semantics in Spark, DuckDB, and Python;
+    the working relation is the weighted distinct-word vocabulary (Zipf:
+    tiny vs the corpus), cached and rewritten per round. The oracle
+    unrolls the same three rounds as chained CTEs."""
+    from vectolite_spark.operators.textstats import bpe_train_merges
+
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
