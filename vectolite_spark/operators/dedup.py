@@ -882,6 +882,42 @@ def incremental_new_unique(
     )
 
 
+def _cdc_chunk_rows(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, chunk_hash, _len) rows from content-defined chunking: cut at
+    positions whose ``window``-char context md5 starts '00' (~1/256),
+    slice between cuts, hash. All array expressions in codegen; chunk
+    text never leaves the stage."""
+    text = F.col(text_col)
+    n = F.length(text)
+    positions = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bs = F.filter(
+        positions,
+        lambda i: F.md5(text.substr(i, F.lit(window))).substr(1, 2) == "00",
+    )
+    cuts = F.concat(F.array(F.lit(1)), bs, F.array(n + 1))
+    idxs = F.sequence(F.lit(0), F.size(cuts) - 2)
+    chunks = F.filter(
+        F.transform(
+            idxs,
+            lambda j: text.substr(F.get(cuts, j), F.get(cuts, j + 1) - F.get(cuts, j)),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+    return (
+        widen_small_input(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(chunks).alias("_chunk"))
+        .select(
+            F.col(id_col),
+            F.md5("_chunk").alias("chunk_hash"),
+            F.length("_chunk").alias("_len"),
+        )
+    )
+
+
 def cdc_chunk_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -913,33 +949,7 @@ def cdc_chunk_duplicates(
     Arrow-batched UDF (8x less hashing work); the plan shape — narrow
     chunking, hash-only shuffle — is unchanged.
     """
-    text = F.col(text_col)
-    n = F.length(text)
-    positions = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bs = F.filter(
-        positions,
-        lambda i: F.md5(text.substr(i, F.lit(window))).substr(1, 2) == "00",
-    )
-    cuts = F.concat(F.array(F.lit(1)), bs, F.array(n + 1))
-    idxs = F.sequence(F.lit(0), F.size(cuts) - 2)
-    chunks = F.filter(
-        F.transform(
-            idxs,
-            lambda j: text.substr(F.get(cuts, j), F.get(cuts, j + 1) - F.get(cuts, j)),
-        ),
-        lambda c: F.length(c) > 0,
-    )
-    per_chunk = (
-        widen_small_input(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(chunks).alias("_chunk"))
-        .select(
-            F.col(id_col),
-            F.md5("_chunk").alias("chunk_hash"),
-            F.length("_chunk").alias("_len"),
-        )
-    )
+    per_chunk = _cdc_chunk_rows(df, text_col, id_col, window)
     return (
         per_chunk.groupBy("chunk_hash")
         .agg(
@@ -1146,5 +1156,54 @@ def dup_graph_pagerank(
         .limit(top_n)
         .select(
             "doc_id", F.round(F.col("r") * 1000, 6).alias("rank_millis")
+        )
+    )
+
+
+def cdc_span_decontamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cutoff_frac: float = 0.8,
+    window: int = 8,
+) -> DataFrame:
+    """SPAN-level decontamination via content-defined chunks: for each
+    doc in the newest id range (the held-out / eval side), how much of
+    it is stitched from chunks already present in the established corpus
+    — contamination that n-gram matching misses once an edit shifts the
+    grams, because CDC boundaries re-synchronize around the edit.
+
+    Returns (doc_id, n_chunks, n_contaminated, contaminated_frac) for
+    every doc above the cutoff. Scale: the old side reduces to DISTINCT
+    chunk hashes before the join, so the shuffle moves one 32-byte hash
+    per distinct corpus span; the eval side is typically tiny. The same
+    shape serves benchmark-contamination audits against a persisted
+    chunk-hash store.
+    """
+    cut = df.agg(
+        F.floor(F.lit(cutoff_frac) * (F.max(id_col) + 1)).cast("long").alias("cutoff")
+    )
+    rows = _cdc_chunk_rows(df, text_col, id_col, window).crossJoin(
+        F.broadcast(cut)
+    )
+    old = (
+        rows.filter(F.col(id_col) < F.col("cutoff"))
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    new = rows.filter(F.col(id_col) >= F.col("cutoff"))
+    return (
+        new.join(old, "chunk_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_seen"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.round(F.col("n_contaminated") / F.col("n_chunks"), 6),
         )
     )
