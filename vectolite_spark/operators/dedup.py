@@ -1207,3 +1207,67 @@ def cdc_span_decontamination(
             F.round(F.col("n_contaminated") / F.col("n_chunks"), 6),
         )
     )
+
+
+def build_cdc_chunk_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    n_buckets: int = 32,
+) -> str:
+    """Persist the corpus's DISTINCT CDC chunk hashes as a bucketed
+    parquet index: build once, probe every future snapshot against it
+    without ever re-chunking the established corpus (the same
+    build-once/probe-many economics the BM25/IVF indexes give retrieval,
+    applied to decontamination). Rows carry only (bucket, chunk_hash) —
+    32 bytes per distinct corpus span; the bucket column (hash prefix)
+    partitions the layout so probes co-partition cheaply and incremental
+    appends touch only their buckets."""
+    hashes = (
+        _cdc_chunk_rows(df, text_col, id_col, window)
+        .select("chunk_hash")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.conv(F.substring("chunk_hash", 1, 4), 16, 10).cast("int")
+            % n_buckets,
+        )
+    )
+    hashes.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path
+
+
+def probe_cdc_chunk_index(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Decontaminate a NEW snapshot against a prebuilt chunk-hash index:
+    chunk only the new docs (the corpus is never touched), left-join
+    their chunk hashes to the index, and report per-doc contamination.
+    Output schema matches ``cdc_span_decontamination``."""
+    spark = new_docs.sparkSession
+    idx = (
+        spark.read.parquet(index_path)
+        .select("chunk_hash")
+        .withColumn("_seen", F.lit(1))
+    )
+    rows = _cdc_chunk_rows(new_docs, text_col, id_col, window)
+    return (
+        rows.join(idx, "chunk_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_seen"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.round(F.col("n_contaminated") / F.col("n_chunks"), 6),
+        )
+    )

@@ -6029,6 +6029,36 @@ def cdc_span_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_span_decontamination(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "cdc_indexed_decontamination",
+    ORACLES["cdc_span_decontamination"],
+)
+def cdc_indexed_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-SERVED span decontamination: the established corpus's
+    distinct CDC chunk hashes persist once in the shared ``.cache``
+    layout (build-if-absent, like the BM25/IVF indexes) and each new
+    snapshot probes against them without the corpus ever being
+    re-chunked. Shares ``cdc_span_decontamination``'s oracle, so the
+    index-served result is REQUIRED to equal the scan-side pipeline."""
+    import os
+
+    from vectolite_spark.operators.dedup import (
+        build_cdc_chunk_index,
+        probe_cdc_chunk_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.floor(F.lit(0.8) * (F.max("doc_id") + 1)).cast("long").alias("c")
+    ).first()["c"]
+    path = index_cache_path("cdcidx_v1_w8", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_cdc_chunk_index(docs.filter(F.col("doc_id") < cutoff), path)
+    return probe_cdc_chunk_index(
+        docs.filter(F.col("doc_id") >= cutoff), path
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
