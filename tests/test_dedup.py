@@ -622,3 +622,36 @@ def test_cdc_differential_vs_python_reference(spark):
         assert got == py_cdc(rows)
 
     run()
+
+def test_srp_hard_negatives_closed_form(spark):
+    # identical vectors collide in every SRP table, so a different-label
+    # twin is a guaranteed rank-1 hard negative at score 1.0; a same-label
+    # twin must never surface, and ranks per anchor are 1..k dense.
+    import random
+
+    from vectolite_spark.operators.dedup import srp_hard_negatives
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], f"lab{i % 3}"))
+    rows.append((200, list(rows[4][1]), "labX"))   # diff-label twin of 4
+    rows.append((201, list(rows[7][1]), "lab1"))   # same-label twin of 7
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = srp_hard_negatives(embs, k=2).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    top4 = sorted(by_anchor[4], key=lambda r: r["neg_rank"])[0]
+    assert top4["neg_id"] == 200 and top4["score"] == 1.0
+    top200 = sorted(by_anchor[200], key=lambda r: r["neg_rank"])[0]
+    assert top200["neg_id"] == 4 and top200["score"] == 1.0
+    # same-label twin excluded from 7's negatives
+    assert all(r["neg_id"] != 201 for r in by_anchor.get(7, []))
+    for anchor, rs in by_anchor.items():
+        ranks = sorted(r["neg_rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= 2

@@ -483,6 +483,100 @@ def embedding_srp_pairs(
     )
 
 
+def srp_hard_negatives(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 3,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor vector, the top-k most-similar vectors carrying a DIFFERENT
+    label — the negatives that actually move a contrastive loss, found
+    without an O(n^2) similarity join.
+
+    Candidates come from the same deterministic SRP-LSH blocking as
+    ``embedding_srp_pairs`` (md5-Rademacher planes, so the DuckDB oracle
+    derives identical buckets); within a block the label filter runs
+    BEFORE the cosine, and scoring stays entirely JVM-side: zip_with +
+    left-to-right aggregate over double-cast components — the same
+    summation order as DuckDB's list_dot_product, so scores are
+    bit-identical pre-rounding. Per-anchor ranking is a window over the
+    distinct candidate set ordered by (rounded score desc, neg_id).
+
+    At 100 TB: one narrow mapInPandas stage per vector batch, one label
+    join co-partitioned on vec_id, the block self-join shuffles only
+    capped buckets (hot buckets dropped by the zero-extra-shuffle window
+    cap), and the final window partitions by anchor — no stage touches
+    the full pair space."""
+    from pyspark.sql import Window
+
+    from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
+
+    mapper = make_srp_bucket_mapper(n_tables, n_planes)
+    bucketed = (
+        widen_small_input(embeddings.select(F.col(id_col).alias("vec_id"), "embedding"))
+        .mapInPandas(
+            mapper, schema="vec_id long, embedding array<float>, block string"
+        )
+    )
+    bc = F.count(F.lit(1)).over(Window.partitionBy("block"))
+    bucketed = (
+        bucketed.withColumn("_bc", bc)
+        .filter(F.col("_bc") <= max_block_size)
+        .drop("_bc")
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+    )
+    sides = bucketed.join(labels, "vec_id").select(
+        "block",
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ltr_dot = lambda a, b: F.aggregate(  # noqa: E731  left-to-right, like DuckDB
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    aa = ltr_dot(F.col("a.v"), F.col("a.v"))
+    bb = ltr_dot(F.col("b.v"), F.col("b.v"))
+    ab = ltr_dot(F.col("a.v"), F.col("b.v"))
+    score = F.round(
+        F.when((aa == 0) | (bb == 0), F.lit(0.0)).otherwise(
+            ab / (F.sqrt(aa) * F.sqrt(bb))
+        ),
+        6,
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("neg_id"),
+            score.alias("score"),
+        )
+        .distinct()  # the same pair surfaces from multiple tables
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("neg_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("rank").cast("int").alias("neg_rank"),
+            "score",
+        )
+    )
+
+
 _SMALL_GRAPH_EDGES = 200_000
 
 

@@ -2390,6 +2390,72 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 32) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 8 AS t, p.g % 8 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+keys_capped AS (
+  SELECT vec_id, t, bucket FROM (
+    SELECT vec_id, t, bucket,
+           COUNT(*) OVER (PARTITION BY t, bucket) AS bc
+    FROM keys
+  ) WHERE bc <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+  FROM keys_capped a
+  JOIN keys_capped b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE ea.label <> eb.label
+),
+scored AS (
+  SELECT c.anchor_id, c.neg_id,
+         {_SQL_COS.format(a="ea.v", b="eb.v")} AS score
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.anchor_id
+  JOIN e eb ON eb.vec_id = c.neg_id
+),
+ranked AS (
+  SELECT anchor_id, neg_id, score,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY score DESC, neg_id) AS rnk
+  FROM scored
+)
+SELECT anchor_id, neg_id, CAST(rnk AS INT) AS neg_rank, score
+FROM ranked WHERE rnk <= 3
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: each
+    anchor's top-3 most-similar DIFFERENT-label vectors, found through
+    the same deterministic SRP-LSH blocking as ``dedup_embedding_srp``
+    rather than an O(n^2) similarity join. Scoring is JVM-side zip_with
+    + left-to-right aggregate — the identical summation order as the
+    oracle's list_dot_product, so scores match bit-for-bit before the
+    shared 6dp rounding; ranking windows on (rounded score, neg_id)."""
+    from vectolite_spark.operators.dedup import srp_hard_negatives
+
+    return srp_hard_negatives(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+@register(
     "ann_quantized_topk",
     f"""
 WITH s AS (
