@@ -222,15 +222,25 @@ def main() -> None:
     idx.topk(probe_q, k=10, n_probe=4, refine=100).count()
     timings["ivfpq_probe_partial_1q"] = round(time.time() - t0, 4)
 
-    # -- registry queries (cold plans, parquet scans included) -------------
+    # -- registry queries (parquet scans included) -------------------------
+    # min of N runs (default 2): single cold runs showed +-30-70% run-to-
+    # run variance on this box (JIT warmup, page cache, neighbor load) —
+    # enough to swamp real plan changes in round-over-round diffs. The min
+    # still includes the full scan+shuffle work every run; it only strips
+    # the nondeterministic overhead. N is env-tunable for quick iteration.
+    bench_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     for name in _registry_bench():
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.time() - t0, 4)
+        best = None
+        for _ in range(bench_runs):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query map -> BENCH_DETAIL.json; stdout carries ONLY a compact
@@ -241,6 +251,7 @@ def main() -> None:
         "n_vectors": n_vecs,
         "cpus": int(CPUS),
         "queries": timings,
+        "registry_runs_per_query": bench_runs,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
