@@ -3956,6 +3956,66 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_shuffle",
+    """
+WITH pos AS (
+  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS p
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, p,
+         CAST('0x' || substr(p, 1, 2) AS INTEGER) % 8 AS shard
+  FROM pos
+),
+rn AS (
+  SELECT shard, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY p, doc_id) AS r
+  FROM sh
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id * r) AS BIGINT) AS order_checksum,
+       CAST(MAX(CASE WHEN r = 1 THEN doc_id END) AS BIGINT) AS first_doc
+FROM rn GROUP BY shard ORDER BY shard
+""",
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the global permutation a training
+    run reads each epoch. position = md5(seed:doc_id) gives every doc a
+    pseudorandom rank WITHOUT a global sort: the hash's first byte is the
+    shard (range-partition at 100 TB: each executor writes one shard's
+    span), and ordering within a shard is (position, doc_id). Seed 42
+    stands in for the epoch number — a new seed reshuffles everything,
+    the same seed replays byte-identically (what makes a preempted
+    multi-day epoch resumable mid-stream). The result is the per-shard
+    manifest with an ORDER-SENSITIVE checksum (sum of doc_id * rank):
+    any transposition anywhere in the permutation changes it, so the
+    oracle equality proves the full ordering, not just membership.
+    Exact integers; one hash projection, one shard-window, one agg."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import Window
+
+    pos = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(pos, 1, 2), 16, 10).cast("long") % 8
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("p", "doc_id")
+    return (
+        docs.select("doc_id", pos.alias("p"), shard.alias("shard"))
+        .withColumn("r", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("r")).alias("order_checksum"),
+            F.max(F.when(F.col("r") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "dedup_keep_list",
     _SQL_CC_MIN_LABEL.replace(
         """SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
