@@ -6571,7 +6571,10 @@ _DRIVER_WINDOW = [
 # item 1 completes this round. The late-r4 additions outside the window
 # (bm25/ivf/hybrid batch serving, token_budget_sample,
 # snapshot_version_diff are IN it; bucketed_join_revenue, cdc_chunk_dedup,
-# embedding_covariance land in the middle section) are oracle-verified by
+# embedding_covariance, jaccard_prefix_join, dup_graph_pagerank,
+# streaming_dedup_counts, bpe_train, the cdc decontamination pair, the
+# round-4b TPC-H completion q2/q11/q12/q16/q21, hard_negative_mining, and
+# epoch_shuffle land in the middle section) are oracle-verified by
 # tools/check_oracle.py at 2-3 scales this round and are first in line
 # for round 5's window. Future rounds: put any query whose code changed
 # back into the window; keep the core-parity keepers.
