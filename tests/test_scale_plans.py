@@ -158,3 +158,17 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
     p = plan_str(m.queries()["decontaminate_eval_overlap"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q21_correlations_compile_to_semi_and_anti_joins(spark, sf_dir):
+    # TPC-H Q21's EXISTS/NOT-EXISTS double correlation must stay equi-keyed
+    # semi/anti joins (the <> suppkey residual rides the orderkey shuffle);
+    # a planner change that degrades either to a nested-loop over the full
+    # lineitem pair space would be a 100 TB scale-killer.
+    import __spark_entry__ as m
+
+    p = plan_str(m.queries()["q21_waiting_supplier"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
