@@ -313,3 +313,38 @@ def test_bpe_train_closed_form(spark):
         for r in bpe_train_merges(df).orderBy("iteration").collect()
     ]
     assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+
+def test_bpe_merge_nonoverlapping_runs(spark):
+    """ADVICE r4 (medium): consecutive occurrences must ALL merge in one
+    greedy pass — 'abab' -> [ab, ab] and 'aaaa' -> [aa, aa], not the
+    alternate-occurrence [ab, a, b] / [aa, a, a] the naive single
+    replace produced. Corpus 'abab aaaa': merge1 = (a,a) weight 3;
+    correct application leaves aaaa as [aa, aa] so merge3 sees
+    (aa,aa)=1 which ties (ab,ab)=1 and wins the l-asc tiebreak."""
+    from vectolite_spark.operators.textstats import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "abab aaaa")], "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left_tok"], r["right_tok"], r["cnt"])
+        for r in bpe_train_merges(df).orderBy("iteration").collect()
+    ]
+    assert got == [(1, "a", "a", 3), (2, "a", "b", 2), (3, "aa", "aa", 1)]
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    """ADVICE r4 (low): an iteration with no adjacent pairs anywhere must
+    return the merges found so far, not TypeError on None."""
+    from vectolite_spark.operators.textstats import bpe_train_merges
+
+    # all words single-char -> vocab empty -> zero merges
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    assert bpe_train_merges(df).collect() == []
+
+    # vocab fully merged after round 1 -> rounds 2-3 have no pairs
+    df2 = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left_tok"], r["right_tok"], r["cnt"])
+        for r in bpe_train_merges(df2).collect()
+    ]
+    assert got == [(1, "a", "b", 3)]

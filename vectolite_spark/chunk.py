@@ -55,10 +55,16 @@ def chunk_text(
 
 
 def chunk_udf(max_chars: int = DEFAULT_MAX_CHARS, overlap: int = DEFAULT_OVERLAP):
+    # asNondeterministic is a *plan* fence, not a semantics statement: the
+    # chunker is pure, but a deterministic UDF gets inlined by projection
+    # collapse into BOTH downstream uses (size() for total_chunks and
+    # posexplode) — two BatchEvalPython nodes, every document chunked
+    # twice. The fence keeps the UDF in its own projection so it runs
+    # exactly once per row.
     return F.udf(
         lambda t: chunk_text(t or "", max_chars, overlap),
         T.ArrayType(T.StringType()),
-    )
+    ).asNondeterministic()
 
 
 def explode_chunks(

@@ -495,13 +495,17 @@ def ngram_novelty(
     the doc is stitched from already-seen text; the per-source average
     ranks feeds by marginal value).
 
-    Scale plan: two shuffles total — distinct (shingle-hash, doc) pairs
-    reduce map-side, then the first-seen doc comes from MIN OVER
-    (PARTITION BY hash) on the SAME shuffle the distinct already placed
-    (no separate groupBy + re-join round trip), and the per-doc rollup is
-    the second shuffle. Only md5 hashes (32 bytes) ever move; the input
-    is widened first so the Arrow shingle UDF runs on every core even
-    when the source is a single-split file.
+    Scale plan: two shuffles total. The (shingle-hash, doc) pairs need no
+    distinct AT ALL — each doc is one input row, so ``array_distinct`` on
+    the shingle array dedups within-doc repeats map-side at zero shuffle
+    and the exploded pairs are globally unique by construction (a
+    ``.distinct()`` here would hash-partition on (doc, hash), which the
+    hash-only window can't reuse — Spark would insert a third exchange;
+    ADVICE r4). The first-seen doc is then MIN OVER (PARTITION BY hash)
+    — shuffle one — and the per-doc rollup is shuffle two. Only md5
+    hashes (32 bytes) ever move; the input is widened first so the Arrow
+    shingle UDF runs on every core even when the source is a
+    single-split file.
     """
     from pyspark.sql import Window
 
@@ -512,10 +516,11 @@ def ngram_novelty(
         widen_small_input(df)
         .select(
             F.col(id_col),
-            F.explode(make_shingle_udf()(F.col(text_col))).alias("s"),
+            F.explode(
+                F.array_distinct(make_shingle_udf()(F.col(text_col)))
+            ).alias("s"),
         )
         .select(F.col(id_col), F.md5("s").alias("sh"))
-        .distinct()
     )
     first = F.min(id_col).over(Window.partitionBy("sh"))
     return (
@@ -547,13 +552,20 @@ def bpe_train_merges(
     Returns one row per iteration: (iteration, left_tok, right_tok, cnt).
 
     The trick that keeps every step in engine-portable string ops: a
-    word's tokenization is a SEP-delimited string (``\\x1f h \\x1f e …``),
-    so applying merge (x, y) is one literal ``replace`` of
-    ``SEP x SEP y SEP`` with ``SEP xy SEP`` — and because ``replace``
-    scans left-to-right without overlap in Spark, DuckDB, and Python
-    alike, it reproduces BPE's single-pass merge semantics exactly
-    (``a a a`` + merge(a,a) -> ``aa a``). Merged symbols participate in
-    later iterations like any token.
+    word's tokenization is a SEP-delimited string (``\\x1f h \\x1f e …``)
+    and applying merge (x, y) is literal ``replace`` — but a naive
+    single replace of ``SEP x SEP y SEP`` CONSUMES the shared boundary
+    separator, so consecutive occurrences merge only alternately
+    (``abab -> [ab, a, b]``, not BPE's ``[ab, ab]``). The closed form
+    that fixes it without a loop: DOUBLE every separator, replace
+    ``SEP x SEPSEP y SEP`` with ``SEP xy SEP`` (each occurrence consumes
+    one sep from each outer boundary and the replacement re-emits it, so
+    neighbors still match in the same left-to-right pass), then collapse
+    ``SEPSEP`` back to ``SEP``. Every surviving boundary is exactly
+    doubled at collapse time, and runs merge left-aligned pairwise —
+    ``aaaa -> [aa, aa]``, ``aaaaa -> [aa, aa, a]`` — precisely BPE's
+    greedy non-overlapping single pass, in Spark and DuckDB alike.
+    Merged symbols participate in later iterations like any token.
 
     Scale plan: the working relation is the DISTINCT-WORD vocabulary with
     occurrence weights (Zipf: thousands of rows for billions of tokens),
@@ -612,13 +624,22 @@ def bpe_train_merges(
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .first()
         )
+        if top is None:
+            # no adjacent pairs left anywhere (single-char-only corpus,
+            # or vocab fully merged before `iterations` rounds) — return
+            # the merges found so far rather than TypeError on top['l']
+            break
         merges.append((it, top["l"], top["r"], int(top["cnt"])))
+        # double-sep / replace / collapse — see the module docstring above
+        # for why the naive single replace under-merges consecutive pairs
+        doubled = F.replace(F.col("s"), F.lit(BPE_SEP), F.lit(BPE_SEP * 2))
+        merged = F.replace(
+            doubled,
+            F.lit(BPE_SEP + top["l"] + BPE_SEP + BPE_SEP + top["r"] + BPE_SEP),
+            F.lit(BPE_SEP + top["l"] + top["r"] + BPE_SEP),
+        )
         vocab = vocab.select(
-            F.replace(
-                F.col("s"),
-                F.lit(BPE_SEP + top["l"] + BPE_SEP + top["r"] + BPE_SEP),
-                F.lit(BPE_SEP + top["l"] + top["r"] + BPE_SEP),
-            ).alias("s"),
+            F.replace(merged, F.lit(BPE_SEP * 2), F.lit(BPE_SEP)).alias("s"),
             "wc",
         )
     return df.sparkSession.createDataFrame(

@@ -2111,10 +2111,10 @@ WITH s AS (
 )
 SELECT vec_id,
        ROUND(max_abs, 6) AS scale,
-       CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0)
+       CAST(to_json(CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0)
             ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs
                                                    + 0.5) AS INTEGER))
-       END AS q
+       END) AS VARCHAR) AS q
 FROM s
 """,
 )
@@ -2125,10 +2125,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats with ~0.5% recall cost at d=64. Per-vector symmetric scale
     (max-abs); explicit floor(x+0.5) rounding — portable half-up on both
     engines, immune to the banker's-rounding mismatch CAST-to-int would
-    risk. Zero shuffle, pure array expressions."""
+    risk. Zero shuffle, pure array expressions.
+
+    The codes are emitted as ``to_json(q)`` (one compact string per
+    vector, identical formatting in Spark and DuckDB) because the
+    driver's order-insensitive hash canonicalizes columns in pandas,
+    where array cells are unhashable — r4's only red row."""
     from vectolite_spark.operators.ann import quantize_int8
 
-    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return quantize_int8(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "scale", F.to_json("q").alias("q")
+    )
 
 
 @register(
@@ -2646,10 +2653,67 @@ def ann_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rn", F.col("rn").cast("long"))
 
 
-@register("ann_lsh_topk")  # rows-only: randomized LSH planes have no exact
-# SQL oracle; gate = recall-vs-exact pytest (tests/test_textstats.py) per
-# SURVEY.md §7 risk register
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 96) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 6 AS t, p.g % 6 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT v.vec_id AS vec_id
+  FROM keys q JOIN keys v ON q.t = v.t AND q.bucket = v.bucket
+  WHERE q.vec_id = 0
+),
+scored AS (
+  SELECT c.vec_id, {_SQL_COS.format(a="eq.v", b="ev.v")} AS score
+  FROM cand c JOIN e eq ON eq.vec_id = 0 JOIN e ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT vec_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query LSH-bucketed ANN, fully ORACLED: the same
+    deterministic md5-Rademacher SRP planes as ``ann_batch_lsh`` (16
+    tables x 6 planes), so DuckDB reproduces the identical candidate
+    set; candidates are exactly rescored and top-10 ranked. Replaces the
+    r1-r4 MLlib BucketedRandomProjectionLSH entry, whose randomized
+    planes had no exact oracle (4 rounds of err=no_oracle) — that
+    variant lives on as ``ann_mllib_lsh_topk`` with its recall-vs-exact
+    pytest gate. Scale path: buckets co-locate in ONE shuffle, exact
+    math only inside buckets — never a full scan per query."""
+    from vectolite_spark.operators.ann import topk_batch_lsh
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_batch_lsh(queries, embs, k=10)
+    return out.select("vec_id", "score", F.col("rn").cast("long").alias("rn"))
+
+
+@register("ann_mllib_lsh_topk")  # rows-only: MLlib's randomized LSH planes
+# have no exact SQL oracle; gate = recall-vs-exact + same-seed determinism
+# pytest (tests/test_textstats.py) per SURVEY.md §7 risk register
+def ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH over L2-normalized vectors
     (cosine-equivalent), exact rescoring of surfaced candidates."""
     from vectolite_spark.operators.ann import lsh_topk
@@ -6066,8 +6130,10 @@ _BPE_PAIRS = """
   GROUP BY 1, 2
 """
 _BPE_APPLY = """
-  SELECT replace(s, '{sep}' || m.l || '{sep}' || m.r || '{sep}',
-                    '{sep}' || m.l || m.r || '{sep}') AS s, wc
+  SELECT replace(replace(replace(s, '{sep}', '{sep}{sep}'),
+                         '{sep}' || m.l || '{sep}{sep}' || m.r || '{sep}',
+                         '{sep}' || m.l || m.r || '{sep}'),
+                 '{sep}{sep}', '{sep}') AS s, wc
   FROM {src}, {m} m
 """
 
@@ -6105,11 +6171,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITERATIVE BPE vocabulary induction: three merge rounds actually
     APPLIED corpus-wide (pick top pair -> rewrite every word -> recount),
     not just the single candidate pass. Tokenizations live as
-    SEP-delimited strings so a merge is one literal left-to-right
-    ``replace`` with identical semantics in Spark, DuckDB, and Python;
-    the working relation is the weighted distinct-word vocabulary (Zipf:
-    tiny vs the corpus), cached and rewritten per round. The oracle
-    unrolls the same three rounds as chained CTEs."""
+    SEP-delimited strings; a merge is the double-sep/replace/collapse
+    closed form (see ``bpe_train_merges``) that reproduces BPE's greedy
+    non-overlapping pass exactly — consecutive occurrences all merge
+    (``abab -> [ab, ab]``) — with identical semantics in Spark and
+    DuckDB. The working relation is the weighted distinct-word
+    vocabulary (Zipf: tiny vs the corpus), cached and rewritten per
+    round. The oracle unrolls the same three rounds as chained CTEs."""
     from vectolite_spark.operators.textstats import bpe_train_merges
 
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
@@ -6295,7 +6363,7 @@ WITH val AS (
 SELECT CAST(partkey AS BIGINT) AS p_partkey, CAST(v AS DOUBLE) AS stock_value
 FROM val
 WHERE CAST(v AS DOUBLE)
-      > (SELECT AVG(CAST(v AS DOUBLE)) FROM val) * 1.5
+      > (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM val) * 1.5
 ORDER BY stock_value DESC, p_partkey
 """,
 )
@@ -6309,8 +6377,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL (order-free, shuffle carries partials only); the 1-row
     global mean re-aggregates the tiny per-part table and broadcasts back
     as a cross-join literal, so the threshold costs no extra pass over the
-    fact. Both engines derive the threshold from identical decimals cast
-    to double, so the > comparison selects identical parts."""
+    fact. The mean is derived as CAST(exact DECIMAL SUM AS DOUBLE) /
+    COUNT — NOT AVG over doubles, whose accumulation order is engine- and
+    partitioning-dependent (ADVICE r4): one deterministic conversion and
+    one division give bit-identical thresholds in both engines, so the >
+    comparison selects identical parts."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -6329,7 +6400,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
-    mean = val.agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+    mean = val.agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v")
+    )
     return (
         val.crossJoin(F.broadcast(mean))
         .filter(F.col("v").cast("double") > F.col("mean_v") * 1.5)
@@ -6514,82 +6587,43 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # core reference-parity keepers (multiple green rows; re-verify)
+    # r4's only red row, fixed this round (to_json reshape) — pos 1
+    "embedding_quantize_int8",
+    # the 16 entries with no driver row in any CORRECTNESS_r1-r4
+    # (VERDICT r4 item 2 — completes the rotation: 131 -> 147)
+    "hard_negative_mining",
+    "epoch_shuffle",
+    "bucketed_join_revenue",
+    "cdc_chunk_dedup",
+    "cdc_span_decontamination",
+    "cdc_indexed_decontamination",
+    "embedding_covariance",
+    "jaccard_prefix_join",
+    "streaming_dedup_counts",
+    "dup_graph_pagerank",
+    "bpe_train",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q16_supplier_variety",
+    "q21_waiting_supplier",
+    # rewritten this round: deterministic SRP path, first-ever oracle
+    # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
+    "ann_lsh_topk",
+    # code touched in round 5 (shared-partitioning distinct reshape /
+    # multimodal JPEG decode) — prior green rows are stale for these
+    "ngram_novelty",
+    "multimodal_features",
+    # core reference-parity keepers (re-verify every round)
     "flagship_topk",
     "batch_topk",
     "bm25_batch_indexed_topk",
     "ann_ivf_batch_topk",
     "hybrid_batch_indexed_topk",
-    # CC hybrid fast path landed r4 — these three route through it
     "dedup_clusters",
     "dedup_keep_list",
-    "clean_corpus_summary",
-    # new in r4 — need their first driver rows
-    "ann_ivfpq_partial_probe",
-    "token_budget_sample",
-    "snapshot_version_diff",
-    # code touched in round 4 (bm25 single-pass, shared index cache,
-    # snapshot commit protocol) — r3 green rows are stale for these
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "rerank_topk",
-    "ann_ivfpq_exact_rescore",
-    "ann_ivfpq_probe_prebuilt",
-    "snapshot_pruned_delete",
-    "snapshot_time_travel",
-    # the 32 entries with no driver row in any CORRECTNESS_r* yet
-    # (VERDICT r3 item 1 — this completes the rotation; 30 oracled +
-    # the 2 rows-only-by-design entries)
-    "bm25_indexed_topk",
-    "hybrid_indexed_topk",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_dormant_balances",
-    "funnel_conversion",
-    "cohort_retention",
-    "char_entropy",
-    "minhash_estimation_error",
-    "ann_recall_eval",
-    "salted_segment_revenue",
-    "corpus_checksum",
-    "winsorized_stats",
-    "token_len_histogram",
-    "embedding_quantize_int8",
-    "resample_ffill",
-    "event_zscore_anomalies",
-    "ngram_novelty",
-    "embedding_dim_variance",
-    "equi_depth_histogram",
-    "top_quality_per_source",
-    "embedding_cluster_stats",
-    "incremental_agg_merge",
-    "skew_safe_distinct",
-    "weighted_sample_aes",
-    "ann_lsh_topk",
-    "approx_distinct_tokens",
-]
-
-# With this r4 window, every query that existed before round 4 has either
-# a driver-green CORRECTNESS row (r1-r3) or sits in the window above for
-# its first authoritative row — the rotation prescribed by VERDICT r2/r3
-# item 1 completes this round. The late-r4 additions outside the window
-# (bm25/ivf/hybrid batch serving, token_budget_sample,
-# snapshot_version_diff are IN it; bucketed_join_revenue, cdc_chunk_dedup,
-# embedding_covariance, jaccard_prefix_join, dup_graph_pagerank,
-# streaming_dedup_counts, bpe_train, the cdc decontamination pair, the
-# round-4b TPC-H completion q2/q11/q12/q16/q21, hard_negative_mining, and
-# epoch_shuffle land in the middle section) are oracle-verified by
-# tools/check_oracle.py at 2-3 scales this round and are first in line
-# for round 5's window. Future rounds: put any query whose code changed
-# back into the window; keep the core-parity keepers.
-
-# driver-green in r1/r2 (CORRECTNESS_r01/r02.json) — safe to re-verify last
-_DEMOTED_STABLE = [
+    # oldest driver evidence in the fleet (r1/r2 green, never since) —
+    # re-verify before their rows go completely stale
     "agg_pricing_summary",
     "q3_shipping_priority",
     "q7_nation_volume",
@@ -6613,6 +6647,21 @@ _DEMOTED_STABLE = [
     "sql_shipyear_revenue",
     "click_and_purchase_users",
     "big_ticket_orders",
+]
+
+# With this r5 window, EVERY oracled registry entry has (or gets this
+# round) at least one driver-green CORRECTNESS row across r1-r5: the 16
+# never-verified late-r4 additions are in, the fixed
+# embedding_quantize_int8 leads, and ann_lsh_topk gets its first real
+# oracle after 4 rounds of err=no_oracle. The only entries that never
+# appear driver-green by design are approx_distinct_tokens (HLL sketch,
+# range-oracled +-2rsd in pytest) and ann_mllib_lsh_topk (randomized
+# MLlib planes, recall-gated in pytest) — both sit in the middle.
+# Future rounds: put any query whose code changed back into the window;
+# keep the core-parity keepers.
+
+# driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
+_DEMOTED_STABLE = [
     "moment_stats",
     "cube_order_counts",
     "embedding_norm_stats",
@@ -6626,6 +6675,46 @@ _DEMOTED_STABLE = [
     "q4_priority_exists",
     "q19_disjunctive_revenue",
     "tfidf_top_terms",
+    # green in the r4 window (CORRECTNESS_r04.json)
+    "clean_corpus_summary",
+    "ann_ivfpq_partial_probe",
+    "token_budget_sample",
+    "snapshot_version_diff",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "rerank_topk",
+    "ann_ivfpq_exact_rescore",
+    "ann_ivfpq_probe_prebuilt",
+    "snapshot_pruned_delete",
+    "snapshot_time_travel",
+    "bm25_indexed_topk",
+    "hybrid_indexed_topk",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_dormant_balances",
+    "funnel_conversion",
+    "cohort_retention",
+    "char_entropy",
+    "minhash_estimation_error",
+    "ann_recall_eval",
+    "salted_segment_revenue",
+    "corpus_checksum",
+    "winsorized_stats",
+    "token_len_histogram",
+    "resample_ffill",
+    "event_zscore_anomalies",
+    "embedding_dim_variance",
+    "equi_depth_histogram",
+    "top_quality_per_source",
+    "embedding_cluster_stats",
+    "incremental_agg_merge",
+    "skew_safe_distinct",
+    "weighted_sample_aes",
 ]
 
 
