@@ -655,3 +655,36 @@ def test_srp_hard_negatives_closed_form(spark):
         ranks = sorted(r["neg_rank"] for r in rs)
         assert ranks == list(range(1, len(ranks) + 1))
         assert len(rs) <= 2
+
+
+def test_pagerank_deep_iterations_truncated(spark):
+    """VERDICT r4 item 7: iterations=10 must run with bounded lineage —
+    the every-3rd-step localCheckpoint keeps the final plan a small
+    constant (a deep un-truncated unroll carries one join pipeline PER
+    iteration), and the clique fixed point still holds exactly."""
+    from vectolite_spark.operators.dedup import dup_graph_pagerank
+
+    rows = [
+        (1, BASE), (2, BASE), (3, BASE),
+        (4, "entirely unrelated text about parquet readers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_graph_pagerank(df, iterations=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the plan STRING carries a large constant (every InMemoryTableScan
+    # reprints the cached edge-build subtree), so assert BOUNDEDNESS:
+    # 10 iterations must not plan bigger than 4 (both end one lineage
+    # segment past their last checkpoint); an un-truncated unroll grows
+    # ~linearly per iteration
+    plan4 = (
+        dup_graph_pagerank(df, iterations=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(plan) <= len(plan4) * 1.1, (len(plan), len(plan4))
+    got = {r["doc_id"]: r["rank_millis"] for r in out.collect()}
+    for i in (1, 2, 3):
+        assert got[i] == round(1000.0 / 4, 6), got
+    assert got[4] == round(1000.0 * 0.15 / 4, 6), got
+

@@ -1221,7 +1221,7 @@ def dup_graph_pagerank(
     )
     n = nodes.count()
     rank = nodes.select("doc_id", F.lit(1.0 / n).alias("r"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             edges.join(rank.withColumnRenamed("doc_id", "src"), "src")
             .join(deg, "src")
@@ -1240,11 +1240,16 @@ def dup_graph_pagerank(
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("r"),
         )
-        # NOTE: deliberately no per-step localCheckpoint — measured slower
-        # here (each eager materialization re-runs the edge join pipeline;
-        # re-executing lineage over the CACHED edges/deg/nodes is cheaper
-        # at 3 iterations). For deep iteration counts the CC loop's
-        # truncation pattern applies.
+        # NOTE: no per-step localCheckpoint at shallow depth — measured
+        # slower here (each eager materialization re-runs the edge join
+        # pipeline; re-executing lineage over the CACHED edges/deg/nodes
+        # is cheaper at 3 iterations). But lineage doubles per step, so
+        # past a few rounds planning time and stack depth blow up —
+        # truncate every 3rd iteration (the CC loop's pattern) so
+        # iterations=10+ stays O(1) plan size while the default
+        # iterations=3 path never checkpoints and keeps its measured win.
+        if it % 3 == 2 and it != iterations - 1:
+            rank = rank.localCheckpoint(eager=True)
     return (
         rank.orderBy(F.desc("r"), F.asc("doc_id"))
         .limit(top_n)
