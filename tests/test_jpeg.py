@@ -1,0 +1,118 @@
+"""Baseline JPEG codec tests (VERDICT r4 item 5).
+
+The container has no image library, so the encoder in
+``vectolite_spark.jpeg`` produces the fixtures: every stream it emits is
+a spec-conformant baseline JPEG (flat quant table, valid canonical
+fixed-length Huffman tables), which the decoder must reproduce within
+quantization error. Subsampling and restart-marker variants exercise the
+decoder's upsampling and resync paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectolite_spark.jpeg import _ZIGZAG, JPEG_SOI, decode_jpeg, encode_jpeg
+
+
+def _smooth_rgb(h=32, w=48):
+    yy, xx = np.indices((h, w))
+    return np.stack(
+        [
+            100 + 40 * np.sin(xx / 20),
+            120 + 30 * np.cos(yy / 15),
+            90 + 20 * np.sin((xx + yy) / 25),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_zigzag_is_the_spec_order():
+    # first and last entries of the T.81 zigzag scan
+    assert _ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert _ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert len(set(_ZIGZAG)) == 64
+
+
+def test_gray_roundtrip_non_multiple_of_8():
+    g = (50 + 30 * np.sin(np.arange(24 * 41).reshape(24, 41) / 60)).astype(
+        np.uint8
+    )
+    d = decode_jpeg(encode_jpeg(g, quality_q=2))
+    assert (d["width"], d["height"], d["channels"]) == (41, 24, 1)
+    err = np.abs(d["pixels"][:, :, 0].astype(float) - g.astype(float))
+    assert err.max() <= 3
+
+
+def test_rgb_444_roundtrip():
+    rgb = _smooth_rgb()
+    d = decode_jpeg(encode_jpeg(rgb, quality_q=2))
+    assert (d["width"], d["height"], d["channels"]) == (48, 32, 3)
+    err = np.abs(d["pixels"].astype(float) - rgb.astype(float))
+    assert err.max() <= 3 and err.mean() < 1
+
+
+def test_rgb_420_subsampled_roundtrip():
+    rgb = _smooth_rgb(h=30, w=42)  # not a multiple of the 16x16 MCU
+    jb = encode_jpeg(rgb, quality_q=2, subsample=True)
+    d = decode_jpeg(jb)
+    assert (d["width"], d["height"]) == (42, 30)
+    err = np.abs(d["pixels"].astype(float) - rgb.astype(float))
+    # chroma is box-averaged 2x2 then replicated: small extra error
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_restart_markers_resync():
+    rgb = _smooth_rgb(h=24, w=40)
+    for interval in (1, 2, 3):
+        plain = decode_jpeg(encode_jpeg(rgb, quality_q=2))["pixels"]
+        rst = decode_jpeg(
+            encode_jpeg(rgb, quality_q=2, restart_interval=interval)
+        )["pixels"]
+        # restart markers change the byte stream, never the pixels
+        assert np.array_equal(plain, rst)
+
+
+def test_progressive_is_gated():
+    jb = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
+    i = jb.find(b"\xff\xc0")
+    jb[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(jb))
+
+
+def test_decode_real_jpeg_dimensions():
+    from vectolite_spark.multimodal import decode_real
+
+    jb = encode_jpeg(_smooth_rgb(h=20, w=36), subsample=True)
+    assert jb[:2] == JPEG_SOI
+    meta = decode_real("image", jb)
+    assert (meta["width"], meta["height"]) == (36, 20)
+    assert meta["n_bytes"] == len(jb)
+
+
+def test_extract_features_real_jpeg_in_spark(spark):
+    from vectolite_spark.multimodal import extract_features
+
+    jb = encode_jpeg(_smooth_rgb(h=16, w=24))
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(jb))], "media_id long, kind string, data binary"
+    )
+    feats = extract_features(media, use_real=True).collect()
+    assert (feats[0]["width"], feats[0]["height"]) == (24, 16)
+
+
+def test_resize_images_real_jpeg(spark):
+    from vectolite_spark.multimodal import decode_png, resize_images
+
+    jb = encode_jpeg(_smooth_rgb(h=16, w=16), quality_q=2)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jb))], "media_id long, kind string, data binary"
+    )
+    out = resize_images(media, target_w=8, target_h=8, use_real=True).collect()
+    assert (out[0]["width"], out[0]["height"]) == (8, 8)
+    # output container is PNG (lossless re-encode of the resampled pixels)
+    img = decode_png(bytes(out[0]["data"]))
+    src = decode_jpeg(jb)["pixels"]
+    assert np.array_equal(img["pixels"], src[::2, ::2])

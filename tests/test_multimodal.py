@@ -27,9 +27,10 @@ def test_media_schema_and_kinds(media):
 
 
 def test_decode_real_gates_unsupported_formats():
-    # non-PNG images (JPEG etc.) and video need external libs -> gated
+    # images beyond PNG/baseline-JPEG (GIF etc.) and video need external
+    # libs -> gated; JPEG itself is REAL now (tests/test_jpeg.py)
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_real("image", b"\xff\xd8\xff\xe0 jpeg-ish")
+        decode_real("image", b"GIF89a not really")
     with pytest.raises(NotImplementedError, match="media libraries"):
         decode_real("video", b"\x00\x00\x00\x18ftypmp42")
 

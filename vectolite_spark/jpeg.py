@@ -1,0 +1,523 @@
+"""Baseline JPEG codec — stdlib + numpy only.
+
+The dominant real-corpus image format (VERDICT r4 item 5) gets a
+correctness-grade decoder with zero native dependencies: baseline
+sequential DCT (SOF0), canonical Huffman entropy coding (DHT), 8-bit
+quantization tables (DQT), grayscale and YCbCr with any (h,v) chroma
+subsampling in {1,2} x {1,2} (4:4:4 / 4:2:2 / 4:2:0), and restart
+markers (DRI / RSTn). Progressive (SOF2), arithmetic coding, and 12-bit
+precision raise ``NotImplementedError`` — on a production cluster
+libjpeg-turbo/Pillow slots behind the same ``multimodal.decode_real``
+seam; this module proves the decode path end-to-end in this container.
+
+A minimal ENCODER rides along so tests can round-trip without any image
+library present: flat quantization table, per-image fixed-length Huffman
+tables (valid canonical JPEG tables, just not entropy-optimal), optional
+2x2 chroma subsampling to exercise the decoder's upsampling path.
+
+Everything here derives from the public JPEG spec (ITU-T T.81 / RFC
+2035 era documents): zigzag scan, EXTEND sign decoding (F.12), MCU
+interleave (A.2.3), and the JFIF YCbCr <-> RGB transform. Performance
+is test-grade (pure-Python bit IO): wire a native codec for bulk work.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_SOI = b"\xff\xd8"
+
+# zigzag scan order, generated (not transcribed) from the diagonal rule:
+# even diagonals run row-descending, odd diagonals row-ascending
+_ZIGZAG: list[tuple[int, int]] = []
+for _s in range(15):
+    _pts = [(_i, _s - _i) for _i in range(max(0, _s - 7), min(_s, 7) + 1)]
+    if _s % 2 == 0:
+        _pts.reverse()
+    _ZIGZAG.extend(_pts)
+
+# orthonormal 8x8 DCT-II matrix: F = C @ X @ C.T, X = C.T @ F @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_C[0, :] *= np.sqrt(1.0 / 8.0)
+_C[1:, :] *= np.sqrt(2.0 / 8.0)
+
+
+class _HuffTable:
+    """Canonical Huffman table from the DHT (BITS, HUFFVAL) form, with a
+    (length -> [min_code, max_code, first_value_index]) decode index."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.values = values
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.val_ptr[length] = k
+                self.min_code[length] = code
+                self.max_code[length] = code + n - 1
+                code += n
+                k += n
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.max_code[length] >= 0 and code <= self.max_code[length]:
+                if code >= self.min_code[length]:
+                    return self.values[
+                        self.val_ptr[length] + code - self.min_code[length]
+                    ]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit_buf = 0
+        self.bit_cnt = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            # past a marker: the spec says pad with 1-bits (F.2.2.5)
+            self.bit_buf = (self.bit_buf << 8) | 0xFF
+            self.bit_cnt += 8
+            return
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed FF
+            else:
+                self.marker = nxt  # real marker: stop consuming
+                self.pos += 1
+                self.bit_buf = (self.bit_buf << 8) | 0xFF
+                self.bit_cnt += 8
+                return
+        self.bit_buf = (self.bit_buf << 8) | b
+        self.bit_cnt += 8
+
+    def read_bit(self) -> int:
+        if self.bit_cnt == 0:
+            self._fill()
+        self.bit_cnt -= 1
+        return (self.bit_buf >> self.bit_cnt) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (D.1.3)."""
+        self.bit_cnt = 0
+        self.bit_buf = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.marker = None
+            return
+        # marker not yet consumed from the byte stream
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected RST marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """F.12 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Decode a baseline sequential JPEG into
+    {width, height, channels, pixels} with ``pixels`` an (h, w, c) uint8
+    array (c = 1 grayscale, 3 RGB)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    tbl[r, c] = seg[p + 1 + i]
+                qt[tq] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended JPEG unsupported (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append(
+                    {"comp": comp, "dc": tdta >> 4, "ac": tdta & 0xF}
+                )
+            pixels = _decode_scan(
+                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+            ch = len(frame["comps"])
+            return {
+                "width": frame["w"],
+                "height": frame["h"],
+                "channels": 3 if ch == 3 else 1,
+                "pixels": pixels,
+            }
+        pos += seglen
+    raise ValueError("no SOS marker / no image data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in frame["comps"]
+    }
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in frame["comps"]}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.restart()
+                pred = {c["id"]: 0 for c in frame["comps"]}
+            for sc in scan:
+                comp = sc["comp"]
+                dc_t, ac_t = huff_dc[sc["dc"]], huff_ac[sc["ac"]]
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeff = np.zeros((8, 8), dtype=np.float64)
+                        t = dc_t.decode(reader)
+                        diff = _extend(reader.receive(t), t)
+                        pred[comp["id"]] += diff
+                        coeff[0, 0] = pred[comp["id"]] * q[0, 0]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(reader)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zr, zc = _ZIGZAG[k]
+                            coeff[zr, zc] = _extend(reader.receive(s), s) * q[zr, zc]
+                            k += 1
+                        block = _C.T @ coeff @ _C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            n_mcu += 1
+    # upsample each component to full resolution (sample replication) + crop
+    full = []
+    for c in frame["comps"]:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Minimal encoder (test support): flat quant table, per-image fixed-length
+# canonical Huffman tables, optional 2x2 chroma subsampling.
+# ---------------------------------------------------------------------------
+
+
+def _block_symbols(qcoef: np.ndarray, prev_dc: int):
+    """(dc_symbol, dc_bits) + [(ac_symbol, ac_bits)] for one quantized
+    zigzag-ordered block."""
+    zz = np.array([qcoef[r, c] for r, c in _ZIGZAG], dtype=np.int64)
+    diff = int(zz[0]) - prev_dc
+
+    def mag(v: int):
+        t = 0
+        a = abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        bits = v if v >= 0 else v + (1 << t) - 1
+        return t, bits
+
+    t, bits = mag(diff)
+    out_dc = (t, bits, t)
+    acs = []
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s, bits_v = mag(v)
+        acs.append(((run << 4) | s, bits_v, s))
+        run = 0
+    if last_nz < 63:
+        acs.append((0x00, 0, 0))  # EOB
+    return int(zz[0]), out_dc, acs
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _fixed_length_table(symbols: set[int]):
+    """A valid canonical Huffman table giving every symbol the same code
+    length L with 2^L > n (the all-ones code stays unused, as T.81
+    requires). Returns (bits, values, {symbol: (code, L)})."""
+    syms = sorted(symbols)
+    n = len(syms)
+    L = 1
+    while (1 << L) <= n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, bytes(syms), codes
+
+
+def encode_jpeg(
+    pixels, quality_q: int = 8, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) or (h, w, 1|3) uint8 array as a baseline JPEG.
+
+    ``quality_q`` is the flat quantization step (lower = higher quality).
+    ``subsample=True`` emits 4:2:0 (Y at 2x2, box-averaged chroma) to
+    exercise a decoder's upsampling path; default is 4:4:4.
+    ``restart_interval=N`` emits DRI + an RSTn marker every N MCUs
+    (predictors reset, stream byte-aligned) — the decoder resync path.
+    """
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    elif ch == 1:
+        comps = [arr[:, :, 0]]
+        subsample = False
+    else:
+        raise ValueError("1 or 3 channels only")
+    sampling = [(2, 2), (1, 1), (1, 1)] if (subsample and ch == 3) else [(1, 1)] * ch
+    hmax = max(s[0] for s in sampling[:ch])
+    vmax = max(s[1] for s in sampling[:ch])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    q = np.full((8, 8), quality_q, dtype=np.int32)
+
+    # per-component sampled planes, edge-padded to the MCU grid
+    planes = []
+    for i in range(ch):
+        sh, sv = sampling[i]
+        p = comps[i]
+        if (sh, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh
+            py = -(-h // fy) * fy
+            px = -(-w // fx) * fx
+            pp = np.pad(p, ((0, py - h), (0, px - w)), mode="edge")
+            p = pp.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        planes.append(p)
+
+    # pass 1: quantized blocks + symbol stats, MCU-interleaved
+    dc_syms: list[set[int]] = [set(), set()]
+    ac_syms: list[set[int]] = [set(), set()]
+    mcu_stream = []  # [(mcu_index, comp_class, dc_entry, ac_entries)]
+    pred = [0] * ch
+    for my in range(mcuy):
+        for mx in range(mcux):
+            n_mcu = my * mcux + mx
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                pred = [0] * ch
+            for i in range(ch):
+                sh, sv = sampling[i]
+                cls = 0 if i == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = planes[i][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coeff = _C @ blk @ _C.T
+                        qc = np.round(coeff / q).astype(np.int64)
+                        dc_val, dc_entry, acs = _block_symbols(qc, pred[i])
+                        pred[i] = dc_val
+                        dc_syms[cls].add(dc_entry[0])
+                        for sym, _, _ in acs:
+                            ac_syms[cls].add(sym)
+                        mcu_stream.append((n_mcu, cls, dc_entry, acs))
+    n_classes = 1 if ch == 1 else 2
+    dc_tables = [_fixed_length_table(dc_syms[i] or {0}) for i in range(n_classes)]
+    ac_tables = [_fixed_length_table(ac_syms[i] or {0}) for i in range(n_classes)]
+
+    out = bytearray(JPEG_SOI)
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    segment(0xDB, bytes([0x00]) + zz_q)  # one shared quant table
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for i in range(ch):
+        sh, sv = sampling[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    segment(0xC0, sof)
+    for cls in range(n_classes):
+        bits, vals, _ = dc_tables[cls]
+        segment(0xC4, bytes([cls]) + bytes(bits) + vals)
+        bits, vals, _ = ac_tables[cls]
+        segment(0xC4, bytes([0x10 | cls]) + bytes(bits) + vals)
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ch])
+    for i in range(ch):
+        cls = 0 if i == 0 else 1
+        sos += bytes([i + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+
+    bw = _BitWriter()
+    prev_mcu = 0
+    for n_mcu, cls, (dsym, dbits, dlen), acs in mcu_stream:
+        if (
+            restart_interval
+            and n_mcu != prev_mcu
+            and n_mcu % restart_interval == 0
+        ):
+            bw.flush()
+            out.extend(bw.out)
+            bw = _BitWriter()
+            out.extend(
+                b"\xff" + bytes([0xD0 + (n_mcu // restart_interval - 1) % 8])
+            )
+        prev_mcu = n_mcu
+        code, L = dc_tables[cls][2][dsym]
+        bw.write(code, L)
+        bw.write(dbits, dlen)
+        for sym, bits_v, s in acs:
+            code, L = ac_tables[cls][2][sym]
+            bw.write(code, L)
+            bw.write(bits_v, s)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -3,12 +3,14 @@
 Design (north-star extension): media travels as ``binary`` columns with a
 ``kind`` discriminator and JSON metadata — the schema, partitioning and UDF
 plumbing are real and tested. ``decode_real`` REALLY decodes the formats
-the Python stdlib can parse — PNG images (zlib inflate + scanline
-unfiltering) and PCM WAV audio (``wave``) — including a real
-nearest-neighbor PNG resize; formats that need external libraries (JPEG,
-MP3, video codecs) raise NotImplementedError until Pillow/torchaudio/
-decord are importable. ``decode_fake`` remains the deterministic
-byte-level stand-in so oracle-gated pipelines run on any payload.
+this container can parse — PNG images (zlib inflate + scanline
+unfiltering), baseline JPEG (``vectolite_spark.jpeg``: Huffman decode,
+dequant + IDCT, 4:2:0/4:2:2 chroma upsampling, restart markers) and PCM
+WAV audio (``wave``) — including a real nearest-neighbor image resize;
+formats that still need external libraries (progressive JPEG, MP3, video
+codecs) raise NotImplementedError until Pillow/torchaudio/decord are
+importable. ``decode_fake`` remains the deterministic byte-level
+stand-in so oracle-gated pipelines run on any payload.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` — one Arrow
 batch of binary blobs per call, zero shuffles; batch size is bounded by
@@ -31,13 +33,17 @@ FEATURE_SCHEMA = (
 
 
 def decode_real(kind: str, data: bytes) -> dict:
-    """REAL decoder for the formats the Python stdlib can actually parse:
-    PNG images (zlib inflate + scanline unfiltering, below) and PCM WAV
-    audio (``wave``). Returns the same metadata shape as ``decode_fake``
-    but with TRUE width/height/duration from the container. Formats that
-    need external libraries (JPEG, MP3, any video codec) raise
+    """REAL decoder for the formats this container can actually parse:
+    PNG images (zlib inflate + scanline unfiltering, below), baseline
+    JPEG (``vectolite_spark.jpeg`` — Huffman + IDCT + chroma upsampling,
+    stdlib+numpy), and PCM WAV audio (``wave``). Returns the same
+    metadata shape as ``decode_fake`` but with TRUE width/height/
+    duration from the container. Formats that still need external
+    libraries (progressive JPEG, MP3, any video codec) raise
     NotImplementedError — wire Pillow / soundfile / decord here when the
     runtime has them; the Spark-side plumbing does not change."""
+    from vectolite_spark.jpeg import JPEG_SOI, decode_jpeg
+
     n = len(data)
     base = {
         "n_bytes": n,
@@ -48,12 +54,16 @@ def decode_real(kind: str, data: bytes) -> dict:
         "byte_mean": round(sum(data) / n, 6) if n else 0.0,
     }
     if kind == "image":
-        if data[:8] != PNG_SIGNATURE:
+        if data[:8] == PNG_SIGNATURE:
+            img = decode_png(data)
+        elif data[:2] == JPEG_SOI:
+            img = decode_jpeg(data)
+        else:
             raise NotImplementedError(
-                "real image decoding beyond PNG requires Pillow, which is "
-                "not present in this environment; use decode_fake"
+                "real image decoding beyond PNG/baseline-JPEG requires "
+                "Pillow, which is not present in this environment; use "
+                "decode_fake"
             )
-        img = decode_png(data)
         base["width"], base["height"] = img["width"], img["height"]
         return base
     if kind == "audio":
@@ -335,7 +345,13 @@ def resize_images(
                     )
                     continue
                 if use_real:
-                    img = decode_png(data)
+                    from vectolite_spark.jpeg import JPEG_SOI, decode_jpeg
+
+                    img = (
+                        decode_jpeg(data)
+                        if data[:2] == JPEG_SOI
+                        else decode_png(data)
+                    )
                     px = img["pixels"]
                     ys = (np.arange(target_h) * img["height"]) // target_h
                     xs = (np.arange(target_w) * img["width"]) // target_w
