@@ -6495,6 +6495,92 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_excess_stock_suppliers",
+    """
+WITH sq AS (
+  SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS supplied
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+dominant AS (
+  SELECT DISTINCT suppkey FROM (
+    SELECT suppkey, supplied,
+           SUM(supplied) OVER (PARTITION BY partkey) AS total
+    FROM sq
+  ) WHERE supplied * 2 > total
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN dominant d ON d.suppkey = s.s_suppkey
+WHERE n.n_name = 'NATION_5'
+ORDER BY s.s_suppkey
+""",
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, grounded on lineitem in place of partsupp (the
+    testdata has no availqty): NATION_5 suppliers who shipped MORE THAN
+    HALF of some red part's 1996 volume — the same nested
+    per-part-threshold semijoin as the original's 0.5*sum(l_quantity)
+    gate. Completes the 22-query TPC-H suite (q1 = agg_pricing_summary).
+
+    Determinism: quantities sum in exact DECIMAL and the half-threshold
+    compares ``supplied * 2 > total`` entirely IN DECIMAL — no doubles
+    anywhere near the boundary, so both engines pick identical
+    suppliers. Scale plan: the part filter broadcasts into the scan, and
+    an explicit repartition on partkey lets the (part,supp) aggregation
+    AND the per-part total window share ONE shuffle (hash(partkey)
+    satisfies both clusterings; partial aggs still combine map-side);
+    the surviving suppkeys are a tiny distinct broadcast into the
+    supplier dim join."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    sq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        )
+        .repartition("partkey")
+        .groupBy("partkey", "suppkey")
+        .agg(F.sum("q").alias("supplied"))
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("supplied").over(Window.partitionBy("partkey"))
+    dominant = (
+        sq.withColumn("total", total)
+        .filter(F.col("supplied") * 2 > F.col("total"))
+        .select("suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(dominant), supp.s_suppkey == F.col("suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q21_waiting_supplier",
     """
 WITH fline AS (
@@ -6607,6 +6693,8 @@ _DRIVER_WINDOW = [
     "q12_priority_class",
     "q16_supplier_variety",
     "q21_waiting_supplier",
+    # new in r5: completes the 22-query TPC-H suite
+    "q20_excess_stock_suppliers",
     # rewritten this round: deterministic SRP path, first-ever oracle
     # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
     "ann_lsh_topk",
@@ -6646,7 +6734,6 @@ _DRIVER_WINDOW = [
     "parts_per_flag",
     "sql_shipyear_revenue",
     "click_and_purchase_users",
-    "big_ticket_orders",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
