@@ -27,12 +27,16 @@ def test_media_schema_and_kinds(media):
 
 
 def test_decode_real_gates_unsupported_formats():
-    # images beyond PNG/baseline-JPEG (GIF etc.) and video need external
-    # libs -> gated; JPEG itself is REAL now (tests/test_jpeg.py)
+    # images beyond PNG/baseline-JPEG (GIF etc.), audio beyond WAV/MP3,
+    # and video beyond MP4-container metadata need external libs ->
+    # gated; JPEG is REAL (tests/test_jpeg.py), MP3/MP4 metadata is REAL
+    # (tests/test_media_meta.py)
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_real("image", b"GIF89a not really")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_real("audio", b"fLaC\x00\x00\x00\x22 not parseable")
     with pytest.raises(NotImplementedError, match="media libraries"):
-        decode_real("video", b"\x00\x00\x00\x18ftypmp42")
+        decode_real("video", b"\x1a\x45\xdf\xa3 webm-ish")
 
 
 def _checker_png(w=8, h=6):

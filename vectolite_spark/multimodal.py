@@ -67,9 +67,33 @@ def decode_real(kind: str, data: bytes) -> dict:
         base["width"], base["height"] = img["width"], img["height"]
         return base
     if kind == "audio":
-        wavm = decode_wav(data)
-        base["duration_s"] = wavm["duration_s"]
+        from vectolite_spark.media_meta import decode_mp3_meta, is_mp3
+
+        if data[:4] == b"RIFF":
+            base["duration_s"] = decode_wav(data)["duration_s"]
+        elif is_mp3(data):
+            base["duration_s"] = decode_mp3_meta(data)["duration_s"]
+        else:
+            raise NotImplementedError(
+                "real audio decoding beyond PCM-WAV/MP3 requires "
+                "soundfile/torchaudio; use decode_fake"
+            )
         return base
+    if kind == "video":
+        from vectolite_spark.media_meta import decode_mp4_meta, is_mp4
+
+        if is_mp4(data):
+            # container metadata is REAL (moov/mvhd/tkhd); pixel decode of
+            # the compressed track still needs a codec library
+            m = decode_mp4_meta(data)
+            base["duration_s"] = m["duration_s"]
+            base["width"], base["height"] = m["width"], m["height"]
+            return base
+        raise NotImplementedError(
+            "real video decoding beyond MP4 container metadata requires "
+            "media libraries not present in this environment; use "
+            "decode_fake (deterministic) or install deps"
+        )
     raise NotImplementedError(
         f"real {kind} decoding requires media libraries not present in "
         "this environment; use decode_fake (deterministic) or install deps"
