@@ -4,6 +4,8 @@ rebuild, no N*d shuffle — and agree with the self-contained form."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 from vectolite_spark.operators.ann import (
@@ -184,7 +186,9 @@ def test_int8_quantization_reconstruction(spark, sf_dir):
     assert len(got) == len(raw)
     for r in got:
         x = raw[r["vec_id"]]
-        q = np.array(r["q"], dtype=np.float64)
+        # the registry entry emits codes as to_json(q) so the driver's
+        # pandas canonicalization can hash them (r4's one red row)
+        q = np.array(json.loads(r["q"]), dtype=np.float64)
         assert np.abs(q).max() <= 127
         m_abs = np.abs(x).max()
         if m_abs == 0:

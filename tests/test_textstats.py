@@ -348,3 +348,47 @@ def test_bpe_train_stops_when_no_pairs(spark):
         for r in bpe_train_merges(df2).collect()
     ]
     assert got == [(1, "a", "b", 3)]
+
+
+def test_kmv_sketch_estimator_branch(spark):
+    """The sf corpora have < k distinct tokens (exact branch); this pins
+    the ESTIMATOR branch on a 5000-token vocabulary: the Spark result
+    must equal a pure-Python replay of the same md5 math exactly, and
+    the estimate must land within the ~1/sqrt(k) error regime."""
+    import hashlib
+
+    from vectolite_spark.operators.textstats import kmv_distinct_tokens
+
+    n, k = 5000, 256
+    words = [f"tok{i}" for i in range(n)]
+    # a few docs carrying the whole vocabulary with duplicates
+    docs = [(i, " ".join(words[i::7] + words[i::11])) for i in range(7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("xx"))
+    row = kmv_distinct_tokens(df, group_col="lang", k=k).collect()[0]
+
+    distinct = sorted({w for _, t in docs for w in t.split()})
+    us = sorted(
+        int(hashlib.md5(w.encode()).hexdigest()[:12], 16) / float(1 << 48)
+        for w in distinct
+    )
+    expect = round((k - 1) / us[k - 1], 6)
+    assert row["exact_distinct"] == len(distinct)
+    assert row["kmv_distinct"] == expect  # bit-for-bit replay
+    rel_err = abs(row["kmv_distinct"] - len(distinct)) / len(distinct)
+    assert rel_err < 0.15, rel_err
+
+
+def test_kmv_uses_window_group_limit(spark):
+    """The rn <= k filter must run as WindowGroupLimit (map-side partial
+    top-k before the per-group shuffle) — the property that bounds the
+    sort at 100 TB."""
+    from vectolite_spark.operators.textstats import kmv_distinct_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    plan = (
+        kmv_distinct_tokens(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -645,3 +645,71 @@ def bpe_train_merges(
     return df.sparkSession.createDataFrame(
         merges, "iteration int, left_tok string, right_tok string, cnt long"
     )
+
+
+def kmv_distinct_tokens(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang", k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002),
+    the DETERMINISTIC companion to ``approx_distinct_tokens``'s HLL:
+    md5 maps each distinct token to u in [0,1) (first 48 hash bits / 2^48
+    — exact in a double on every engine), and the k-th smallest distinct
+    u estimates cardinality as (k-1)/u_k. Groups with fewer than k
+    distinct tokens are EXACT by construction (the sketch holds them
+    all). Unlike HLL's engine-internal registers, every intermediate here
+    is plain SQL — DuckDB replays it bit-for-bit, so the driver
+    hash-gates the sketch itself, not just a tolerance band.
+
+    Scale plan: one distinct shuffle on (group, token) — map-side
+    combined — then the rank filter ``rn <= k`` runs as a
+    WindowGroupLimit (Spark >= 3.5): each map task forwards only its
+    local k smallest BEFORE the per-group shuffle, so the sort never
+    sees more than k rows per group per task; the giant-language skew
+    case is bounded the same way. Output carries the exact distinct
+    count alongside (it falls out of the same distinct relation at one
+    extra tiny aggregation) so the entry doubles as its own error
+    report.
+    """
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    toks = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(norm_tokens(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    u = (
+        F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("double")
+        / F.lit(float(1 << 48))
+    ).alias("u")
+    hs = toks.select("grp", u)
+    w = Window.partitionBy("grp").orderBy("u")
+    sketch = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("u"))).alias("uk"),
+            F.count(F.lit(1)).alias("in_sketch"),
+        )
+    )
+    exact = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return (
+        sketch.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.round(
+                F.when(
+                    F.col("uk").isNull(),
+                    F.col("in_sketch").cast("double"),
+                ).otherwise(F.lit(float(k - 1)) / F.col("uk")),
+                6,
+            ).alias("kmv_distinct"),
+            F.col("exact_distinct"),
+        )
+        .orderBy(group_col)
+    )

@@ -1799,6 +1799,52 @@ FROM t WHERE token != '' GROUP BY lang ORDER BY lang
 }
 
 
+@register(
+    "kmv_distinct_tokens",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT lang AS grp, t.tok
+  FROM documents, UNNEST({_SQL_TOKENS}) t(tok)
+  WHERE t.tok != ''
+),
+u AS (
+  SELECT grp,
+         CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) / 281474976710656.0
+           AS u
+  FROM toks
+),
+ranked AS (
+  SELECT grp, u, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u) AS rn
+  FROM u
+),
+sk AS (
+  SELECT grp, MAX(CASE WHEN rn = 256 THEN u END) AS uk,
+         COUNT(*) AS in_sketch
+  FROM ranked WHERE rn <= 256 GROUP BY grp
+),
+ex AS (SELECT grp, COUNT(*) AS exact_distinct FROM toks GROUP BY grp)
+SELECT sk.grp AS lang,
+       ROUND(CASE WHEN uk IS NULL THEN CAST(in_sketch AS DOUBLE)
+                  ELSE 255.0 / uk END, 6) AS kmv_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM sk JOIN ex USING (grp)
+ORDER BY lang
+""",
+)
+def kmv_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch, FULLY ORACLED — the deterministic
+    companion to ``approx_distinct_tokens``'s HLL (whose registers are
+    Spark-internal and only range-oracle-able). md5-derived u values are
+    exact 48-bit doubles on both engines, so DuckDB replays the sketch
+    bit-for-bit and the driver hash-gates the estimator itself. Scale:
+    one map-combined distinct shuffle + a WindowGroupLimit rank (each
+    task forwards only its local k smallest). See
+    ``textstats.kmv_distinct_tokens``."""
+    from vectolite_spark.operators.textstats import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
 @register("approx_distinct_tokens")  # rows-only for the driver: HLL sketch
 # values are Spark-internal (no exact DuckDB twin); gates = the ±2·rsd
 # RANGE_ORACLES band above + relative-error pytest (tests/test_textstats.py)
@@ -6693,8 +6739,9 @@ _DRIVER_WINDOW = [
     "q12_priority_class",
     "q16_supplier_variety",
     "q21_waiting_supplier",
-    # new in r5: completes the 22-query TPC-H suite
+    # new in r5: completes the 22-query TPC-H suite; deterministic sketch
     "q20_excess_stock_suppliers",
+    "kmv_distinct_tokens",
     # rewritten this round: deterministic SRP path, first-ever oracle
     # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
     "ann_lsh_topk",
@@ -6733,7 +6780,6 @@ _DRIVER_WINDOW = [
     "asia_customer_orders",
     "parts_per_flag",
     "sql_shipyear_revenue",
-    "click_and_purchase_users",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
