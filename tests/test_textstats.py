@@ -392,3 +392,56 @@ def test_kmv_uses_window_group_limit(spark):
         kmv_distinct_tokens(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_encoding_quality_nontrivial_payload(spark):
+    """The sf corpora are clean ASCII (the oracle row passes trivially),
+    so pin the operator on a payload that actually exercises every
+    counter: U+FFFD, C0 controls (with tab/LF/CR exempt), non-ASCII."""
+    from vectolite_spark.operators.textstats import encoding_quality
+
+    text = "ok\ttext\n" + "��" + "\x01\x02" + "éñ" + "\r"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = encoding_quality(df).collect()[0]
+    assert r["n_chars_exact"] == len(text) == 15
+    # ascii chars = "ok\ttext\n" (8) + "\r" (1)
+    assert r["n_ascii"] == 9
+    assert r["n_control"] == 2        # \x01\x02; tab/LF/CR exempt
+    assert r["n_replacement"] == 2    # the two U+FFFD
+    assert r["ascii_ratio"] == 9 / 15
+
+    empty = spark.createDataFrame([(2, "")], "doc_id long, text string")
+    r2 = encoding_quality(empty).collect()[0]
+    assert r2["ascii_ratio"] is None
+
+
+def test_bpe_apply_closed_form(spark):
+    """Corpus 'aaab aaab ab' trains merges (a,a),(a,b),(aa,ab); applying
+    them tokenizes aaab -> [aaab] and ab -> [ab], so the doc holds 10
+    char tokens and exactly 3 BPE tokens."""
+    from vectolite_spark.operators.textstats import bpe_apply_token_counts
+
+    df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+    r = bpe_apply_token_counts(df).collect()[0]
+    assert (r["n_char_tokens"], r["n_bpe_tokens"]) == (10, 3)
+
+
+def test_stratified_split_exact_counts(spark):
+    """10 docs in one stratum -> exactly 8/1/1; 5 docs -> 4/0/1 (integer
+    threshold math, no floating 0.8*n)."""
+    import __spark_entry__  # noqa: F401  (registry import side effects)
+    from vectolite_spark.registry import QUERIES
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [(i, f"text {i}", "aa" if i < 10 else "bb", "s", 6) for i in range(15)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["lang"], r["split"]): r["cnt"]
+        for r in QUERIES["stratified_split"](spark, d).collect()
+    }
+    assert got[("aa", "train")] == 8 and got[("aa", "val")] == 1 and got[("aa", "test")] == 1
+    assert got[("bb", "train")] == 4 and got[("bb", "test")] == 1
+    assert ("bb", "val") not in got  # floor(0.9*5) == floor(0.8*5): empty val

@@ -713,3 +713,89 @@ def kmv_distinct_tokens(
         )
         .orderBy(group_col)
     )
+
+
+def encoding_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-health signals for corpus curation: replacement
+    characters (U+FFFD — the smoking gun of a wrong-charset decode),
+    stray C0 control bytes (mojibake / binary spill; tab, LF and CR are
+    legitimate), and the ASCII ratio (a cheap script/language drift
+    flag). Pure codegen regexp arithmetic — zero shuffle, linear scan,
+    the shape that streams through 100 TB. Counts are exact integers;
+    the ratio is an UNROUNDED double (both engines evaluate the same
+    IEEE division bit-identically, while ROUND would park power-of-two
+    char counts on decimal half-boundaries — the quality_features
+    lesson)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_ascii = F.length(F.regexp_replace(t, r"[^\x20-\x7E\t\n\r]", ""))
+    n_control = F.length(t) - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    )
+    n_replacement = F.length(t) - F.length(F.regexp_replace(t, "�", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_exact"),
+        n_ascii.cast("long").alias("n_ascii"),
+        n_control.cast("long").alias("n_control"),
+        n_replacement.cast("long").alias("n_replacement"),
+        F.when(n_chars > 0, n_ascii.cast("double") / n_chars.cast("double"))
+        .otherwise(F.lit(None))
+        .alias("ascii_ratio"),
+    )
+
+
+def bpe_apply_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Complete the tokenizer loop: TRAIN BPE merges on the corpus
+    (``bpe_train_merges``), then APPLY them corpus-wide and report
+    per-document token counts under the induced vocabulary — the number
+    a token-budget sampler or packing planner actually consumes. The
+    merge table is tiny (one row per iteration) and ships into the plan
+    as literals; application is the same double-sep/replace/collapse
+    closed form as training (greedy non-overlapping, engine-portable),
+    evaluated per word in codegen. One explode + one map-combined
+    groupBy — no extra pass over the corpus beyond training's.
+
+    Returns (id, n_char_tokens, n_bpe_tokens): character count before
+    merging vs token count after; the ratio is the realized compression
+    of the learned vocabulary."""
+    merges = [
+        (r["left_tok"], r["right_tok"])
+        for r in bpe_train_merges(df, text_col, iterations).collect()
+    ]
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    words = df.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    s = F.concat(F.lit(BPE_SEP), F.array_join(chars, BPE_SEP), F.lit(BPE_SEP))
+    for left, right in merges:
+        doubled = F.replace(s, F.lit(BPE_SEP), F.lit(BPE_SEP * 2))
+        merged = F.replace(
+            doubled,
+            F.lit(BPE_SEP + left + BPE_SEP + BPE_SEP + right + BPE_SEP),
+            F.lit(BPE_SEP + left + right + BPE_SEP),
+        )
+        s = F.replace(merged, F.lit(BPE_SEP * 2), F.lit(BPE_SEP))
+    n_after = F.size(F.filter(F.split(s, BPE_SEP), lambda x: x != ""))
+    return (
+        words.select(
+            F.col(id_col),
+            F.length("w").alias("nb"),
+            n_after.alias("na"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("nb").cast("long").alias("n_char_tokens"),
+            F.sum("na").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1800,6 +1800,164 @@ FROM t WHERE token != '' GROUP BY lang ORDER BY lang
 
 
 @register(
+    "diversity_sample",
+    """
+WITH e AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, i.j,
+         CAST(SUM(CAST(v[i.j] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS j) i
+  GROUP BY label, i.j
+),
+cents AS (SELECT label, list(c ORDER BY j) AS cent FROM dims GROUP BY label),
+picked AS (
+  SELECT label, vec_id, v,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS sample_rank
+  FROM e
+)
+SELECT p.label, CAST(p.sample_rank AS BIGINT) AS sample_rank, p.vec_id,
+       ROUND(CASE WHEN list_dot_product(p.v, p.v) = 0
+                    OR list_dot_product(cent, cent) = 0
+                  THEN 0.0
+                  ELSE list_dot_product(p.v, cent)
+                       / (sqrt(list_dot_product(p.v, p.v))
+                          * sqrt(list_dot_product(cent, cent)))
+             END, 6) AS cos_to_centroid
+FROM picked p JOIN cents USING (label)
+WHERE sample_rank <= 5
+ORDER BY label, sample_rank
+""",
+)
+def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced representative sampling — the diversity-aware
+    subsample a curation budget wants: k docs PER embedding cluster
+    (uniform md5 order within the cluster), each annotated with its
+    cosine to the exact-DECIMAL cluster centroid so downstream mixing
+    can weight central vs peripheral picks. Source-balanced sampling
+    (``sample_per_source``) stratifies on metadata; this stratifies on
+    embedding-space structure, which is what prevents a web-scale crawl
+    from collapsing onto its dominant mode. Scale: the rank filter runs
+    as WindowGroupLimit (map-side partial top-k per cluster), centroids
+    broadcast onto the picks — one window shuffle + one tiny agg
+    pipeline."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.functions.vector import dot_product, l2_norm
+    from vectolite_spark.operators.ann import build_centroids
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = build_centroids(embs, "label").withColumnRenamed("cluster", "label")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    picked = (
+        embs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .join(F.broadcast(cents), "label")
+    )
+    vnorm = l2_norm("embedding")
+    cnorm = l2_norm("centroid")
+    cos = F.when((vnorm == 0.0) | (cnorm == 0.0), F.lit(0.0)).otherwise(
+        dot_product("embedding", "centroid") / (vnorm * cnorm)
+    )
+    return picked.select(
+        "label",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        "vec_id",
+        F.round(cos, 6).alias("cos_to_centroid"),
+    ).orderBy("label", "sample_rank")
+
+
+@register(
+    "stratified_split",
+    """
+WITH r AS (
+  SELECT lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || lang), doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN rn * 10 <= n * 8 THEN 'train'
+            WHEN rn * 10 <= n * 9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM r GROUP BY 1, 2 ORDER BY lang, split
+""",
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified 80/10/10 split per language stratum — the
+    guarantee ``dataset_split_counts``'s md5-bucket hashing can only
+    approximate (hash buckets drift ~sqrt(n) per stratum; a 1k-doc
+    low-resource language can lose half its eval split to drift). Docs
+    rank by md5 within their stratum (deterministic shuffle) and split
+    boundaries use pure INTEGER math (rn*10 <= n*8), never 0.8*n in
+    floating point — a 5-doc stratum yields exactly 4/0/1 on every
+    engine. Scale: one window shuffle on the stratum key; the md5 sort
+    is distributed by Spark's range partitioning within each stratum's
+    hash partition. Returns per-(lang, split) counts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")))
+    n = Window.partitionBy("lang")
+    return (
+        docs.select("lang", "doc_id", u.alias("u"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("lang").orderBy("u", "doc_id")
+        ))
+        .withColumn("n", F.count(F.lit(1)).over(n))
+        .select(
+            "lang",
+            F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+            .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "encoding_quality",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_exact,
+       CAST(length(regexp_replace(text, '[^\\x20-\\x7E\\t\\n\\r]', '', 'g'))
+            AS BIGINT) AS n_ascii,
+       CAST(length(text)
+            - length(regexp_replace(text,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+            AS BIGINT) AS n_control,
+       CAST(length(text) - length(replace(text, chr(65533), ''))
+            AS BIGINT) AS n_replacement,
+       CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[^\\x20-\\x7E\\t\\n\\r]',
+                                            '', 'g')) AS DOUBLE)
+                 / length(text)
+       END AS ascii_ratio
+FROM documents
+""",
+)
+def encoding_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health curation signals (U+FFFD replacement chars, stray
+    C0 controls, ASCII ratio) — see ``textstats.encoding_quality``. Zero
+    shuffle, pure codegen regex."""
+    from vectolite_spark.operators.textstats import encoding_quality
+
+    return encoding_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "kmv_distinct_tokens",
     f"""
 WITH toks AS (
@@ -6230,6 +6388,82 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_apply",
+    f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+v0 AS (
+  SELECT '{_BPE_SEP}' || array_to_string(string_split(w, ''), '{_BPE_SEP}')
+         || '{_BPE_SEP}' AS s, wc
+  FROM words
+),
+p1 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v0")}),
+m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v1 AS ({_BPE_APPLY.format(sep=_BPE_SEP, src="v0", m="m1")}),
+p2 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v1")}),
+m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v2 AS ({_BPE_APPLY.format(sep=_BPE_SEP, src="v1", m="m2")}),
+p3 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v2")}),
+m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+dwords AS (
+  SELECT doc_id, t.w
+  FROM documents, UNNEST({_SQL_TOKENS}) t(w)
+  WHERE t.w != ''
+),
+s0 AS (
+  SELECT doc_id, length(w) AS nb,
+         '{_BPE_SEP}' || array_to_string(string_split(w, ''), '{_BPE_SEP}')
+         || '{_BPE_SEP}' AS s
+  FROM dwords
+),
+a1 AS (
+  SELECT doc_id, nb,
+         replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                 '{_BPE_SEP}' || m.l || '{_BPE_SEP}{_BPE_SEP}' || m.r || '{_BPE_SEP}',
+                 '{_BPE_SEP}' || m.l || m.r || '{_BPE_SEP}'),
+                 '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+  FROM s0, m1 m
+),
+a2 AS (
+  SELECT doc_id, nb,
+         replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                 '{_BPE_SEP}' || m.l || '{_BPE_SEP}{_BPE_SEP}' || m.r || '{_BPE_SEP}',
+                 '{_BPE_SEP}' || m.l || m.r || '{_BPE_SEP}'),
+                 '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+  FROM a1, m2 m
+),
+a3 AS (
+  SELECT doc_id, nb,
+         replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                 '{_BPE_SEP}' || m.l || '{_BPE_SEP}{_BPE_SEP}' || m.r || '{_BPE_SEP}',
+                 '{_BPE_SEP}' || m.l || m.r || '{_BPE_SEP}'),
+                 '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+  FROM a2, m3 m
+)
+SELECT doc_id,
+       CAST(SUM(nb) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(len(list_filter(string_split(s, '{_BPE_SEP}'),
+                                x -> x != ''))) AS BIGINT) AS n_bpe_tokens
+FROM a3 GROUP BY doc_id
+""",
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 3 BPE merges on the corpus, APPLY them corpus-wide, and
+    count per-document tokens under the induced vocabulary — the number
+    a token-budget sampler actually consumes. See
+    ``textstats.bpe_apply_token_counts``; the oracle replays training
+    (weighted distinct-word vocabulary) AND application (per-doc words)
+    with the same double-sep greedy merge closed form."""
+    from vectolite_spark.operators.textstats import bpe_apply_token_counts
+
+    return bpe_apply_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "cdc_span_decontamination",
     """
 WITH m AS (
@@ -6739,9 +6973,14 @@ _DRIVER_WINDOW = [
     "q12_priority_class",
     "q16_supplier_variety",
     "q21_waiting_supplier",
-    # new in r5: completes the 22-query TPC-H suite; deterministic sketch
+    # new in r5: completes the 22-query TPC-H suite; deterministic sketch;
+    # curation/tokenizer/sampling additions
     "q20_excess_stock_suppliers",
     "kmv_distinct_tokens",
+    "encoding_quality",
+    "stratified_split",
+    "diversity_sample",
+    "bpe_apply",
     # rewritten this round: deterministic SRP path, first-ever oracle
     # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
     "ann_lsh_topk",
@@ -6774,12 +7013,8 @@ _DRIVER_WINDOW = [
     "events_window_agg",
     "customers_without_orders",
     "grouped_doc_stats",
-    "rollup_revenue",
     "price_histogram",
     "top_customers_by_revenue",
-    "asia_customer_orders",
-    "parts_per_flag",
-    "sql_shipyear_revenue",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -6795,6 +7030,10 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "rollup_revenue",
+    "asia_customer_orders",
+    "parts_per_flag",
+    "sql_shipyear_revenue",
     "moment_stats",
     "cube_order_counts",
     "embedding_norm_stats",
