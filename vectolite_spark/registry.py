@@ -4672,6 +4672,62 @@ def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_cross_source_stats",
+    f"""
+WITH pr AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) p),
+lab AS (
+  SELECT LEAST(da.source, db.source) AS source_x,
+         GREATEST(da.source, db.source) AS source_y,
+         CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS same
+  FROM pr
+  JOIN documents da ON da.doc_id = pr.doc_a
+  JOIN documents db ON db.doc_id = pr.doc_b
+)
+SELECT source_x, source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(same) AS BIGINT) AS n_same_source
+FROM lab GROUP BY 1, 2 ORDER BY source_x, source_y
+""",
+)
+def dup_cross_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: near-dup pairs bucketed by their
+    (source, source) combination, canonically ordered. Within-source
+    duplication is template boilerplate (fix the extractor); cross-source
+    duplication is syndication/mirroring (dedup globally or lose the
+    diversity accounting). One broadcast-joinable narrow id->source dim
+    applied twice to the (small) pair relation — at 100 TB the pair list
+    is the already-blocked LSH output, never all-pairs."""
+    from vectolite_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    dim = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            dim.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            dim.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("same"),
+        )
+    )
+    return (
+        lab.groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("same").cast("long").alias("n_same_source"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+@register(
     "char_entropy",
     """
 WITH chars AS (
@@ -6981,6 +7037,7 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "dup_cross_source_stats",
     # rewritten this round: deterministic SRP path, first-ever oracle
     # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
     "ann_lsh_topk",
@@ -7012,7 +7069,6 @@ _DRIVER_WINDOW = [
     "sessionize_events",
     "events_window_agg",
     "customers_without_orders",
-    "grouped_doc_stats",
     "price_histogram",
     "top_customers_by_revenue",
 ]
@@ -7030,6 +7086,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "grouped_doc_stats",
     "rollup_revenue",
     "asia_customer_orders",
     "parts_per_flag",
