@@ -4672,6 +4672,91 @@ def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matryoshka_recall_eval",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+ex AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+  FROM (SELECT q.qid, e.vec_id,
+               {_SQL_COS.format(a="e.v", b="q.qv")} AS s
+        FROM e, q)
+),
+ex10 AS (SELECT qid, vec_id FROM ex WHERE rn <= 10),
+t16 AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+  FROM (SELECT q.qid, e.vec_id,
+               {_SQL_COS.format(a="list_slice(e.v, 1, 16)", b="list_slice(q.qv, 1, 16)")} AS s
+        FROM e, q)
+),
+t32 AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+  FROM (SELECT q.qid, e.vec_id,
+               {_SQL_COS.format(a="list_slice(e.v, 1, 32)", b="list_slice(q.qv, 1, 32)")} AS s
+        FROM e, q)
+),
+o16 AS (SELECT COUNT(*) AS n FROM ex10 JOIN (SELECT qid, vec_id FROM t16 WHERE rn <= 10) t USING (qid, vec_id)),
+o32 AS (SELECT COUNT(*) AS n FROM ex10 JOIN (SELECT qid, vec_id FROM t32 WHERE rn <= 10) t USING (qid, vec_id))
+SELECT 16 AS trunc_dim, CAST(5 AS BIGINT) AS n_queries,
+       ROUND(n / 50.0, 6) AS recall_at_10 FROM o16
+UNION ALL
+SELECT 32, CAST(5 AS BIGINT), ROUND(n / 50.0, 6) FROM o32
+ORDER BY trunc_dim
+""",
+)
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/MRL truncation eval: recall@10 of cosine search over
+    the FIRST 16 and 32 dims against the full-d exact top-10, averaged
+    over 5 queries — the measurement that decides whether a 4x cheaper
+    truncated index is safe to serve (modern MRL-trained embeddings are
+    engineered to degrade gracefully under exactly this truncation;
+    PCA-rotated vectors approximate it). Fully oracled: rounded scores +
+    id tie-breaks make both engines pick identical top-k sets. Scale:
+    each eval is the batch-topk shape (Q x N scored pairs, window
+    top-k); at 100 TB you run it on a sample — the estimator, not the
+    corpus, is the product."""
+    from pyspark.sql import Window
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def top10(vexpr, qexpr):
+        from vectolite_spark.functions.vector import dot_product
+
+        dv = dot_product(vexpr, vexpr)
+        dq = dot_product(qexpr, qexpr)
+        cos = F.when((dv == 0) | (dq == 0), F.lit(0.0)).otherwise(
+            dot_product(vexpr, qexpr) / (F.sqrt(dv) * F.sqrt(dq))
+        )
+        scored = embs.crossJoin(F.broadcast(queries)).select(
+            "qid", "vec_id", F.round(cos, 6).alias("s")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    ex10 = top10(F.col("v"), F.col("qv"))
+    rows = []
+    for td in (16, 32):
+        tr = top10(F.slice(F.col("v"), 1, td), F.slice(F.col("qv"), 1, td))
+        n = ex10.join(tr, ["qid", "vec_id"]).count()
+        rows.append((td, 5, round(n / 50.0, 6)))
+    return spark.createDataFrame(
+        rows, "trunc_dim int, n_queries long, recall_at_10 double"
+    ).orderBy("trunc_dim")
+
+
+@register(
     "dup_cross_source_stats",
     f"""
 WITH pr AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) p),
@@ -7037,6 +7122,7 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "matryoshka_recall_eval",
     "dup_cross_source_stats",
     # rewritten this round: deterministic SRP path, first-ever oracle
     # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
@@ -7069,7 +7155,6 @@ _DRIVER_WINDOW = [
     "sessionize_events",
     "events_window_agg",
     "customers_without_orders",
-    "price_histogram",
     "top_customers_by_revenue",
 ]
 
@@ -7086,6 +7171,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "price_histogram",
     "grouped_doc_stats",
     "rollup_revenue",
     "asia_customer_orders",
