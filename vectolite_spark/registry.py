@@ -4813,6 +4813,78 @@ def dup_cross_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_graph_triangles",
+    f"""
+WITH e AS (SELECT doc_a AS a, doc_b AS b FROM ({_MINHASH_PAIRS_SQL}) p),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+  GROUP BY v
+),
+wedges AS (SELECT SUM(d * (d - 1) / 2) AS w FROM deg),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT w FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN (SELECT w FROM wedges) = 0 THEN 0.0
+                  ELSE 3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges)
+             END, 6) AS global_clustering
+""",
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph: triangles vs wedges gives
+    the global clustering coefficient — duplication that arrives as
+    dense cliques (templates: clustering -> 1) needs cluster-level
+    keepers, while scattered low-clustering pairs are incidental reuse.
+    The canonical a<b edge orientation makes each triangle counted
+    exactly once as a<b<c (the node-iterator/compact-forward algorithm):
+    two joins over the already-blocked pair relation, both on edge
+    endpoints — at scale this is the standard O(E^1.5)-work triangle
+    join, NOT an all-pairs anything; wedge counts come from one degree
+    aggregation."""
+    from vectolite_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = minhash_lsh_pairs(docs, num_hashes=8, bands=4).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e = e.cache()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = e.count()
+    n_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
+    ).first()["w"]
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    clustering = (
+        round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
+    )
+    return spark.createDataFrame(
+        [(n_edges, int(n_wedges or 0), n_tri, clustering)],
+        "n_edges long, n_wedges long, n_triangles long, global_clustering double",
+    )
+
+
+@register(
     "char_entropy",
     """
 WITH chars AS (
@@ -7122,6 +7194,7 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "dup_graph_triangles",
     "matryoshka_recall_eval",
     "dup_cross_source_stats",
     # rewritten this round: deterministic SRP path, first-ever oracle
@@ -7155,7 +7228,6 @@ _DRIVER_WINDOW = [
     "sessionize_events",
     "events_window_agg",
     "customers_without_orders",
-    "top_customers_by_revenue",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7171,6 +7243,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "top_customers_by_revenue",
     "price_histogram",
     "grouped_doc_stats",
     "rollup_revenue",
