@@ -4994,6 +4994,144 @@ def top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_rank_normalized",
+    f"""
+WITH f AS (
+  SELECT doc_id, source,
+         0.4 * least(len({_SQL_TOKENS}) / 100.0, 1.0)
+           + 0.3 * least(len(list_intersect(list_distinct({_SQL_TOKENS}),
+               ['the','and','of','to','is','in','that','it','a','an','for','on','with','as','at']))::DOUBLE
+               / len({_SQL_TOKENS}) * 5, 1.0)
+           + 0.2 * least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / length(text) * 20, 1.0)
+           + 0.1 * least(list_sum(list_transform({_SQL_TOKENS}, x -> length(x)))::DOUBLE
+               / len({_SQL_TOKENS}) / 10, 1.0) AS quality
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY quality ASC, doc_id ASC) AS pct
+  FROM f
+),
+g AS (
+  SELECT source, doc_id, ROUND(pct, 6) AS pct_rank,
+         ROW_NUMBER() OVER (ORDER BY pct DESC, doc_id ASC) AS grank
+  FROM r
+)
+SELECT source, doc_id, pct_rank, CAST(grank AS BIGINT) AS grank
+FROM g WHERE grank <= 10 ORDER BY grank
+""",
+)
+def quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score CALIBRATION: raw quality scores are not
+    comparable across sources (a mid-tier doc from a high-quality domain
+    outscores the best doc of a noisy one), so sampling budgets allocate
+    by percent-rank WITHIN source, then blend globally. percent_rank's
+    (rank-1)/(n-1) is pure integer math over a total order (quality,
+    doc_id), so both engines produce identical doubles. The global
+    top-10 here is the blended head a mixed sampler would draw first.
+    Scale: one window shuffle per source partition + a global top-k
+    (TakeOrdered) — no full global sort."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("doc_id", "quality")
+    src = docs.select("doc_id", "source")
+    wsrc = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    r = (
+        src.join(feats, "doc_id")
+        .withColumn("pct", F.percent_rank().over(wsrc))
+    )
+    wg = Window.orderBy(F.desc("pct"), F.asc("doc_id"))
+    return (
+        r.withColumn("grank", F.row_number().over(wg).cast("long"))
+        .filter(F.col("grank") <= 10)
+        .select(
+            "source", "doc_id", F.round("pct", 6).alias("pct_rank"), "grank"
+        )
+        .orderBy("grank")
+    )
+
+
+@register(
+    "vocab_drift",
+    f"""
+WITH m AS (
+  SELECT CAST(FLOOR((MAX(doc_id) + 1) / 2.0) AS BIGINT) AS cutoff
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, t.w
+  FROM documents, UNNEST({_SQL_TOKENS}) t(w)
+  WHERE t.w != ''
+),
+dfreq AS (
+  SELECT w,
+         SUM(CASE WHEN doc_id < (SELECT cutoff FROM m) THEN 1 ELSE 0 END)
+           AS df_early,
+         SUM(CASE WHEN doc_id >= (SELECT cutoff FROM m) THEN 1 ELSE 0 END)
+           AS df_late
+  FROM tok GROUP BY w
+),
+scored AS (
+  SELECT w, df_early, df_late,
+         ROUND(ABS(LN((df_late + 1.0) / (df_early + 1.0))), 6) AS drift
+  FROM dfreq WHERE df_early + df_late >= 10
+)
+SELECT w AS token, CAST(df_early AS BIGINT) AS df_early,
+       CAST(df_late AS BIGINT) AS df_late, drift
+FROM scored
+ORDER BY drift DESC, token ASC LIMIT 20
+""",
+)
+def vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection: document frequency of each token in the
+    first vs second half of the id range (crawl snapshots arrive in id
+    order), ranked by |log DF ratio| with +1 smoothing — the tokens
+    whose prevalence shifted most between snapshots. A spike here means
+    the source mix changed (new boilerplate, new domain, encoding
+    regression) before any downstream metric moves. One distinct
+    (doc, token) shuffle map-side combined, one token aggregation, top-k
+    TakeOrdered; the >= 10 support filter keeps the tail noise out."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    cutoff = docs.agg(
+        F.floor((F.max("doc_id") + 1) / 2.0).cast("long").alias("c")
+    ).first()["c"]
+    tok = (
+        docs.select("doc_id", F.explode(norm_tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    dfreq = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("doc_id") < cutoff, 1).otherwise(0)).alias("df_early"),
+        F.sum(F.when(F.col("doc_id") >= cutoff, 1).otherwise(0)).alias("df_late"),
+    )
+    return (
+        dfreq.filter(F.col("df_early") + F.col("df_late") >= 10)
+        .select(
+            F.col("w").alias("token"),
+            F.col("df_early").cast("long"),
+            F.col("df_late").cast("long"),
+            F.round(
+                F.abs(
+                    F.log((F.col("df_late") + 1.0) / (F.col("df_early") + 1.0))
+                ),
+                6,
+            ).alias("drift"),
+        )
+        .orderBy(F.desc("drift"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
     "bigram_lm_nll",
     f"""
 WITH toks AS (
@@ -7194,6 +7332,8 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "quality_rank_normalized",
+    "vocab_drift",
     "dup_graph_triangles",
     "matryoshka_recall_eval",
     "dup_cross_source_stats",
@@ -7226,8 +7366,6 @@ _DRIVER_WINDOW = [
     "join_revenue_by_nation",
     "window_top_orders",
     "sessionize_events",
-    "events_window_agg",
-    "customers_without_orders",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7243,6 +7381,8 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "customers_without_orders",
+    "events_window_agg",
     "top_customers_by_revenue",
     "price_histogram",
     "grouped_doc_stats",
