@@ -5860,6 +5860,65 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_user_totals",
+    """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL streaming path, ORACLED: events replay through a real
+    ``applyInPandasWithState`` per-key fold (lifetime running totals —
+    state beyond any window, which a watermarked aggregation cannot
+    hold) and the FINAL state must hash-match the batch SQL twin. The
+    fold accumulates integer cents (portable half-up quantization), so
+    totals are exact no matter how availableNow splits micro-batches —
+    the property that makes a stateful operator hash-comparable at all.
+    Update-mode emits one row per key per touched batch; the final
+    lifetime row per key is the (n_events, total) struct-max. State
+    carries 2 longs per user — RocksDB-ready at 100 TB user counts."""
+    import tempfile
+    import uuid
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.streaming.stateful import running_user_totals_exact
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cache_key = f"{sf_dir}::user_totals"
+    src_dir = _STREAM_SRC_CACHE.get(cache_key)
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="vl_stream_ut_") + "/src"
+        events.write.mode("overwrite").parquet(src_dir)
+        _STREAM_SRC_CACHE[cache_key] = src_dir
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    out = running_user_totals_exact(stream)
+    name = f"sut_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise VectoliteError("streaming_user_totals did not drain in 180s")
+    sink = spark.table(name)
+    final = sink.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_cents")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").cast("long").alias("n_events"),
+        F.col("s.total_cents").cast("long").alias("total_cents"),
+    )
+
+
+@register(
     "ann_ivfpq_probe_prebuilt",
     _COSINE_SCORED
     + """
@@ -7332,6 +7391,7 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "streaming_user_totals",
     "quality_rank_normalized",
     "vocab_drift",
     "dup_graph_triangles",
@@ -7365,7 +7425,6 @@ _DRIVER_WINDOW = [
     "rolling_avg_order_value",
     "join_revenue_by_nation",
     "window_top_orders",
-    "sessionize_events",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7381,6 +7440,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "sessionize_events",
     "customers_without_orders",
     "events_window_agg",
     "top_customers_by_revenue",

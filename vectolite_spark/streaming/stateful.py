@@ -44,3 +44,38 @@ def running_user_totals(events, key_col="user_id", value_col="value"):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_exact(events, key_col="user_id", value_col="value"):
+    """ORACLE-GRADE variant of ``running_user_totals``: per-row values are
+    quantized to integer CENTS with portable half-up rounding
+    (floor(v*100 + 0.5) — the same engine-portable rounding the int8
+    quantizer uses) and accumulated as int64, so the lifetime totals are
+    EXACT regardless of how the file source splits micro-batches or
+    partitions rows — float accumulation order can never shift a
+    comparison bit. This is what makes the stateful operator
+    hash-matchable against a batch SQL twin (registry
+    ``streaming_user_totals``)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                sum(math.floor(v * 100 + 0.5) for v in pdf[value_col])
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=f"{key_col} long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
