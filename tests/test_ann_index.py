@@ -471,3 +471,47 @@ def test_ivf_batch_topk_equals_per_query(spark, sf_dir):
             for rank, r in enumerate(solo, start=1):
                 assert got[(qid, rank)] == (r["vec_id"], r["score"]), (qid, rank)
         assert len(got) == 3 * 4
+
+
+def test_srp_index_probe_prunes_and_matches_selfcontained(spark, sf_dir, tmp_path):
+    """The persisted SRP-LSH index must (a) return exactly the
+    self-contained path's answer (same md5 planes) and (b) scan only the
+    query's block directories — the file index lists T paths, never the
+    full T*2^b layout."""
+    from vectolite_spark.operators.ann import (
+        build_srp_index,
+        srp_index_topk,
+        srp_query_blocks,
+        topk_batch_lsh,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "srp")
+    build_srp_index(embs, path)
+
+    got = srp_index_topk(spark, path, qvec, k=10)
+    queries = embs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = topk_batch_lsh(queries, embs, k=10).select(
+        "vec_id", "score", F.col("rn").cast("long").alias("rn")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # the scan reads ONLY files under the probed block dirs, and the
+    # layout is genuinely wider than the probe
+    import os
+
+    from urllib.parse import unquote
+
+    probed = set(srp_query_blocks(qvec))
+    touched = {
+        unquote(unquote(f.split("block=")[1].split("/")[0]))
+        for f in got.inputFiles()  # inputFiles URI-encodes the dir's '%3A'
+    }
+    assert touched and touched <= probed
+    total_dirs = len(
+        [d for d in os.listdir(path + "/cells") if d.startswith("block=")]
+    )
+    assert total_dirs > len(probed)  # probe skips most of the layout

@@ -709,3 +709,111 @@ class IVFPQIndex:
             F.broadcast(survivors.select("vec_id")), "vec_id"
         ).select("vec_id", "embedding")
         return topk_ids(refine_set, qvec, k)
+
+
+def srp_query_blocks(
+    qvec, n_tables: int = 16, n_planes: int = 6
+) -> list[str]:
+    """Driver-side twin of ``make_srp_bucket_mapper`` for ONE vector:
+    the query's (table, bucket) block keys under the same deterministic
+    md5-Rademacher planes. Tiny (T*b*d md5 calls, cached nowhere — a
+    64-dim query is ~6k hashes, microseconds vs the job it prunes)."""
+    import hashlib
+
+    import numpy as np
+
+    d = len(qvec)
+    total = n_tables * n_planes
+    P = np.empty((total, d), dtype=np.float64)
+    for g in range(total):
+        for j in range(d):
+            nib = int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[0], 16)
+            P[g, j] = 1.0 if nib >= 8 else -1.0
+    bits = (np.asarray(qvec, dtype=np.float64) @ P.T >= 0).astype(np.int64)
+    out = []
+    for t in range(n_tables):
+        b = 0
+        for i in range(n_planes):
+            b |= int(bits[t * n_planes + i]) << i
+        out.append(f"{t}:{b}")
+    return out
+
+
+def build_srp_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the SRP-LSH bucket layout: one row per (vector, table)
+    under ``{path}/cells`` PARTITIONED BY block — the build-once answer
+    to ``topk_batch_lsh`` re-bucketing the whole table per call. A
+    probe reads exactly the query's T block directories (directory
+    pruning, no scan of the other T*2^b - T); storage is T copies of the
+    vector table — the standard multi-table LSH trade, and the copies
+    are what let each probe touch ~T/(T*2^b) of the data."""
+    from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
+
+    mapper = make_srp_bucket_mapper(n_tables, n_planes)
+    vb = embeddings.select(
+        F.col(id_col).alias("vec_id"), "embedding"
+    ).mapInPandas(mapper, schema="vec_id long, embedding array<float>, block string")
+    # bound the small-file count: T*2^b partition dirs x input tasks
+    vb.coalesce(8).write.mode("overwrite").partitionBy("block").parquet(
+        f"{index_path}/cells"
+    )
+
+
+def srp_index_topk(
+    spark,
+    index_path: str,
+    qvec,
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Probe a persisted SRP-LSH index: compute the query's T blocks
+    driver-side, scan ONLY those partition directories, dedupe
+    cross-table collisions on the narrow (vec_id, score) pair, exact
+    top-k. Same planes as ``topk_batch_lsh`` -> identical results to
+    the self-contained path (oracle-shared)."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.functions.vector import cosine_score
+
+    blocks = srp_query_blocks(qvec, n_tables, n_planes)
+    # enumerate ONLY the query's block directories (basePath keeps the
+    # partition column): listing T dirs beats listing all T*2^b and
+    # pruning after — the file-index walk is the probe's fixed cost.
+    # A block directory may be absent (no vector hashed there): en
+    # empty candidate set for that table, not an error.
+    import os
+
+    # Spark URL-escapes special chars in partition dir names: block
+    # '0:12' lives in 'block=0%3A12'
+    paths = [
+        p
+        for b in blocks
+        if os.path.exists(
+            p := f"{index_path}/cells/block={b.replace(':', '%3A')}"
+        )
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "vec_id long, score double, rn long"
+        )
+    cells = (
+        spark.read.option("basePath", f"{index_path}/cells")
+        .parquet(*paths)
+        .filter(F.col("block").isin(blocks))
+    )
+    scored = cells.select(
+        "vec_id",
+        F.round(cosine_score("embedding", qvec), SCORE_DECIMALS).alias("score"),
+    ).distinct()
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

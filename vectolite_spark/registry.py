@@ -2914,6 +2914,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "score", F.col("rn").cast("long").alias("rn"))
 
 
+_LSH_TOPK_SQL = ORACLES["ann_lsh_topk"]
+
+
+@register("ann_lsh_indexed_topk", _LSH_TOPK_SQL)
+def ann_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH probe against a PERSISTED bucket index (build-if-absent,
+    same shared-cache discipline as the IVF/PQ indexes): the query's T
+    block keys are computed driver-side and the scan touches ONLY those
+    partition directories — where ``ann_lsh_topk`` re-buckets the whole
+    table per call (two mapInPandas passes + a co-location shuffle),
+    this path is one pruned scan + a k-row window. Identical planes ->
+    identical results -> the ORACLE IS SHARED with ann_lsh_topk. The
+    build pays T output rows per vector once; every probe after reads
+    ~T/(T*2^b) of the data."""
+    import os
+
+    from vectolite_spark.operators.ann import build_srp_index, srp_index_topk
+
+    path = index_cache_path("srp_v1", sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        build_srp_index(load_table(spark, sf_dir, "embeddings"), path)
+    qvec = _query_vector(spark, sf_dir)
+    return srp_index_topk(spark, path, qvec, k=10)
+
+
 @register("ann_mllib_lsh_topk")  # rows-only: MLlib's randomized LSH planes
 # have no exact SQL oracle; gate = recall-vs-exact + same-seed determinism
 # pytest (tests/test_textstats.py) per SURVEY.md §7 risk register
@@ -7391,6 +7416,7 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "ann_lsh_indexed_topk",
     "streaming_user_totals",
     "quality_rank_normalized",
     "vocab_drift",
@@ -7424,7 +7450,6 @@ _DRIVER_WINDOW = [
     "pivot_priority_by_year",
     "rolling_avg_order_value",
     "join_revenue_by_nation",
-    "window_top_orders",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7440,6 +7465,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "window_top_orders",
     "sessionize_events",
     "customers_without_orders",
     "events_window_agg",
