@@ -817,3 +817,68 @@ def srp_index_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+def srp_index_topk_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch probe of the persisted SRP-LSH index: ONE pruned scan for
+    the UNION of every query's block directories (the bm25/ivf batch
+    discipline), a broadcast (query, block) routing table to fan
+    candidates back out per query, exact rescoring, per-query top-k.
+    Results are identical to ``topk_batch_lsh`` (same planes, same
+    rounding) — the oracle is shared. The query table is collected
+    driver-side (small-Q serving shape, like ``topk_batch``); for big-Q
+    use ``topk_batch_lsh``, which buckets both sides distributively."""
+    import os
+
+    from pyspark.sql import Window
+
+    from vectolite_spark._pandas_udfs import make_pair_cosine_udf
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    pairs = []
+    qvecs = []
+    for r in qrows:
+        vec = [float(x) for x in r[qvec_col]]
+        qvecs.append((int(r[qid_col]), vec))
+        for b in srp_query_blocks(vec, n_tables, n_planes):
+            pairs.append((int(r[qid_col]), b))
+    dirs = sorted(
+        {
+            p
+            for _, b in pairs
+            if os.path.exists(
+                p := f"{index_path}/cells/block={b.replace(':', '%3A')}"
+            )
+        }
+    )
+    if not dirs:
+        return spark.createDataFrame(
+            [], f"{qid_col} long, vec_id long, score double, rn long"
+        )
+    cells = spark.read.option("basePath", f"{index_path}/cells").parquet(*dirs)
+    qb = spark.createDataFrame(pairs, f"{qid_col} long, block string")
+    qv = spark.createDataFrame(qvecs, f"{qid_col} long, qv array<float>")
+    cand = cells.join(F.broadcast(qb), "block").join(
+        F.broadcast(qv), qid_col
+    )
+    pair_cos = make_pair_cosine_udf()
+    scored = cand.select(
+        qid_col,
+        "vec_id",
+        F.round(pair_cos(F.col("embedding"), F.col("qv")), SCORE_DECIMALS).alias(
+            "score"
+        ),
+    ).distinct()
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )

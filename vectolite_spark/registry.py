@@ -2914,6 +2914,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "score", F.col("rn").cast("long").alias("rn"))
 
 
+_BATCH_LSH_SQL = ORACLES["ann_batch_lsh"]
+
+
+@register("ann_batch_lsh_indexed", _BATCH_LSH_SQL)
+def ann_batch_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving against the PERSISTED SRP-LSH index: one pruned scan
+    for the union of all 20 queries' block directories, broadcast
+    (query, block) routing, exact rescore, per-query top-5 — the same
+    union-probe discipline as the bm25/ivf batch entries. Identical
+    planes and rounding as ``ann_batch_lsh`` -> the ORACLE IS SHARED;
+    what changes is the physical plan: no corpus re-bucketing, no
+    co-location shuffle, just the probed directories."""
+    import os
+
+    from vectolite_spark.operators.ann import (
+        build_srp_index,
+        srp_index_topk_batch,
+    )
+
+    path = index_cache_path("srp_v1", sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        build_srp_index(load_table(spark, sf_dir, "embeddings"), path)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = srp_index_topk_batch(spark, path, queries, k=5)
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
 _LSH_TOPK_SQL = ORACLES["ann_lsh_topk"]
 
 
@@ -7416,6 +7446,7 @@ _DRIVER_WINDOW = [
     "stratified_split",
     "diversity_sample",
     "bpe_apply",
+    "ann_batch_lsh_indexed",
     "ann_lsh_indexed_topk",
     "streaming_user_totals",
     "quality_rank_normalized",
@@ -7449,7 +7480,6 @@ _DRIVER_WINDOW = [
     "dataset_split_counts",
     "pivot_priority_by_year",
     "rolling_avg_order_value",
-    "join_revenue_by_nation",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7465,6 +7495,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "join_revenue_by_nation",
     "window_top_orders",
     "sessionize_events",
     "customers_without_orders",
