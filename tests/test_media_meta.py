@@ -139,3 +139,43 @@ def test_extract_features_real_media_kinds_in_spark(spark):
     assert feats[1]["duration_s"] == pytest.approx(25 * 1152 / 44100, abs=1e-6)
     assert feats[2]["duration_s"] == pytest.approx(2.5)
     assert (feats[2]["width"], feats[2]["height"]) == (320, 240)
+
+
+def _frame_header(version_bits, layer_bits, kbps_idx, sr_idx, padding=0):
+    h = (
+        (0x7FF << 21)
+        | (version_bits << 19)
+        | (layer_bits << 17)
+        | (1 << 16)
+        | (kbps_idx << 12)
+        | (sr_idx << 10)
+        | (padding << 9)
+    )
+    return struct.pack(">I", h)
+
+
+def test_mp3_header_tables_across_versions_and_layers():
+    """Spot-check the bitrate/samplerate/length tables beyond MPEG-1 L3:
+    Layer I's 4-byte slot math, Layer II, MPEG-2's halved Layer III
+    frame, and the padding byte."""
+    # MPEG-1 Layer I, idx 4 = 128 kbps, 44100: (12*128000/44100 + 0)*4
+    fl, samples, sr, bps = parse_mp3_frame_header(_frame_header(3, 3, 4, 0), 0)
+    assert (fl, samples, sr, bps) == ((12 * 128000 // 44100) * 4, 384, 44100, 128000)
+    # MPEG-1 Layer II, idx 8 = 128 kbps, 32000 Hz: 144*128000/32000 = 576
+    fl, samples, sr, bps = parse_mp3_frame_header(_frame_header(3, 2, 8, 2), 0)
+    assert (fl, samples, sr, bps) == (576, 1152, 32000, 128000)
+    # MPEG-2 Layer III, idx 8 = 64 kbps, 22050 Hz: 72*64000/22050 = 235,
+    # 576 samples per frame
+    fl, samples, sr, bps = parse_mp3_frame_header(_frame_header(2, 1, 8, 0), 0)
+    assert (fl, samples, sr, bps) == (72 * 64000 // 22050, 576, 22050, 64000)
+    # padding adds one byte (Layer III) / one slot = 4 bytes (Layer I)
+    base = parse_mp3_frame_header(_frame_header(3, 1, 9, 0), 0)[0]
+    padded = parse_mp3_frame_header(_frame_header(3, 1, 9, 0, padding=1), 0)[0]
+    assert padded == base + 1
+    base1 = parse_mp3_frame_header(_frame_header(3, 3, 4, 0), 0)[0]
+    padded1 = parse_mp3_frame_header(_frame_header(3, 3, 4, 0, padding=1), 0)[0]
+    assert padded1 == base1 + 4
+    # reserved version / bad bitrate / bad samplerate -> rejected
+    assert parse_mp3_frame_header(_frame_header(1, 1, 9, 0), 0) is None
+    assert parse_mp3_frame_header(_frame_header(3, 1, 15, 0), 0) is None
+    assert parse_mp3_frame_header(_frame_header(3, 1, 9, 3), 0) is None
