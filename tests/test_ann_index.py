@@ -515,3 +515,27 @@ def test_srp_index_probe_prunes_and_matches_selfcontained(spark, sf_dir, tmp_pat
         [d for d in os.listdir(path + "/cells") if d.startswith("block=")]
     )
     assert total_dirs > len(probed)  # probe skips most of the layout
+
+
+def test_srp_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    """Append half the corpus after the build: probes must return the
+    same answer as an index built over everything at once (block
+    membership is a pure function of the vector — no drift)."""
+    from vectolite_spark.operators.ann import (
+        build_srp_index,
+        srp_index_append,
+        srp_index_topk,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    first = embs.filter(F.col("vec_id") % 2 == 0)
+    later = embs.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "srp_inc")
+    full = str(tmp_path / "srp_full")
+    build_srp_index(first, inc)
+    srp_index_append(spark, inc, later)
+    build_srp_index(embs, full)
+    qvec = [float(x) for x in later.first()["embedding"]]
+    got = [tuple(r) for r in srp_index_topk(spark, inc, qvec, k=10).collect()]
+    want = [tuple(r) for r in srp_index_topk(spark, full, qvec, k=10).collect()]
+    assert got == want and len(got) == 10

@@ -882,3 +882,29 @@ def srp_index_topk_batch(
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
+
+
+def srp_index_append(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental SRP-LSH maintenance (the ``ivf_index_append`` twin):
+    bucket ONLY the new vectors with the same deterministic planes and
+    append them under their block directories — no rebuild, no touch of
+    existing blocks' files. Probes see the new vectors immediately
+    because block membership is a pure function of the vector; unlike
+    IVF there are no centroids to drift, so append never degrades
+    routing."""
+    from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
+
+    mapper = make_srp_bucket_mapper(n_tables, n_planes)
+    vb = embeddings.select(
+        F.col(id_col).alias("vec_id"), "embedding"
+    ).mapInPandas(mapper, schema="vec_id long, embedding array<float>, block string")
+    vb.coalesce(8).write.mode("append").partitionBy("block").parquet(
+        f"{index_path}/cells"
+    )
