@@ -5974,6 +5974,55 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_topk_maintenance",
+    _COSINE_SCORED
+    + """
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+)
+def streaming_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k maintenance, ORACLED: the embeddings replay as a
+    stream and the k-row persisted STATE after drain must hash-match the
+    exact brute-force top-10 — proving the per-batch merge (batch-top-k
+    UNION state -> re-top-k) converges to the batch answer regardless of
+    how availableNow splits micro-batches. The merge is associative over
+    (rounded score desc, id asc), which is exactly what makes the state
+    a pure function of the vector SET. Per-refresh compute is
+    O(batch + k), corpus-size-independent — the serving shape that
+    replaces full rescans at 100 TB."""
+    import tempfile
+    import uuid
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.streaming.topk import stream_embeddings, streaming_topk
+
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cache_key = f"{sf_dir}::topk_maint"
+    src_dir = _STREAM_SRC_CACHE.get(cache_key)
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="vl_stream_tm_") + "/src"
+        embs.write.mode("overwrite").parquet(src_dir)
+        _STREAM_SRC_CACHE[cache_key] = src_dir
+    qvec = _query_vector(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix=f"vl_tm_{uuid.uuid4().hex[:8]}_")
+    q = streaming_topk(
+        stream_embeddings(spark, src_dir),
+        qvec,
+        k=10,
+        state_path=f"{run}/state",
+        checkpoint_dir=f"{run}/ckpt",
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise VectoliteError("streaming_topk_maintenance did not drain in 180s")
+    return (
+        spark.read.parquet(f"{run}/state")
+        .select("vec_id", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+@register(
     "ann_ivfpq_probe_prebuilt",
     _COSINE_SCORED
     + """
@@ -7448,6 +7497,7 @@ _DRIVER_WINDOW = [
     "bpe_apply",
     "ann_batch_lsh_indexed",
     "ann_lsh_indexed_topk",
+    "streaming_topk_maintenance",
     "streaming_user_totals",
     "quality_rank_normalized",
     "vocab_drift",
@@ -7479,7 +7529,6 @@ _DRIVER_WINDOW = [
     "q18_large_orders",
     "dataset_split_counts",
     "pivot_priority_by_year",
-    "rolling_avg_order_value",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7495,6 +7544,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "rolling_avg_order_value",
     "join_revenue_by_nation",
     "window_top_orders",
     "sessionize_events",
