@@ -289,3 +289,38 @@ def test_unversioned_store_rejects_versioned_api(store):
         store.history()
     with pytest.raises(VectoliteError, match="not versioned"):
         store.rollback(0)
+
+
+def test_ann_query_build_probe_and_invalidate(spark, tmp_path):
+    """query(ann=True): build-if-absent index, exact-rescored results (a
+    doc queried by its own text is its own nearest neighbor), and any
+    mutation invalidates the index so the next ANN query sees new docs."""
+    import os
+
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "annstore"), embed_fn=stub_embedder(16)
+    )
+    texts = [f"document number {i} about topic {i % 3}" for i in range(30)]
+    store.insert_many(texts)
+
+    got = store.query(texts[7], top_k=3, ann=True)
+    assert got and got[0]["text"] == texts[7]  # self-match always surfaces
+    assert got[0]["score"] == 1.0
+    assert os.path.exists(store._ann_path())
+
+    exact = store.query(texts[7], top_k=3)
+    assert got[0]["id"] == exact[0]["id"]
+
+    # mutation invalidates; next ANN query rebuilds and finds the new doc
+    new_id = store.insert("a brand new document inserted after the build", {})
+    assert not os.path.exists(store._ann_path())
+    got2 = store.query(
+        "a brand new document inserted after the build", top_k=2, ann=True
+    )
+    assert got2[0]["id"] == new_id and got2[0]["score"] == 1.0
+
+    with pytest.raises(Exception, match="metadata_filter"):
+        store.query(texts[0], ann=True, metadata_filter={"k": "v"})

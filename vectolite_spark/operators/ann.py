@@ -786,28 +786,36 @@ def srp_index_topk(
     # enumerate ONLY the query's block directories (basePath keeps the
     # partition column): listing T dirs beats listing all T*2^b and
     # pruning after — the file-index walk is the probe's fixed cost.
-    # A block directory may be absent (no vector hashed there): en
-    # empty candidate set for that table, not an error.
+    # A block directory may be absent (no vector hashed there): an
+    # empty candidate set for that table, not an error. The existence
+    # probe is local-FS only; for remote stores (hdfs://, s3a://) fall
+    # back to the full listing + partition filter — same pruned scan,
+    # one wider file-index walk.
     import os
 
-    # Spark URL-escapes special chars in partition dir names: block
-    # '0:12' lives in 'block=0%3A12'
-    paths = [
-        p
-        for b in blocks
-        if os.path.exists(
-            p := f"{index_path}/cells/block={b.replace(':', '%3A')}"
+    if "://" not in index_path:
+        # Spark URL-escapes special chars in partition dir names: block
+        # '0:12' lives in 'block=0%3A12'
+        paths = [
+            p
+            for b in blocks
+            if os.path.exists(
+                p := f"{index_path}/cells/block={b.replace(':', '%3A')}"
+            )
+        ]
+        if not paths:
+            return spark.createDataFrame(
+                [], "vec_id long, score double, rn long"
+            )
+        cells = (
+            spark.read.option("basePath", f"{index_path}/cells")
+            .parquet(*paths)
+            .filter(F.col("block").isin(blocks))
         )
-    ]
-    if not paths:
-        return spark.createDataFrame(
-            [], "vec_id long, score double, rn long"
+    else:
+        cells = spark.read.parquet(f"{index_path}/cells").filter(
+            F.col("block").isin(blocks)
         )
-    cells = (
-        spark.read.option("basePath", f"{index_path}/cells")
-        .parquet(*paths)
-        .filter(F.col("block").isin(blocks))
-    )
     scored = cells.select(
         "vec_id",
         F.round(cosine_score("embedding", qvec), SCORE_DECIMALS).alias("score"),

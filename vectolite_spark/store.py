@@ -200,6 +200,7 @@ class SparkVectolite:
 
         Versioned backend: the rewrite is a snapshot ``overwrite`` commit —
         atomic by manifest CAS, and the prior version stays readable."""
+        self._invalidate_ann()
         if self._snap is not None:
             self._max_id_cache = None
             self._snap.overwrite(df)
@@ -215,10 +216,41 @@ class SparkVectolite:
     def _append(self, df: DataFrame) -> None:
         """Route an append through the active backend: flat parquet append,
         or a snapshot ``append`` commit (new dir + manifest CAS)."""
+        self._invalidate_ann()
         if self._snap is not None:
             self._snap.append(df)
         else:
             df.write.mode("append").parquet(self.path)
+
+    # -- ANN acceleration (extension; reference is scan-only) ---------------
+
+    def _ann_path(self) -> str:
+        # OUTSIDE the data directory: the flat backend's recoverable
+        # rewrite renames the whole data dir, and the parquet reader must
+        # never see index files mixed into the table
+        return self.path + ".ann"
+
+    def _invalidate_ann(self) -> None:
+        """Every mutation drops the ANN index (it indexes a table state
+        that no longer exists); the next ``query(ann=True)`` rebuilds it
+        build-if-absent. An index serving stale results would be a
+        CORRECTNESS bug, not a staleness footnote — hence delete, not
+        best-effort refresh."""
+        if self._fs.exists(self._ann_path()):
+            self._fs.delete(self._ann_path())
+
+    def build_ann_index(self, n_tables: int = 16, n_planes: int = 6) -> None:
+        """Persist an SRP-LSH index over the store (``operators.ann``):
+        probes read only the query's block directories instead of
+        scanning the corpus. Invalidated automatically by any mutation."""
+        from vectolite_spark.operators.ann import build_srp_index
+
+        build_srp_index(
+            self.df().select(F.col("id").alias("vec_id"), "embedding"),
+            self._ann_path(),
+            n_tables=n_tables,
+            n_planes=n_planes,
+        )
 
     # -- reference API (vectolite.py:81-298) -------------------------------
 
@@ -328,6 +360,7 @@ class SparkVectolite:
         query_text: str,
         top_k: int = 3,
         metadata_filter: dict | None = None,
+        ann: bool = False,
     ) -> list[dict]:
         """Flagship search (vectolite.py:118-174): embed -> cosine ->
         top-k (score desc, id asc), metadata JSON-decoded in the result.
@@ -335,7 +368,16 @@ class SparkVectolite:
         ``metadata_filter`` (extension; the reference has no filtered
         search): {json_key: value} equality predicates evaluated against
         the metadata JSON string BEFORE scoring — only eligible rows reach
-        the top-k heap."""
+        the top-k heap.
+
+        ``ann=True`` (extension): answer from the persisted SRP-LSH index
+        (built build-if-absent, auto-invalidated by mutations) — the
+        probe reads only the query's block directories instead of
+        scanning the corpus. Approximate (LSH recall trade; surfaced
+        candidates are exactly rescored, so returned scores are true).
+        Incompatible with ``metadata_filter``: filtering LSH candidates
+        post-probe silently degrades recall for selective filters, so
+        the combination is rejected loudly instead."""
         if not query_text or not query_text.strip():
             raise VectoliteError("Query text cannot be empty")  # vectolite.py:134
         if top_k <= 0:
@@ -348,6 +390,33 @@ class SparkVectolite:
             raise VectoliteError(
                 f"Embedding dimension mismatch: store has {stored}, query has {len(qvec)}"
             )
+        if ann:
+            if metadata_filter:
+                raise VectoliteError(
+                    "ann=True does not support metadata_filter (post-probe "
+                    "filtering silently degrades recall); use the exact path"
+                )
+            from vectolite_spark.operators.ann import srp_index_topk
+
+            if not self._fs.exists(self._ann_path() + "/cells/_SUCCESS"):
+                self.build_ann_index()
+            cand = srp_index_topk(self.spark, self._ann_path(), qvec, k=top_k)
+            docs = self.df().select("id", "text", "metadata")
+            out = (
+                cand.join(docs, cand.vec_id == docs.id)
+                .select("id", "text", "metadata", "score")
+                .orderBy(F.desc("score"), F.asc("id"))
+                .collect()
+            )
+            return [
+                {
+                    "id": r["id"],
+                    "score": float(r["score"]),
+                    "text": r["text"],
+                    "metadata": json.loads(r["metadata"] or "{}"),
+                }
+                for r in out
+            ]
         base = self.df()
         if metadata_filter:
             for key, value in metadata_filter.items():
