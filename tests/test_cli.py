@@ -107,3 +107,17 @@ def test_cli_versioned_store_lifecycle(spark, tmp_path, monkeypatch, capsys):
     assert "manifest(s)" in capsys.readouterr().out
     cli.main(["stats", "--db", db])
     assert "Documents: 2" in capsys.readouterr().out
+
+
+def test_cli_query_ann_flag(spark, tmp_path, monkeypatch, capsys):
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    db = str(tmp_path / "anndb")
+    for i in range(8):
+        cli.main(["add", f"ann cli doc number {i}", "--db", db, "--dim", "8"])
+    capsys.readouterr()
+    cli.main(["query", "ann cli doc number 3", "--top-k", "1", "--ann", "--db", db, "--dim", "8"])
+    out = capsys.readouterr().out
+    assert "[id=4] score=1.0000" in out  # self-match via the index probe

@@ -92,7 +92,9 @@ def cmd_query(args) -> None:
     if getattr(args, "hybrid", False):
         results = store.hybrid_query(args.text, top_k=args.top_k)
     else:
-        results = store.query(args.text, top_k=args.top_k)
+        results = store.query(
+            args.text, top_k=args.top_k, ann=getattr(args, "ann", False)
+        )
     if not results:
         print("No results found.")
         return
@@ -284,6 +286,12 @@ def make_parser() -> argparse.ArgumentParser:
         "--hybrid",
         action="store_true",
         help="fuse BM25 over stored text with the cosine list (RRF)",
+    )
+    sp.add_argument(
+        "--ann",
+        action="store_true",
+        help="probe the persisted SRP-LSH index (build-if-absent, "
+        "auto-invalidated by mutations) instead of scanning",
     )
     common(sp)
     sp.set_defaults(fn=cmd_query)
