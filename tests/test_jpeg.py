@@ -116,3 +116,38 @@ def test_resize_images_real_jpeg(spark):
     img = decode_png(bytes(out[0]["data"]))
     src = decode_jpeg(jb)["pixels"]
     assert np.array_equal(img["pixels"], src[::2, ::2])
+
+
+def test_jpeg_roundtrip_property():
+    """Property sweep: random smooth images of awkward sizes, all three
+    encoder modes — decode must reproduce within quantization error
+    (flat q=2 table: per-coefficient error <= 1, spatial error bounded
+    by the IDCT's l1 gain; chroma subsampling adds its box-average
+    error only to chroma-heavy pixels)."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        ch = int(rng.choice([1, 3]))
+        # smooth random field: random low-freq cosines (JPEG's home turf)
+        yy, xx = np.indices((h, w))
+        img = np.zeros((h, w, ch))
+        for c in range(ch):
+            fx, fy = rng.uniform(0.02, 0.2, 2)
+            img[:, :, c] = 128 + 80 * np.cos(fx * xx + rng.uniform(0, 7)) * np.cos(
+                fy * yy + rng.uniform(0, 7)
+            )
+        img = img.astype(np.uint8)
+        sub = bool(rng.integers(0, 2)) and ch == 3
+        ri = int(rng.integers(0, 4))
+        d = decode_jpeg(
+            encode_jpeg(img if ch == 3 else img[:, :, 0], quality_q=2,
+                        subsample=sub, restart_interval=ri)
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        err = np.abs(d["pixels"].astype(float) - img.astype(float))
+        # 4:2:0's box-average loses up to ~half a 2x2 block's chroma
+        # gradient (amplitude 80 x freq 0.2 -> ~dozen counts worst-case);
+        # a decoder FAULT (wrong filter, desynced Huffman) shows 100+
+        limit = 16 if sub else 4
+        assert err.max() <= limit, (trial, h, w, ch, sub, ri, err.max())

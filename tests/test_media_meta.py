@@ -179,3 +179,34 @@ def test_mp3_header_tables_across_versions_and_layers():
     assert parse_mp3_frame_header(_frame_header(1, 1, 9, 0), 0) is None
     assert parse_mp3_frame_header(_frame_header(3, 1, 15, 0), 0) is None
     assert parse_mp3_frame_header(_frame_header(3, 1, 9, 3), 0) is None
+
+
+def test_media_meta_never_crashes_on_garbage():
+    """Robustness: arbitrary byte soup must yield clean rejections
+    (False / ValueError), never an unhandled IndexError/struct.error —
+    a 100 TB corpus WILL contain truncated and corrupt media."""
+    import random
+
+    rnd = random.Random(3)
+    payloads = [
+        b"",
+        b"\xff",
+        b"\xff\xfb",                       # bare sync, truncated header
+        b"ID3",                            # truncated ID3 header
+        b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f",  # ID3 size > payload
+        bytes([0]) * 3,
+        struct.pack(">I", 0xFFFB9000),     # header only, no frame body
+        b"\x00\x00\x00\x08ftyp",           # ftyp with no content
+        b"\x00\x00\x00\xffmoov" + b"\x00" * 4,  # box size beyond buffer
+    ] + [bytes(rnd.getrandbits(8) for _ in range(rnd.randrange(0, 200))) for _ in range(30)]
+    for p in payloads:
+        try:
+            if is_mp3(p):
+                decode_mp3_meta(p)
+        except ValueError:
+            pass
+        try:
+            if is_mp4(p):
+                decode_mp4_meta(p)
+        except ValueError:
+            pass
