@@ -34,6 +34,10 @@ HEADLINE = [
     "embedding_covariance",
     "bucketed_join_revenue",
     "bpe_merge_candidates",
+    "ann_lsh_indexed_topk",
+    "kmv_distinct_tokens",
+    "stratified_split",
+    "dup_graph_triangles",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
