@@ -820,11 +820,13 @@ def srp_index_topk(
         "vec_id",
         F.round(cosine_score("embedding", qvec), SCORE_DECIMALS).alias("score"),
     ).distinct()
+    # top-k via TakeOrderedAndProject (partial heaps per partition), NOT
+    # an unpartitioned row_number window — a hot bucket would funnel the
+    # whole candidate set into one task; the k-row rank column is
+    # assigned after the limit
+    head = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= k)
-    )
+    return head.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 def srp_index_topk_batch(

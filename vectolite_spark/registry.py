@@ -5102,10 +5102,15 @@ def quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.join(feats, "doc_id")
         .withColumn("pct", F.percent_rank().over(wsrc))
     )
+    # global head via TakeOrderedAndProject (orderBy+limit), NOT an
+    # unpartitioned row_number over the full relation — that window
+    # funnels the corpus into one task (the global_rank lesson); the
+    # rank column is assigned AFTER the limit over <= 10 rows, the same
+    # harmless post-limit pattern the other top-k entries use
+    head = r.orderBy(F.desc("pct"), F.asc("doc_id")).limit(10)
     wg = Window.orderBy(F.desc("pct"), F.asc("doc_id"))
     return (
-        r.withColumn("grank", F.row_number().over(wg).cast("long"))
-        .filter(F.col("grank") <= 10)
+        head.withColumn("grank", F.row_number().over(wg).cast("long"))
         .select(
             "source", "doc_id", F.round("pct", 6).alias("pct_rank"), "grank"
         )
