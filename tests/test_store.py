@@ -324,3 +324,28 @@ def test_ann_query_build_probe_and_invalidate(spark, tmp_path):
 
     with pytest.raises(Exception, match="metadata_filter"):
         store.query(texts[0], ann=True, metadata_filter={"k": "v"})
+
+
+def test_query_many_matches_singles(spark, tmp_path):
+    """Batch search must return, per text, exactly what the single-query
+    path returns — one embed call and one job instead of Q jobs."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "qmany"), embed_fn=stub_embedder(16)
+    )
+    texts = [f"doc about subject {i % 4} variant {i}" for i in range(20)]
+    store.insert_many(texts)
+    qs = [texts[3], texts[11], "an unrelated probe text"]
+    batch = store.query_many(qs, top_k=3)
+    assert len(batch) == 3
+    for qt, got in zip(qs, batch):
+        single = store.query(qt, top_k=3)
+        assert [(r["id"], r["score"]) for r in got] == [
+            (r["id"], r["score"]) for r in single
+        ]
+        assert got[0]["metadata"] == single[0]["metadata"]
+    assert store.query_many([], top_k=3) == []
+    with pytest.raises(Exception, match="cannot be empty"):
+        store.query_many(["ok", "  "])
