@@ -445,3 +445,26 @@ def test_stratified_split_exact_counts(spark):
     assert got[("aa", "train")] == 8 and got[("aa", "val")] == 1 and got[("aa", "test")] == 1
     assert got[("bb", "train")] == 4 and got[("bb", "test")] == 1
     assert ("bb", "val") not in got  # floor(0.9*5) == floor(0.8*5): empty val
+
+
+def test_cms_never_underestimates_under_collisions(spark):
+    """2500 distinct tokens >> 512 buckets forces collisions: every CMS
+    estimate must still be >= the exact count (the one-sided guarantee),
+    and the heavy hitter's estimate stays within the N/512-per-row
+    collision bound."""
+    from vectolite_spark.registry import QUERIES
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    body = " ".join(f"w{i}" for i in range(2500))
+    rows = [(i, ("hot " * 50) + body, "en", "s", 10) for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = QUERIES["cms_token_estimates"](spark, d).collect()
+    hot = [r for r in got if r["token"] == "hot"][0]
+    assert hot["exact_count"] == 150
+    n_total = 3 * (2500 + 50)
+    for r in got:
+        assert r["cms_estimate"] >= r["exact_count"], r
+    assert hot["cms_estimate"] - hot["exact_count"] <= 2 * n_total / 512 + 1

@@ -1958,6 +1958,95 @@ def encoding_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_token_estimates",
+    f"""
+WITH tok AS (
+  SELECT t.w FROM documents, UNNEST({_SQL_TOKENS}) t(w) WHERE t.w != ''
+),
+cells AS (
+  SELECT r.r AS row_id,
+         CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || w), 1, 8)
+              AS BIGINT) % 512 AS bucket,
+         COUNT(*) AS c
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r(r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+  ORDER BY cnt DESC, w ASC LIMIT 20
+),
+est AS (
+  SELECT e.w, e.cnt,
+         MIN(c.c) AS cms_estimate
+  FROM exact e
+  JOIN (SELECT unnest(range(0, 4)) AS r) r(r) ON TRUE
+  JOIN cells c
+    ON c.row_id = r.r
+   AND c.bucket = CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || e.w),
+                                      1, 8) AS BIGINT) % 512
+  GROUP BY e.w, e.cnt
+)
+SELECT w AS token, CAST(cnt AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est ORDER BY exact_count DESC, token ASC
+""",
+)
+def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) with DETERMINISTIC
+    md5 row-hashes — the heavy-hitter companion to the KMV cardinality
+    sketch: 4 rows x 512 buckets of int64 counters summarize every token
+    occurrence in O(1) memory, and a token's estimate is the MIN over
+    its 4 cells (never an underestimate; overestimate bounded by
+    collisions ~ N/512 per row). Both engines derive identical buckets
+    from the same md5 arithmetic, so the driver hash-gates the sketch
+    itself — the same cross-engine property approx_count_distinct's
+    opaque HLL registers cannot offer. Output: the exact top-20 tokens
+    with exact vs CMS counts, making the entry its own error report.
+    Scale: the sketch build is ONE map-side-combined groupBy on (row,
+    bucket) — 2048 cells total regardless of corpus size; the exact
+    top-20 here is test-scale ground truth (at 100 TB you'd keep only
+    the sketch)."""
+    from vectolite_spark.operators.dedup import norm_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(norm_tokens("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    rows = spark.range(4).select(F.col("id").cast("int").alias("row_id"))
+    bucket_of = lambda r, w: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(r.cast("string"), F.lit(":"), w)), 1, 8), 16, 10)
+        .cast("long")
+        % 512
+    )
+    cells = (
+        tok.crossJoin(F.broadcast(rows))
+        .select("row_id", bucket_of(F.col("row_id"), F.col("w")).alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(20)
+    )
+    probes = exact.crossJoin(F.broadcast(rows)).select(
+        "w", "cnt", "row_id",
+        bucket_of(F.col("row_id"), F.col("w")).alias("bucket"),
+    )
+    est = (
+        probes.join(cells, ["row_id", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("cnt").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long"),
+    ).orderBy(F.desc("exact_count"), F.asc("token"))
+
+
+@register(
     "kmv_distinct_tokens",
     f"""
 WITH toks AS (
@@ -7496,6 +7585,7 @@ _DRIVER_WINDOW = [
     # curation/tokenizer/sampling additions
     "q20_excess_stock_suppliers",
     "kmv_distinct_tokens",
+    "cms_token_estimates",
     "encoding_quality",
     "stratified_split",
     "diversity_sample",
@@ -7533,7 +7623,6 @@ _DRIVER_WINDOW = [
     "q14_promo_revenue",
     "q18_large_orders",
     "dataset_split_counts",
-    "pivot_priority_by_year",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
@@ -7549,6 +7638,7 @@ _DRIVER_WINDOW = [
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    "pivot_priority_by_year",
     "rolling_avg_order_value",
     "join_revenue_by_nation",
     "window_top_orders",
