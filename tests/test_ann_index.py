@@ -539,3 +539,57 @@ def test_srp_index_append_serves_new_vectors(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in srp_index_topk(spark, inc, qvec, k=10).collect()]
     want = [tuple(r) for r in srp_index_topk(spark, full, qvec, k=10).collect()]
     assert got == want and len(got) == 10
+
+
+def test_matryoshka_two_stage_full_coarse_dim_equals_exact(spark, sf_dir):
+    """With coarse_dim = full d and candidates >= N, two-stage must reduce
+    to exact brute-force batch top-k (the stages become identity)."""
+    from vectolite_spark.operators.ann import matryoshka_two_stage_topk
+    from vectolite_spark.operators.topk import topk_batch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    d = len(embs.first()["embedding"])
+    n = embs.count()
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    two = matryoshka_two_stage_topk(
+        embs, queries, coarse_dim=d, n_candidates=n, k=5
+    )
+    exact = topk_batch(queries, embs, k=5)
+    got = {(r["query_id"], r["rn"]): (r["vec_id"], r["score"]) for r in two.collect()}
+    want = {
+        (r["query_id"], r["rn"]): (r["vec_id"], r["score"]) for r in exact.collect()
+    }
+    assert got == want
+
+
+def test_matryoshka_two_stage_recall_reasonable(spark, sf_dir):
+    """Truncated-prefix candidate generation keeps recall@10 usable, and
+    grows with coarse_dim. NOTE: the synthetic test embeddings are ~iid
+    across dims (no MRL front-loading), so this is the recall FLOOR —
+    real MRL-trained vectors concentrate variance in the prefix and do
+    far better at the same coarse_dim (that safety question is exactly
+    what `matryoshka_recall_eval` answers per-corpus)."""
+    from vectolite_spark.operators.ann import matryoshka_two_stage_topk
+    from vectolite_spark.operators.topk import topk_batch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    two = matryoshka_two_stage_topk(
+        embs, queries, coarse_dim=32, n_candidates=50, k=10
+    )
+    exact = topk_batch(queries, embs, k=10)
+    got = {(r["query_id"], r["vec_id"]) for r in two.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(got & want) / len(want) >= 0.5
+    # rescoring is exact: every surfaced pair carries the true full-d score
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()
+    }
+    for r in two.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9

@@ -918,3 +918,84 @@ def srp_index_append(
     vb.coalesce(8).write.mode("append").partitionBy("block").parquet(
         f"{index_path}/cells"
     )
+
+
+def matryoshka_two_stage_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    coarse_dim: int = 16,
+    n_candidates: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage Matryoshka (MRL) serving: a COARSE cosine pass over only
+    the first ``coarse_dim`` dimensions nominates ``n_candidates`` ids
+    per query, then the EXACT full-d cosine rescores just those
+    candidates. The operational twin of ``matryoshka_recall_eval`` —
+    that entry measures whether truncation is safe; this one actually
+    serves with it (Kusupati et al. 2022, "Matryoshka Representation
+    Learning").
+
+    No reference counterpart (the reference brute-forces full-d always,
+    vectolite.py:145-171) — north-star extension.
+
+    Scale shape: stage 1 is the batch-topk plan (broadcast queries x
+    embeddings scan) but moves coarse_dim/d of the flops, and at 100 TB
+    it reads a SEPARATE skinny prefix projection (vec_id, first-16-dims
+    — store it column-pruned or as its own table) so the scan is also
+    coarse_dim/d of the bytes. The per-query candidate cut shuffles only
+    (query_id, vec_id, score) skinny rows. Stage 2 broadcasts the tiny
+    Q x n_candidates id list back onto the base scan — a semi-join
+    filter, never a second full shuffle — and rescoring touches only
+    Q x n_candidates full vectors. Determinism: both stages order by
+    ROUND(score, 6) desc, vec_id asc, so the candidate SET (not just the
+    final order) is engine-identical.
+    """
+    from pyspark.sql import Window
+
+    from vectolite_spark.functions.vector import dot_product
+
+    embs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qs = queries.select(
+        F.col("query_id"), F.col("query_vec").cast("array<double>").alias("qv")
+    )
+
+    def cos(a, b):
+        da, db = dot_product(a, a), dot_product(b, b)
+        return F.when((da == F.lit(0.0)) | (db == F.lit(0.0)), F.lit(0.0)).otherwise(
+            dot_product(a, b) / (F.sqrt(da) * F.sqrt(db))
+        )
+
+    coarse = embs.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cos(F.slice(F.col("v"), 1, coarse_dim), F.slice(F.col("qv"), 1, coarse_dim)),
+            SCORE_DECIMALS,
+        ).alias("cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= n_candidates)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        embs.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cos(F.col("v"), F.col("qv")), SCORE_DECIMALS).alias("score"),
+        )
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+        ))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "score", F.col("rn").cast("long").alias("rn"))
+    )

@@ -7549,6 +7549,57 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "matryoshka_two_stage_topk",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+coarse AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_SQL_COS.format(a="list_slice(e.v, 1, 16)",
+                                     b="list_slice(q.qv, 1, 16)")} DESC,
+                    e.vec_id ASC) AS crn
+  FROM e, q
+),
+cand AS (SELECT query_id, vec_id FROM coarse WHERE crn <= 50),
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         {_SQL_COS.format(a="e.v", b="q.qv")} AS score
+  FROM cand c
+  JOIN e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM rescored
+)
+SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 10
+""",
+)
+def matryoshka_two_stage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka serving: coarse first-16-dim cosine nominates
+    50 candidates per query, exact full-d cosine rescores only those —
+    the operational twin of ``matryoshka_recall_eval`` (that entry
+    measures truncation safety; this one serves with it). Rounded scores
+    + id tie-breaks make the candidate SET engine-identical, so the
+    driver hash-gates both stages at once. See
+    ``ann.matryoshka_two_stage_topk`` for the 100 TB plan (prefix
+    projection scan + broadcast candidate semi-join)."""
+    from vectolite_spark.operators.ann import matryoshka_two_stage_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return matryoshka_two_stage_topk(
+        embs, queries, coarse_dim=16, n_candidates=50, k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
