@@ -468,3 +468,66 @@ def test_cms_never_underestimates_under_collisions(spark):
     for r in got:
         assert r["cms_estimate"] >= r["exact_count"], r
     assert hot["cms_estimate"] - hot["exact_count"] <= 2 * n_total / 512 + 1
+
+
+def test_bloom_vocab_membership_guarantee_and_fp(spark, sf_dir):
+    """Members can NEVER miss (Bloom's guarantee); the guaranteed-absent
+    probe class hits only by collision, bounded well under the
+    theoretical (1-e^{-kn/m})^k for the tiny test vocab."""
+    import math
+
+    from vectolite_spark.operators.textstats import bloom_vocab_membership
+    from vectolite_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["probe_class"]: r for r in bloom_vocab_membership(docs).collect()}
+    mem, ab = out["member"], out["absent"]
+    assert mem["n_hits"] == mem["n_probes"] and mem["hit_rate"] == 1.0
+    assert ab["n_probes"] == mem["n_probes"]
+    n, m, k = mem["n_probes"], 4096, 3
+    theory = (1.0 - math.exp(-k * n / m)) ** k
+    # loose band: observed FP rate can exceed a tiny theory value on few
+    # probes, but must stay far from "mostly hitting"
+    assert ab["hit_rate"] <= max(5 * theory, 0.05)
+    assert 0 < mem["bits_set"] <= min(m, k * n)
+
+
+def test_bloom_filter_shard_merge_is_bit_or(spark, sf_dir):
+    """Sketch mergeability: the filter built over the whole corpus equals
+    the bit-OR (set union) of per-shard filters — the property that lets
+    each of 1000 executors build locally and union tiny bit sets."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.dedup import norm_tokens
+    from vectolite_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bits_of(df):
+        toks = (
+            df.select(F.explode(norm_tokens("text")).alias("w"))
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+        pos = toks.select(
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"), "w"
+        ).select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), "w")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4096
+            ).alias("bit")
+        )
+        return {r["bit"] for r in pos.distinct().collect()}
+
+    whole = bits_of(docs)
+    a = bits_of(docs.filter(F.col("doc_id") % 2 == 0))
+    b = bits_of(docs.filter(F.col("doc_id") % 2 == 1))
+    assert whole == a | b

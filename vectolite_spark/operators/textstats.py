@@ -799,3 +799,89 @@ def bpe_apply_token_counts(
             F.sum("na").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bloom_vocab_membership(
+    df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter vocabulary membership with DETERMINISTIC md5 hashes —
+    the membership pillar of the sketch family (KMV = distinct count,
+    CMS = frequency, Bloom = set membership; Bloom 1970). The corpus
+    vocabulary is folded into an ``m_bits``-bit filter (each token sets
+    ``k_hashes`` md5-derived bit positions), then the filter is probed
+    with (a) every vocabulary token — MUST all hit, Bloom's
+    no-false-negative guarantee — and (b) a same-size guaranteed-absent
+    set (each token + ' #': tokens are whitespace-split so none can
+    contain a space), whose hit count IS the observed false-positive
+    rate. Both engines derive identical bit positions from the same md5
+    arithmetic, so the driver hash-gates the filter itself, guarantee
+    included.
+
+    Output (2 rows): probe_class member|absent, n_probes, n_hits,
+    hit_rate (6dp), bits_set.
+
+    Scale: the filter is <= m_bits rows regardless of corpus size and
+    broadcast to every probe task; vocab distinct is ONE map-combined
+    shuffle reused by both probe classes; sketches from disjoint shards
+    merge by bit-OR (union the position sets), so at 100 TB each
+    partition builds locally and the tiny bit sets union at the driver.
+    No reference counterpart — north-star extension.
+    """
+    toks = (
+        df.select(F.explode(norm_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+
+    def bucket(i: Column, w: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), w)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
+    bits = (
+        toks.select(ks, "w")
+        .select(bucket(F.col("i"), F.col("w")).alias("bit"))
+        .distinct()
+    )
+    probes = toks.select(
+        F.lit("member").alias("probe_class"), F.col("w")
+    ).unionByName(
+        toks.select(
+            F.lit("absent").alias("probe_class"),
+            F.concat(F.col("w"), F.lit(" #")).alias("w"),
+        )
+    )
+    ppos = probes.select("probe_class", "w", ks).select(
+        "probe_class", "w", bucket(F.col("i"), F.col("w")).alias("bit")
+    )
+    hits = (
+        ppos.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy("probe_class", "w")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_set"))
+        .withColumn("hit", (F.col("n_set") == k_hashes).cast("int"))
+    )
+    n_bits_set = bits.count()
+    return (
+        hits.groupBy("probe_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("hit").cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "hit_rate",
+            F.round(F.col("n_hits").cast("double") / F.col("n_probes"), 6),
+        )
+        .withColumn("bits_set", F.lit(n_bits_set).cast("long"))
+        .orderBy("probe_class")
+    )
