@@ -208,3 +208,52 @@ def test_bm25_index_batch_topk_equals_per_query(spark, tmp_path):
     assert len(got) == sum(
         min(3, idx.scores(t).count()) for _, t in queries
     )
+
+
+def test_mmr_lambda_one_is_plain_topk(spark, sf_dir):
+    """With lam=1 the diversity penalty vanishes, so MMR's greedy pick
+    order must equal the plain rounded-cosine ranking."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.retrieval import mmr_rerank_topk
+    from vectolite_spark.operators.topk import topk_batch
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mmr = mmr_rerank_topk(embs, queries, n_candidates=50, k=10, lam=1.0)
+    plain = topk_batch(queries, embs, k=10)
+    got = {(r["query_id"], r["rn"]): r["vec_id"] for r in mmr.collect()}
+    want = {(r["query_id"], r["rn"]): r["vec_id"] for r in plain.collect()}
+    assert got == want
+
+
+def test_mmr_suppresses_result_set_duplicates(spark):
+    """Two identical top-scoring vectors: plain top-2 returns both copies;
+    MMR's second pick must skip the duplicate for the distinct vector."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.retrieval import mmr_rerank_topk
+    from vectolite_spark.operators.topk import topk_batch
+
+    rows = [
+        (1, [0.9, 0.4359, 0.0]),  # most relevant
+        (2, [0.9, 0.4359, 0.0]),  # exact duplicate of 1 (mutual sim = 1)
+        (3, [0.6, 0.0, 0.8]),     # less relevant, far from 1 (sim ~ 0.54)
+        (4, [0.0, 1.0, 0.0]),     # barely relevant
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    plain = [r["vec_id"] for r in topk_batch(queries, embs, k=2).orderBy("rn").collect()]
+    assert plain == [1, 2]
+    mmr = [
+        r["vec_id"]
+        for r in mmr_rerank_topk(embs, queries, n_candidates=4, k=2, lam=0.5)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert mmr == [1, 3]

@@ -446,3 +446,59 @@ def make_pq_encode_mapper(codebook, m):
             )
 
     return mapper
+
+
+def make_mmr_selector(lam: float, k: int):
+    """Greedy Maximal-Marginal-Relevance selector for ONE query's candidate
+    group (Carbonell & Goldstein 1998): repeatedly pick
+    argmax lam*rel - (1-lam)*max_sim_to_selected, ties -> vec_id asc.
+
+    Cross-engine determinism: rel arrives already 6dp-rounded from the
+    candidate stage; pairwise cosines follow the _SQL_COS shape
+    (dot / (sqrt(aa)*sqrt(bb)), zero-norm -> 0) and are HALF_UP-rounded;
+    the penalty weight is computed as ``1.0 - lam`` HERE and written as
+    ``(1.0 - lam)`` in the oracle SQL (never the decimal literal — IEEE
+    1-0.7 != 0.3), so both engines subtract the identical double.
+    Expects columns (query_id, vec_id, score, v); emits
+    (query_id, vec_id, rel, rn).
+    """
+    mu = 1.0 - lam
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["score"].to_numpy(dtype=np.float64)
+        nn = (V * V).sum(axis=1)
+        dots = V @ V.T
+        denom = np.sqrt(nn)[:, None] * np.sqrt(nn)[None, :]
+        zero = (nn[:, None] == 0.0) | (nn[None, :] == 0.0)
+        sims = round_half_up(np.where(zero, 0.0, dots / np.where(denom == 0.0, 1.0, denom)))
+        n = len(ids)
+        k_ = min(k, n)
+
+        def argbest(scores, mask):
+            s = np.where(mask, scores, -np.inf)
+            m = s.max()
+            tied = np.where(s == m)[0]
+            return tied[np.argmin(ids[tied])]
+
+        mask = np.ones(n, dtype=bool)
+        first = argbest(rel, mask)
+        chosen = [first]
+        mask[first] = False
+        while len(chosen) < k_:
+            maxsim = sims[:, chosen].max(axis=1)
+            mmr = round_half_up(lam * rel - mu * maxsim)
+            nxt = argbest(mmr, mask)
+            chosen.append(nxt)
+            mask[nxt] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "vec_id": ids[chosen],
+                "rel": rel[chosen],
+                "rn": np.arange(1, k_ + 1, dtype=np.int64),
+            }
+        )
+
+    return fn

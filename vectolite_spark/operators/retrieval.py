@@ -316,3 +316,50 @@ class BM25Index:
         return scored.withColumn(
             "rn", F.row_number().over(w).cast("long")
         ).filter(F.col("rn") <= k)
+
+
+def mmr_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 50,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    diversity re-ranking: exact cosine nominates ``n_candidates`` per
+    query, then a greedy pass picks ``k`` results maximizing
+    ``lam*relevance - (1-lam)*max_similarity_to_already_picked`` — the
+    classic cure for near-duplicate-saturated top-k (a dedup'd CORPUS
+    can still serve 10 copies of the same answer; MMR dedups the RESULT
+    SET). No reference counterpart — north-star extension.
+
+    Scale shape: candidate generation is the proven batch-topk plan
+    (partition-local heaps, one skinny query_id shuffle); the greedy
+    selection is inherently sequential PER QUERY but each group is only
+    ``n_candidates`` rows, so it runs as one Arrow-batched
+    applyInPandas task per query — parallel across queries, O(C^2)
+    flops per query, never a corpus-wide pass. Determinism: rounded
+    scores + vec_id tie-breaks at BOTH the candidate cut and every
+    greedy pick; see ``make_mmr_selector`` for the 1-lam IEEE note.
+
+    Returns (query_id, vec_id, rel, rn) with rn in 1..k (pick order).
+    """
+    from vectolite_spark._pandas_udfs import make_mmr_selector
+    from vectolite_spark.operators.topk import topk_batch
+
+    cand = topk_batch(queries, embeddings, k=n_candidates).select(
+        "query_id", "vec_id", "score"
+    )
+    withv = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).join(F.broadcast(cand), "vec_id")
+    return (
+        withv.groupBy("query_id")
+        .applyInPandas(
+            make_mmr_selector(lam, k),
+            schema="query_id long, vec_id long, rel double, rn long",
+        )
+        .orderBy("query_id", "rn")
+    )

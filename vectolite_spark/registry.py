@@ -7652,6 +7652,72 @@ def bloom_vocab_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_vocab_membership(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "mmr_rerank_topk",
+    f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.v,
+         {_SQL_COS.format(a="e.v", b="q.qv")} AS rel
+  FROM e, q
+),
+cand AS (
+  SELECT query_id, vec_id, v, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id ASC) AS crn
+    FROM scored) WHERE crn <= 50
+),
+sims AS (
+  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         {_SQL_COS.format(a="a.v", b="b.v")} AS s
+  FROM cand a JOIN cand b USING (query_id)
+),
+sel AS (
+  SELECT query_id, 1 AS rn,
+         [(SELECT vec_id FROM cand c WHERE c.query_id = q.query_id
+           ORDER BY rel DESC, vec_id ASC LIMIT 1)] AS chosen
+  FROM q
+  UNION ALL
+  SELECT query_id, rn + 1,
+         list_append(chosen, (
+           SELECT c.vec_id FROM cand c
+           WHERE c.query_id = sel.query_id
+             AND NOT list_contains(sel.chosen, c.vec_id)
+           ORDER BY ROUND(0.7 * c.rel - (1.0 - 0.7) * (
+                      SELECT MAX(s) FROM sims
+                      WHERE sims.query_id = c.query_id
+                        AND sims.ia = c.vec_id
+                        AND list_contains(sel.chosen, sims.ib)), 6) DESC,
+                    c.vec_id ASC
+           LIMIT 1))
+  FROM sel WHERE rn < 10
+)
+SELECT s.query_id, c.vec_id, c.rel, CAST(s.rn AS BIGINT) AS rn
+FROM sel s
+JOIN cand c ON c.query_id = s.query_id
+           AND c.vec_id = list_extract(s.chosen, s.rn)
+ORDER BY s.query_id, s.rn
+""",
+)
+def mmr_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking: exact cosine nominates 50 candidates per
+    query, greedy argmax(0.7*rel - 0.3*max_sim_to_picked) selects 10 —
+    the result-set dedup that a dedup'd corpus still needs. The oracle
+    replays the ENTIRE greedy trajectory as a recursive CTE carrying the
+    picked-id list, so the driver hash-gates every selection step, not
+    just the final set. See ``retrieval.mmr_rerank_topk`` for the scale
+    shape (batch-topk candidates + per-query Arrow group tasks)."""
+    from vectolite_spark.operators.retrieval import mmr_rerank_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mmr_rerank_topk(embs, queries, n_candidates=50, k=10, lam=0.7)
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
