@@ -257,3 +257,32 @@ def test_mmr_suppresses_result_set_duplicates(spark):
         .collect()
     ]
     assert mmr == [1, 3]
+
+
+def test_passage_highlight_finds_densest_window(spark):
+    """The emitted window must contain the maximum number of term hits,
+    verified against a brute-force sweep; zero-hit docs fall back to the
+    document head (best_start=0, n_hits=0)."""
+    from vectolite_spark.operators.retrieval import passage_highlight
+
+    rows = [
+        (1, "x " * 30 + "vector scan merge " + "y " * 30 + "vector", "en", "s", 0),
+        (2, "no hits here at all just filler words and more filler", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in passage_highlight(docs, ("vector", "scan", "merge"), k=10, width=5).collect()}
+    r1 = out[1]
+    toks = rows[0][1].split()
+    hits = [i for i, t in enumerate(toks) if t in ("vector", "scan", "merge")]
+    best = max(
+        range(max(1, len(toks) - 4)),
+        key=lambda s: (sum(1 for p in hits if s <= p < s + 5), -s),
+    )
+    want_n = sum(1 for p in hits if best <= p < best + 5)
+    assert r1["n_hits"] == want_n == 3
+    assert r1["best_start"] == best
+    assert r1["snippet"] == " ".join(toks[best : best + 5])
+    if 2 in out:
+        assert out[2]["n_hits"] == 0 and out[2]["best_start"] == 0

@@ -363,3 +363,65 @@ def mmr_rerank_topk(
         )
         .orderBy("query_id", "rn")
     )
+
+
+def passage_highlight(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    width: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snippet generation for the BM25 winners: inside each top-``k``
+    document, find the ``width``-token window containing the MOST query
+    -term occurrences (ties -> smallest start) and emit it as the
+    highlight — what a search UI shows under each hit. No reference
+    counterpart (the reference returns raw doc text) — north-star
+    serving extension.
+
+    Scale shape: ranking prunes first (BM25's scan-side term filter),
+    so the O(n_windows * n_matches) window sweep — pure codegen'd array
+    expressions, no UDF — runs on exactly ``k`` surviving rows, never
+    corpus-wide; the winner list rides a broadcast join back onto the
+    pruned scan. Determinism: match positions and window counts are
+    integers (no float ties), first-max window via array_position.
+
+    Returns (doc_id, score, best_start, n_hits, snippet).
+    """
+    top = (
+        bm25_scores(docs, terms)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    toks = norm_tokens(text_col)
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    mpos = F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(F.array_contains(term_lits, x), i).otherwise(
+                F.lit(-1)
+            ),
+        ),
+        lambda p: p >= 0,
+    )
+    nwin = F.greatest(F.lit(1), F.size(toks) - width + 1)
+    counts = F.transform(
+        F.sequence(F.lit(0), nwin - 1),
+        lambda s: F.size(F.filter(mpos, lambda p: (p >= s) & (p < s + width))),
+    )
+    best = F.array_max(counts)
+    best_start = (F.array_position(counts, best) - 1).cast("long")
+    return (
+        docs.join(F.broadcast(top), id_col)
+        .select(
+            id_col,
+            "score",
+            best_start.alias("best_start"),
+            best.cast("long").alias("n_hits"),
+            F.concat_ws(" ", F.slice(toks, best_start + 1, width)).alias(
+                "snippet"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
