@@ -7828,12 +7828,15 @@ _DRIVER_WINDOW = [
     "hybrid_batch_indexed_topk",
     "dedup_clusters",
     "dedup_keep_list",
+    # added mid-round-5 (after the lists above were fixed) — zero driver
+    # evidence, so they take the window slots; the displaced r1/r2-green
+    # keepers (agg_pricing_summary, q3/q7/q10) retain their old rows
+    "matryoshka_two_stage_topk",
+    "bloom_vocab_membership",
+    "mmr_rerank_topk",
+    "passage_highlight",
     # oldest driver evidence in the fleet (r1/r2 green, never since) —
     # re-verify before their rows go completely stale
-    "agg_pricing_summary",
-    "q3_shipping_priority",
-    "q7_nation_volume",
-    "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
     "dataset_split_counts",
