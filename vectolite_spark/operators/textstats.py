@@ -824,16 +824,21 @@ def bloom_vocab_membership(
     hit_rate (6dp), bits_set.
 
     Scale: the filter is <= m_bits rows regardless of corpus size and
-    broadcast to every probe task; vocab distinct is ONE map-combined
-    shuffle reused by both probe classes; sketches from disjoint shards
-    merge by bit-OR (union the position sets), so at 100 TB each
-    partition builds locally and the tiny bit sets union at the driver.
-    No reference counterpart — north-star extension.
+    broadcast to every probe task; the corpus is scanned ONCE — the
+    distinct vocabulary (tiny next to the corpus) is cached and every
+    downstream relation (bit set, both probe classes, bits_set count)
+    derives from the cache instead of re-running the explode+distinct
+    (uncached, Spark's three consumers re-scanned the corpus 3x);
+    sketches from disjoint shards merge by bit-OR (union the position
+    sets), so at 100 TB each partition builds locally and the tiny bit
+    sets union at the driver. No reference counterpart — north-star
+    extension.
     """
     toks = (
         df.select(F.explode(norm_tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
+        .cache()
     )
 
     def bucket(i: Column, w: Column) -> Column:
@@ -853,6 +858,7 @@ def bloom_vocab_membership(
         toks.select(ks, "w")
         .select(bucket(F.col("i"), F.col("w")).alias("bit"))
         .distinct()
+        .cache()  # <= m_bits rows; consumed by the probe join AND count
     )
     probes = toks.select(
         F.lit("member").alias("probe_class"), F.col("w")
