@@ -121,3 +121,18 @@ def test_cli_query_ann_flag(spark, tmp_path, monkeypatch, capsys):
     cli.main(["query", "ann cli doc number 3", "--top-k", "1", "--ann", "--db", db, "--dim", "8"])
     out = capsys.readouterr().out
     assert "[id=4] score=1.0000" in out  # self-match via the index probe
+
+
+def test_cli_query_mmr_flag(spark, tmp_path, capsys):
+    from vectolite_spark import cli
+
+    db = str(tmp_path / "mmrdb")
+    for t in ("alpha answer", "alpha answer", "other text entirely"):
+        cli.main(["add", t, "--db", db, "--dim", "8"])
+    capsys.readouterr()
+    cli.main(["query", "find the answer", "--top-k", "2", "--mmr", "0.5",
+              "--db", db, "--dim", "8"])
+    out = capsys.readouterr().out
+    # both results printed; the parser wires --mmr through to diversify
+    assert "1." in out and "2." in out
+    assert make_parser().parse_args(["query", "q", "--mmr", "0.7"]).mmr == 0.7

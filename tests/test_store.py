@@ -349,3 +349,46 @@ def test_query_many_matches_singles(spark, tmp_path):
     assert store.query_many([], top_k=3) == []
     with pytest.raises(Exception, match="cannot be empty"):
         store.query_many(["ok", "  "])
+
+
+def test_query_diversify_lambda_one_matches_plain(store):
+    """diversify=1.0 turns off the penalty: same ids, same scores, same
+    order as the plain exact query."""
+    for i in range(8):
+        store.insert(f"document number {i} about topic {i % 3}")
+    plain = store.query("document number 2 about topic 2", top_k=4)
+    mmr = store.query("document number 2 about topic 2", top_k=4, diversify=1.0)
+    assert [(r["id"], r["score"]) for r in mmr] == [
+        (r["id"], r["score"]) for r in plain
+    ]
+
+
+def test_query_diversify_suppresses_duplicates(store):
+    """Two identical texts embed identically (stub is deterministic); at
+    lam=0.5 the second pick must skip the exact duplicate that plain
+    ranking returns."""
+    for text in ("alpha answer", "beta answer", "gamma answer"):
+        store.insert(text)
+        store.insert(text)  # embedding-identical duplicate
+    plain = [r["id"] for r in store.query("find the answer", top_k=2)]
+    # identical embeddings -> identical scores -> the plain top-2 IS a
+    # duplicate pair (id-asc adjacent)
+    assert plain[1] == plain[0] + 1 and plain[0] % 2 == 1
+    mmr = [
+        r["id"]
+        for r in store.query("find the answer", top_k=2, diversify=0.5)
+    ]
+    assert mmr[0] == plain[0] and mmr[1] != plain[1]
+
+
+def test_query_diversify_validation(store):
+    store.insert("some text")
+    with pytest.raises(VectoliteError):
+        store.query("q", top_k=2, diversify=1.5)
+    with pytest.raises(VectoliteError):
+        store.query("q", top_k=2, ann=True, diversify=0.5)
+    # composes with metadata_filter (exact path)
+    store.insert("tagged text", metadata={"tag": "x"})
+    got = store.query("tagged text", top_k=2, diversify=0.9,
+                      metadata_filter={"tag": "x"})
+    assert [r["id"] for r in got] == [2] and got[0]["metadata"]["tag"] == "x"

@@ -93,7 +93,10 @@ def cmd_query(args) -> None:
         results = store.hybrid_query(args.text, top_k=args.top_k)
     else:
         results = store.query(
-            args.text, top_k=args.top_k, ann=getattr(args, "ann", False)
+            args.text,
+            top_k=args.top_k,
+            ann=getattr(args, "ann", False),
+            diversify=getattr(args, "mmr", None),
         )
     if not results:
         print("No results found.")
@@ -292,6 +295,15 @@ def make_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="probe the persisted SRP-LSH index (build-if-absent, "
         "auto-invalidated by mutations) instead of scanning",
+    )
+    sp.add_argument(
+        "--mmr",
+        type=float,
+        default=None,
+        metavar="LAMBDA",
+        help="MMR diversity re-ranking: pick top-k maximizing "
+        "LAMBDA*relevance - (1-LAMBDA)*max-sim-to-picked (1.0 = plain "
+        "ranking, lower = more diverse); exact path only",
     )
     common(sp)
     sp.set_defaults(fn=cmd_query)

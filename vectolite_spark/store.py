@@ -361,6 +361,7 @@ class SparkVectolite:
         top_k: int = 3,
         metadata_filter: dict | None = None,
         ann: bool = False,
+        diversify: float | None = None,
     ) -> list[dict]:
         """Flagship search (vectolite.py:118-174): embed -> cosine ->
         top-k (score desc, id asc), metadata JSON-decoded in the result.
@@ -377,7 +378,16 @@ class SparkVectolite:
         candidates are exactly rescored, so returned scores are true).
         Incompatible with ``metadata_filter``: filtering LSH candidates
         post-probe silently degrades recall for selective filters, so
-        the combination is rejected loudly instead."""
+        the combination is rejected loudly instead.
+
+        ``diversify=lam`` (extension): MMR diversity re-ranking
+        (``operators.retrieval.mmr_rerank_topk``) — cosine nominates
+        ``max(4*top_k, 20)`` candidates, a greedy pass returns the
+        ``top_k`` maximizing ``lam*rel - (1-lam)*max_sim_to_picked``
+        (lam=1 is plain top-k; lower lam = more diverse). Exact path
+        only (composes with ``metadata_filter``; with ``ann=True`` the
+        probe's candidate set already isn't the global top, so the
+        combination is rejected loudly)."""
         if not query_text or not query_text.strip():
             raise VectoliteError("Query text cannot be empty")  # vectolite.py:134
         if top_k <= 0:
@@ -390,6 +400,15 @@ class SparkVectolite:
             raise VectoliteError(
                 f"Embedding dimension mismatch: store has {stored}, query has {len(qvec)}"
             )
+        if diversify is not None:
+            if ann:
+                raise VectoliteError(
+                    "diversify requires the exact path (the LSH probe's "
+                    "candidate set is already not the global top); drop "
+                    "ann=True"
+                )
+            if not 0.0 <= diversify <= 1.0:
+                raise VectoliteError("diversify (MMR lambda) must be in [0, 1]")
         if ann:
             if metadata_filter:
                 raise VectoliteError(
@@ -436,6 +455,35 @@ class SparkVectolite:
                 base = base.filter(
                     F.get_json_object("metadata", f"$.{key}") == cmp
                 )
+        if diversify is not None:
+            from vectolite_spark.operators.retrieval import mmr_rerank_topk
+
+            queries = self.spark.createDataFrame(
+                [(0, qvec)], "query_id long, query_vec array<double>"
+            )
+            picked = mmr_rerank_topk(
+                base.select(F.col("id").alias("vec_id"), "embedding"),
+                queries,
+                n_candidates=max(4 * top_k, 20),
+                k=top_k,
+                lam=float(diversify),
+            )
+            docs = base.select("id", "text", "metadata")
+            rows = (
+                picked.join(docs, picked.vec_id == docs.id)
+                .select("id", "text", "metadata", "rel", "rn")
+                .orderBy("rn")
+                .collect()
+            )
+            return [
+                {
+                    "id": r["id"],
+                    "score": float(r["rel"]),
+                    "text": r["text"],
+                    "metadata": json.loads(r["metadata"] or "{}"),
+                }
+                for r in rows
+            ]
         out = (
             base.select(
                 "id",
