@@ -38,6 +38,11 @@ HEADLINE = [
     "kmv_distinct_tokens",
     "stratified_split",
     "dup_graph_triangles",
+    "matryoshka_two_stage_topk",
+    "bloom_vocab_membership",
+    "mmr_rerank_topk",
+    "passage_highlight",
+    "cms_token_estimates",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
