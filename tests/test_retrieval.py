@@ -286,3 +286,74 @@ def test_passage_highlight_finds_densest_window(spark):
     assert r1["snippet"] == " ".join(toks[best : best + 5])
     if 2 in out:
         assert out[2]["n_hits"] == 0 and out[2]["best_start"] == 0
+
+
+def test_mmr_matches_pure_python_reference(spark):
+    """Differential: the distributed greedy (Arrow group task) must equal
+    a transparent pure-Python MMR over randomized candidate sets —
+    duplicate vectors, zero vectors, score ties, k > n."""
+    import random
+
+    import numpy as np
+
+    from vectolite_spark._pandas_udfs import round_half_up
+    from vectolite_spark.operators.retrieval import mmr_rerank_topk
+
+    def ref_mmr(ids, vecs, qv, lam, k):
+        def cos(a, b):
+            aa, bb = float(np.dot(a, a)), float(np.dot(b, b))
+            if aa == 0.0 or bb == 0.0:
+                return 0.0
+            return float(np.dot(a, b)) / ((aa ** 0.5) * (bb ** 0.5))
+
+        rel = {i: float(round_half_up(cos(v, qv))) for i, v in zip(ids, vecs)}
+        byid = dict(zip(ids, vecs))
+        order = sorted(ids, key=lambda i: (-rel[i], i))
+        chosen = [order[0]]
+        while len(chosen) < min(k, len(ids)):
+            best, best_score = None, None
+            for i in ids:
+                if i in chosen:
+                    continue
+                ms = max(
+                    float(round_half_up(cos(byid[i], byid[c]))) for c in chosen
+                )
+                s = float(round_half_up(lam * rel[i] - (1.0 - lam) * ms))
+                if best is None or s > best_score or (s == best_score and i < best):
+                    best, best_score = i, s
+            chosen.append(best)
+        return chosen
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(3, 12)
+        d = 4
+        vecs = []
+        for i in range(n):
+            if i > 0 and rng.random() < 0.3:
+                vecs.append(list(vecs[rng.randrange(i)]))  # duplicate
+            elif rng.random() < 0.1:
+                vecs.append([0.0] * d)  # zero vector
+            else:
+                vecs.append([round(rng.uniform(-1, 1), 3) for _ in range(d)])
+        ids = list(range(1, n + 1))
+        qv = [round(rng.uniform(-1, 1), 3) for _ in range(d)]
+        lam = rng.choice([0.3, 0.5, 0.7])
+        k = rng.choice([2, 5, n + 3])
+
+        embs = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id long, embedding array<double>"
+        )
+        queries = spark.createDataFrame(
+            [(0, qv)], "query_id long, query_vec array<double>"
+        )
+        got = [
+            r["vec_id"]
+            for r in mmr_rerank_topk(embs, queries, n_candidates=n, k=k, lam=lam)
+            .orderBy("rn")
+            .collect()
+        ]
+        want = ref_mmr(
+            ids, [np.array(v) for v in vecs], np.array(qv), lam, k
+        )
+        assert got == want, f"trial {trial}: {got} != {want}"

@@ -531,3 +531,28 @@ def test_bloom_filter_shard_merge_is_bit_or(spark, sf_dir):
     a = bits_of(docs.filter(F.col("doc_id") % 2 == 0))
     b = bits_of(docs.filter(F.col("doc_id") % 2 == 1))
     assert whole == a | b
+
+
+def test_bigram_pmi_closed_form(spark):
+    """PMI values verified against the closed-form log(N*c12/(c1*c2)) on a
+    corpus with a known collocation: 'new york' co-occurs always, so its
+    PMI must exceed a pair of independent frequent words."""
+    import math
+
+    from vectolite_spark.operators.textstats import bigram_pmi_collocations
+
+    rows = [(i, "new york " + "the cat sat on the mat " * 2, "en", "s", 0)
+            for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["w1"], r["w2"]): r for r in
+           bigram_pmi_collocations(docs, min_count=5, k=20).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    # counts: 6 docs x 14 tokens = 84 total; 'new'=6, 'york'=6, pair=6
+    assert ny["pair_count"] == 6
+    want = round(math.log(84.0 * 6 / (6 * 6)), 6)
+    assert abs(ny["pmi"] - want) < 1e-9
+    # 'the cat' occurs 12x but 'the' is frequent (24) -> lower PMI
+    assert ("the", "cat") in out and out[("the", "cat")]["pmi"] < ny["pmi"]

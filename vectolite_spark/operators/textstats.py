@@ -891,3 +891,73 @@ def bloom_vocab_membership(
         .withColumn("bits_set", F.lit(n_bits_set).cast("long"))
         .orderBy("probe_class")
     )
+
+
+def bigram_pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining via pointwise mutual information (Church & Hanks
+    1990): for adjacent token pairs, PMI = log(N * c(w1,w2) / (c(w1) *
+    c(w2))) — high-PMI pairs are multiword expressions ("new york") that
+    tokenizers, dedup shingles, and BPE merges should treat as units.
+    Pairs below ``min_count`` are dropped first (PMI's classic
+    rare-pair explosion), then the top ``k`` by (rounded PMI desc, pair
+    asc) are emitted.
+
+    Determinism: every count is an exact integer; the only float is the
+    final single log expression, computed from integer-valued doubles
+    identically on both engines and rounded 6dp before ordering.
+
+    Scale: two narrow corpus scans (pair stream via a zip-with-next
+    transform on the token array — no self-join — and the unigram
+    stream); pair counts shuffle on the pair, unigram counts on the
+    word. The vocab-sized unigram relation is CACHED because it has
+    three consumers (w1 join, w2 join, corpus token total) — uncached,
+    each re-scans the corpus; the token total is a sum over the cache,
+    not a third scan. The two unigram joins are plain equi-joins AQE
+    can broadcast when the vocab fits (at 100 TB it picks shuffle
+    joins — still vocab-sized, never corpus-sized, because aggregation
+    happened first). The min_count filter prunes before the joins.
+    """
+    toks = df.select(norm_tokens(text_col).alias("t")).filter(F.size("t") > 1)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.element_at(F.col("t"), i + 2).alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    words = df.select(F.explode(norm_tokens(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
+    n_tokens = uni.agg(F.sum("c")).first()[0]
+    out = (
+        pair_counts.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.lit(float(n_tokens))
+                    * F.col("c12").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
