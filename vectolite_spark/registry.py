@@ -7877,9 +7877,9 @@ _DRIVER_WINDOW = [
     "bloom_vocab_membership",
     "mmr_rerank_topk",
     "passage_highlight",
+    "bigram_pmi_collocations",
     # oldest driver evidence in the fleet (r1/r2 green, never since) —
     # re-verify before their rows go completely stale
-    "q14_promo_revenue",
     "q18_large_orders",
     "dataset_split_counts",
 ]
