@@ -84,3 +84,68 @@ def test_bucketed_table_reattach_is_metadata_only(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zorder_zonemap_prunes_and_matches_raw(spark, sf_dir, tmp_path):
+    """The Z-ordered layout + zone map must (a) return exactly the raw
+    filtered rows, (b) actually skip files for a 2-D predicate, and
+    (c) prune on EITHER single dimension — the property directory
+    partitioning on one key cannot give."""
+    import datetime
+
+    from vectolite_spark.operators.layout import (
+        build_zonemap,
+        write_zordered,
+        zonemap_pruned_read,
+    )
+    from vectolite_spark.schema import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "zevents")
+    write_zordered(events, path, "user_id", "ts", n_files=16)
+    build_zonemap(spark, path, ["user_id", "ts"])
+
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 14, 23, 59, 59)
+    pruned, nread, ntotal = zonemap_pruned_read(
+        spark, path, {"user_id": (3, 7), "ts": (lo, hi)}
+    )
+    raw = events.filter(
+        F.col("user_id").between(3, 7) & F.col("ts").between(lo, hi)
+    )
+    assert sorted(r["event_id"] for r in pruned.collect()) == sorted(
+        r["event_id"] for r in raw.collect()
+    )
+    assert 0 < nread < ntotal, (nread, ntotal)
+
+    # single-dimension predicates prune too (Z-order interleaves both)
+    _, nu, _ = zonemap_pruned_read(spark, path, {"user_id": (3, 7)})
+    _, nt, _ = zonemap_pruned_read(spark, path, {"ts": (lo, hi)})
+    assert nu < ntotal and nt < ntotal, (nu, nt, ntotal)
+    # and the 2-D predicate prunes at least as hard as either alone
+    assert nread <= min(nu, nt)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Closed-form check: with ranges [0, 3] and 2 bits, the Morton value
+    of (c1, c2) must be the textbook bit interleave."""
+    from vectolite_spark.operators.layout import zorder_value
+
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_value(F.col("a"), F.col("b"), 0, 3, 0, 3, bits=2).alias("z")
+        ).collect()
+    }
+
+    def morton(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b, z)

@@ -37,7 +37,14 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_bucketed_table", "bucketed_join"]
+__all__ = [
+    "ensure_bucketed_table",
+    "bucketed_join",
+    "zorder_value",
+    "write_zordered",
+    "build_zonemap",
+    "zonemap_pruned_read",
+]
 
 
 def _table_ident(path: str) -> str:
@@ -114,3 +121,132 @@ def bucketed_join(
     ldf = spark.table(lt)
     rdf = spark.table(rt)
     return ldf.join(rdf, ldf[left_key] == rdf[right_key])
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout + zone-map file skipping (multi-column data skipping)
+# ---------------------------------------------------------------------------
+# Directory partitioning and bucketing each cluster ONE key. A scan
+# filtered on TWO dimensions (user AND time) still reads everything unless
+# the layout interleaves both — the classic fix is Z-ordering (Morton
+# order; the technique Delta Lake's OPTIMIZE ZORDER applies): normalize
+# each dimension to a k-bit integer, interleave the bits, range-partition
+# files by the interleaved value. Every file then covers a small rectangle
+# in (dim1, dim2) space, so a per-file (min, max) zone map prunes MOST
+# files for a predicate on EITHER dimension — Parquet row-group stats do
+# this within a file; the zone map does it across files without opening
+# footers. At 100 TB with ~100k files the zone map is ~100k tiny rows —
+# the scan planner reads IT, not the data.
+
+
+def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
+    """Morton/Z value: each column min-max normalized to ``bits`` bits,
+    bits interleaved (c1 even positions, c2 odd). Pure integer column
+    expressions — deterministic, codegen'd, no UDF."""
+    top = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        return F.floor(
+            (c.cast("double") - F.lit(float(lo)))
+            * F.lit(float(top))
+            / F.lit(float(hi - lo))
+        ).cast("long")
+
+    n1, n2 = norm(c1, min1, max1), norm(c2, min2, max2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(n1, i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(n2, i).bitwiseAND(F.lit(1))
+        z = z + b1 * F.lit(1 << (2 * i)) + b2 * F.lit(1 << (2 * i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """One-time Z-ordered rewrite: compute the Morton value, range-
+    partition into ``n_files`` z-contiguous files (each file = one small
+    (col1, col2) rectangle), sort within files so Parquet row-group
+    stats are tight too. Build-once/scan-many — the bucketed-join and
+    IVF-index economics applied to multi-dimensional filtering. Numeric
+    or timestamp columns (timestamps z-order by epoch seconds)."""
+    import pyspark.sql.types as T
+
+    def as_num(name):
+        c = F.col(name)
+        if isinstance(df.schema[name].dataType, T.TimestampType):
+            return F.unix_timestamp(c)
+        return c.cast("long")
+
+    stats = df.select(
+        F.min(as_num(col1)).alias("lo1"),
+        F.max(as_num(col1)).alias("hi1"),
+        F.min(as_num(col2)).alias("lo2"),
+        F.max(as_num(col2)).alias("hi2"),
+    ).first()
+    z = zorder_value(
+        as_num(col1), as_num(col2),
+        stats["lo1"], stats["hi1"], stats["lo2"], stats["hi2"], bits=bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def build_zonemap(spark: SparkSession, path: str, cols: list[str]) -> None:
+    """Per-file (min, max) ranges for ``cols`` over a parquet directory —
+    ONE scan, grouped by file name; persisted as ``<path>.zonemap``
+    (tiny: one row per data file). This is the cross-file complement of
+    Parquet's in-file row-group stats."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + ".zonemap")
+    )
+
+
+def zonemap_pruned_read(
+    spark: SparkSession, path: str, ranges: dict[str, tuple]
+) -> tuple[DataFrame, int, int]:
+    """Scan only the files whose zone intersects every predicate range.
+
+    ``ranges``: {col: (lo, hi)} inclusive bounds. Returns (DataFrame of
+    surviving files WITH the residual filter applied, n_files_read,
+    n_files_total) — the counts are the pruning evidence the tests and
+    bench assert on. The zone map is read and filtered first (tiny);
+    only the surviving file list is handed to the parquet reader, so
+    skipped files are never opened (at 100 TB: never even listed by the
+    scan task — the planner's file index is the pruned list itself)."""
+    zm = spark.read.parquet(path + ".zonemap")
+    total = zm.count()
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cond = cond & (F.col(f"max_{c}") >= F.lit(lo)) & (
+            F.col(f"min_{c}") <= F.lit(hi)
+        )
+    files = [r["file"] for r in zm.filter(cond).select("file").collect()]
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False)), 0, total
+    return spark.read.parquet(*files).filter(residual), len(files), total
