@@ -109,3 +109,21 @@ def test_global_rank_tie_heavy_total_order(spark):
         ).collect()
     }
     assert got == {i: i + 1 for i in range(300)}
+
+
+def test_aqp_sampled_revenue_properties(spark, sf_dir):
+    """The md5-bucket sample is ~10% (binomial band), the scaled estimate
+    lands near the exact sum, and a second run is bit-identical (the
+    sample is a pure function of the keys, never an RNG)."""
+    from vectolite_spark.registry import QUERIES
+
+    r1 = QUERIES["aqp_sampled_revenue"](spark, sf_dir).first()
+    n, total = r1["sample_rows"], r1["total_rows"]
+    assert 0.05 * total < n < 0.15 * total
+    assert r1["rel_err"] < 0.1
+    # rel_err is ROUNDED 6dp, so allow a half-ulp-of-rounding slack
+    assert abs(r1["est_revenue"] - r1["exact_revenue"]) <= (
+        r1["rel_err"] + 5e-6
+    ) * r1["exact_revenue"]
+    r2 = QUERIES["aqp_sampled_revenue"](spark, sf_dir).first()
+    assert r1 == r2

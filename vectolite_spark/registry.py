@@ -7865,6 +7865,90 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "aqp_sampled_revenue",
+    """
+WITH tagged AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 8)
+              AS BIGINT) % 10 AS bucket
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sample_rows,
+         SUM(CASE WHEN bucket = 0 THEN rev END) AS samp_sum,
+         CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS in_sample,
+         SUM(rev) AS exact_sum
+  FROM tagged
+)
+SELECT in_sample AS sample_rows, sample_rows AS total_rows,
+       CAST(samp_sum * 10 AS DOUBLE) AS est_revenue,
+       CAST(exact_sum AS DOUBLE) AS exact_revenue,
+       ROUND(ABS(CAST(samp_sum * 10 AS DOUBLE)
+                 - CAST(exact_sum AS DOUBLE))
+             / CAST(exact_sum AS DOUBLE), 6) AS rel_err
+FROM s
+""",
+)
+def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with a DETERMINISTIC sample: a 10%
+    md5-bucket sample of lineitem (bucket = md5(orderkey:linenumber) %
+    10 — the same replayable-sampling device as epoch_shuffle /
+    stratified_split, so both engines draw the IDENTICAL sample)
+    estimates total discounted revenue, reported next to the exact
+    answer and the realized relative error — the entry is its own
+    accuracy report, like the sketch entries. DECIMAL partial sums keep
+    both sums order-free; the x10 scale-up and error ratio are the only
+    doubles. Scale: ONE pass computes sample and exact together here
+    (the honesty harness); in production you run only the sample branch
+    — 10% of the scan — and the md5 bucket predicate pushes into the
+    scan filter."""
+    t = load_table(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+        ).alias("bucket"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("long").alias("total_rows"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("rev"))).alias("samp_sum"),
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("in_sample"),
+        F.sum("rev").alias("exact_sum"),
+    )
+    est = (F.col("samp_sum") * 10).cast("double")
+    exact = F.col("exact_sum").cast("double")
+    return s.select(
+        F.col("in_sample").alias("sample_rows"),
+        F.col("total_rows"),
+        est.alias("est_revenue"),
+        exact.alias("exact_revenue"),
+        F.round(F.abs(est - exact) / exact, 6).alias("rel_err"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -7939,9 +8023,7 @@ _DRIVER_WINDOW = [
     "passage_highlight",
     "bigram_pmi_collocations",
     "zonemap_pruned_scan",
-    # oldest driver evidence in the fleet (r1/r2 green, never since) —
-    # re-verify before its row goes completely stale
-    "dataset_split_counts",
+    "aqp_sampled_revenue",
 ]
 
 # With this r5 window, EVERY oracled registry entry has (or gets this
