@@ -392,3 +392,20 @@ def test_query_diversify_validation(store):
     got = store.query("tagged text", top_k=2, diversify=0.9,
                       metadata_filter={"tag": "x"})
     assert [r["id"] for r in got] == [2] and got[0]["metadata"]["tag"] == "x"
+
+
+def test_query_many_ann_matches_single_ann(spark, tmp_path):
+    """Batch ANN must equal each query's individual ann=True answer (one
+    union probe vs per-query probes — plan changes, answers don't)."""
+    db = SparkVectolite(
+        spark, str(tmp_path / "qmann"), embed_fn=stub_embedder(dim=16)
+    )
+    for i in range(30):
+        db.insert(f"document {i} talks about topic {i % 5}")
+    texts = ["topic 2 stuff", "document 7", "unrelated query"]
+    batch = db.query_many(texts, top_k=4, ann=True)
+    for t, got in zip(texts, batch):
+        want = db.query(t, top_k=4, ann=True)
+        assert [(r["id"], r["score"]) for r in got] == [
+            (r["id"], r["score"]) for r in want
+        ], t

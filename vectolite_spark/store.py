@@ -508,7 +508,7 @@ class SparkVectolite:
         ]
 
     def query_many(
-        self, query_texts: Sequence[str], top_k: int = 3
+        self, query_texts: Sequence[str], top_k: int = 3, ann: bool = False
     ) -> list[list[dict]]:
         """BATCH search — the shape Spark actually wins on (the reference
         can only loop single queries): ONE embed call for all texts, ONE
@@ -517,7 +517,13 @@ class SparkVectolite:
         ~3-5 ms/query at sf0.1 vs ~0.3 s/query for looped single
         searches (the per-job scheduling floor) and ~20 ms/query for the
         reference's scan. Returns one result list per input text, same
-        dict shape as ``query``."""
+        dict shape as ``query``.
+
+        ``ann=True``: answer every query from the persisted SRP-LSH
+        index in ONE batch probe — a single pruned scan for the UNION
+        of all queries' block directories
+        (``ann.srp_index_topk_batch``), build-if-absent and
+        mutation-invalidated exactly like ``query(ann=True)``."""
         texts = list(query_texts)
         if not texts:
             return []
@@ -543,9 +549,18 @@ class SparkVectolite:
         docs = self.df().select(
             F.col("id").alias("vec_id"), "embedding", "text", "metadata"
         )
-        hits = topk_batch(
-            queries, docs.select("vec_id", "embedding"), k=top_k
-        )
+        if ann:
+            from vectolite_spark.operators.ann import srp_index_topk_batch
+
+            if not self._fs.exists(self._ann_path() + "/cells/_SUCCESS"):
+                self.build_ann_index()
+            hits = srp_index_topk_batch(
+                self.spark, self._ann_path(), queries, k=top_k
+            )
+        else:
+            hits = topk_batch(
+                queries, docs.select("vec_id", "embedding"), k=top_k
+            )
         rows = (
             hits.join(docs.select("vec_id", "text", "metadata"), "vec_id")
             .select("query_id", "rn", "vec_id", "score", "text", "metadata")
