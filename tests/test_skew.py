@@ -127,3 +127,33 @@ def test_aqp_sampled_revenue_properties(spark, sf_dir):
     ) * r1["exact_revenue"]
     r2 = QUERIES["aqp_sampled_revenue"](spark, sf_dir).first()
     assert r1 == r2
+
+
+def test_aqp_universe_sample_key_coherence(spark, sf_dir):
+    """Universe sampling's defining property: a key is either fully in or
+    fully out — the sampled join revenue for any surviving order equals
+    its exact revenue (never a partial fraction, which independent
+    Bernoulli sampling of each side would produce)."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.registry import QUERIES
+    from vectolite_spark.schema import load_table
+
+    out = QUERIES["aqp_join_universe_sample"](spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r["rel_err"] < 0.5  # loose: 10% keyed sample, small SF
+    # per-key check: sampled keys carry ALL their lineitems
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled_key = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 == 0
+    )
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sampled_key.cast("int")).alias("n_sampled"),
+    )
+    mixed = per_key.filter(
+        (F.col("n_sampled") > 0) & (F.col("n_sampled") < F.col("n"))
+    ).count()
+    assert mixed == 0
