@@ -125,3 +125,22 @@ def test_zero_vector_and_negative_scores_match(ref_cls, spark, tmp_path):
     by_text = {d["text"]: d["score"] for d in o}
     assert by_text["zero"] == 0.0
     assert by_text["anti"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_constraint_audit_shape_and_findings(spark, sf_dir):
+    """Seven checks, violations <= checked everywhere, the known-clean
+    constraints report zero, and the two genuinely-violated ones (dup
+    PKs, ship-before-order) report non-zero on the synthetic corpus."""
+    from vectolite_spark.registry import QUERIES
+
+    rows = {r["check_name"]: r for r in
+            QUERIES["constraint_audit"](spark, sf_dir).collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert 0 <= r["violations"] <= r["checked"]
+    for clean in ("fk_lineitem_orders", "range_quantity_1_50",
+                  "range_discount_0_0.1", "nonneg_extendedprice",
+                  "complete_document_text"):
+        assert rows[clean]["violations"] == 0, clean
+    assert rows["pk_unique_orderkey_linenumber"]["violations"] > 0
+    assert rows["temporal_ship_after_order"]["violations"] > 0

@@ -8031,6 +8031,147 @@ def aqp_join_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "constraint_audit",
+    """
+WITH li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+           AS dup_pk,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad_price
+  FROM lineitem
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+),
+tm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+         CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+dc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+              AS BIGINT) AS bad
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'complete_document_text' AS check_name, dc.bad AS violations,
+         dc.n AS checked FROM dc
+  UNION ALL
+  SELECT 'fk_lineitem_orders', fk.orphans, li.n FROM fk, li
+  UNION ALL
+  SELECT 'nonneg_extendedprice', li.bad_price, li.n FROM li
+  UNION ALL
+  SELECT 'pk_unique_orderkey_linenumber', li.dup_pk, li.n FROM li
+  UNION ALL
+  SELECT 'range_discount_0_0.1', li.bad_disc, li.n FROM li
+  UNION ALL
+  SELECT 'range_quantity_1_50', li.bad_qty, li.n FROM li
+  UNION ALL
+  SELECT 'temporal_ship_after_order', tm.bad, tm.checked FROM tm
+) ORDER BY check_name
+""",
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/Great-Expectations shape,
+    self-built): seven constraints — PK uniqueness, FK integrity, three
+    value ranges, temporal ordering, completeness — each reported as
+    (constraint, violations, checked), all exact integers. The synthetic
+    corpus genuinely fails two of them (duplicate (orderkey, linenumber)
+    pairs and ship-before-order rows), so the entry is a real finding
+    report, not a vacuous all-zeros. Scale: all same-table range checks
+    FUSE into ONE lineitem aggregation pass (plus its PK distinct); FK
+    is one anti-join, temporal one equi-join (both AQE-broadcastable per
+    side sizes); the report relation is 7 rows regardless of N."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        )
+        .cast("long")
+        .alias("dup_pk"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int")
+        )
+        .cast("long")
+        .alias("bad_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int")
+        )
+        .cast("long")
+        .alias("bad_disc"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("int"))
+        .cast("long")
+        .alias("bad_price"),
+    )
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+    )
+    tm = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("checked"),
+            F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("int"))
+            .cast("long")
+            .alias("bad"),
+        )
+    )
+    dc = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("text").isNull() | (F.col("text") == "")).cast("int"))
+        .cast("long")
+        .alias("bad"),
+    )
+
+    def row(name, violations, checked):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            violations.alias("violations"),
+            checked.alias("checked"),
+        )
+
+    report = (
+        li_agg.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(tm))
+        .crossJoin(F.broadcast(dc.select(F.col("n").alias("dn"),
+                                         F.col("bad").alias("dbad"))))
+        .select(
+            F.explode(
+                F.array(
+                    row("complete_document_text", F.col("dbad"), F.col("dn")),
+                    row("fk_lineitem_orders", F.col("orphans"), F.col("n")),
+                    row("nonneg_extendedprice", F.col("bad_price"), F.col("n")),
+                    row("pk_unique_orderkey_linenumber", F.col("dup_pk"), F.col("n")),
+                    row("range_discount_0_0.1", F.col("bad_disc"), F.col("n")),
+                    row("range_quantity_1_50", F.col("bad_qty"), F.col("n")),
+                    row("temporal_ship_after_order", F.col("bad"), F.col("checked")),
+                )
+            ).alias("r")
+        )
+        .select("r.check_name", "r.violations", "r.checked")
+        .orderBy("check_name")
+    )
+    return report
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
