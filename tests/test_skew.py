@@ -157,3 +157,33 @@ def test_aqp_universe_sample_key_coherence(spark, sf_dir):
         (F.col("n_sampled") > 0) & (F.col("n_sampled") < F.col("n"))
     ).count()
     assert mixed == 0
+
+
+def test_pareto_front_matches_naive_dominance(spark):
+    """Differential vs the O(n^2) definition on randomized integer points,
+    including duplicate points, cost ties, and gain ties."""
+    import random
+
+    from vectolite_spark.operators.windows import pareto_front
+
+    rng = random.Random(11)
+    for trial in range(3):
+        pts = [
+            (i, rng.randint(0, 8), rng.randint(0, 8)) for i in range(60)
+        ]
+        df = spark.createDataFrame(pts, "id long, cost long, gain long")
+        got = [r["id"] for r in pareto_front(df, "cost", "gain", "id").collect()]
+
+        def dominated(p):
+            return any(
+                q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+                for q in pts if q[0] != p[0]
+            )
+
+        want = sorted(
+            (p[0] for p in pts if not dominated(p)),
+            key=lambda i: (pts[i][1], i),
+        )
+        assert sorted(got) == sorted(want), trial
+        # order contract: cost asc, id asc
+        assert got == sorted(got, key=lambda i: (pts[i][1], i))

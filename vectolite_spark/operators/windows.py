@@ -148,3 +148,64 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline (Borzsony/Kossmann/Stocker 2001, "The Skyline
+    Operator"): rows not DOMINATED by any other — x dominates y when
+    x.cost <= y.cost AND x.gain >= y.gain with at least one strict.
+    The classic price/performance query ("no cheaper part delivers at
+    least as much").
+
+    Neither the naive O(n^2) dominance self-join NOR the single-
+    partition global window: the ``global_rank`` scheme applied to a
+    running maximum. Range-partition on cost (equal costs land in ONE
+    partition — partition placement is a pure function of the key), per
+    -partition m_below = max(gain) over STRICTLY cheaper local rows (a
+    RANGE frame ending at -1, exact because cost is integral), then
+    per-partition gain maxima roll into prefix maxima over earlier
+    partitions — a <= num_partitions row relation, broadcast back.
+    m_below = greatest(local, prefix); m_at = max(gain) within equal
+    cost (hash-partitioned window). A row survives iff gain > m_below
+    (nothing cheaper does as well) and gain == m_at (nothing at the
+    same price does better); identical (cost, gain) points all survive.
+    Both columns must be integers. ``localCheckpoint`` pins the range
+    placement before the two consumers fan out (same boundary-seed
+    hazard global_rank documents).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, F.asc(cost_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(cost_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_lm", F.max(gain_col).over(w_local)
+    ).localCheckpoint(eager=True)
+    pmax = local.groupBy("_pid").agg(F.max(gain_col).alias("_pmax"))
+    pref_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = pmax.withColumn("_pref", F.max("_pmax").over(pref_w)).select(
+        "_pid", "_pref"
+    )
+    w_at = Window.partitionBy(cost_col)
+    return (
+        local.join(F.broadcast(prefixes), "_pid")
+        .withColumn("_m_below", F.greatest(F.col("_lm"), F.col("_pref")))
+        .withColumn("_m_at", F.max(gain_col).over(w_at))
+        .filter(
+            (F.col("_m_below").isNull() | (F.col(gain_col) > F.col("_m_below")))
+            & (F.col(gain_col) == F.col("_m_at"))
+        )
+        .drop("_pid", "_lm", "_pref", "_m_below", "_m_at")
+        .orderBy(F.asc(cost_col), F.asc(id_col))
+    )

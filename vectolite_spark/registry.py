@@ -8172,6 +8172,54 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+@register(
+    "pareto_front_parts",
+    """
+WITH pp AS (
+  SELECT l_partkey AS partkey,
+         CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cost_cents,
+         CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+  FROM lineitem GROUP BY l_partkey
+),
+win AS (
+  SELECT partkey, cost_cents, max_qty,
+         MAX(max_qty) OVER (ORDER BY cost_cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS m_below,
+         MAX(max_qty) OVER (PARTITION BY cost_cents) AS m_at
+  FROM pp
+)
+SELECT partkey, cost_cents, max_qty
+FROM win
+WHERE (m_below IS NULL OR max_qty > m_below) AND max_qty = m_at
+ORDER BY cost_cents ASC, partkey ASC
+""",
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts where no other part is both cheaper (min
+    observed price) and at least as available (max observed quantity) —
+    the price/performance front, via the O(n log n) two-window
+    formulation instead of the naive O(n^2) dominance self-join.
+    Integer cents + integer quantity make the RANGE-frame strictness
+    and every comparison exact on both engines. Lineitem pre-aggregates
+    to one row per part BEFORE the window, so the global sort is
+    entity-sized. See ``windows.pareto_front``."""
+    from vectolite_spark.operators.windows import pareto_front
+
+    pp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            (F.min(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cost_cents"),
+            F.max("l_quantity").cast("long").alias("max_qty"),
+        )
+    )
+    return pareto_front(pp, "cost_cents", "max_qty", "partkey")
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -8258,7 +8306,10 @@ _DRIVER_WINDOW = [
 # range-oracled +-2rsd in pytest) and ann_mllib_lsh_topk (randomized
 # MLlib planes, recall-gated in pytest) — both sit in the middle.
 # Future rounds: put any query whose code changed back into the window;
-# keep the core-parity keepers.
+# keep the core-parity keepers. ROTATE IN FOR r6: the four late-r5
+# entries with no driver row yet — aqp_join_universe_sample,
+# constraint_audit, pareto_front_parts, plus anything newer (all have
+# fresh 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
