@@ -143,20 +143,48 @@ def test_aqp_universe_sample_key_coherence(spark, sf_dir):
     assert len(out) >= 1
     for r in out:
         assert r["rel_err"] < 0.5  # loose: 10% keyed sample, small SF
-    # per-key check: sampled keys carry ALL their lineitems
+    # differential: the query's own per-year estimate must equal 10x a
+    # key-coherent sample built INDEPENDENTLY here (whole orders in or
+    # out) — if the query ever sampled on anything but the join key
+    # (e.g. per-lineitem Bernoulli), partial orders would break equality
     li = load_table(spark, sf_dir, "lineitem")
-    sampled_key = (
-        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10 == 0
+    orders = load_table(spark, sf_dir, "orders")
+    sampled_keys = {
+        r["o_orderkey"]
+        for r in orders.select("o_orderkey").collect()
+        if int(
+            __import__("hashlib").md5(str(r["o_orderkey"]).encode())
+            .hexdigest()[:8],
+            16,
+        ) % 10 == 0
+    }
+    ref = (
+        li.filter(F.col("l_orderkey").isin(sampled_keys))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                )
+                * 10
+            )
+            .cast("double")
+            .alias("ref_est")
+        )
     )
-    per_key = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(sampled_key.cast("int")).alias("n_sampled"),
-    )
-    mixed = per_key.filter(
-        (F.col("n_sampled") > 0) & (F.col("n_sampled") < F.col("n"))
-    ).count()
-    assert mixed == 0
+    ref_by_year = {r["order_year"]: r["ref_est"] for r in ref.collect()}
+    for r in out:
+        assert r["est_revenue"] == pytest_approx(
+            ref_by_year[r["order_year"]]
+        ), r["order_year"]
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, rel=1e-12)
 
 
 def test_pareto_front_matches_naive_dominance(spark):

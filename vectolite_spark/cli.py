@@ -90,6 +90,10 @@ def cmd_add(args) -> None:
 def cmd_query(args) -> None:
     store = _build_store(args)
     if getattr(args, "hybrid", False):
+        if getattr(args, "mmr", None) is not None:
+            raise VectoliteError(
+                "--mmr applies to the cosine path only; drop --hybrid"
+            )
         results = store.hybrid_query(args.text, top_k=args.top_k)
     else:
         results = store.query(

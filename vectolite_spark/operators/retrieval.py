@@ -348,7 +348,7 @@ def mmr_rerank_topk(
     from vectolite_spark._pandas_udfs import make_mmr_selector
     from vectolite_spark.operators.topk import topk_batch
 
-    cand = topk_batch(queries, embeddings, k=n_candidates).select(
+    cand = topk_batch(queries, embeddings, k=n_candidates, id_col=id_col).select(
         "query_id", "vec_id", "score"
     )
     withv = embeddings.select(

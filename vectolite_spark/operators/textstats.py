@@ -825,9 +825,9 @@ def bloom_vocab_membership(
 
     Scale: the filter is <= m_bits rows regardless of corpus size and
     broadcast to every probe task; the corpus is scanned ONCE — the
-    distinct vocabulary (tiny next to the corpus) is cached and every
-    downstream relation (bit set, both probe classes, bits_set count)
-    derives from the cache instead of re-running the explode+distinct
+    distinct vocabulary (tiny next to the corpus) is checkpointed and
+    every downstream relation (bit set, both probe classes, bits_set
+    count) derives from it instead of re-running the explode+distinct
     (uncached, Spark's three consumers re-scanned the corpus 3x);
     sketches from disjoint shards merge by bit-OR (union the position
     sets), so at 100 TB each partition builds locally and the tiny bit
@@ -838,7 +838,11 @@ def bloom_vocab_membership(
         df.select(F.explode(norm_tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
-        .cache()
+        # localCheckpoint, not cache(): blocks are freed by the
+        # ContextCleaner once the returned DataFrame is dropped, whereas
+        # CacheManager entries outlive every reference (each invocation
+        # would leak a vocab-sized cache for the session's lifetime)
+        .localCheckpoint(eager=True)
     )
 
     def bucket(i: Column, w: Column) -> Column:
@@ -858,7 +862,8 @@ def bloom_vocab_membership(
         toks.select(ks, "w")
         .select(bucket(F.col("i"), F.col("w")).alias("bit"))
         .distinct()
-        .cache()  # <= m_bits rows; consumed by the probe join AND count
+        # <= m_bits rows; consumed by the probe join AND count
+        .localCheckpoint(eager=True)
     )
     probes = toks.select(
         F.lit("member").alias("probe_class"), F.col("w")
@@ -914,10 +919,10 @@ def bigram_pmi_collocations(
     Scale: two narrow corpus scans (pair stream via a zip-with-next
     transform on the token array — no self-join — and the unigram
     stream); pair counts shuffle on the pair, unigram counts on the
-    word. The vocab-sized unigram relation is CACHED because it has
-    three consumers (w1 join, w2 join, corpus token total) — uncached,
-    each re-scans the corpus; the token total is a sum over the cache,
-    not a third scan. The two unigram joins are plain equi-joins AQE
+    word. The vocab-sized unigram relation is CHECKPOINTED because it
+    has three consumers (w1 join, w2 join, corpus token total) —
+    otherwise each re-scans the corpus; the token total is a sum over
+    it, not a third scan. The two unigram joins are plain equi-joins AQE
     can broadcast when the vocab fits (at 100 TB it picks shuffle
     joins — still vocab-sized, never corpus-sized, because aggregation
     happened first). The min_count filter prunes before the joins.
@@ -941,7 +946,13 @@ def bigram_pmi_collocations(
     words = df.select(F.explode(norm_tokens(text_col)).alias("w")).filter(
         F.col("w") != ""
     )
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).cache()
+    # localCheckpoint (not cache): three consumers, blocks freed with the
+    # DataFrame reference instead of persisting in CacheManager forever
+    uni = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     n_tokens = uni.agg(F.sum("c")).first()[0]
     out = (
         pair_counts.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")

@@ -179,6 +179,20 @@ def pareto_front(
     placement before the two consumers fan out (same boundary-seed
     hazard global_rank documents).
     """
+    import pyspark.sql.types as T
+
+    for c in (cost_col, gain_col):
+        if not isinstance(
+            df.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            # a float cost makes the RANGE -1 frame mean "cost <= c-1",
+            # silently skipping strictly-cheaper rows within 1 unit —
+            # wrong skyline with no error. Quantize first (cents, etc.).
+            raise TypeError(
+                f"pareto_front requires integral {c!r} "
+                f"(got {df.schema[c].dataType}); quantize floats first"
+            )
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n, F.asc(cost_col)).withColumn(

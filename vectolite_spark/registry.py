@@ -7814,7 +7814,10 @@ def _ensure_zorder_events(spark, sf_dir: str) -> str:
     from vectolite_spark.operators.layout import build_zonemap, write_zordered
 
     path = index_cache_path("zorder_events_v1", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # gate on the ZONE MAP's _SUCCESS — it is written LAST, so a build
+    # interrupted between the data rewrite and the zone map self-heals on
+    # the next call instead of permanently serving a map-less layout
+    if not os.path.exists(os.path.join(path + ".zonemap", "_SUCCESS")):
         write_zordered(
             load_table(spark, sf_dir, "events"), path, "user_id", "ts",
             n_files=32,
