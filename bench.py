@@ -189,7 +189,13 @@ def main() -> None:
     # build-if-absent no-ops from an earlier run.
     import shutil as _shutil
 
-    for recipe in ("ivfpq_v2_c16m8k16", "bm25_v1_b32", "ivf_v1", "ivfpq_lbl_m8k16"):
+    for recipe in (
+        "ivfpq_v2_c16m8k16",
+        "bm25_v1_b32",
+        "ivf_v1",
+        "ivfpq_lbl_m8k16",
+        "trgm_v1_b16",
+    ):
         _shutil.rmtree(
             registry.index_cache_path(recipe, SF_DIR), ignore_errors=True
         )
@@ -202,6 +208,9 @@ def main() -> None:
     t0 = time.time()
     registry._ensure_ivf_index(spark, SF_DIR)
     timings["ivf_index_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    registry._ensure_trigram_index(spark, SF_DIR)
+    timings["trgm_index_build"] = round(time.time() - t0, 4)
     # bucketed layout is build-once/join-many like the indexes: time the
     # build separately so the registry entry reflects steady-state serving
     from vectolite_spark.operators.layout import ensure_bucketed_table

@@ -357,3 +357,109 @@ def test_mmr_matches_pure_python_reference(spark):
             ids, [np.array(v) for v in vecs], np.array(qv), lam, k
         )
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+# --------------------------------------------------------------------------
+# Trigram substring index
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def trgm_index(spark, tmp_path_factory):
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        build_trigram_index,
+    )
+
+    rows = [
+        (1, "Merge Join beats nested loops"),   # case-insensitive match
+        (2, "a merge join and a hash join"),
+        (3, "merge sort only, no joins here"),
+        (4, "hash aggregate"),
+        (5, "xy"),                              # shorter than a trigram
+        (6, "the word mergejoin fused"),        # no space -> no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("trgm") / "idx")
+    build_trigram_index(docs, path, n_buckets=4)
+    return docs, TrigramIndex(spark, path)
+
+
+def test_trigram_extraction_matches_column_twin(spark):
+    from vectolite_spark.operators.retrieval import (
+        _trigram_col,
+        extract_trigrams,
+    )
+
+    texts = ["Merge Join", "ab", "", "aaaa", "xyx yxy"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: r["g"]
+        for r in df.select("t", _trigram_col(F.col("t")).alias("g")).collect()
+    }
+    for t in texts:
+        assert got[t] == extract_trigrams(t), t
+    assert extract_trigrams("ab") == []          # sub-trigram -> empty,
+    assert extract_trigrams("aaaa") == ["aaa"]   # distinct, first-seen order
+
+
+def test_trigram_search_exact_vs_scan(trgm_index):
+    docs, idx = trgm_index
+    got = sorted(
+        r["doc_id"] for r in idx.search(docs, "Merge Join").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.contains(F.lower("text"), F.lit("merge join"))
+        ).collect()
+    )
+    assert got == want == [1, 2]
+
+
+def test_trigram_candidates_are_superset(trgm_index):
+    docs, idx = trgm_index
+    cand = {r["doc_id"] for r in idx.candidates("merge join").collect()}
+    true = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.contains(F.lower("text"), F.lit("merge join"))
+        ).collect()
+    }
+    assert true <= cand
+    # doc 6 ("mergejoin") shares every trigram except 'e j'/' jo' region —
+    # whatever the probe picked, verification must have pruned it
+    assert 6 not in {
+        r["doc_id"] for r in idx.search(docs, "merge join").collect()
+    }
+
+
+def test_trigram_vocabulary_miss_short_circuits(trgm_index):
+    docs, idx = trgm_index
+    # 'zqz' never occurs -> probe returns no candidates, search is empty
+    assert idx.candidates("zqzqzq").count() == 0
+    assert idx.search(docs, "zqzqzq").count() == 0
+
+
+def test_trigram_pattern_too_short_raises(trgm_index):
+    docs, idx = trgm_index
+    with pytest.raises(ValueError, match="full scan"):
+        idx.search(docs, "ab").collect()
+
+
+def test_trigram_batch_matches_per_query_scan(trgm_index):
+    docs, idx = trgm_index
+    queries = [(1, "merge join"), (2, "hash"), (3, "zqzqzq")]
+    got = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in idx.batch_search(docs, queries).collect()
+    )
+    want = sorted(
+        (qid, r["doc_id"])
+        for qid, pat in queries
+        for r in docs.filter(
+            F.contains(F.lower("text"), F.lit(pat.lower()))
+        ).collect()
+    )
+    assert got == want
+    assert (3, 5) not in got  # zero-match query contributes nothing

@@ -425,3 +425,247 @@ def passage_highlight(
         )
         .orderBy(F.desc("score"), F.asc(id_col))
     )
+
+
+# --------------------------------------------------------------------------
+# Trigram substring-search index (pg_trgm / ClickHouse ngram-skip style)
+# --------------------------------------------------------------------------
+
+TRGM_N = 3
+
+
+def extract_trigrams(s: str) -> list[str]:
+    """Driver-side twin of ``_trigram_col``: the DISTINCT character
+    3-grams of ``s`` lowercased, in first-occurrence order. Both sides
+    MUST agree — probe pruning sends only these trigrams' buckets to the
+    scan."""
+    t = s.lower()
+    out: list[str] = []
+    seen = set()
+    for i in range(len(t) - TRGM_N + 1):
+        g = t[i : i + TRGM_N]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def _trigram_col(text_col):
+    """Distinct character trigrams of ``lower(text)`` as a JVM array
+    expression — whole-stage-codegen'd, no Python in the build path.
+    Texts shorter than 3 chars produce an empty array (the WHEN guard
+    matters: ``sequence(1, 0)`` would DESCEND, not return empty)."""
+    lt = F.lower(text_col)
+    n = F.length(lt)
+    idx = F.when(
+        n >= TRGM_N, F.sequence(F.lit(1), n - (TRGM_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: lt.substr(i, F.lit(TRGM_N)))
+    )
+
+
+def build_trigram_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Build and PERSIST a trigram posting index for case-insensitive
+    substring search — the pg_trgm idea re-expressed as a partitioned
+    parquet layout (no reference counterpart; the reference has no text
+    search at all beyond vector similarity). Layout:
+
+        {path}/postings  (trigram, doc_id) — one row per distinct
+                         (trigram, doc) pair, partitioned by
+                         bucket = md5(trigram) % n_buckets
+        {path}/stats     (trigram, df, bucket) — trigram vocabulary with
+                         document frequencies; bounded by the alphabet
+                         (~|charset|^3), tiny even at 100 TB corpus scale
+
+    Scale shape: the build is one explode + two hash aggregations, all
+    map-side-combinable (distinct trigrams per doc are computed INSIDE
+    the row via ``array_distinct`` before the explode, so the shuffle
+    carries at most |charset|^3 * n_docs rows and skew on common
+    trigrams is bounded by the per-doc dedup). A probe reads only the
+    buckets of the pattern's trigrams — partition pruning turns a
+    100 TB corpus problem into a posting-list problem."""
+    tri = docs.select(
+        F.col(id_col).alias("doc_id"), _trigram_col(F.col(text_col)).alias("t")
+    ).select("doc_id", F.explode("t").alias("trigram"))
+    stats = (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket", _term_bucket_col(F.col("trigram"), n_buckets))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(n_buckets,)], "n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    (
+        tri.withColumn(
+            "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
+        )
+        .select("bucket", "trigram", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )
+
+
+class TrigramIndex:
+    """Handle over a persisted trigram index. A substring query probes
+    the index for CANDIDATE docs (superset of true matches), then
+    verifies only the candidates against the corpus — so ``contains()``
+    never runs over the full 100 TB, just the rarest posting lists.
+
+    Probe strategy: look up the pattern's trigrams in the tiny stats
+    table (one pruned read, driver-collected — vocabulary-bounded), keep
+    the ``max_probe`` RAREST trigrams (lowest df; any subset of the
+    pattern's trigrams still yields a superset of matches), and
+    intersect just those posting lists with a count-match aggregation.
+    Probing the rarest trigrams minimizes both the postings read and the
+    candidate count that verification must touch — same rarest-first
+    logic as dedup's prefix-filter blocking (operators/dedup.py)."""
+
+    def __init__(self, spark, index_path: str):
+        self.spark = spark
+        self._stats = spark.read.parquet(f"{index_path}/stats")
+        self._postings = spark.read.parquet(f"{index_path}/postings")
+        self._nb = int(
+            spark.read.parquet(f"{index_path}/meta").collect()[0]["n_buckets"]
+        )
+
+    def _probe_trigrams(
+        self, pattern: str, max_probe: int
+    ) -> list[tuple[str, int]]:
+        tris = extract_trigrams(pattern)
+        if not tris:
+            raise ValueError(
+                f"substring pattern needs >= {TRGM_N} chars for the "
+                f"trigram index; got {pattern!r} — use a full scan"
+            )
+        rows = (
+            self._stats.filter(F.col("trigram").isin(tris))
+            .select("trigram", "df", "bucket")
+            .collect()
+        )
+        by_tri = {r["trigram"]: r for r in rows}
+        # a pattern trigram absent from the vocabulary => zero matches;
+        # represent it as df=0 so it sorts first and short-circuits
+        ranked = sorted(
+            tris, key=lambda t: (by_tri[t]["df"] if t in by_tri else 0, t)
+        )
+        out = []
+        for t in ranked[:max_probe]:
+            if t not in by_tri:
+                return []  # trigram never seen -> no doc can match
+            r = by_tri[t]
+            out.append((t, int(r["bucket"])))
+        return out
+
+    def candidates(self, pattern: str, max_probe: int = 4) -> DataFrame:
+        """Docs containing ALL of the probed (rarest) trigrams of
+        ``pattern`` — a SUPERSET of the true substring matches. Reads
+        only the probed trigrams' partitions."""
+        probe = self._probe_trigrams(pattern, max_probe)
+        if not probe:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id")
+            )
+        tris = [t for t, _ in probe]
+        buckets = sorted({b for _, b in probe})
+        return (
+            self._postings.filter(
+                F.col("bucket").isin(buckets) & F.col("trigram").isin(tris)
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nt"))
+            .filter(F.col("nt") == len(tris))
+            .select("doc_id")
+        )
+
+    def search(
+        self,
+        docs: DataFrame,
+        pattern: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_probe: int = 4,
+    ) -> DataFrame:
+        """EXACT case-insensitive substring search served from the
+        index: probe -> candidate intersection -> verify candidates
+        only. The candidate list is bounded by the rarest probed
+        trigram's df, so the verify join broadcasts it and the corpus
+        side stays a pruned scan."""
+        cand = self.candidates(pattern, max_probe=max_probe)
+        return docs.join(
+            F.broadcast(cand), docs[id_col] == cand["doc_id"]
+        ).filter(
+            F.contains(F.lower(F.col(text_col)), F.lit(pattern.lower()))
+        ).drop(cand["doc_id"])
+
+    def batch_search(
+        self,
+        docs: DataFrame,
+        queries: Sequence[tuple[int, str]],
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_probe: int = 4,
+    ) -> DataFrame:
+        """Serve MANY substring queries with ONE pruned postings read
+        and ONE corpus verify pass — the same union-probe amortization
+        as ``BM25Index.batch_topk``. Returns (query_id, doc_id).
+
+        Per query the probed-trigram set is chosen rarest-first exactly
+        as in ``search``; the union of (query_id, trigram) pairs ships
+        as a broadcast map; intersection is one count-match aggregation
+        keyed (query_id, doc_id); verification joins the corpus ONCE
+        with the per-query pattern riding the broadcast."""
+        probe_rows = []  # (query_id, trigram, n_probed)
+        pat_rows = []  # (query_id, pattern_lower)
+        for qid, pattern in queries:
+            probe = self._probe_trigrams(pattern, max_probe)
+            pat_rows.append((qid, pattern.lower()))
+            for t, _ in probe:
+                probe_rows.append((qid, t, len(probe)))
+        if not probe_rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long"
+            )
+        probe_df = self.spark.createDataFrame(
+            probe_rows, "query_id long, trigram string, n_probed long"
+        )
+        buckets = sorted(
+            {
+                int(b)
+                for b in (
+                    term_bucket(t, self._n_buckets())
+                    for _, t, _ in probe_rows
+                )
+            }
+        )
+        cand = (
+            self._postings.filter(F.col("bucket").isin(buckets))
+            .join(F.broadcast(probe_df), "trigram")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("nt"), F.first("n_probed").alias("np")
+            )
+            .filter(F.col("nt") == F.col("np"))
+            .select("query_id", "doc_id")
+        )
+        pat_df = self.spark.createDataFrame(
+            pat_rows, "query_id long, pattern string"
+        )
+        return (
+            docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])
+            .join(F.broadcast(pat_df), "query_id")
+            .filter(F.contains(F.lower(F.col(text_col)), F.col("pattern")))
+            .select("query_id", cand["doc_id"])
+        )
+
+    def _n_buckets(self) -> int:
+        return self._nb

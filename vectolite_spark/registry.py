@@ -8223,6 +8223,93 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_front(pp, "cost_cents", "max_qty", "partkey")
 
 
+def _ensure_trigram_index(spark, sf_dir: str) -> str:
+    """Build-if-absent persisted trigram substring index; returns its
+    path. Shared by both trigram registry entries and bench.py."""
+    import os
+
+    from vectolite_spark.operators.retrieval import build_trigram_index
+
+    path = index_cache_path("trgm_v1_b16", sf_dir)
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        build_trigram_index(
+            load_table(spark, sf_dir, "documents"), path, n_buckets=16
+        )
+    return path
+
+
+@register(
+    "trigram_substring_search",
+    """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE contains(lower(text), 'merge join')
+ORDER BY doc_id
+""",
+)
+def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT case-insensitive substring search served from the
+    PERSISTED trigram index (pg_trgm / ClickHouse-ngram style; no
+    reference counterpart — the reference has no lexical search at
+    all). Probe = the pattern's rarest trigrams looked up in the tiny
+    stats table; candidates = one count-match aggregation over JUST
+    those trigrams' posting partitions; verify = ``contains()`` over
+    the broadcast candidate set only. The oracle is the full-scan LIKE
+    — the index path must reproduce it row-for-row, which pins the
+    candidate-superset + verification contract (a lossy probe would
+    drop rows and hash-mismatch). At 100 TB the corpus scan this
+    replaces is the whole cost; the probe reads a handful of
+    partitioned posting lists instead (operators/retrieval.py
+    TrigramIndex)."""
+    from vectolite_spark.operators.retrieval import TrigramIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TrigramIndex(spark, _ensure_trigram_index(spark, sf_dir))
+    return (
+        idx.search(docs, "merge join")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_TRGM_BATCH_QUERIES = (
+    (1, "vector scan"),
+    (2, "window agg"),
+    (3, "hash join x"),  # zero matches at every SF — exercises the
+    # vocabulary-miss short-circuit (absent trigram => no candidates)
+)
+
+
+@register(
+    "trigram_batch_substring_search",
+    """
+SELECT q.query_id, d.doc_id
+FROM (VALUES (1, 'vector scan'), (2, 'window agg'), (3, 'hash join x'))
+     q(query_id, pattern)
+JOIN documents d ON contains(lower(d.text), q.pattern)
+ORDER BY q.query_id, d.doc_id
+""",
+)
+def trigram_batch_substring_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch substring serving: MANY patterns against ONE pruned
+    postings read and ONE corpus verify pass — the same union-probe
+    amortization as ``bm25_batch_indexed_topk``/``ann_ivf_batch_topk``
+    (per-query serving cost collapses into a single probe for the
+    union of the queries' trigrams). Query 3's pattern contains a
+    trigram absent from the corpus vocabulary, so it contributes no
+    candidates and no verify work — the short-circuit the stats lookup
+    buys. Exactness contract identical to the single-query entry."""
+    from vectolite_spark.operators.retrieval import TrigramIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TrigramIndex(spark, _ensure_trigram_index(spark, sf_dir))
+    return idx.batch_search(docs, _TRGM_BATCH_QUERIES).orderBy(
+        "query_id", "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -8309,10 +8396,11 @@ _DRIVER_WINDOW = [
 # range-oracled +-2rsd in pytest) and ann_mllib_lsh_topk (randomized
 # MLlib planes, recall-gated in pytest) — both sit in the middle.
 # Future rounds: put any query whose code changed back into the window;
-# keep the core-parity keepers. ROTATE IN FOR r6: the four late-r5
-# entries with no driver row yet — aqp_join_universe_sample,
-# constraint_audit, pareto_front_parts, plus anything newer (all have
-# fresh 3-scale local oracle runs; see tools/check_oracle.py).
+# keep the core-parity keepers. ROTATE IN FOR r6: the late-r5 entries
+# with no driver row yet — aqp_join_universe_sample, constraint_audit,
+# pareto_front_parts, trigram_substring_search,
+# trigram_batch_substring_search, plus anything newer (all have fresh
+# 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
