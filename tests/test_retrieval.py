@@ -463,3 +463,49 @@ def test_trigram_batch_matches_per_query_scan(trgm_index):
     )
     assert got == want
     assert (3, 5) not in got  # zero-match query contributes nothing
+
+
+def test_regex_literal_extraction_rules():
+    from vectolite_spark.operators.retrieval import regex_literals
+
+    assert regex_literals("merge +joins?") == ["merge ", "join"]
+    assert regex_literals("scan [a-z]+ merge") == ["scan ", " merge"]
+    # escapes break runs and are dropped, never decoded
+    assert regex_literals(r"fast\.\d+slow") == ["fast", "slow"]
+    # ? / * / { drop the char they quantify (it may match zero times)
+    assert regex_literals("abc*def") == ["def"]
+    assert regex_literals("abcd{0,3}efg") == ["abc", "efg"]
+    with pytest.raises(ValueError, match="full scan"):
+        regex_literals("red|blue")
+    with pytest.raises(ValueError, match="full scan"):
+        regex_literals("(abc)def")
+
+
+def test_regex_search_exact_vs_scan(trgm_index):
+    docs, idx = trgm_index
+    pat = "merge (joi|sor)"  # unsupported -> must refuse, not mis-serve
+    with pytest.raises(ValueError):
+        idx.regex_search(docs, pat)
+    pat = "merge [a-z]+ beats?"
+    got = sorted(
+        r["doc_id"] for r in idx.regex_search(docs, pat).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            F.regexp_like(F.lower("text"), F.lit(pat))
+        ).collect()
+    )
+    assert got == want
+    # optional quantifiers must not lose matches: 'joins?' hits 'join'
+    got2 = sorted(
+        r["doc_id"]
+        for r in idx.regex_search(docs, "merge joins?").collect()
+    )
+    assert got2 == [1, 2]
+
+
+def test_regex_search_without_probeable_literal_raises(trgm_index):
+    docs, idx = trgm_index
+    with pytest.raises(ValueError, match="full scan"):
+        idx.regex_search(docs, "a.b.c")  # runs all shorter than 3

@@ -547,6 +547,11 @@ class TrigramIndex:
                 f"substring pattern needs >= {TRGM_N} chars for the "
                 f"trigram index; got {pattern!r} — use a full scan"
             )
+        return self._probe_from_trigrams(tris, max_probe)
+
+    def _probe_from_trigrams(
+        self, tris: list[str], max_probe: int
+    ) -> list[tuple[str, int]]:
         rows = (
             self._stats.filter(F.col("trigram").isin(tris))
             .select("trigram", "df", "bucket")
@@ -571,6 +576,11 @@ class TrigramIndex:
         ``pattern`` — a SUPERSET of the true substring matches. Reads
         only the probed trigrams' partitions."""
         probe = self._probe_trigrams(pattern, max_probe)
+        return self._candidates_from_probe(probe)
+
+    def _candidates_from_probe(
+        self, probe: list[tuple[str, int]]
+    ) -> DataFrame:
         if not probe:
             return self.spark.range(0).select(
                 F.col("id").alias("doc_id")
@@ -667,5 +677,114 @@ class TrigramIndex:
             .select("query_id", cand["doc_id"])
         )
 
+    def regex_search(
+        self,
+        docs: DataFrame,
+        pattern: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_probe: int = 6,
+    ) -> DataFrame:
+        """EXACT regex search accelerated by the trigram index — the
+        Google-Code-Search prefilter (see ``regex_literals``): every
+        literal run the regex REQUIRES must appear in a match, so
+        candidates = docs containing all probed trigrams drawn from the
+        union of the runs, and only candidates pay the ``regexp_like``
+        verification. The pattern is matched against ``lower(text)``;
+        supply it lowercase. Raises ValueError for patterns with no
+        >= 3-char required literal (alternation, groups, or too-short
+        runs) — those need the full scan this prefilter exists to
+        avoid."""
+        runs = regex_literals(pattern)
+        if not runs:
+            raise ValueError(
+                f"regex {pattern!r} has no required literal of "
+                f">= {TRGM_N} chars — use a full scan"
+            )
+        tris: list[str] = []
+        seen: set[str] = set()
+        for r in runs:
+            for t in extract_trigrams(r):
+                if t not in seen:
+                    seen.add(t)
+                    tris.append(t)
+        cand = self._candidates_from_probe(
+            self._probe_from_trigrams(tris, max_probe)
+        )
+        return (
+            docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])
+            .filter(
+                F.regexp_like(F.lower(F.col(text_col)), F.lit(pattern))
+            )
+            .drop(cand["doc_id"])
+        )
+
     def _n_buckets(self) -> int:
         return self._nb
+
+
+def regex_literals(pattern: str) -> list[str]:
+    """Extract the REQUIRED literal runs of a (restricted) regex — the
+    prefilter trick from Google Code Search's trigram index (Cox 2012,
+    public write-up "Regular Expression Matching with a Trigram Index").
+    Every returned run MUST appear verbatim in any match, so its
+    trigrams can prune candidates with AND semantics.
+
+    Supported subset: concatenations of plain characters, character
+    classes ``[...]``, ``.``, anchors, escapes, and quantifiers
+    ``? * + {m,n}``. NOT supported (raises ValueError — these make
+    "required" literal extraction unsound without a full Cox-style
+    product construction): alternation ``|`` and groups ``(...)``.
+
+    Conservative rules, each keeps the run a true REQUIRED substring:
+    - classes / ``.`` / anchors / escapes break the current run (an
+      escaped literal like ``\\.`` is dropped rather than decoded);
+    - ``?`` ``*`` ``{`` drop the preceding char (may match zero times)
+      and break the run;
+    - ``+`` KEEPS the preceding char (matches at least once) but breaks
+      the run — the repetition may separate it from what follows."""
+    for bad in "|()":
+        if bad in pattern:
+            raise ValueError(
+                f"regex {pattern!r} uses {bad!r} — alternation/groups "
+                "are not index-accelerable here; use a full scan"
+            )
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if len(cur) >= TRGM_N:
+            runs.append("".join(cur))
+        cur.clear()
+
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            flush()
+            i += 2
+        elif c == "[":
+            flush()
+            j = i + 1
+            while j < len(pattern) and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+        elif c in "?*{":
+            if cur:
+                cur.pop()
+            flush()
+            if c == "{":
+                while i < len(pattern) and pattern[i] != "}":
+                    i += 1
+            i += 1
+        elif c == "+":
+            flush()
+            i += 1
+        elif c in ".^$":
+            flush()
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    flush()
+    return runs

@@ -8310,6 +8310,38 @@ def trigram_batch_substring_search(
     )
 
 
+@register(
+    "regex_trigram_search",
+    """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE regexp_matches(lower(text), 'scan [a-z]+ merge')
+ORDER BY doc_id
+""",
+)
+def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT regex search prefiltered by the trigram index (the Google
+    Code Search technique, Cox 2012): the restricted regex's REQUIRED
+    literal runs ('scan ', ' merge' here — the [a-z]+ class breaks the
+    runs) yield trigrams whose posting intersection bounds the
+    candidate set; regexp verification runs on candidates only. Oracle
+    is DuckDB's full-scan regexp_matches — exactness pins that literal
+    extraction is truly conservative (a dropped required literal could
+    only ADD candidates, never lose a match). At 100 TB the regexp —
+    the one operator that can never push into a parquet scan — touches
+    thousands of rows, not the corpus
+    (operators/retrieval.py regex_literals / TrigramIndex.regex_search)."""
+    from vectolite_spark.operators.retrieval import TrigramIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TrigramIndex(spark, _ensure_trigram_index(spark, sf_dir))
+    return (
+        idx.regex_search(docs, "scan [a-z]+ merge")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -8399,7 +8431,7 @@ _DRIVER_WINDOW = [
 # keep the core-parity keepers. ROTATE IN FOR r6: the late-r5 entries
 # with no driver row yet — aqp_join_universe_sample, constraint_audit,
 # pareto_front_parts, trigram_substring_search,
-# trigram_batch_substring_search, plus anything newer (all have fresh
+# trigram_batch_substring_search, regex_trigram_search, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
