@@ -5,11 +5,13 @@ Design (north-star extension): media travels as ``binary`` columns with a
 plumbing are real and tested. ``decode_real`` REALLY decodes the formats
 this container can parse — PNG images (zlib inflate + scanline
 unfiltering), baseline JPEG (``vectolite_spark.jpeg``: Huffman decode,
-dequant + IDCT, 4:2:0/4:2:2 chroma upsampling, restart markers) and PCM
-WAV audio (``wave``) — including a real nearest-neighbor image resize;
-formats that still need external libraries (progressive JPEG, MP3, video
-codecs) raise NotImplementedError until Pillow/torchaudio/decord are
-importable. ``decode_fake`` remains the deterministic byte-level
+dequant + IDCT, 4:2:0/4:2:2 chroma upsampling, restart markers), PCM
+WAV audio (``wave``), and MJPEG-AVI video (``vectolite_spark.avi``:
+RIFF walk + per-frame JPEG decode, see ``sample_frames_real``) —
+including a real nearest-neighbor image resize; formats that still need
+external libraries (progressive JPEG, MP3 pixel/sample decode, H.264+
+video codecs) raise NotImplementedError until Pillow/torchaudio/decord
+are importable. ``decode_fake`` remains the deterministic byte-level
 stand-in so oracle-gated pipelines run on any payload.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` — one Arrow
@@ -80,8 +82,16 @@ def decode_real(kind: str, data: bytes) -> dict:
             )
         return base
     if kind == "video":
+        from vectolite_spark.avi import decode_avi_meta, is_avi
         from vectolite_spark.media_meta import decode_mp4_meta, is_mp4
 
+        if is_avi(data):
+            # FULLY real for MJPEG: container metadata here, per-frame
+            # pixel decode via sample_frames_real (vectolite_spark.avi)
+            m = decode_avi_meta(data)
+            base["duration_s"] = m["duration_s"]
+            base["width"], base["height"] = m["width"], m["height"]
+            return base
         if is_mp4(data):
             # container metadata is REAL (moov/mvhd/tkhd); pixel decode of
             # the compressed track still needs a codec library
@@ -332,6 +342,44 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
         "media_id",
         F.explode(offsets).alias("frame_index"),
     ).withColumn("byte_offset", F.col("frame_index") * every_n_bytes)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_index int, width int, height int, px_mean double"
+)
+
+
+def sample_frames_real(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL video frame sampling for MJPEG-AVI payloads: every k-th
+    stream-00 frame is Huffman+IDCT-decoded by the repo's own JPEG
+    codec (``vectolite_spark.avi.sample_mjpeg_frames``) and summarized
+    as (frame_index, width, height, px_mean). Same mapInPandas shape as
+    ``extract_features`` — one Arrow batch of blobs per call, zero
+    shuffles, frame explosion happens INSIDE the worker so only the
+    skinny per-frame rows ever hit the engine. Non-AVI / non-MJPEG
+    payloads raise through the same NotImplementedError seam as every
+    other codec gap."""
+    from vectolite_spark.avi import sample_mjpeg_frames
+
+    video = media.filter(F.col("kind") == "video")
+
+    def mapper(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["data"]) if r["data"] is not None else b""
+                for fr in sample_mjpeg_frames(data, every_k=every_k):
+                    rows.append({"media_id": r["media_id"], **fr})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "width", "height", "px_mean",
+                ],
+            )
+
+    return video.mapInPandas(mapper, schema=FRAME_SCHEMA)
 
 
 def resize_images(
