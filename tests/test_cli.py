@@ -136,3 +136,22 @@ def test_cli_query_mmr_flag(spark, tmp_path, capsys):
     # both results printed; the parser wires --mmr through to diversify
     assert "1." in out and "2." in out
     assert make_parser().parse_args(["query", "q", "--mmr", "0.7"]).mmr == 0.7
+
+
+def test_cli_grep(spark, tmp_path, monkeypatch, capsys):
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    db = str(tmp_path / "db")
+    cli.main(["add", "Merge Join beats loops", "--db", db, "--dim", "8"])
+    cli.main(["add", "hash aggregate only", "--db", db, "--dim", "8"])
+    capsys.readouterr()
+    cli.main(["grep", "merge join", "--db", db])
+    out = capsys.readouterr().out
+    assert "[1]" in out and "[2]" not in out
+    cli.main(["grep", "joi?n", "--regex", "--db", db])
+    out = capsys.readouterr().out
+    assert "[1]" in out
+    cli.main(["grep", "zqz", "--db", db])
+    assert "No matches." in capsys.readouterr().out

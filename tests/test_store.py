@@ -409,3 +409,21 @@ def test_query_many_ann_matches_single_ann(spark, tmp_path):
         assert [(r["id"], r["score"]) for r in got] == [
             (r["id"], r["score"]) for r in want
         ], t
+
+
+def test_store_grep(store):
+    from vectolite_spark.errors import VectoliteError
+
+    s = store
+    s.insert("Merge Join beats nested loops")
+    s.insert("hash aggregate only")
+    s.insert("a merge join again")
+    got = s.grep("merge join")
+    assert [d["id"] for d in got] == [1, 3]  # case-insensitive, id-asc
+    assert s.grep("merge join", limit=1)[0]["id"] == 1
+    assert [d["id"] for d in s.grep("jo.n b", regex=True)] == [1]
+    assert s.grep("zqz") == []
+    with pytest.raises(VectoliteError):
+        s.grep("   ")
+    with pytest.raises(VectoliteError):
+        s.grep("x", limit=0)

@@ -173,6 +173,18 @@ def cmd_list(args) -> None:
         print(line)
 
 
+def cmd_grep(args) -> None:
+    store = _open_store(args)
+    results = store.grep(args.pattern, regex=args.regex, limit=args.limit)
+    if not results:
+        print("No matches.")
+        return
+    for r in results:
+        print(f"[{r['id']}] {_preview(r['text'], args.max_text)}")
+        if r["metadata"]:
+            print(f"   metadata: {json.dumps(r['metadata'])}")
+
+
 def cmd_show(args) -> None:
     store = _open_store(args)
     d = store.get_document(args.doc_id)
@@ -339,6 +351,18 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-text", type=int, default=100)
     common(sp, embed=False)
     sp.set_defaults(fn=cmd_list)
+
+    sp = sub.add_parser(
+        "grep", help="case-insensitive substring/regex text search"
+    )
+    sp.add_argument("pattern")
+    sp.add_argument(
+        "--regex", action="store_true", help="treat PATTERN as a regex"
+    )
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--max-text", type=int, default=100)
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_grep)
 
     sp = sub.add_parser("show", help="full document by id")
     sp.add_argument("doc_id", type=int)

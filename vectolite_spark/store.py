@@ -715,6 +715,45 @@ class SparkVectolite:
             self._rewrite(df.coalesce(max(1, target_files)))
         return n
 
+    def grep(
+        self, pattern: str, regex: bool = False, limit: int = 20
+    ) -> list[dict]:
+        """Case-insensitive text search over stored documents (engine
+        extension; the reference is vector-only). ``regex=False`` is a
+        literal substring match, ``regex=True`` a Java-regex find —
+        both as a single JVM-side scan filter (codegen'd ``contains`` /
+        ``regexp_like`` on ``lower(text)``, no Python in the row path).
+        Interactive stores are scan-sized; a corpus-scale query workload
+        uses the persisted trigram index instead
+        (``operators.retrieval.TrigramIndex`` — same semantics, probe
+        cost instead of scan cost). Results come back id-ascending."""
+        if not pattern or not pattern.strip():
+            raise VectoliteError("Search pattern cannot be empty")
+        if limit <= 0:
+            raise VectoliteError("limit must be positive")
+        lt = F.lower(F.col("text"))
+        cond = (
+            F.regexp_like(lt, F.lit(pattern))
+            if regex
+            else F.contains(lt, F.lit(pattern.lower()))
+        )
+        rows = (
+            self.df()
+            .filter(cond)
+            .select("id", "text", "metadata")
+            .orderBy("id")
+            .limit(limit)
+            .collect()
+        )
+        return [
+            {
+                "id": r["id"],
+                "text": r["text"],
+                "metadata": json.loads(r["metadata"] or "{}"),
+            }
+            for r in rows
+        ]
+
     def stats(self) -> dict:
         """A2 (vectolite.py:538-555): doc count + storage bytes (Hadoop
         content summary of the store dir stands in for the SQLite file
