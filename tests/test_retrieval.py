@@ -509,3 +509,44 @@ def test_regex_search_without_probeable_literal_raises(trgm_index):
     docs, idx = trgm_index
     with pytest.raises(ValueError, match="full scan"):
         idx.regex_search(docs, "a.b.c")  # runs all shorter than 3
+
+
+def test_trigram_incremental_append_matches_rebuild(spark, tmp_path):
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        append_trigram_index,
+        build_trigram_index,
+    )
+
+    rows = [
+        (1, "Merge Join beats nested loops"),
+        (2, "a merge join and a hash join"),
+        (3, "merge sort only, no joins here"),
+        (4, "hash aggregate"),
+        (5, "late arriving merge join doc"),
+        (6, "another late hash join row"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old, new = docs.filter("doc_id <= 4"), docs.filter("doc_id > 4")
+
+    inc_path = str(tmp_path / "inc")
+    build_trigram_index(old, inc_path, n_buckets=4)
+    append_trigram_index(new, inc_path)
+    full_path = str(tmp_path / "full")
+    build_trigram_index(docs, full_path, n_buckets=4)
+
+    inc, full = TrigramIndex(spark, inc_path), TrigramIndex(spark, full_path)
+    for pat in ("merge join", "hash"):
+        assert sorted(
+            r["doc_id"] for r in inc.search(docs, pat).collect()
+        ) == sorted(r["doc_id"] for r in full.search(docs, pat).collect())
+    # stats df merged exactly (not just search-equivalent)
+    key = lambda df: sorted(
+        (r["trigram"], r["df"]) for r in df._stats.collect()
+    )
+    assert key(inc) == key(full)
+    # regex path over the incrementally-built index
+    got = sorted(
+        r["doc_id"] for r in inc.regex_search(docs, "merge joins?").collect()
+    )
+    assert got == [1, 2, 5]

@@ -515,6 +515,64 @@ def build_trigram_index(
     )
 
 
+def append_trigram_index(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental maintenance: fold NEW documents into an existing
+    trigram index without rebuilding it — the lifecycle piece that
+    makes the index survivable on a growing 100 TB corpus (a rebuild
+    re-reads everything; this reads only the delta plus the tiny stats
+    table). Postings for the new docs APPEND into the same
+    bucket-partitioned layout (parquet append creates new files inside
+    the existing partition dirs — old files untouched, so a concurrent
+    probe sees a consistent prefix); the vocabulary-sized stats table
+    is re-derived by merging old df counts with the delta's and
+    rewritten whole (it is the small side by construction).
+
+    Caller contract: ``new_docs`` must be genuinely new ids — postings
+    are (trigram, doc_id) facts, so re-appending an existing doc would
+    double-count it in ``df`` and duplicate posting rows."""
+    spark = new_docs.sparkSession
+    n_buckets = int(
+        spark.read.parquet(f"{index_path}/meta").collect()[0]["n_buckets"]
+    )
+    tri = new_docs.select(
+        F.col(id_col).alias("doc_id"), _trigram_col(F.col(text_col)).alias("t")
+    ).select("doc_id", F.explode("t").alias("trigram"))
+    delta_stats = tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
+    old_stats = spark.read.parquet(f"{index_path}/stats").select(
+        "trigram", "df"
+    )
+    merged = (
+        old_stats.unionByName(delta_stats)
+        .groupBy("trigram")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("bucket", _term_bucket_col(F.col("trigram"), n_buckets))
+    )
+    # postings first: if the stats rewrite then fails, probes still
+    # return correct results (stats only steer rarest-first selection,
+    # stale df never loses a match)
+    (
+        tri.withColumn(
+            "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
+        )
+        .select("bucket", "trigram", "doc_id")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    # overwrite-while-reading hazard: materialize the merged stats on
+    # the driver first (vocabulary-bounded — at most |charset|^3 rows,
+    # tiny by construction), then write fresh
+    rows = merged.collect()
+    spark.createDataFrame(
+        rows, "trigram string, df bigint, bucket bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+
 class TrigramIndex:
     """Handle over a persisted trigram index. A substring query probes
     the index for CANDIDATE docs (superset of true matches), then
