@@ -8311,6 +8311,54 @@ def trigram_batch_substring_search(
 
 
 @register(
+    "trigram_incremental_search",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE contains(lower(text), 'window agg')
+ORDER BY doc_id
+""",
+)
+def trigram_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle proof for the trigram index: build on the even half of
+    the corpus, APPEND the odd half (``append_trigram_index`` — delta
+    postings into the existing partition dirs + stats merge), then
+    serve a query from the merged index. The oracle is the full-scan
+    LIKE over the WHOLE corpus, so a lost or double-counted delta row
+    hash-mismatches — this is the incremental path's driver-checkable
+    gate, same pattern as ``dedup_incremental``/``snapshot_*``. At
+    100 TB this is the difference between re-reading the corpus per
+    ingest batch and paying only the delta."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        append_trigram_index,
+        build_trigram_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="vl_trgm_inc_")
+    try:
+        path = f"{base}/idx"
+        build_trigram_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8
+        )
+        append_trigram_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        out = (
+            TrigramIndex(spark, path)
+            .search(docs, "window agg")
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+        out = spark.createDataFrame(out.collect(), "doc_id long, lang string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "regex_trigram_search",
     """
 SELECT doc_id, source, n_chars
@@ -8431,7 +8479,8 @@ _DRIVER_WINDOW = [
 # keep the core-parity keepers. ROTATE IN FOR r6: the late-r5 entries
 # with no driver row yet — aqp_join_universe_sample, constraint_audit,
 # pareto_front_parts, trigram_substring_search,
-# trigram_batch_substring_search, regex_trigram_search, plus anything newer (all have fresh
+# trigram_batch_substring_search, regex_trigram_search,
+# trigram_incremental_search, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
