@@ -550,3 +550,42 @@ def test_trigram_incremental_append_matches_rebuild(spark, tmp_path):
         r["doc_id"] for r in inc.regex_search(docs, "merge joins?").collect()
     )
     assert got == [1, 2, 5]
+
+
+def test_regex_literals_conservative_hypothesis():
+    """THE property the regex index path rests on: for any supported
+    pattern, every extracted literal appears verbatim in every string
+    the regex matches — so trigram pruning can only over-approximate,
+    never lose a match."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atom = st.one_of(
+        st.text(alphabet="abcxyz ", min_size=1, max_size=4),
+        st.sampled_from(["[ab]", "[a-z]", ".", r"\d", r"\s"]),
+    )
+    quant = st.sampled_from(["", "?", "*", "+", "{1,2}", "{0,3}"])
+    pattern_s = st.lists(
+        st.tuples(atom, quant), min_size=1, max_size=5
+    ).map(lambda parts: "".join(a + q for a, q in parts))
+
+    @settings(max_examples=300, deadline=None)
+    @given(pattern_s, st.text(alphabet="abcxyz d\t", max_size=30))
+    def check(pattern, s):
+        from vectolite_spark.operators.retrieval import regex_literals
+
+        try:
+            re.compile(pattern)
+        except re.error:
+            return
+        try:
+            lits = regex_literals(pattern)
+        except ValueError:
+            return  # refused patterns make no promise
+        if re.search(pattern, s):
+            for lit in lits:
+                assert lit in s, (pattern, lits, s)
+
+    check()
