@@ -43,6 +43,9 @@ HEADLINE = [
     "mmr_rerank_topk",
     "passage_highlight",
     "cms_token_estimates",
+    "trigram_substring_search",
+    "trigram_batch_substring_search",
+    "regex_trigram_search",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
