@@ -121,3 +121,18 @@ def test_manage_history_and_rollback_versioned(spark, tmp_path):
         assert store.count_documents() == 2  # pre-delete state restored
     finally:
         server.shutdown()
+
+
+def test_grep_panel(ui):
+    base, _ = ui
+    status, page = _get(base + "/grep")
+    assert status == 200 and "Text Search (grep)" in page
+    q = urllib.parse.quote("ALPHA doc")
+    status, page = _get(base + f"/grep?q={q}")
+    assert status == 200
+    assert "1 matches" in page and "alpha document" in page
+    q = urllib.parse.quote("(alpha|beta) document")
+    status, page = _get(base + f"/grep?q={q}&regex=on")
+    assert "2 matches" in page
+    status, page = _get(base + "/grep?q=zqz")
+    assert "0 matches" in page

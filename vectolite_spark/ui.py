@@ -38,6 +38,7 @@ _PAGE = """<!doctype html><html><head><title>Vectolite Spark UI</title>
 </style></head><body>
 <h1>Vectolite: Vector Search Playground</h1>
 <nav><a href="/add">Add</a><a href="/search">Search</a>
+<a href="/grep">Grep</a>
 <a href="/browse">Browse</a><a href="/manage">Manage</a></nav><hr>
 {body}
 </body></html>"""
@@ -85,6 +86,7 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
                 "/browse": self.page_browse,
                 "/add": self.page_add,
                 "/search": self.page_search,
+                "/grep": self.page_grep,
                 "/manage": self.page_manage,
             }.get(url.path)
             if route is None:
@@ -164,6 +166,36 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
                         f"<div class=card><b>Result {i}</b> "
                         f'<span class=score>Score: {r["score"]:.4f}</span>'
                         f"<p>ID: {r['id']}</p><p>{_esc(r['text'][:300])}</p>"
+                        f"<p><small>{_esc(json.dumps(r['metadata']))}</small></p>"
+                        "</div>"
+                    )
+            self._send("".join(body))
+
+        def page_grep(self, q):
+            # engine extension beyond the reference tabs: literal/regex
+            # text search over stored documents (store.grep)
+            checked = " checked" if q.get("regex") == "on" else ""
+            body = [
+                "<h2>Text Search (grep)</h2>",
+                "<form method=get action=/grep>"
+                f'<p><input type=text name=q value="{_esc(q.get("q", ""))}" '
+                'placeholder="substring or regex"> '
+                f"<label><input type=checkbox name=regex{checked}> "
+                "regex</label> "
+                f'limit <input name=limit value={_esc(q.get("limit", "20"))} '
+                "size=4> <button>Grep</button></p></form>",
+            ]
+            if q.get("q", "").strip():
+                results = store.grep(
+                    q["q"].strip(),
+                    regex=q.get("regex") == "on",
+                    limit=int(q.get("limit", "20")),
+                )
+                body.append(f"<p>{len(results)} matches</p>")
+                for r in results:
+                    body.append(
+                        f"<div class=card><b>ID {r['id']}</b>"
+                        f"<p>{_esc(r['text'][:300])}</p>"
                         f"<p><small>{_esc(json.dumps(r['metadata']))}</small></p>"
                         "</div>"
                     )
