@@ -589,3 +589,43 @@ def test_regex_literals_conservative_hypothesis():
                 assert lit in s, (pattern, lits, s)
 
     check()
+
+
+def test_trigram_compaction_preserves_results(spark, tmp_path):
+    import glob
+
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        append_trigram_index,
+        build_trigram_index,
+        compact_trigram_index,
+    )
+
+    rows = [(i, f"doc number {i} merge join filler") for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_trigram_index(docs.filter("doc_id <= 2"), path, n_buckets=2)
+    for lo, hi in ((3, 4), (5, 6), (7, 8)):
+        append_trigram_index(
+            docs.filter(f"doc_id between {lo} and {hi}"), path
+        )
+    files_before = glob.glob(f"{path}/postings/bucket=*/*.parquet")
+    before = sorted(
+        r["doc_id"]
+        for r in TrigramIndex(spark, path).search(docs, "merge join").collect()
+    )
+    n = compact_trigram_index(spark, path)
+    files_after = glob.glob(f"{path}/postings/bucket=*/*.parquet")
+    after = sorted(
+        r["doc_id"]
+        for r in TrigramIndex(spark, path).search(docs, "merge join").collect()
+    )
+    assert before == after == list(range(1, 9))
+    assert n > 0
+    # 1 build + 3 appends -> >= 4 files per touched bucket before; ONE after
+    assert len(files_before) > len(files_after)
+    per_bucket = {}
+    for f in files_after:
+        b = f.split("bucket=")[1].split("/")[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert all(v == 1 for v in per_bucket.values()), per_bucket

@@ -573,6 +573,40 @@ def append_trigram_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
 
 
+def compact_trigram_index(spark, index_path: str) -> int:
+    """Rewrite the postings layout into one file per bucket partition —
+    the small-files cure after many ``append_trigram_index`` batches
+    (each append adds a file per touched partition; a year of hourly
+    ingest is ~9k files per bucket without this). Stage-and-swap through
+    a sibling dir with Hadoop-FS rename so a concurrent probe sees
+    either the old or the new layout, never a half-rewrite; same
+    pattern as ``store.compact``/snapshot commits. Returns the posting
+    row count."""
+    from vectolite_spark.store import _HadoopFS
+
+    src = f"{index_path}/postings"
+    tmp = f"{index_path}/postings_compacting"
+    old = f"{index_path}/postings_old"
+    postings = spark.read.parquet(src)
+    n = postings.count()
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("trigram", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    fs = _HadoopFS(spark, index_path)
+    fs.delete(old) if fs.exists(old) else None
+    if not fs.rename(src, old):
+        raise OSError(f"compact: could not stage {src} aside")
+    if not fs.rename(tmp, src):
+        fs.rename(old, src)  # roll back — old layout stays live
+        raise OSError(f"compact: could not swap {tmp} into place")
+    fs.delete(old)
+    return int(n)
+
+
 class TrigramIndex:
     """Handle over a persisted trigram index. A substring query probes
     the index for CANDIDATE docs (superset of true matches), then
