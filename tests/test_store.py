@@ -427,3 +427,11 @@ def test_store_grep(store):
         s.grep("   ")
     with pytest.raises(VectoliteError):
         s.grep("x", limit=0)
+
+
+def test_store_grep_invalid_regex(store):
+    from vectolite_spark.errors import VectoliteError
+
+    store.insert("some text")
+    with pytest.raises(VectoliteError, match="Invalid regex"):
+        store.grep("[unclosed", regex=True)

@@ -731,6 +731,13 @@ class SparkVectolite:
             raise VectoliteError("Search pattern cannot be empty")
         if limit <= 0:
             raise VectoliteError("limit must be positive")
+        if regex:
+            import re as _re
+
+            try:  # fail driver-side with the store's error type, not a
+                _re.compile(pattern)  # mid-job JVM regex exception
+            except _re.error as e:
+                raise VectoliteError(f"Invalid regex: {e}") from e
         lt = F.lower(F.col("text"))
         cond = (
             F.regexp_like(lt, F.lit(pattern))
