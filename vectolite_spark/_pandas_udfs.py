@@ -502,3 +502,21 @@ def make_mmr_selector(lam: float, k: int):
         )
 
     return fn
+
+
+def make_trigram_udf():
+    """Distinct character trigrams of ``lower(text)``, first-occurrence
+    order — delegates to ``operators.retrieval.extract_trigrams`` so the
+    build path, the probe's driver-side twin, and the JVM column twin
+    (``_trigram_col``, kept for parity tests) share one definition.
+    Arrow-batched because the Catalyst form (per-char ``substr`` inside
+    ``transform`` + ``array_distinct``) measured ~10x slower on the
+    sf0.1 build: ~15M substring expressions per corpus pass vs a tight
+    per-doc Python loop at ~us/doc."""
+    from vectolite_spark.operators.retrieval import extract_trigrams
+
+    @pandas_udf("array<string>")
+    def _trigrams(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: extract_trigrams(t or ""))
+
+    return _trigrams

@@ -8231,7 +8231,8 @@ def _ensure_trigram_index(spark, sf_dir: str) -> str:
     from vectolite_spark.operators.retrieval import build_trigram_index
 
     path = index_cache_path("trgm_v1_b16", sf_dir)
-    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+    # stats is the LAST artifact the build writes -> crash-safe gate
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         build_trigram_index(
             load_table(spark, sf_dir, "documents"), path, n_buckets=16
         )
