@@ -495,3 +495,35 @@ def test_streaming_ivf_append_keeps_index_exact_and_resumes(spark, sf_dir, tmp_p
     ]
     want = [(r["vec_id"], r["score"]) for r in topk_ids(embs, qvec, 10).collect()]
     assert got == want
+
+
+def test_stream_trigram_maintenance_appends_across_batches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.retrieval import TrigramIndex
+    from vectolite_spark.streaming.ingest import stream_trigram_maintenance
+
+    rows = [(i, f"doc {i} merge join body") for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    q = stream_trigram_maintenance(
+        spark,
+        src,
+        docs.schema,
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+        n_buckets=2,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(120)
+    # 3 source files at maxFilesPerTrigger=1 -> >= 3 micro-batches, so
+    # the first-build / later-append split genuinely exercised appends
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    got = sorted(
+        r["doc_id"]
+        for r in TrigramIndex(spark, str(tmp_path / "idx"))
+        .search(docs, "merge join")
+        .collect()
+    )
+    assert got == [1, 2, 3, 4, 5, 6]

@@ -8360,6 +8360,70 @@ def trigram_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_trigram_maintenance",
+    """
+SELECT doc_id, source
+FROM documents
+WHERE contains(lower(text), 'slow fast')
+ORDER BY doc_id
+""",
+)
+def streaming_trigram_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming index lifecycle, ORACLED: the documents table replays
+    as a REAL file-source stream in multiple micro-batches
+    (maxFilesPerTrigger=1 over a 3-file source); foreachBatch builds
+    the trigram index on the first batch and ``append_trigram_index``es
+    every later one; after the stream drains, a substring query served
+    from the streamed-up index must hash-match the whole-corpus LIKE
+    scan. Third oracled streaming proof (windows, stateful dedup, now
+    index maintenance) — and the one that pins the incremental path
+    under streaming's batch boundaries rather than a hand-rolled
+    split."""
+    import tempfile
+    import uuid
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.operators.retrieval import TrigramIndex
+    from vectolite_spark.streaming.ingest import stream_trigram_maintenance
+
+    docs = load_table(spark, sf_dir, "documents")
+    cache_key = f"trgm_docs3:{sf_dir}"
+    src_dir = _STREAM_SRC_CACHE.get(cache_key)
+    src = docs.select("doc_id", "text")
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="vl_stream_trgm_") + "/src"
+        # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+        src.repartition(3).write.mode("overwrite").parquet(src_dir)
+        _STREAM_SRC_CACHE[cache_key] = src_dir
+    run = tempfile.mkdtemp(prefix=f"vl_trgm_s_{uuid.uuid4().hex[:8]}_")
+    query = stream_trigram_maintenance(
+        spark,
+        src_dir,
+        src.schema,
+        f"{run}/idx",
+        f"{run}/ckpt",
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    if not query.awaitTermination(180):
+        query.stop()
+        raise VectoliteError("streaming_trigram_maintenance did not drain")
+    out = (
+        TrigramIndex(spark, f"{run}/idx")
+        .search(docs, "slow fast")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+@register(
     "regex_trigram_search",
     """
 SELECT doc_id, source, n_chars
@@ -8481,7 +8545,8 @@ _DRIVER_WINDOW = [
 # with no driver row yet — aqp_join_universe_sample, constraint_audit,
 # pareto_front_parts, trigram_substring_search,
 # trigram_batch_substring_search, regex_trigram_search,
-# trigram_incremental_search, plus anything newer (all have fresh
+# trigram_incremental_search, streaming_trigram_maintenance,
+# plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last

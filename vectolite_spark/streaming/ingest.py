@@ -75,6 +75,64 @@ def stream_ingest(
     )
 
 
+def stream_trigram_maintenance(
+    spark,
+    src_dir: str,
+    src_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+):
+    """Keep the trigram substring index current as documents STREAM in:
+    file source -> foreachBatch -> first batch builds the index, every
+    later batch folds in via ``append_trigram_index`` (delta postings +
+    stats merge — the same incremental path batch ingest uses, now
+    driven by Structured Streaming's exactly-once batch boundaries; the
+    checkpoint makes replayed batches re-append idempotently only on
+    failure-recovery reprocessing, and file-source batches are disjoint
+    by construction so the append's new-ids contract holds).
+
+    Returns the started StreamingQuery (availableNow trigger: drains
+    pending files then stops). At 100 TB this is the index lifecycle: a
+    continuous corpus never rebuilds, it appends per micro-batch and
+    runs ``compact_trigram_index`` on a maintenance cadence."""
+    import os
+
+    from vectolite_spark.operators.retrieval import (
+        append_trigram_index,
+        build_trigram_index,
+    )
+
+    reader = spark.readStream.schema(src_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.exists(os.path.join(index_path, "stats", "_SUCCESS")):
+            build_trigram_index(
+                batch_df,
+                index_path,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+            )
+        else:
+            append_trigram_index(
+                batch_df, index_path, text_col=text_col, id_col=id_col
+            )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
