@@ -194,7 +194,7 @@ def main() -> None:
         "bm25_v1_b32",
         "ivf_v1",
         "ivfpq_lbl_m8k16",
-        "trgm_v1_b16",
+        "trgm_v2_b16",
     ):
         _shutil.rmtree(
             registry.index_cache_path(recipe, SF_DIR), ignore_errors=True

@@ -629,3 +629,34 @@ def test_trigram_compaction_preserves_results(spark, tmp_path):
         b = f.split("bucket=")[1].split("/")[0]
         per_bucket[b] = per_bucket.get(b, 0) + 1
     assert all(v == 1 for v in per_bucket.values()), per_bucket
+
+
+def test_trigram_similarity_topk(trgm_index, spark, tmp_path):
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        build_trigram_index,
+        extract_trigrams,
+    )
+
+    docs, _ = trgm_index
+    # rebuild (module fixture predates the doclen artifact in some runs)
+    path = str(tmp_path / "simidx")
+    build_trigram_index(docs, path, n_buckets=4)
+    idx = TrigramIndex(spark, path)
+    got = idx.similarity_topk("merge joim", k=3).collect()  # typo'd query
+    # expected ranking recomputed from the same extraction, pure Python
+    q = set(extract_trigrams("merge joim"))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sims = {
+        i: round(len(q & set(extract_trigrams(t))) / len(q | set(extract_trigrams(t))), 6)
+        for i, t in texts.items()
+        if q & set(extract_trigrams(t))
+    }
+    want = sorted(sims, key=lambda i: (-sims[i], i))[:3]
+    assert [r["doc_id"] for r in got] == want
+    assert {1, 2} <= set(sims)  # the real merge-join docs are candidates
+    assert got[0]["sim"] == pytest.approx(sims[want[0]])
+    # a query sharing no trigrams returns empty, not an error
+    assert idx.similarity_topk("zqzqzq").count() == 0
+    with pytest.raises(ValueError):
+        idx.similarity_topk("ab")

@@ -518,6 +518,15 @@ def build_trigram_index(
     spark.createDataFrame(
         [(n_buckets,)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    # doclen (per-doc distinct-trigram count) powers similarity_topk's
+    # Jaccard denominator — derived from the same written postings
+    (
+        spark.read.parquet(f"{index_path}/postings")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/doclen")
+    )
     stats = (
         spark.read.parquet(f"{index_path}/postings")
         .groupBy("trigram")
@@ -579,6 +588,14 @@ def append_trigram_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
+    # delta doclen rows are for NEW doc ids only (caller contract), so
+    # a plain append is a disjoint union — no merge needed
+    (
+        tri.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .write.mode("append")
+        .parquet(f"{index_path}/doclen")
+    )
     # overwrite-while-reading hazard: materialize the merged stats on
     # the driver first (vocabulary-bounded — at most |charset|^3 rows,
     # tiny by construction), then write fresh
@@ -639,6 +656,7 @@ class TrigramIndex:
 
     def __init__(self, spark, index_path: str):
         self.spark = spark
+        self._path = index_path
         self._stats = spark.read.parquet(f"{index_path}/stats")
         self._postings = spark.read.parquet(f"{index_path}/postings")
         self._nb = int(
@@ -782,6 +800,45 @@ class TrigramIndex:
             .join(F.broadcast(pat_df), "query_id")
             .filter(F.contains(F.lower(F.col(text_col)), F.col("pattern")))
             .select("query_id", cand["doc_id"])
+        )
+
+    def similarity_topk(self, query: str, k: int = 10) -> DataFrame:
+        """pg_trgm-style fuzzy search: top-k docs by character-trigram
+        Jaccard similarity to ``query`` — shared/(|Q| + |D| - shared)
+        over DISTINCT trigram sets. Tolerates typos/reordering the
+        exact substring path can't. Served ENTIRELY from the index: one
+        bucket-pruned postings read counts shared trigrams per doc, the
+        doclen table supplies |D|, and the corpus is never touched —
+        at 100 TB this is the difference between a fuzzy-match feature
+        and a fuzzy-match full scan. Deterministic contract: similarity
+        rounds 6dp and orders (sim desc, doc_id asc), the repo-wide
+        total order."""
+        tris = extract_trigrams(query)
+        if not tris:
+            raise ValueError(
+                f"similarity query needs >= {TRGM_N} chars; got {query!r}"
+            )
+        buckets = sorted(
+            {term_bucket(t, self._n_buckets()) for t in tris}
+        )
+        shared = (
+            self._postings.filter(
+                F.col("bucket").isin(buckets) & F.col("trigram").isin(tris)
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        dl = self.spark.read.parquet(f"{self._path}/doclen")
+        sim = F.round(
+            F.col("shared")
+            / (F.lit(len(tris)) + F.col("n_tri") - F.col("shared")),
+            6,
+        )
+        return (
+            dl.join(F.broadcast(shared), "doc_id")
+            .select("doc_id", sim.alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def regex_search(

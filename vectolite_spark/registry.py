@@ -8230,7 +8230,7 @@ def _ensure_trigram_index(spark, sf_dir: str) -> str:
 
     from vectolite_spark.operators.retrieval import build_trigram_index
 
-    path = index_cache_path("trgm_v1_b16", sf_dir)
+    path = index_cache_path("trgm_v2_b16", sf_dir)
     # stats is the LAST artifact the build writes -> crash-safe gate
     if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         build_trigram_index(
@@ -8357,6 +8357,54 @@ def trigram_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+from vectolite_spark.operators.retrieval import (  # noqa: E402
+    extract_trigrams as _extract_trigrams,
+)
+
+_TRGM_SIM_QUERY = "slow fast valu"  # typo'd tail: fuzzy, not substring
+_TRGM_SIM_TRIS = _extract_trigrams(_TRGM_SIM_QUERY)
+_TRGM_SIM_VALUES = ", ".join(f"('{t}')" for t in _TRGM_SIM_TRIS)
+
+
+@register(
+    "trigram_similarity_topk",
+    f"""
+WITH qt(tri) AS (VALUES {_TRGM_SIM_VALUES}),
+dt AS (
+  SELECT DISTINCT d.doc_id, substr(lower(d.text), CAST(g.i AS BIGINT), 3) AS tri
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1,
+                 GREATEST(len(lower(d.text)) - 2, 0))) AS i) g
+),
+dl AS (SELECT doc_id, COUNT(*) AS n_tri FROM dt GROUP BY 1),
+sh AS (SELECT dt.doc_id, COUNT(*) AS shared
+       FROM dt JOIN qt ON dt.tri = qt.tri GROUP BY 1)
+SELECT sh.doc_id,
+       ROUND(shared * 1.0 / ({len(_TRGM_SIM_TRIS)} + dl.n_tri - shared), 6)
+         AS sim
+FROM sh JOIN dl ON sh.doc_id = dl.doc_id
+ORDER BY sim DESC, sh.doc_id ASC
+LIMIT 10
+""",
+)
+def trigram_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style FUZZY search from the persisted trigram index: the
+    query string carries a typo ('valu'), so no substring/regex path
+    can serve it — ranking is character-trigram Jaccard
+    shared/(|Q|+|D|-shared) over distinct trigram sets, top-10 by
+    (rounded sim desc, doc_id asc). Served with ZERO corpus access: one
+    bucket-pruned postings read counts shared trigrams, the build-time
+    doclen table supplies |D|. The oracle recomputes doc trigram sets
+    from scratch in SQL (lateral generate_series + substr + DISTINCT),
+    so a build-side dedup or doclen bug hash-mismatches. Completes the
+    pg_trgm trio: LIKE acceleration, regex prefilter, similarity
+    ranking (operators/retrieval.py TrigramIndex.similarity_topk)."""
+    from vectolite_spark.operators.retrieval import TrigramIndex
+
+    idx = TrigramIndex(spark, _ensure_trigram_index(spark, sf_dir))
+    return idx.similarity_topk(_TRGM_SIM_QUERY, k=10)
 
 
 @register(
@@ -8546,7 +8594,7 @@ _DRIVER_WINDOW = [
 # pareto_front_parts, trigram_substring_search,
 # trigram_batch_substring_search, regex_trigram_search,
 # trigram_incremental_search, streaming_trigram_maintenance,
-# plus anything newer (all have fresh
+# trigram_similarity_topk, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
