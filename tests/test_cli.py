@@ -155,3 +155,16 @@ def test_cli_grep(spark, tmp_path, monkeypatch, capsys):
     assert "[1]" in out
     cli.main(["grep", "zqz", "--db", db])
     assert "No matches." in capsys.readouterr().out
+
+
+def test_cli_grep_fuzzy(spark, tmp_path, monkeypatch, capsys):
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    db = str(tmp_path / "db")
+    cli.main(["add", "Merge Join beats loops", "--db", db, "--dim", "8"])
+    capsys.readouterr()
+    cli.main(["grep", "merge joim", "--fuzzy", "--db", db])
+    out = capsys.readouterr().out
+    assert "[1] score=" in out

@@ -435,3 +435,22 @@ def test_store_grep_invalid_regex(store):
     store.insert("some text")
     with pytest.raises(VectoliteError, match="Invalid regex"):
         store.grep("[unclosed", regex=True)
+
+
+def test_store_fuzzy_search(store):
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.operators.retrieval import extract_trigrams
+
+    s = store
+    s.insert("Merge Join beats nested loops")
+    s.insert("hash aggregate only")
+    got = s.fuzzy_search("merge joim", top_k=2)  # typo'd query
+    assert got[0]["id"] == 1
+    q = set(extract_trigrams("merge joim"))
+    d = set(extract_trigrams("Merge Join beats nested loops"))
+    assert got[0]["score"] == pytest.approx(
+        round(len(q & d) / len(q | d), 6)
+    )
+    assert s.fuzzy_search("zqzqzq") == []  # no overlap -> empty, no error
+    with pytest.raises(VectoliteError):
+        s.fuzzy_search("ab")

@@ -175,12 +175,18 @@ def cmd_list(args) -> None:
 
 def cmd_grep(args) -> None:
     store = _open_store(args)
-    results = store.grep(args.pattern, regex=args.regex, limit=args.limit)
+    if args.fuzzy:
+        if args.regex:
+            raise VectoliteError("--fuzzy and --regex are mutually exclusive")
+        results = store.fuzzy_search(args.pattern, top_k=args.limit)
+    else:
+        results = store.grep(args.pattern, regex=args.regex, limit=args.limit)
     if not results:
         print("No matches.")
         return
     for r in results:
-        print(f"[{r['id']}] {_preview(r['text'], args.max_text)}")
+        score = f" score={r['score']:.4f}" if "score" in r else ""
+        print(f"[{r['id']}]{score} {_preview(r['text'], args.max_text)}")
         if r["metadata"]:
             print(f"   metadata: {json.dumps(r['metadata'])}")
 
@@ -358,6 +364,11 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("pattern")
     sp.add_argument(
         "--regex", action="store_true", help="treat PATTERN as a regex"
+    )
+    sp.add_argument(
+        "--fuzzy",
+        action="store_true",
+        help="typo-tolerant trigram-similarity ranking",
     )
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--max-text", type=int, default=100)

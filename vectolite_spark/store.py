@@ -761,6 +761,50 @@ class SparkVectolite:
             for r in rows
         ]
 
+    def fuzzy_search(self, pattern: str, top_k: int = 5) -> list[dict]:
+        """Typo-tolerant text search over stored documents: rank by
+        character-trigram Jaccard (pg_trgm's similarity), scan-side via
+        the Arrow-batched trigram UDF — the right shape for an
+        interactive store (corpus-scale serving is
+        ``TrigramIndex.similarity_topk`` over the persisted index, same
+        formula). Returns ``query``-shaped rows with the similarity in
+        ``score``, ordered (rounded score desc, id asc)."""
+        from vectolite_spark._pandas_udfs import make_trigram_udf
+        from vectolite_spark.operators.retrieval import extract_trigrams
+
+        if not pattern or not pattern.strip():
+            raise VectoliteError("Search pattern cannot be empty")
+        if top_k <= 0:
+            raise VectoliteError("top_k must be positive")
+        tris = extract_trigrams(pattern)
+        if not tris:
+            raise VectoliteError(
+                "Fuzzy search needs a pattern of at least 3 characters"
+            )
+        q = F.array(*[F.lit(t) for t in tris])
+        d = make_trigram_udf()(F.col("text"))
+        shared = F.size(F.array_intersect(d, q))
+        sim = F.round(
+            shared / (F.lit(len(tris)) + F.size(d) - shared), 6
+        )
+        rows = (
+            self.df()
+            .select("id", "text", "metadata", sim.alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(top_k)
+            .collect()
+        )
+        return [
+            {
+                "id": r["id"],
+                "score": float(r["score"]),
+                "text": r["text"],
+                "metadata": json.loads(r["metadata"] or "{}"),
+            }
+            for r in rows
+        ]
+
     def stats(self) -> dict:
         """A2 (vectolite.py:538-555): doc count + storage bytes (Hadoop
         content summary of the store dir stands in for the SQLite file
