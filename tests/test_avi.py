@@ -95,3 +95,11 @@ def test_spark_sample_frames_real(spark, mjpeg_avi):
         (1, 4),
     ]
     assert all(r["width"] == 32 and r["height"] == 16 for r in rows)
+
+
+def test_non_avi_video_payload_hits_codec_seam():
+    # an MP4-ish or empty payload must raise the NotImplementedError
+    # codec seam, not a misleading container ValueError
+    for payload in (b"", b"\x00\x00\x00\x18ftypisom....", b"garbage"):
+        with pytest.raises(NotImplementedError, match="AVI"):
+            sample_mjpeg_frames(payload)

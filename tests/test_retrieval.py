@@ -660,3 +660,30 @@ def test_trigram_similarity_topk(trgm_index, spark, tmp_path):
     assert idx.similarity_topk("zqzqzq").count() == 0
     with pytest.raises(ValueError):
         idx.similarity_topk("ab")
+
+
+def test_trigram_search_survives_duplicate_postings(spark, tmp_path):
+    """Defense-in-depth for at-least-once appends: even if the same
+    delta is appended twice (replayed micro-batch without the marker),
+    the countDistinct intersection must not drop true matches."""
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        append_trigram_index,
+        build_trigram_index,
+    )
+
+    rows = [(1, "merge join here"), (2, "hash only")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    late = spark.createDataFrame(
+        [(3, "another merge join row")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_trigram_index(docs, path, n_buckets=2)
+    append_trigram_index(late, path)
+    append_trigram_index(late, path)  # simulated replay, no marker
+    alldocs = docs.unionByName(late)
+    idx = TrigramIndex(spark, path)
+    got = sorted(
+        r["doc_id"] for r in idx.search(alldocs, "merge join").collect()
+    )
+    assert got == [1, 3]  # doc 3 must survive its duplicated postings

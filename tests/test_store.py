@@ -454,3 +454,16 @@ def test_store_fuzzy_search(store):
     assert s.fuzzy_search("zqzqzq") == []  # no overlap -> empty, no error
     with pytest.raises(VectoliteError):
         s.fuzzy_search("ab")
+
+
+def test_store_grep_regex_case_and_dialect(store):
+    from vectolite_spark.errors import VectoliteError
+
+    store.insert("Merge Join beats loops")
+    # uppercase pattern must still match (case-insensitive contract)
+    assert [d["id"] for d in store.grep("Merge.*Join", regex=True)] == [1]
+    # Java-invalid-but-Python-valid pattern rejected driver-side
+    with pytest.raises(VectoliteError, match="Invalid regex"):
+        store.grep("(?P<x>merge)", regex=True)
+    # Java-valid-but-Python-invalid pattern accepted
+    assert [d["id"] for d in store.grep(r"\p{Lower}+ join", regex=True)] == [1]

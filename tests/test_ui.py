@@ -136,3 +136,16 @@ def test_grep_panel(ui):
     assert "2 matches" in page
     status, page = _get(base + "/grep?q=zqz")
     assert "0 matches" in page
+
+
+def test_grep_panel_attribute_injection_escaped(ui):
+    base, _ = ui
+    # unquoted-attribute injection: a crafted limit must stay inert text
+    evil = urllib.parse.quote("1 onfocus=alert(1) autofocus")
+    status, page = _get(base + f"/grep?limit={evil}")
+    assert status == 200
+    # the payload must sit INSIDE the quoted value (inert text; _esc
+    # escapes any quote that would break out) — never as a bare
+    # attribute of its own
+    assert 'value="1 onfocus=alert(1) autofocus"' in page
+    assert "value=1 onfocus" not in page

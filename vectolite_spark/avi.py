@@ -106,6 +106,13 @@ def sample_mjpeg_frames(data: bytes, every_k: int = 1) -> list[dict]:
 
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
+    if not is_avi(data):
+        # same seam as every other codec gap (multimodal.decode_real):
+        # non-AVI video needs external libraries, not a container error
+        raise NotImplementedError(
+            "video payload is not an AVI container — decoding it "
+            "requires codec libraries not present in this environment"
+        )
     out = []
     for idx, frame in iter_video_frames(data):
         if idx % every_k:

@@ -562,10 +562,17 @@ def append_trigram_index(
     )
     from vectolite_spark._pandas_udfs import make_trigram_udf
 
-    tri = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        make_trigram_udf()(F.col(text_col)).alias("t"),
-    ).select("doc_id", F.explode("t").alias("trigram"))
+    tri = (
+        new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            make_trigram_udf()(F.col(text_col)).alias("t"),
+        )
+        .select("doc_id", F.explode("t").alias("trigram"))
+        # three actions consume the delta (postings append, doclen
+        # append, stats merge) — cache so the batch source is read and
+        # tokenized once, not three times
+        .cache()
+    )
     delta_stats = tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("df"))
     old_stats = spark.read.parquet(f"{index_path}/stats").select(
         "trigram", "df"
@@ -600,6 +607,7 @@ def append_trigram_index(
     # the driver first (vocabulary-bounded — at most |charset|^3 rows,
     # tiny by construction), then write fresh
     rows = merged.collect()
+    tri.unpersist()
     spark.createDataFrame(
         rows, "trigram string, df bigint, bucket bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
@@ -635,7 +643,11 @@ def compact_trigram_index(spark, index_path: str) -> int:
     if not fs.rename(tmp, src):
         fs.rename(old, src)  # roll back — old layout stays live
         raise OSError(f"compact: could not swap {tmp} into place")
-    fs.delete(old)
+    # postings_old is NOT deleted here: an in-flight probe that listed
+    # files pre-swap may still be reading them through the rename (a
+    # rename moves, a delete destroys). The stale dir is reclaimed at
+    # the START of the next compaction (the exists/delete above) — a
+    # maintenance-cadence grace window.
     return int(n)
 
 
@@ -717,7 +729,10 @@ class TrigramIndex:
                 F.col("bucket").isin(buckets) & F.col("trigram").isin(tris)
             )
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("nt"))
+            # countDistinct, not count: duplicate posting rows (e.g. a
+            # mid-crash replayed append) must never push nt past the
+            # probe size and drop true matches
+            .agg(F.countDistinct("trigram").alias("nt"))
             .filter(F.col("nt") == len(tris))
             .select("doc_id")
         )
@@ -787,7 +802,8 @@ class TrigramIndex:
             .join(F.broadcast(probe_df), "trigram")
             .groupBy("query_id", "doc_id")
             .agg(
-                F.count(F.lit(1)).alias("nt"), F.first("n_probed").alias("np")
+                F.countDistinct("trigram").alias("nt"),
+                F.first("n_probed").alias("np"),
             )
             .filter(F.col("nt") == F.col("np"))
             .select("query_id", "doc_id")
@@ -826,7 +842,7 @@ class TrigramIndex:
                 F.col("bucket").isin(buckets) & F.col("trigram").isin(tris)
             )
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("shared"))
+            .agg(F.countDistinct("trigram").alias("shared"))
         )
         dl = self.spark.read.parquet(f"{self._path}/doclen")
         sim = F.round(
@@ -834,8 +850,11 @@ class TrigramIndex:
             / (F.lit(len(tris)) + F.col("n_tri") - F.col("shared")),
             6,
         )
+        # no broadcast hint: `shared` is one row per doc containing ANY
+        # query trigram — small for rare queries, unbounded for common
+        # ones; let AQE size the join instead of pinning driver memory
         return (
-            dl.join(F.broadcast(shared), "doc_id")
+            dl.join(shared, "doc_id")
             .select("doc_id", sim.alias("sim"))
             .orderBy(F.desc("sim"), F.asc("doc_id"))
             .limit(k)

@@ -732,15 +732,21 @@ class SparkVectolite:
         if limit <= 0:
             raise VectoliteError("limit must be positive")
         if regex:
-            import re as _re
-
-            try:  # fail driver-side with the store's error type, not a
-                _re.compile(pattern)  # mid-job JVM regex exception
-            except _re.error as e:
-                raise VectoliteError(f"Invalid regex: {e}") from e
+            # validate in the dialect that will EXECUTE (java.util.regex,
+            # via the JVM gateway) — Python's re disagrees in both
+            # directions ((?P<x>...) passes re but fails Java; \p{Lower}
+            # fails re but is valid Java)
+            try:
+                self.spark._jvm.java.util.regex.Pattern.compile(pattern)
+            except Exception as e:
+                msg = str(getattr(e, "java_exception", e)).split("\n")[0]
+                raise VectoliteError(f"Invalid regex: {msg}") from None
         lt = F.lower(F.col("text"))
+        # (?i) keeps regex mode case-insensitive like the literal path:
+        # matching the verbatim pattern against lower(text) would make
+        # any pattern with an uppercase letter silently match nothing
         cond = (
-            F.regexp_like(lt, F.lit(pattern))
+            F.regexp_like(lt, F.lit(f"(?i){pattern}"))
             if regex
             else F.contains(lt, F.lit(pattern.lower()))
         )

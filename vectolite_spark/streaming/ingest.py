@@ -90,10 +90,12 @@ def stream_trigram_maintenance(
     file source -> foreachBatch -> first batch builds the index, every
     later batch folds in via ``append_trigram_index`` (delta postings +
     stats merge — the same incremental path batch ingest uses, now
-    driven by Structured Streaming's exactly-once batch boundaries; the
-    checkpoint makes replayed batches re-append idempotently only on
-    failure-recovery reprocessing, and file-source batches are disjoint
-    by construction so the append's new-ids contract holds).
+    driven by Structured Streaming's batch boundaries; foreachBatch is
+    at-least-once, so a per-batch marker file — written only after the
+    batch's index writes complete — turns failure-recovery replays into
+    no-ops (a naive re-append would duplicate postings and make the
+    candidate count-match drop true matches). File-source batches are
+    disjoint by construction, so the append's new-ids contract holds.
 
     Returns the started StreamingQuery (availableNow trigger: drains
     pending files then stops). At 100 TB this is the index lifecycle: a
@@ -112,6 +114,15 @@ def stream_trigram_maintenance(
     stream = reader.parquet(src_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the append and
+        # the checkpoint commit REPLAYS the batch, and a re-appended
+        # posting would inflate the candidate count-match past
+        # len(probed trigrams) — silently DROPPING true matches. The
+        # marker (written only after the batch's writes complete) makes
+        # the replay a no-op instead.
+        marker = os.path.join(index_path, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
         if not os.path.exists(os.path.join(index_path, "stats", "_SUCCESS")):
             build_trigram_index(
                 batch_df,
@@ -124,6 +135,8 @@ def stream_trigram_maintenance(
             append_trigram_index(
                 batch_df, index_path, text_col=text_col, id_col=id_col
             )
+        with open(marker, "w") as f:
+            f.write("done")
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -155,7 +155,7 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
                 "<form method=get action=/search>"
                 f'<p><input type=text name=q value="{_esc(q.get("q", ""))}" '
                 'placeholder="What are you looking for?"> '
-                f'top-k <input name=k value={_esc(q.get("k", "5"))} size=4> '
+                f'top-k <input name=k value="{_esc(q.get("k", "5"))}" size=4> '
                 "<button>Search</button></p></form>",
             ]
             if q.get("q", "").strip():
@@ -182,7 +182,7 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
                 'placeholder="substring or regex"> '
                 f"<label><input type=checkbox name=regex{checked}> "
                 "regex</label> "
-                f'limit <input name=limit value={_esc(q.get("limit", "20"))} '
+                f'limit <input name=limit value="{_esc(q.get("limit", "20"))}" '
                 "size=4> <button>Grep</button></p></form>",
             ]
             if q.get("q", "").strip():
