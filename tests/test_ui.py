@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -149,3 +150,18 @@ def test_grep_panel_attribute_injection_escaped(ui):
     # attribute of its own
     assert 'value="1 onfocus=alert(1) autofocus"' in page
     assert "value=1 onfocus" not in page
+
+
+def test_grep_panel_fuzzy_mode(ui):
+    base, _ = ui
+    q = urllib.parse.quote("alpha documant")  # typo'd
+    status, page = _get(base + f"/grep?q={q}&fuzzy=on")
+    assert status == 200
+    assert "Sim:" in page and "alpha document" in page
+    # fuzzy+regex together -> error banner, not a traceback
+    try:
+        _get(base + f"/grep?q={q}&fuzzy=on&regex=on")
+        raise AssertionError("expected HTTP 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "mutually exclusive" in e.read().decode()

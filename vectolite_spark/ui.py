@@ -25,6 +25,8 @@ import json
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from vectolite_spark.errors import VectoliteError
+
 _PAGE = """<!doctype html><html><head><title>Vectolite Spark UI</title>
 <style>
  body {{ font-family: sans-serif; margin: 2rem; max-width: 60rem; }}
@@ -172,29 +174,45 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
             self._send("".join(body))
 
         def page_grep(self, q):
-            # engine extension beyond the reference tabs: literal/regex
-            # text search over stored documents (store.grep)
-            checked = " checked" if q.get("regex") == "on" else ""
+            # engine extension beyond the reference tabs: literal/regex/
+            # fuzzy text search over stored documents (store.grep /
+            # store.fuzzy_search)
+            rx = " checked" if q.get("regex") == "on" else ""
+            fz = " checked" if q.get("fuzzy") == "on" else ""
             body = [
                 "<h2>Text Search (grep)</h2>",
                 "<form method=get action=/grep>"
                 f'<p><input type=text name=q value="{_esc(q.get("q", ""))}" '
-                'placeholder="substring or regex"> '
-                f"<label><input type=checkbox name=regex{checked}> "
-                "regex</label> "
+                'placeholder="substring, regex, or fuzzy pattern"> '
+                f"<label><input type=checkbox name=regex{rx}> regex</label> "
+                f"<label><input type=checkbox name=fuzzy{fz}> fuzzy</label> "
                 f'limit <input name=limit value="{_esc(q.get("limit", "20"))}" '
                 "size=4> <button>Grep</button></p></form>",
             ]
             if q.get("q", "").strip():
-                results = store.grep(
-                    q["q"].strip(),
-                    regex=q.get("regex") == "on",
-                    limit=int(q.get("limit", "20")),
-                )
+                if q.get("fuzzy") == "on":
+                    if q.get("regex") == "on":
+                        raise VectoliteError(
+                            "fuzzy and regex are mutually exclusive"
+                        )
+                    results = store.fuzzy_search(
+                        q["q"].strip(), top_k=int(q.get("limit", "20"))
+                    )
+                else:
+                    results = store.grep(
+                        q["q"].strip(),
+                        regex=q.get("regex") == "on",
+                        limit=int(q.get("limit", "20")),
+                    )
                 body.append(f"<p>{len(results)} matches</p>")
                 for r in results:
+                    score = (
+                        f' <span class=score>Sim: {r["score"]:.4f}</span>'
+                        if "score" in r
+                        else ""
+                    )
                     body.append(
-                        f"<div class=card><b>ID {r['id']}</b>"
+                        f"<div class=card><b>ID {r['id']}</b>{score}"
                         f"<p>{_esc(r['text'][:300])}</p>"
                         f"<p><small>{_esc(json.dumps(r['metadata']))}</small></p>"
                         "</div>"
