@@ -215,3 +215,28 @@ def test_pareto_front_matches_naive_dominance(spark):
         assert sorted(got) == sorted(want), trial
         # order contract: cost asc, id asc
         assert got == sorted(got, key=lambda i: (pts[i][1], i))
+
+
+def test_copurchase_pairs_vs_naive_self_join(spark):
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.relational import copurchase_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),  # dup line: distinct first
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"),                                # singleton: no pairs
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = [
+        (r["item_a"], r["item_b"], r["n_baskets"])
+        for r in copurchase_pairs(df, "basket", "item", k=10).collect()
+    ]
+    assert got == [("a", "b", 3), ("a", "c", 1), ("b", "c", 1)]
+    # min_support filters the tail
+    got2 = copurchase_pairs(df, "basket", "item", k=10, min_support=2)
+    assert [(r["item_a"], r["item_b"]) for r in got2.collect()] == [("a", "b")]
+    # the plan has no join at all (the whole point vs the SQL shape)
+    plan = copurchase_pairs(df, "basket", "item")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

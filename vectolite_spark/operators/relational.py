@@ -69,3 +69,55 @@ def json_get(col: Column | str, path: str) -> Column:
     NULL json -> NULL field (reference treats missing as {})."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, path)
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 20,
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket pair mining: top-k item pairs by basket
+    co-occurrence — the association-rule building block (frequent
+    2-itemsets). Returns (item_a, item_b, n_baskets) in the repo's
+    total order (count desc, item_a asc, item_b asc).
+
+    Spark-first shape: NO self-join. SQL's natural formulation joins
+    the basket relation to itself on the key (a second shuffle of the
+    full fact plus a skew hazard on big baskets); here one groupBy
+    collects each basket's distinct item set, pairs explode INSIDE the
+    row from the sorted array (i < j, so each unordered pair appears
+    exactly once), and one hash aggregation counts them — two narrow
+    shuffles total, with per-row pair fan-out bounded by the basket
+    size (TPC-H baskets are <= 7 lines; retail baskets are dozens —
+    quadratic in basket size, not corpus size). TakeOrdered serves the
+    top-k without a global sort."""
+    items = F.array_sort(F.collect_set(item_col))
+    pairs = (
+        df.groupBy(key_col)
+        .agg(items.alias("its"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("its"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("its"), i + 2, F.size(F.col("its"))
+                            ),
+                            lambda b: F.struct(
+                                a.alias("item_a"), b.alias("item_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )
+    return pairs.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)

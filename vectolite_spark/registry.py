@@ -8359,6 +8359,42 @@ def trigram_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "copurchase_pairs",
+    """
+WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+  FROM ppo a JOIN ppo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT item_a, item_b, COUNT(*) AS n_baskets
+FROM pairs GROUP BY 1, 2
+ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+LIMIT 20
+""",
+)
+def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top-20 part pairs by order co-occurrence
+    (frequent 2-itemsets — the association-rule building block; no
+    reference counterpart). The ORACLE uses SQL's natural self-join
+    formulation; the Spark plan deliberately does NOT: baskets collect
+    once, pairs explode inside the row from the sorted distinct item
+    array, one aggregation counts — two narrow shuffles, no second pass
+    over the fact, no join-skew hazard on popular parts, fan-out
+    bounded by basket size squared (max basket here: 17 items). Both
+    produce each unordered pair exactly once; ties at the k-boundary
+    resolve by the (count desc, item_a, item_b) total order."""
+    from vectolite_spark.operators.relational import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_pairs(li, "l_orderkey", "l_partkey", k=20).select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        "n_baskets",
+    )
+
+
 from vectolite_spark.operators.retrieval import (  # noqa: E402
     extract_trigrams as _extract_trigrams,
 )
@@ -8594,7 +8630,7 @@ _DRIVER_WINDOW = [
 # pareto_front_parts, trigram_substring_search,
 # trigram_batch_substring_search, regex_trigram_search,
 # trigram_incremental_search, streaming_trigram_maintenance,
-# trigram_similarity_topk, plus anything newer (all have fresh
+# trigram_similarity_topk, copurchase_pairs, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
