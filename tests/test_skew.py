@@ -240,3 +240,30 @@ def test_copurchase_pairs_vs_naive_self_join(spark):
     # the plan has no join at all (the whole point vs the SQL shape)
     plan = copurchase_pairs(df, "basket", "item")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_association_rules_metrics(spark):
+    import pytest
+
+    from vectolite_spark.operators.relational import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "basket", "item", min_support=2).collect()
+    }
+    # a->b: n_both=2, n_a=3 -> conf 2/3; lift = 2*4/(3*3)
+    r = got[("a", "b")]
+    assert r["n_both"] == 2
+    assert r["confidence"] == pytest.approx(round(2 / 3, 6))
+    assert r["lift"] == pytest.approx(round(2 * 4 / (3 * 3), 6))
+    # b->a direction present with its own confidence (n_b=3)
+    assert got[("b", "a")]["confidence"] == pytest.approx(round(2 / 3, 6))
+    # min_support prunes the (a,c) singleton pair
+    assert ("a", "c") not in got and ("c", "a") not in got

@@ -93,6 +93,21 @@ def copurchase_pairs(
     size (TPC-H baskets are <= 7 lines; retail baskets are dozens —
     quadratic in basket size, not corpus size). TakeOrdered serves the
     top-k without a global sort."""
+    pairs = basket_pair_counts(df, key_col, item_col, min_support)
+    return pairs.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)
+
+
+def basket_pair_counts(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets) for every unordered item pair
+    co-occurring in >= min_support baskets — the join-free pair counts
+    ``copurchase_pairs`` ranks and ``association_rules`` scores."""
     items = F.array_sort(F.collect_set(item_col))
     pairs = (
         df.groupBy(key_col)
@@ -118,6 +133,72 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
     )
-    return pairs.orderBy(
-        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
-    ).limit(k)
+    return pairs
+
+
+def association_rules(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 20,
+    min_support: int = 2,
+) -> DataFrame:
+    """Association rules from frequent pairs: for each directed rule
+    antecedent -> consequent, confidence = n_both/n_antecedent and
+    lift = n_both * n_baskets / (n_antecedent * n_consequent), top-k by
+    (rounded lift desc, rounded confidence desc, antecedent,
+    consequent). Item counts and the basket total ride two TINY
+    aggregations (item-vocabulary and one row); the scoring joins touch
+    only the min_support-filtered pair table — the fact is scanned
+    twice (pairs + item counts), never self-joined. All metrics are
+    integer ratios in float64, rounded 6dp before ordering, so the
+    ranking is engine-deterministic."""
+    pairs = basket_pair_counts(df, key_col, item_col, min_support)
+    rules = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("n_baskets").alias("n_both"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("n_baskets").alias("n_both"),
+        )
+    )
+    ppo = df.select(key_col, item_col).distinct()
+    icnt = ppo.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    total = ppo.agg(
+        F.countDistinct(key_col).alias("n_baskets_total")
+    )
+    ia = icnt.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ib = icnt.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ib), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both")
+                * F.col("n_baskets_total")
+                / (F.col("n_a") * F.col("n_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"),
+            F.desc("confidence"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        )
+        .limit(k)
+    )
