@@ -267,3 +267,30 @@ def test_association_rules_metrics(spark):
     assert got[("b", "a")]["confidence"] == pytest.approx(round(2 / 3, 6))
     # min_support prunes the (a,c) singleton pair
     assert ("a", "c") not in got and ("c", "a") not in got
+
+
+def test_event_transitions_markov(spark):
+    import datetime as dt
+
+    import pytest
+
+    from vectolite_spark.operators.windows import event_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b (same ts: id breaks tie)
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(1), 1, "b"),
+        (3, t0 + dt.timedelta(2), 1, "a"),
+        (4, t0, 2, "a"), (5, t0, 2, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["prev_event"], r["next_event"]): (r["n"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    # a->b twice (both users), b->a once; P(b|a)=1.0, P(a|b)=1.0
+    assert got[("a", "b")] == (2, pytest.approx(1.0))
+    assert got[("b", "a")] == (1, pytest.approx(1.0))
+    assert len(got) == 2  # no cross-user pair (u1's last 'a' -> u2's 'a')

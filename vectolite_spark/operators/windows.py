@@ -223,3 +223,46 @@ def pareto_front(
         .drop("_pid", "_lm", "_pref", "_m_below", "_m_at")
         .orderBy(F.asc(cost_col), F.asc(id_col))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition mining over per-user event
+    sequences: for each (prev_event, next_event) adjacency, the count
+    and the conditional probability P(next | prev) = n / n_from_prev.
+    The sequence order is (ts, event_id) — the id tiebreak makes the
+    lag deterministic even under timestamp collisions.
+
+    Scale shape: ONE shuffle (the per-user window partition); the lag
+    rides it, the pair count is a map-side-combinable aggregation over
+    a |event_types|^2-bounded key space, and the per-prev totals join
+    back as a broadcast of at most |event_types| rows. Probabilities
+    are int/int ratios in float64 rounded 6dp — engine-deterministic.
+    Returns (prev_event, next_event, n, p) ordered (prev, next)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_event"),
+            F.col(type_col).alias("next_event"),
+        )
+        .filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_event").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_event")
+        .select(
+            "prev_event",
+            "next_event",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("prev_event", "next_event")
+    )

@@ -8396,6 +8396,43 @@ def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transitions",
+    """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event,
+         event_type AS next_event
+  FROM events
+),
+pairs AS (
+  SELECT prev_event, next_event, COUNT(*) AS n
+  FROM seq WHERE prev_event IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_event, SUM(n) AS t FROM pairs GROUP BY 1)
+SELECT p.prev_event, p.next_event, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / tot.t, 6) AS p
+FROM pairs p JOIN tot ON tot.prev_event = p.prev_event
+ORDER BY p.prev_event, p.next_event
+""",
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-analytics primitive behind next-event
+    prediction and anomalous-flow detection (no reference counterpart).
+    One shuffle total: the per-user window carries the lag, the
+    |event_types|^2-bounded pair count combines map-side, per-prev
+    totals broadcast back. The (ts, event_id) ordering makes the lag
+    deterministic under timestamp collisions; probabilities are int/int
+    float64 ratios rounded 6dp (operators/windows.event_transitions)."""
+    from vectolite_spark.operators.windows import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+@register(
     "association_rules",
     """
 WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -8684,7 +8721,7 @@ _DRIVER_WINDOW = [
 # trigram_batch_substring_search, regex_trigram_search,
 # trigram_incremental_search, streaming_trigram_maintenance,
 # trigram_similarity_topk, copurchase_pairs, association_rules,
-# plus anything newer (all have fresh
+# event_transitions, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
