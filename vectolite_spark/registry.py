@@ -8396,6 +8396,68 @@ def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_paths",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+  FROM ordered
+)
+SELECT path, COUNT(*) AS n FROM (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>'
+         ) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+""",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey prefixes: sessionize (30-min gap), order
+    each session's events, truncate to the first 5 event types, count
+    identical paths — the clickstream 'common journeys' query (no
+    reference counterpart; composes ``windows.sessionize`` with an
+    in-row ordered collect). Ordering inside the collect is
+    (ts_us, event_id) via sort_array over structs — collect_list alone
+    is partition-order-dependent and would be nondeterministic. One
+    user_id shuffle for sessionize + one (user, session) aggregation;
+    the path vocabulary is tiny so the final count combines map-side."""
+    from vectolite_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("t"),
+                )
+            )
+        ),
+        lambda x: x["t"],
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(">", F.slice(ordered, 1, 5)).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
     "event_transitions",
     """
 WITH seq AS (
@@ -8721,7 +8783,7 @@ _DRIVER_WINDOW = [
 # trigram_batch_substring_search, regex_trigram_search,
 # trigram_incremental_search, streaming_trigram_maintenance,
 # trigram_similarity_topk, copurchase_pairs, association_rules,
-# event_transitions, plus anything newer (all have fresh
+# event_transitions, session_paths, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
