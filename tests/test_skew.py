@@ -294,3 +294,21 @@ def test_event_transitions_markov(spark):
     assert got[("a", "b")] == (2, pytest.approx(1.0))
     assert got[("b", "a")] == (1, pytest.approx(1.0))
     assert len(got) == 2  # no cross-user pair (u1's last 'a' -> u2's 'a')
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    import pytest
+
+    from vectolite_spark.operators.windows import mad_outliers
+
+    # 9 inliers around 10 plus one wild point; mean/std would be dragged,
+    # the MAD detector must flag exactly the wild point
+    rows = [(i, "g", 10.0 + (i % 3) * 0.5) for i in range(1, 10)]
+    rows.append((10, "g", 1000.0))
+    rows += [(11, "h", 5.0), (12, "h", 5.0)]  # constant group: MAD=0, excluded
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = mad_outliers(df, "event_type", "value", "event_id").collect()
+    assert [r["event_id"] for r in got] == [10]
+    # modified z-score of the wild point, computed closed-form:
+    # med=10.5, deviations |x-10.5| -> med .5 -> MAD=0.5
+    assert got[0]["m"] == pytest.approx(round(0.6745 * (1000.0 - 10.5) / 0.5, 6))

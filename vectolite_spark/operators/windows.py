@@ -266,3 +266,49 @@ def event_transitions(
         )
         .orderBy("prev_event", "next_event")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly detection: modified z-score
+    M = 0.6745 * (x - median) / MAD (Iglewicz-Hoaglin), flagging
+    |M| > threshold. Unlike the mean/stddev z-score (see
+    ``event_zscore_anomalies``), a single extreme value cannot drag the
+    center or inflate the spread — the estimator survives the exact
+    contamination it exists to find. Groups with MAD = 0 (constant
+    values) are excluded rather than divided by zero.
+
+    Shape: two grouped EXACT percentile aggregations (median, then
+    median of absolute deviations) with the tiny per-group statistics
+    broadcast back between passes — two scans, no window over raw
+    rows. Exact percentile sorts each group's values inside the
+    aggregation buffer; at 100 TB swap in approx_percentile(1e-4) for
+    the first pass and keep this form for oracle-checked tiers.
+    Returns (id, group, value, m) for flagged rows, m rounded 6dp."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+        .filter(F.col("mad") > 0)
+    )
+    m = F.round(
+        0.6745 * (F.col(value_col) - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .select(id_col, group_col, value_col, m.alias("m"))
+        .filter(F.abs(F.col("m")) > threshold)
+        .orderBy(id_col)
+    )

@@ -8396,6 +8396,46 @@ def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robust_anomalies",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(0.6745 * (e.value - m.med) / d.mad, 6) AS m
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND abs(ROUND(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
+ORDER BY e.event_id
+""",
+)
+def robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust anomaly detection (Iglewicz-Hoaglin modified
+    z-score, |M| > 3.5) per event type — the outlier-resistant
+    companion to ``event_zscore_anomalies``: a single extreme value
+    cannot drag the center (median) or inflate the spread (MAD) the
+    way it drags a mean/stddev, so the detector survives the very
+    contamination it hunts. Exact-percentile parity is the point of
+    the oracle: Spark ``percentile(0.5)`` and DuckDB ``quantile_cont``
+    interpolate identically on doubles (DuckDB ``median()`` does NOT —
+    it truncates on DECIMAL input), and both sides round M 6dp BEFORE
+    the threshold comparison so boundary rows agree
+    (operators/windows.mad_outliers)."""
+    from vectolite_spark.operators.windows import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value", "event_id").select(
+        "event_id", "event_type", "value", "m"
+    )
+
+
+@register(
     "session_paths",
     """
 WITH ordered AS (
@@ -8783,7 +8823,8 @@ _DRIVER_WINDOW = [
 # trigram_batch_substring_search, regex_trigram_search,
 # trigram_incremental_search, streaming_trigram_maintenance,
 # trigram_similarity_topk, copurchase_pairs, association_rules,
-# event_transitions, session_paths, plus anything newer (all have fresh
+# event_transitions, session_paths, robust_anomalies, plus anything
+# newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
