@@ -8788,14 +8788,17 @@ _DRIVER_WINDOW = [
     # multimodal JPEG decode) — prior green rows are stale for these
     "ngram_novelty",
     "multimodal_features",
-    # core reference-parity keepers (re-verify every round)
+    # core parity anchor (the flagship re-verifies every round; the other
+    # six batch/dedup keepers are r4-green and rotate to the tail so the
+    # slots maximize NEW driver evidence — union semantics, VERDICT r4)
     "flagship_topk",
-    "batch_topk",
-    "bm25_batch_indexed_topk",
-    "ann_ivf_batch_topk",
-    "hybrid_batch_indexed_topk",
-    "dedup_clusters",
-    "dedup_keep_list",
+    # late-r5 text-search subsystem: zero driver evidence until now
+    "trigram_substring_search",
+    "trigram_batch_substring_search",
+    "regex_trigram_search",
+    "trigram_incremental_search",
+    "trigram_similarity_topk",
+    "streaming_trigram_maintenance",
     # added mid-round-5 (after the lists above were fixed) — zero driver
     # evidence, so they take the window slots; the displaced r1/r2-green
     # keepers (agg_pricing_summary, q3/q7/q10) retain their old rows
@@ -8817,18 +8820,22 @@ _DRIVER_WINDOW = [
 # range-oracled +-2rsd in pytest) and ann_mllib_lsh_topk (randomized
 # MLlib planes, recall-gated in pytest) — both sit in the middle.
 # Future rounds: put any query whose code changed back into the window;
-# keep the core-parity keepers. ROTATE IN FOR r6: the late-r5 entries
-# with no driver row yet — aqp_join_universe_sample, constraint_audit,
-# pareto_front_parts, trigram_substring_search,
-# trigram_batch_substring_search, regex_trigram_search,
-# trigram_incremental_search, streaming_trigram_maintenance,
-# trigram_similarity_topk, copurchase_pairs, association_rules,
+# keep the flagship anchor. ROTATE IN FOR r6: the late-r5 entries still
+# without a driver row — aqp_join_universe_sample, constraint_audit,
+# pareto_front_parts, copurchase_pairs, association_rules,
 # event_transitions, session_paths, robust_anomalies, plus anything
 # newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
+    # r4-green core keepers rotated out for the late-r5 additions
+    "batch_topk",
+    "bm25_batch_indexed_topk",
+    "ann_ivf_batch_topk",
+    "hybrid_batch_indexed_topk",
+    "dedup_clusters",
+    "dedup_keep_list",
     "pivot_priority_by_year",
     "rolling_avg_order_value",
     "join_revenue_by_nation",
