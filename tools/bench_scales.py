@@ -46,6 +46,12 @@ HEADLINE = [
     "trigram_substring_search",
     "trigram_batch_substring_search",
     "regex_trigram_search",
+    "trigram_similarity_topk",
+    "copurchase_pairs",
+    "association_rules",
+    "event_transitions",
+    "session_paths",
+    "robust_anomalies",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
