@@ -467,3 +467,22 @@ def test_store_grep_regex_case_and_dialect(store):
         store.grep("(?P<x>merge)", regex=True)
     # Java-valid-but-Python-invalid pattern accepted
     assert [d["id"] for d in store.grep(r"\p{Lower}+ join", regex=True)] == [1]
+
+
+def test_store_grep_with_text_index(store):
+    s = store
+    s.insert("Merge Join beats nested loops")
+    s.insert("hash aggregate only")
+    s.insert("a merge join again")
+    scan = s.grep("merge join")
+    s.build_text_index()
+    assert s._has_text_index()
+    # indexed path must be byte-identical to the scan path
+    assert s.grep("merge join") == scan
+    assert [d["id"] for d in s.grep("Merge.*Join", regex=True)] == [1, 3]
+    # unsupported regex (alternation) silently falls back to the scan
+    assert [d["id"] for d in s.grep("(merge|hash)", regex=True)] == [1, 2, 3]
+    # any mutation invalidates; grep falls back to scan and stays correct
+    s.insert("brand new merge join doc")
+    assert not s._has_text_index()
+    assert [d["id"] for d in s.grep("merge join")] == [1, 3, 4]

@@ -201,6 +201,7 @@ class SparkVectolite:
         Versioned backend: the rewrite is a snapshot ``overwrite`` commit —
         atomic by manifest CAS, and the prior version stays readable."""
         self._invalidate_ann()
+        self._invalidate_text_index()
         if self._snap is not None:
             self._max_id_cache = None
             self._snap.overwrite(df)
@@ -217,6 +218,7 @@ class SparkVectolite:
         """Route an append through the active backend: flat parquet append,
         or a snapshot ``append`` commit (new dir + manifest CAS)."""
         self._invalidate_ann()
+        self._invalidate_text_index()
         if self._snap is not None:
             self._snap.append(df)
         else:
@@ -250,6 +252,33 @@ class SparkVectolite:
             self._ann_path(),
             n_tables=n_tables,
             n_planes=n_planes,
+        )
+
+    # -- text-index acceleration (extension; mirrors the ANN lifecycle) -----
+
+    def _text_index_path(self) -> str:
+        return self.path + ".trgm"
+
+    def _invalidate_text_index(self) -> None:
+        """Same contract as ``_invalidate_ann``: any mutation drops the
+        trigram index; the next indexed grep falls back to the scan (or
+        the user rebuilds). Stale index = correctness bug, so delete."""
+        if self._fs.exists(self._text_index_path()):
+            self._fs.delete(self._text_index_path())
+
+    def _has_text_index(self) -> bool:
+        return self._fs.exists(f"{self._text_index_path()}/stats/_SUCCESS")
+
+    def build_text_index(self, n_buckets: int = 8) -> None:
+        """Persist a trigram index over the stored text
+        (``operators.retrieval.build_trigram_index``): ``grep`` then
+        serves substring and regex queries from posting probes instead
+        of corpus scans. Invalidated automatically by any mutation."""
+        from vectolite_spark.operators.retrieval import build_trigram_index
+
+        build_trigram_index(
+            self.df(), self._text_index_path(), id_col="id",
+            n_buckets=n_buckets,
         )
 
     # -- reference API (vectolite.py:81-298) -------------------------------
@@ -750,9 +779,14 @@ class SparkVectolite:
             if regex
             else F.contains(lt, F.lit(pattern.lower()))
         )
+        base = self.df()
+        cand = self._grep_candidates(pattern, regex)
+        if cand is not None:
+            base = base.join(
+                F.broadcast(cand), base["id"] == cand["doc_id"]
+            ).drop("doc_id")
         rows = (
-            self.df()
-            .filter(cond)
+            base.filter(cond)
             .select("id", "text", "metadata")
             .orderBy("id")
             .limit(limit)
@@ -766,6 +800,43 @@ class SparkVectolite:
             }
             for r in rows
         ]
+
+    def _grep_candidates(self, pattern: str, regex: bool):
+        """Candidate doc ids from the persisted trigram index, or None
+        when no index exists / the pattern is not index-accelerable —
+        grep then runs the plain scan filter. Extraction happens on the
+        LOWERCASED pattern: the index stores trigrams of lower(text)
+        and the verify filter is case-insensitive, so lowercased
+        literals are exactly the required substrings. Candidates are a
+        superset by construction; the scan-identical verify filter
+        still runs over them, so the indexed and scan paths return
+        byte-identical results."""
+        if not self._has_text_index():
+            return None
+        from vectolite_spark.operators.retrieval import (
+            TrigramIndex,
+            extract_trigrams,
+            regex_literals,
+        )
+
+        idx = TrigramIndex(self.spark, self._text_index_path())
+        try:
+            if regex:
+                tris: list[str] = []
+                seen: set[str] = set()
+                for run in regex_literals(pattern.lower()):
+                    for t in extract_trigrams(run):
+                        if t not in seen:
+                            seen.add(t)
+                            tris.append(t)
+                if not tris:
+                    return None
+                probe = idx._probe_from_trigrams(tris, 6)
+            else:
+                probe = idx._probe_trigrams(pattern.lower(), 4)
+        except ValueError:
+            return None  # too short / unsupported regex -> full scan
+        return idx._candidates_from_probe(probe)
 
     def fuzzy_search(self, pattern: str, top_k: int = 5) -> list[dict]:
         """Typo-tolerant text search over stored documents: rank by
