@@ -195,6 +195,8 @@ def main() -> None:
         "ivf_v1",
         "ivfpq_lbl_m8k16",
         "trgm_v2_b16",
+        "trgm_inc_v1_b8",
+        "trgm_stream_v1_b8",
     ):
         _shutil.rmtree(
             registry.index_cache_path(recipe, SF_DIR), ignore_errors=True
@@ -211,6 +213,12 @@ def main() -> None:
     t0 = time.time()
     registry._ensure_trigram_index(spark, SF_DIR)
     timings["trgm_index_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    registry._ensure_trgm_inc_index(spark, SF_DIR)
+    timings["trgm_incremental_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    registry._ensure_trgm_stream_index(spark, SF_DIR)
+    timings["trgm_streaming_build"] = round(time.time() - t0, 4)
     # bucketed layout is build-once/join-many like the indexes: time the
     # build separately so the registry entry reflects steady-state serving
     from vectolite_spark.operators.layout import ensure_bucketed_table

@@ -8223,6 +8223,70 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_front(pp, "cost_cents", "max_qty", "partkey")
 
 
+def _ensure_trgm_stream_index(spark, sf_dir: str) -> str:
+    """Build-if-absent STREAMED-UP trigram index: the documents table
+    replays as a 3-file stream at one file per trigger; foreachBatch
+    builds on the first micro-batch and appends the rest (per-batch
+    replay markers). The stream runs once per dataset; serving entries
+    probe the persisted result. Cleared and timed by bench.py."""
+    import os
+    import tempfile
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.streaming.ingest import stream_trigram_maintenance
+
+    path = index_cache_path("trgm_stream_v1_b8", sf_dir)
+    if os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        return path
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text")
+    cache_key = f"trgm_docs3:{sf_dir}"
+    src_dir = _STREAM_SRC_CACHE.get(cache_key)
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="vl_stream_trgm_") + "/src"
+        # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+        src.repartition(3).write.mode("overwrite").parquet(src_dir)
+        _STREAM_SRC_CACHE[cache_key] = src_dir
+    ckpt = tempfile.mkdtemp(prefix="vl_trgm_s_ckpt_")
+    query = stream_trigram_maintenance(
+        spark,
+        src_dir,
+        src.schema,
+        path,
+        f"{ckpt}/ckpt",
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    if not query.awaitTermination(180):
+        query.stop()
+        raise VectoliteError("streaming trigram maintenance did not drain")
+    return path
+
+
+def _ensure_trgm_inc_index(spark, sf_dir: str) -> str:
+    """Build-if-absent INCREMENTALLY-BUILT trigram index: built on the
+    even half of the corpus, appended with the odd half — the lifecycle
+    (build + append + merged stats) runs once per dataset; serving
+    entries probe the persisted result, the same build/probe split
+    every other index uses (VERDICT r3 item 3). Cleared and timed
+    explicitly by bench.py."""
+    import os
+
+    from vectolite_spark.operators.retrieval import (
+        append_trigram_index,
+        build_trigram_index,
+    )
+
+    path = index_cache_path("trgm_inc_v1_b8", sf_dir)
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        build_trigram_index(
+            docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8
+        )
+        append_trigram_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    return path
+
+
 def _ensure_trigram_index(spark, sf_dir: str) -> str:
     """Build-if-absent persisted trigram substring index; returns its
     path. Shared by both trigram registry entries and bench.py."""
@@ -8329,34 +8393,20 @@ def trigram_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches — this is the incremental path's driver-checkable
     gate, same pattern as ``dedup_incremental``/``snapshot_*``. At
     100 TB this is the difference between re-reading the corpus per
-    ingest batch and paying only the delta."""
-    import shutil
-    import tempfile
-
-    from vectolite_spark.operators.retrieval import (
-        TrigramIndex,
-        append_trigram_index,
-        build_trigram_index,
-    )
+    ingest batch and paying only the delta. The incrementally-built
+    index persists build-if-absent in ``.cache`` (the first call per
+    dataset pays the build+append lifecycle, later calls measure
+    serving — the same build/probe split as every other index;
+    bench.py clears and times the build explicitly)."""
+    from vectolite_spark.operators.retrieval import TrigramIndex
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="vl_trgm_inc_")
-    try:
-        path = f"{base}/idx"
-        build_trigram_index(
-            docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8
-        )
-        append_trigram_index(docs.filter(F.col("doc_id") % 2 == 1), path)
-        out = (
-            TrigramIndex(spark, path)
-            .search(docs, "window agg")
-            .select("doc_id", "lang")
-            .orderBy("doc_id")
-        )
-        out = spark.createDataFrame(out.collect(), "doc_id long, lang string")
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return out
+    idx = TrigramIndex(spark, _ensure_trgm_inc_index(spark, sf_dir))
+    return (
+        idx.search(docs, "window agg")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -8656,47 +8706,18 @@ def streaming_trigram_maintenance(
     scan. Third oracled streaming proof (windows, stateful dedup, now
     index maintenance) — and the one that pins the incremental path
     under streaming's batch boundaries rather than a hand-rolled
-    split."""
-    import tempfile
-    import uuid
-
-    from vectolite_spark.errors import VectoliteError
+    split. The streamed-up index persists build-if-absent in ``.cache``
+    (first call per dataset runs the stream; later calls measure
+    serving — bench.py clears and times the stream-build explicitly)."""
     from vectolite_spark.operators.retrieval import TrigramIndex
-    from vectolite_spark.streaming.ingest import stream_trigram_maintenance
 
     docs = load_table(spark, sf_dir, "documents")
-    cache_key = f"trgm_docs3:{sf_dir}"
-    src_dir = _STREAM_SRC_CACHE.get(cache_key)
-    src = docs.select("doc_id", "text")
-    if src_dir is None:
-        src_dir = tempfile.mkdtemp(prefix="vl_stream_trgm_") + "/src"
-        # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
-        src.repartition(3).write.mode("overwrite").parquet(src_dir)
-        _STREAM_SRC_CACHE[cache_key] = src_dir
-    run = tempfile.mkdtemp(prefix=f"vl_trgm_s_{uuid.uuid4().hex[:8]}_")
-    query = stream_trigram_maintenance(
-        spark,
-        src_dir,
-        src.schema,
-        f"{run}/idx",
-        f"{run}/ckpt",
-        n_buckets=8,
-        max_files_per_trigger=1,
-    )
-    if not query.awaitTermination(180):
-        query.stop()
-        raise VectoliteError("streaming_trigram_maintenance did not drain")
-    out = (
-        TrigramIndex(spark, f"{run}/idx")
-        .search(docs, "slow fast")
+    idx = TrigramIndex(spark, _ensure_trgm_stream_index(spark, sf_dir))
+    return (
+        idx.search(docs, "slow fast")
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
-    rows = out.collect()
-    import shutil
-
-    shutil.rmtree(run, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, source string")
 
 
 @register(
