@@ -168,3 +168,19 @@ def test_cli_grep_fuzzy(spark, tmp_path, monkeypatch, capsys):
     cli.main(["grep", "merge joim", "--fuzzy", "--db", db])
     out = capsys.readouterr().out
     assert "[1] score=" in out
+
+
+def test_cli_index_command(spark, tmp_path, monkeypatch, capsys):
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    db = str(tmp_path / "db")
+    cli.main(["add", "merge join text", "--db", db, "--dim", "8"])
+    capsys.readouterr()
+    cli.main(["index", "--text", "--db", db])
+    assert "Built text" in capsys.readouterr().out
+    cli.main(["grep", "merge join", "--db", db])
+    assert "[1]" in capsys.readouterr().out  # served from the index
+    with pytest.raises(SystemExit):
+        cli.main(["index", "--db", db])

@@ -143,6 +143,18 @@ def cmd_stats(args) -> None:
     print(f"Store path: {st['db_path']}")
 
 
+def cmd_index(args) -> None:
+    store = _open_store(args)
+    if not (args.text or args.ann):
+        raise VectoliteError("index: pass --text and/or --ann")
+    if args.text:
+        store.build_text_index()
+        print("Built text (trigram) index.")
+    if args.ann:
+        store.build_ann_index()
+        print("Built ANN (SRP-LSH) index.")
+
+
 def cmd_delete(args) -> None:
     store = _open_store(args)
     if store.delete_document(args.doc_id):
@@ -344,6 +356,18 @@ def make_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("stats", help="document count + store size")
     common(sp, embed=False)
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser(
+        "index", help="build persisted indexes (dropped on any mutation)"
+    )
+    sp.add_argument(
+        "--text", action="store_true", help="trigram substring/regex index"
+    )
+    sp.add_argument(
+        "--ann", action="store_true", help="SRP-LSH vector index"
+    )
+    common(sp, embed=False)
+    sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("delete", help="delete a document by id")
     sp.add_argument("doc_id", type=int)
