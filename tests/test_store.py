@@ -486,3 +486,38 @@ def test_store_grep_with_text_index(store):
     s.insert("brand new merge join doc")
     assert not s._has_text_index()
     assert [d["id"] for d in s.grep("merge join")] == [1, 3, 4]
+
+
+def test_versioned_mutations_invalidate_text_index(spark, tmp_path):
+    """The dir-pruned snapshot mutations (merge/delete/rollback) bypass
+    _rewrite/_append — they must still drop the text index, or grep
+    serves results from a table state that no longer exists."""
+    import datetime as dt
+
+    s = SparkVectolite(
+        spark,
+        str(tmp_path / "vdb"),
+        embed_fn=stub_embedder(dim=8),
+        versioned=True,
+    )
+    s.insert("original text one")
+    s.insert("hash aggregate only")
+    s.build_text_index()
+    assert s._has_text_index()
+    # upsert rewrites doc 1's text through _snap.merge
+    upd = spark.createDataFrame(
+        [(1, "merge join rewrite", "{}", [0.0] * 8,
+          dt.datetime(2026, 1, 1))],
+        "id long, text string, metadata string, embedding array<float>, "
+        "created_at timestamp",
+    )
+    s.upsert(upd)
+    assert not s._has_text_index()
+    assert [d["id"] for d in s.grep("merge join")] == [1]  # fresh scan
+    s.build_text_index()
+    s.delete_document(2)
+    assert not s._has_text_index()
+    s.build_text_index()
+    s.rollback(1)  # back to pre-upsert state
+    assert not s._has_text_index()
+    assert s.grep("merge join") == []  # original text restored, no stale hit

@@ -144,9 +144,11 @@ def cmd_stats(args) -> None:
 
 
 def cmd_index(args) -> None:
-    store = _open_store(args)
     if not (args.text or args.ann):
+        # validate BEFORE _open_store: no reason to pay Spark startup
+        # just to print a usage error
         raise VectoliteError("index: pass --text and/or --ann")
+    store = _open_store(args)
     if args.text:
         store.build_text_index()
         print("Built text (trigram) index.")

@@ -860,6 +860,32 @@ class TrigramIndex:
             .limit(k)
         )
 
+    def regex_candidates(
+        self, pattern: str, max_probe: int = 6
+    ) -> DataFrame:
+        """Candidate docs for a restricted regex: pool the distinct
+        trigrams of every REQUIRED literal run (``regex_literals``) and
+        intersect their postings. Shared by ``regex_search`` and the
+        store's indexed grep so the pooling/soundness logic lives in
+        exactly one place. Raises ValueError for patterns with no
+        probeable literal."""
+        runs = regex_literals(pattern)
+        tris: list[str] = []
+        seen: set[str] = set()
+        for r in runs:
+            for t in extract_trigrams(r):
+                if t not in seen:
+                    seen.add(t)
+                    tris.append(t)
+        if not tris:
+            raise ValueError(
+                f"regex {pattern!r} has no required literal of "
+                f">= {TRGM_N} chars — use a full scan"
+            )
+        return self._candidates_from_probe(
+            self._probe_from_trigrams(tris, max_probe)
+        )
+
     def regex_search(
         self,
         docs: DataFrame,
@@ -878,22 +904,7 @@ class TrigramIndex:
         >= 3-char required literal (alternation, groups, or too-short
         runs) — those need the full scan this prefilter exists to
         avoid."""
-        runs = regex_literals(pattern)
-        if not runs:
-            raise ValueError(
-                f"regex {pattern!r} has no required literal of "
-                f">= {TRGM_N} chars — use a full scan"
-            )
-        tris: list[str] = []
-        seen: set[str] = set()
-        for r in runs:
-            for t in extract_trigrams(r):
-                if t not in seen:
-                    seen.add(t)
-                    tris.append(t)
-        cand = self._candidates_from_probe(
-            self._probe_from_trigrams(tris, max_probe)
-        )
+        cand = self.regex_candidates(pattern, max_probe=max_probe)
         return (
             docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])
             .filter(

@@ -8230,14 +8230,20 @@ def _ensure_trgm_stream_index(spark, sf_dir: str) -> str:
     replay markers). The stream runs once per dataset; serving entries
     probe the persisted result. Cleared and timed by bench.py."""
     import os
+    import shutil
     import tempfile
 
     from vectolite_spark.errors import VectoliteError
     from vectolite_spark.streaming.ingest import stream_trigram_maintenance
 
     path = index_cache_path("trgm_stream_v1_b8", sf_dir)
-    if os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+    # completion marker written only after the stream fully drains —
+    # micro-batch 0 already writes stats/_SUCCESS, so gating on that
+    # would accept a 1-of-3-batches partial index after a timeout
+    done = os.path.join(path, "_stream_complete")
+    if os.path.exists(done):
         return path
+    shutil.rmtree(path, ignore_errors=True)  # clear any partial
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "text")
     cache_key = f"trgm_docs3:{sf_dir}"
@@ -8259,7 +8265,10 @@ def _ensure_trgm_stream_index(spark, sf_dir: str) -> str:
     )
     if not query.awaitTermination(180):
         query.stop()
+        shutil.rmtree(path, ignore_errors=True)  # never serve a partial
         raise VectoliteError("streaming trigram maintenance did not drain")
+    with open(done, "w") as f:
+        f.write("done")
     return path
 
 
@@ -8278,12 +8287,21 @@ def _ensure_trgm_inc_index(spark, sf_dir: str) -> str:
     )
 
     path = index_cache_path("trgm_inc_v1_b8", sf_dir)
-    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
+    # gate on a marker written AFTER the append — the build's own
+    # stats/_SUCCESS lands before the odd-half append, so gating on it
+    # would accept a half-built index after a mid-append crash
+    done = os.path.join(path, "_inc_complete")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # clear any partial
         docs = load_table(spark, sf_dir, "documents")
         build_trigram_index(
             docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8
         )
         append_trigram_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+        with open(done, "w") as f:
+            f.write("done")
     return path
 
 

@@ -125,6 +125,7 @@ class SparkVectolite:
         ensure_shipped(spark)
         self._fs = _HadoopFS(spark, self.path)
         self._max_id_cache: int | None = None
+        self._trgm_handle = None
         self._snap = None
         if versioned:
             from vectolite_spark.snapshots import SnapshotStore
@@ -200,8 +201,7 @@ class SparkVectolite:
 
         Versioned backend: the rewrite is a snapshot ``overwrite`` commit —
         atomic by manifest CAS, and the prior version stays readable."""
-        self._invalidate_ann()
-        self._invalidate_text_index()
+        self._invalidate_indexes()
         if self._snap is not None:
             self._max_id_cache = None
             self._snap.overwrite(df)
@@ -217,8 +217,7 @@ class SparkVectolite:
     def _append(self, df: DataFrame) -> None:
         """Route an append through the active backend: flat parquet append,
         or a snapshot ``append`` commit (new dir + manifest CAS)."""
-        self._invalidate_ann()
-        self._invalidate_text_index()
+        self._invalidate_indexes()
         if self._snap is not None:
             self._snap.append(df)
         else:
@@ -263,8 +262,18 @@ class SparkVectolite:
         """Same contract as ``_invalidate_ann``: any mutation drops the
         trigram index; the next indexed grep falls back to the scan (or
         the user rebuilds). Stale index = correctness bug, so delete."""
+        self._trgm_handle = None
         if self._fs.exists(self._text_index_path()):
             self._fs.delete(self._text_index_path())
+
+    def _invalidate_indexes(self) -> None:
+        """Umbrella for every mutation entry point: BOTH persisted
+        indexes index a table state that no longer exists after any
+        mutation — flat-backend paths hit this via _rewrite/_append;
+        the versioned backend's dir-pruned merge/delete and rollback
+        commits MUST call it directly (they bypass _rewrite)."""
+        self._invalidate_ann()
+        self._invalidate_text_index()
 
     def _has_text_index(self) -> bool:
         return self._fs.exists(f"{self._text_index_path()}/stats/_SUCCESS")
@@ -276,6 +285,7 @@ class SparkVectolite:
         of corpus scans. Invalidated automatically by any mutation."""
         from vectolite_spark.operators.retrieval import build_trigram_index
 
+        self._trgm_handle = None  # a rebuild invalidates any open handle
         build_trigram_index(
             self.df(), self._text_index_path(), id_col="id",
             n_buckets=n_buckets,
@@ -657,6 +667,7 @@ class SparkVectolite:
         n_matched = existing.join(incoming, "id", "left_semi").count()
         if self._snap is not None:
             # dir-pruned MERGE: O(delta + affected dirs), not O(table)
+            self._invalidate_indexes()
             self._max_id_cache = None
             self._snap.merge(incoming, key="id")
         else:
@@ -677,6 +688,7 @@ class SparkVectolite:
         if df.filter(F.col("id") == doc_id).limit(1).count() == 0:
             return False
         if self._snap is not None:
+            self._invalidate_indexes()
             self._max_id_cache = None
             self._snap.delete_where(F.col("id") == doc_id)
         else:
@@ -813,30 +825,22 @@ class SparkVectolite:
         byte-identical results."""
         if not self._has_text_index():
             return None
-        from vectolite_spark.operators.retrieval import (
-            TrigramIndex,
-            extract_trigrams,
-            regex_literals,
-        )
+        if self._trgm_handle is None:
+            # cached across greps: the handle's init pays a meta collect
+            # + two reader opens; _invalidate_text_index (the staleness
+            # boundary) drops it with the index
+            from vectolite_spark.operators.retrieval import TrigramIndex
 
-        idx = TrigramIndex(self.spark, self._text_index_path())
+            self._trgm_handle = TrigramIndex(
+                self.spark, self._text_index_path()
+            )
+        idx = self._trgm_handle
         try:
             if regex:
-                tris: list[str] = []
-                seen: set[str] = set()
-                for run in regex_literals(pattern.lower()):
-                    for t in extract_trigrams(run):
-                        if t not in seen:
-                            seen.add(t)
-                            tris.append(t)
-                if not tris:
-                    return None
-                probe = idx._probe_from_trigrams(tris, 6)
-            else:
-                probe = idx._probe_trigrams(pattern.lower(), 4)
+                return idx.regex_candidates(pattern.lower(), max_probe=6)
+            return idx.candidates(pattern.lower(), max_probe=4)
         except ValueError:
             return None  # too short / unsupported regex -> full scan
-        return idx._candidates_from_probe(probe)
 
     def fuzzy_search(self, pattern: str, top_k: int = 5) -> list[dict]:
         """Typo-tolerant text search over stored documents: rank by
@@ -917,6 +921,7 @@ class SparkVectolite:
     def rollback(self, version: int) -> int:
         """Restore ``version`` as a NEW commit (history is never mutated)."""
         snap = self._require_versioned()
+        self._invalidate_indexes()
         self._max_id_cache = None
         return snap.rollback(version)
 
