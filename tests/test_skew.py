@@ -312,3 +312,30 @@ def test_mad_outliers_robust_to_contamination(spark):
     # modified z-score of the wild point, computed closed-form:
     # med=10.5, deviations |x-10.5| -> med .5 -> MAD=0.5
     assert got[0]["m"] == pytest.approx(round(0.6745 * (1000.0 - 10.5) / 0.5, 6))
+
+
+def test_transition_entropy_closed_form(spark):
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from vectolite_spark.operators.windows import transition_entropy
+
+    t0 = dt.datetime(2026, 1, 1)
+    # from 'a': two b's and one c -> H = -(2/3)ln(2/3) - (1/3)ln(1/3)
+    # from 'b': always a          -> H = 0
+    rows = [
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(1), 1, "b"),
+        (3, t0 + dt.timedelta(2), 1, "a"), (4, t0 + dt.timedelta(3), 1, "c"),
+        (5, t0, 2, "a"), (6, t0 + dt.timedelta(1), 2, "b"),
+        (7, t0 + dt.timedelta(2), 2, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["prev_event"]: r for r in transition_entropy(ev).collect()}
+    want_a = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert got["a"]["n_transitions"] == 3
+    assert got["a"]["entropy"] == pytest.approx(round(want_a, 6))
+    assert got["b"]["entropy"] == pytest.approx(0.0)

@@ -312,3 +312,46 @@ def mad_outliers(
         .filter(F.abs(F.col("m")) > threshold)
         .orderBy(id_col)
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-state Shannon entropy of the next-event distribution —
+    H(next | prev) per prev_event, the predictability metric over the
+    ``event_transitions`` Markov matrix (H=0: deterministic flow;
+    H=ln(k): uniform over k successors). Each -p*ln(p) term quantizes
+    to DECIMAL(30,10) BEFORE the sum (the ``char_entropy`` pattern), so
+    the aggregation is order-free and engine-deterministic regardless
+    of partial-aggregate ordering. Same single-shuffle shape as
+    ``event_transitions``. Returns (prev_event, n_transitions, entropy)
+    ordered by prev_event."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_event"),
+            F.col(type_col).alias("next_event"),
+        )
+        .filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_event").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    term = (-p * F.log(p)).cast("decimal(30,10)")
+    return (
+        pairs.join(F.broadcast(totals), "prev_event")
+        .groupBy("prev_event", "t")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
+        .select(
+            "prev_event",
+            F.col("t").cast("long").alias("n_transitions"),
+            "entropy",
+        )
+        .orderBy("prev_event")
+    )

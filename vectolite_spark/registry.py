@@ -8603,6 +8603,47 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "transition_entropy",
+    """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event,
+         event_type AS next_event
+  FROM events
+),
+pairs AS (
+  SELECT prev_event, next_event, COUNT(*) AS n
+  FROM seq WHERE prev_event IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_event, SUM(n) AS t FROM pairs GROUP BY 1)
+SELECT p.prev_event,
+       CAST(tot.t AS BIGINT) AS n_transitions,
+       ROUND(CAST(SUM(CAST(-(p.n * 1.0 / tot.t) * ln(p.n * 1.0 / tot.t)
+                           AS DECIMAL(30,10))) AS DOUBLE), 6) AS entropy
+FROM pairs p JOIN tot ON tot.prev_event = p.prev_event
+GROUP BY p.prev_event, tot.t
+ORDER BY p.prev_event
+""",
+)
+def transition_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictability of user flows: Shannon entropy of the next-event
+    distribution per previous event — H=0 means the flow is
+    deterministic after that state, H=ln(k) means uniform chaos over k
+    successors (feeds alerting on flow drift alongside
+    ``event_transitions``). Each -p*ln(p) term quantizes to
+    DECIMAL(30,10) BEFORE summing (the ``char_entropy`` pattern:
+    DECIMAL addition is exact and commutative, so partial-aggregation
+    order can never flip a 6dp rounding boundary between engines)
+    (operators/windows.transition_entropy)."""
+    from vectolite_spark.operators.windows import transition_entropy
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_entropy(ev)
+
+
+@register(
     "association_rules",
     """
 WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -8862,8 +8903,8 @@ _DRIVER_WINDOW = [
 # keep the flagship anchor. ROTATE IN FOR r6: the late-r5 entries still
 # without a driver row — aqp_join_universe_sample, constraint_audit,
 # pareto_front_parts, copurchase_pairs, association_rules,
-# event_transitions, session_paths, robust_anomalies, plus anything
-# newer (all have fresh
+# event_transitions, session_paths, robust_anomalies,
+# transition_entropy, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
