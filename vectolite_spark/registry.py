@@ -8603,6 +8603,68 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_duration_stats",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id
+  FROM ordered
+),
+dur AS (
+  SELECT user_id, session_id,
+         (MAX(us) - MIN(us)) / 1e6 AS dur_s,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       ROUND(CAST(SUM(CAST(dur_s AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_dur_s,
+       ROUND(quantile_cont(dur_s, 0.5), 6) AS p50_dur_s,
+       ROUND(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM dur
+""",
+)
+def session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: sessionize (30-min gap), per-session
+    wall span in seconds, then count / exact-DECIMAL mean / exact p50 +
+    p90 / busiest session — the engagement summary every clickstream
+    dashboard opens with. Exact percentile parity (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` on doubles) was pinned
+    by ``robust_anomalies``; the mean is DECIMAL-sum/count (order-free,
+    q11 pattern). One user_id shuffle + one (user, session) aggregation
+    + a 1-row global reduce."""
+    from vectolite_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    dur = s.groupBy("user_id", "session_id").agg(
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1e6
+        ).alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return dur.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum(F.col("dur_s").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.5)), 6).alias("p50_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.9)), 6).alias("p90_dur_s"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+@register(
     "transition_entropy",
     """
 WITH seq AS (
@@ -8904,7 +8966,7 @@ _DRIVER_WINDOW = [
 # without a driver row — aqp_join_universe_sample, constraint_audit,
 # pareto_front_parts, copurchase_pairs, association_rules,
 # event_transitions, session_paths, robust_anomalies,
-# transition_entropy, plus anything newer (all have fresh
+# transition_entropy, session_duration_stats, plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
