@@ -8603,6 +8603,109 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "item_recommendations",
+    """
+WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+icnt AS (SELECT l_partkey AS item, COUNT(*) AS n_item FROM ppo GROUP BY 1),
+top_items AS (
+  SELECT item FROM icnt ORDER BY n_item DESC, item ASC LIMIT 5
+),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS n_both
+  FROM ppo a JOIN ppo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sym AS (
+  SELECT item_a AS item, item_b AS rec, n_both FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_both FROM pairs
+),
+scored AS (
+  SELECT s.item, s.rec,
+         ROUND(CAST(s.n_both AS DOUBLE)
+               / sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)), 6) AS sim
+  FROM sym s
+  JOIN top_items t ON t.item = s.item
+  JOIN icnt ia ON ia.item = s.item
+  JOIN icnt ib ON ib.item = s.rec
+),
+ranked AS (
+  SELECT item, rec, sim,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY sim DESC, rec ASC) AS rk
+  FROM scored
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec, sim,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY item, rk
+""",
+)
+def item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ('customers who bought X also
+    bought'): co-occurrence cosine n_both/sqrt(n_a*n_b) over the
+    join-free basket pair counts, top-3 recommendations for each of the
+    5 most-ordered parts — the classic Amazon-style recommender served
+    as a per-group ranking (row_number over a candidate set bounded by
+    min_support, NOT over the corpus). sqrt of exact integer products
+    in float64 is bit-identical across engines; sim rounds 6dp before
+    the (sim desc, rec asc) rank so boundary rows agree."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.relational import basket_pair_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = basket_pair_counts(li, "l_orderkey", "l_partkey", min_support=2)
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    icnt = ppo.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    top_items = icnt.orderBy(F.desc("n_item"), F.asc("item")).limit(5)
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("rec"),
+        "n_baskets",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("rec"),
+            "n_baskets",
+        )
+    )
+    ia = icnt.select(F.col("item"), F.col("n_item").alias("n_a"))
+    ib = icnt.select(
+        F.col("item").alias("rec"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        sym.join(F.broadcast(top_items.select("item")), "item")
+        .join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "rec")
+        .select(
+            "item",
+            "rec",
+            F.round(
+                F.col("n_baskets")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("rec"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("rec").cast("long").alias("rec"),
+            "sim",
+            "rk",
+        )
+        .orderBy("item", "rk")
+    )
+
+
+@register(
     "session_duration_stats",
     """
 WITH ordered AS (
@@ -8966,7 +9069,8 @@ _DRIVER_WINDOW = [
 # without a driver row — aqp_join_universe_sample, constraint_audit,
 # pareto_front_parts, copurchase_pairs, association_rules,
 # event_transitions, session_paths, robust_anomalies,
-# transition_entropy, session_duration_stats, plus anything newer (all have fresh
+# transition_entropy, session_duration_stats, item_recommendations,
+# plus anything newer (all have fresh
 # 3-scale local oracle runs; see tools/check_oracle.py).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
