@@ -339,3 +339,34 @@ def test_transition_entropy_closed_form(spark):
     assert got["a"]["n_transitions"] == 3
     assert got["a"]["entropy"] == pytest.approx(round(want_a, 6))
     assert got["b"]["entropy"] == pytest.approx(0.0)
+
+
+def test_item_recommendations_cosine_closed_form(spark, sf_dir):
+    import math
+
+    import pytest
+
+    from vectolite_spark.registry import QUERIES, load_table
+
+    got = QUERIES["item_recommendations"](spark, sf_dir).collect()
+    assert got, "recommender returned nothing at the test SF"
+    # recompute the top row's cosine from raw basket facts
+    li = load_table(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    r = got[0]
+    n_a = ppo.filter(f"l_partkey = {r['item']}").count()
+    n_b = ppo.filter(f"l_partkey = {r['rec']}").count()
+    both = (
+        ppo.filter(f"l_partkey = {r['item']}")
+        .select("l_orderkey")
+        .intersect(ppo.filter(f"l_partkey = {r['rec']}").select("l_orderkey"))
+        .count()
+    )
+    assert r["sim"] == pytest.approx(round(both / math.sqrt(n_a * n_b), 6))
+    # ranks are 1..3 per item, no gaps, rec != item
+    by_item = {}
+    for row in got:
+        by_item.setdefault(row["item"], []).append(row["rk"])
+        assert row["rec"] != row["item"]
+    for rks in by_item.values():
+        assert rks == list(range(1, len(rks) + 1))
