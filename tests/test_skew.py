@@ -370,3 +370,44 @@ def test_item_recommendations_cosine_closed_form(spark, sf_dir):
         assert row["rec"] != row["item"]
     for rks in by_item.values():
         assert rks == list(range(1, len(rks) + 1))
+
+
+def test_basket_pair_counts_vs_bruteforce_hypothesis(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectolite_spark.operators.relational import basket_pair_counts
+
+    baskets = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # basket key
+            st.sampled_from(list("abcdef")),            # item
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None)  # each example runs Spark jobs
+    @given(baskets)
+    def check(rows):
+        from itertools import combinations
+
+        want = {}
+        by_key = {}
+        for k, it in rows:
+            by_key.setdefault(k, set()).add(it)
+        for items in by_key.values():
+            for a, b in combinations(sorted(items), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        df = spark.createDataFrame(
+            rows or [(0, "z")], "basket long, item string"
+        )
+        if not rows:
+            df = df.filter("basket < 0")
+        got = {
+            (r["item_a"], r["item_b"]): r["n_baskets"]
+            for r in basket_pair_counts(df, "basket", "item").collect()
+        }
+        assert got == want, (rows, got, want)
+
+    check()
