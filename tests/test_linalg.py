@@ -88,3 +88,22 @@ def test_pca_projection_invariants(spark):
         d_same = np.max(np.abs(mat[:, c] - ref[:, c]))
         d_flip = np.max(np.abs(mat[:, c] + ref[:, c]))
         assert min(d_same, d_flip) < 1e-6
+
+
+def test_negative_zero_is_normalized(spark):
+    # r5 driver red row: ROUND of a tiny negative covariance yields IEEE
+    # -0.0, whose sign bit survives into an exact value-hash comparison
+    # even though -0.0 == 0.0. cov(x, y) here is exactly -eps^2/2 -> a
+    # ~-5e-9 cell that 6dp rounding maps to (signed) zero.
+    import math
+
+    eps = 1e-4
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0 + eps, 1.0 - eps]), (2, [1.0, 1.0 - eps, 1.0 + eps])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = embedding_covariance(df).collect()
+    cell = {(r["dim_i"], r["dim_j"]): r["cov"] for r in rows}[(2, 3)]
+    assert cell == 0.0
+    assert math.copysign(1.0, cell) == 1.0, "negative zero leaked"
+    assert not any(repr(r["cov"]) == "-0.0" for r in rows)

@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -24,15 +25,27 @@ from vectolite_spark.schema import TESTDATA_TABLES  # noqa: E402
 from vectolite_spark.session import get_spark  # noqa: E402
 
 
+# The DRIVER's correctness gate hashes EXACT value reprs — it does NOT
+# round and it DOES see the IEEE sign bit (r5's only red row was a cell
+# that was 0.0 in Spark and -0.0 in DuckDB; the old 9dp-rounded,
+# zero-normalizing canon here passed it locally). Default is therefore
+# exact repr. Set ORACLE_ROUND_DP=9 to restore the lenient comparator
+# when debugging whether a mismatch is a real semantic bug or a
+# last-ulp/sign-bit artifact.
+_ROUND_DP = int(os.environ.get("ORACLE_ROUND_DP", "0") or 0)
+
+
 def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            return "0"  # normalize -0.0
-        return repr(round(v, 9))
+        if _ROUND_DP:
+            if v == 0.0:
+                return "0"  # lenient mode: normalize -0.0
+            return repr(round(v, _ROUND_DP))
+        return repr(v)  # exact: repr(-0.0) == '-0.0' != '0.0'
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, bytes):

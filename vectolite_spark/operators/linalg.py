@@ -95,8 +95,15 @@ def embedding_covariance(
         .select(
             "dim_i",
             "dim_j",
-            F.round(
-                F.col("mean_xy") - F.col("m_i") * F.col("m_j"), round_to
+            # + 0.0 normalizes IEEE negative zero: ROUND of a tiny
+            # negative yields -0.0 whose sign bit survives into exact
+            # value-hash comparison even though -0.0 == 0.0 (the r5
+            # driver red row: one cell was -0.0 here, 0.0 in DuckDB)
+            (
+                F.round(
+                    F.col("mean_xy") - F.col("m_i") * F.col("m_j"), round_to
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

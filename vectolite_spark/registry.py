@@ -6757,8 +6757,11 @@ p AS (
   GROUP BY a.i, b.i
 )
 SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       -- + 0.0 maps IEEE -0.0 -> 0.0 (must mirror the Spark side: the
+       -- driver's value hash is sign-bit-sensitive)
        ROUND(CAST(sxy AS DOUBLE) / n
-             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS cov
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6)
+       + 0.0 AS cov
 FROM p
 """,
 )
