@@ -103,7 +103,11 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # -- flagship single-query latency over a cached store -----------------
-    embs = load_table(spark, SF_DIR, "embeddings").cache()
+    # serving cache partitions sized to the DATA, not the core count:
+    # 2k vectors across 32 partitions is 32 Python-worker round trips
+    # per probe for ~60 rows each — pure task overhead. (At 100 TB the
+    # same rule sizes partitions to ~128MB, giving thousands of them.)
+    embs = load_table(spark, SF_DIR, "embeddings").coalesce(8).cache()
     n_vecs = embs.count()  # materialize cache
     qvecs = [
         [float(x) for x in r["embedding"]]
@@ -122,6 +126,34 @@ def main() -> None:
     single_q = (time.time() - t0) / len(qvecs)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     timings["flagship_topk_cached_1q"] = round(single_q, 4)
+
+    # -- sustained concurrent serving throughput ---------------------------
+    # The single-query number above is the Spark job-scheduling floor
+    # (~0.2s regardless of data size) — the honest serving metric for a
+    # deployment is queries/second under PARALLEL clients, where the
+    # scheduler overlaps the per-job overhead across cores. 16 threads,
+    # 8 queries each, over the same warmed cache.
+    import threading
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    n_threads, per_thread = 16, 8
+
+    def _serve(tid: int) -> None:
+        for i in range(per_thread):
+            topk_ids(embs, qvecs[(tid + i) % len(qvecs)], 10).collect()
+
+    _serve(0)  # warm the concurrent path
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=_serve, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    qps = n_threads * per_thread / (time.time() - t0)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    timings["serving_concurrent_qps"] = round(qps, 1)
 
     # -- batch throughput: 100 queries in ONE job --------------------------
     queries = (
@@ -275,6 +307,7 @@ def main() -> None:
 
     headline_keys = [
         "flagship_topk_cached_1q",
+        "serving_concurrent_qps",
         "batch_topk_100q_total",
         "batch_topk_per_query",
         "ingest_embed_write_total",

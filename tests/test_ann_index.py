@@ -593,3 +593,43 @@ def test_matryoshka_two_stage_recall_reasonable(spark, sf_dir):
         key = (r["query_id"], r["vec_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_srp_index_meta_drives_probe_parameters(spark, sf_dir, tmp_path):
+    """A non-default build persists (n_tables, n_planes) in meta; probes
+    and appends resolve from it instead of hard-coded defaults, so an
+    index built with other hyperplanes can never be probed with
+    mismatched planes (which silently returns near-empty/wrong sets)."""
+    import pytest
+
+    from vectolite_spark.operators.ann import (
+        build_srp_index,
+        srp_index_topk,
+        srp_index_topk_batch,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.first()["embedding"]]
+    path = str(tmp_path / "srp_nd")
+    build_srp_index(embs, path, n_tables=4, n_planes=3)
+
+    implicit = [tuple(r) for r in srp_index_topk(spark, path, qvec, k=5).collect()]
+    explicit = [
+        tuple(r)
+        for r in srp_index_topk(
+            spark, path, qvec, k=5, n_tables=4, n_planes=3
+        ).collect()
+    ]
+    assert implicit == explicit and len(implicit) == 5
+
+    queries = spark.createDataFrame(
+        [(0, qvec)], "query_id long, query_vec array<double>"
+    )
+    batch = srp_index_topk_batch(spark, path, queries, k=5).collect()
+    assert [(r["vec_id"], r["score"]) for r in batch] == [
+        (v, s) for v, s, _ in implicit
+    ]
+
+    # mismatched explicit parameters fail loudly, never serve garbage
+    with pytest.raises(ValueError, match="built with"):
+        srp_index_topk(spark, path, qvec, k=5, n_tables=16, n_planes=6)

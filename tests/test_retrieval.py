@@ -479,6 +479,23 @@ def test_regex_literal_extraction_rules():
         regex_literals("red|blue")
     with pytest.raises(ValueError, match="full scan"):
         regex_literals("(abc)def")
+    # multi-char escape families must refuse, not leave their trailing
+    # chars in the run: \x41bcdef matches "Abcdef", but naive 2-char
+    # consumption extracts the spurious required run "41bcdef"
+    for pat in (
+        r"\x41bcdef",
+        r"\07abc",
+        r"\cAabc",
+        r"\p{Lower}abc",
+        r"\Qa.b\Eabc",
+        r"\1abc",
+        "abc\\",  # dangling backslash
+    ):
+        with pytest.raises(ValueError, match="full scan"):
+            regex_literals(pat)
+    # single-char escapes still just break the run (no refusal)
+    assert regex_literals(r"abcd\nefgh") == ["abcd", "efgh"]
+    assert regex_literals(r"abcd\wefgh") == ["abcd", "efgh"]
 
 
 def test_regex_search_exact_vs_scan(trgm_index):
@@ -680,10 +697,37 @@ def test_trigram_search_survives_duplicate_postings(spark, tmp_path):
     path = str(tmp_path / "idx")
     build_trigram_index(docs, path, n_buckets=2)
     append_trigram_index(late, path)
-    append_trigram_index(late, path)  # simulated replay, no marker
+    # a replay through the API now fails loudly (new-ids guard) without
+    # touching the index...
+    with pytest.raises(ValueError, match="already indexed"):
+        append_trigram_index(late, path)
+    # ...but the narrower crash window (postings appended, doclen not,
+    # replay re-appends postings) can still duplicate posting ROWS —
+    # simulate it by re-appending doc 3's postings directly
+    dup = spark.read.parquet(f"{path}/postings").filter("doc_id = 3")
+    dup.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
     alldocs = docs.unionByName(late)
     idx = TrigramIndex(spark, path)
     got = sorted(
         r["doc_id"] for r in idx.search(alldocs, "merge join").collect()
     )
     assert got == [1, 3]  # doc 3 must survive its duplicated postings
+
+
+def test_trigram_append_rejects_already_indexed_ids(spark, tmp_path):
+    """The new-ids caller contract is enforced, not assumed: re-appending
+    an indexed doc would double-count df/n_tri and duplicate postings,
+    silently degrading rarest-first probes — it must raise instead."""
+    from vectolite_spark.operators.retrieval import (
+        append_trigram_index,
+        build_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge join beats loops"), (2, "hash join row")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "guard")
+    build_trigram_index(docs, path, n_buckets=4)
+    with pytest.raises(ValueError, match="already indexed"):
+        append_trigram_index(docs.filter("doc_id = 2"), path)

@@ -146,6 +146,12 @@ def main():
                             problems.append(
                                 f"{kt}.{c}: {sv} outside +/-{tol:.0%} of {dv}"
                             )
+                    for c, tol in spec.get("abs_tol", {}).items():
+                        sv, dv = float(r[scols_l.index(c)]), float(d[dcols.index(c)])
+                        if abs(sv - dv) > tol:
+                            problems.append(
+                                f"{kt}.{c}: {sv} outside +/-{tol} of {dv}"
+                            )
                 if problems:
                     print(f"FAIL  {name} (range-oracle): {'; '.join(problems[:4])}")
                     failures.append(name)

@@ -739,6 +739,32 @@ def srp_query_blocks(
     return out
 
 
+def _srp_meta(spark, index_path: str) -> tuple[int, int]:
+    """(n_tables, n_planes) the index was BUILT with. Probing with any
+    other values computes different hyperplanes and silently returns
+    near-empty/wrong results, so the probe/append paths must never
+    guess. Pre-meta indexes (built before the meta file existed) fall
+    back to the historical defaults they were necessarily built with."""
+    try:
+        r = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        return int(r["n_tables"]), int(r["n_planes"])
+    except Exception:
+        return 16, 6
+
+
+def _srp_resolve(spark, index_path, n_tables, n_planes) -> tuple[int, int]:
+    mt, mp = _srp_meta(spark, index_path)
+    if n_tables is not None and int(n_tables) != mt or (
+        n_planes is not None and int(n_planes) != mp
+    ):
+        raise ValueError(
+            f"SRP index at {index_path} was built with n_tables={mt}, "
+            f"n_planes={mp}; got ({n_tables}, {n_planes}) — probing or "
+            "appending with mismatched planes silently corrupts results"
+        )
+    return mt, mp
+
+
 def build_srp_index(
     embeddings: DataFrame,
     index_path: str,
@@ -763,6 +789,12 @@ def build_srp_index(
     vb.coalesce(8).write.mode("overwrite").partitionBy("block").parquet(
         f"{index_path}/cells"
     )
+    # persist the build hyperparameters (the trigram index's meta
+    # discipline): probes/appends resolve (n_tables, n_planes) from here
+    # so a non-default build can never be probed with default planes
+    embeddings.sparkSession.createDataFrame(
+        [(int(n_tables), int(n_planes))], "n_tables int, n_planes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def srp_index_topk(
@@ -770,8 +802,8 @@ def srp_index_topk(
     index_path: str,
     qvec,
     k: int = 10,
-    n_tables: int = 16,
-    n_planes: int = 6,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Probe a persisted SRP-LSH index: compute the query's T blocks
     driver-side, scan ONLY those partition directories, dedupe
@@ -782,6 +814,7 @@ def srp_index_topk(
 
     from vectolite_spark.functions.vector import cosine_score
 
+    n_tables, n_planes = _srp_resolve(spark, index_path, n_tables, n_planes)
     blocks = srp_query_blocks(qvec, n_tables, n_planes)
     # enumerate ONLY the query's block directories (basePath keeps the
     # partition column): listing T dirs beats listing all T*2^b and
@@ -834,8 +867,8 @@ def srp_index_topk_batch(
     index_path: str,
     queries: DataFrame,
     k: int = 10,
-    n_tables: int = 16,
-    n_planes: int = 6,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
 ) -> DataFrame:
@@ -853,6 +886,7 @@ def srp_index_topk_batch(
 
     from vectolite_spark._pandas_udfs import make_pair_cosine_udf
 
+    n_tables, n_planes = _srp_resolve(spark, index_path, n_tables, n_planes)
     qrows = queries.select(qid_col, qvec_col).collect()
     pairs = []
     qvecs = []
@@ -861,20 +895,31 @@ def srp_index_topk_batch(
         qvecs.append((int(r[qid_col]), vec))
         for b in srp_query_blocks(vec, n_tables, n_planes):
             pairs.append((int(r[qid_col]), b))
-    dirs = sorted(
-        {
-            p
-            for _, b in pairs
-            if os.path.exists(
-                p := f"{index_path}/cells/block={b.replace(':', '%3A')}"
-            )
-        }
-    )
-    if not dirs:
-        return spark.createDataFrame(
-            [], f"{qid_col} long, vec_id long, score double, rn long"
+    # same remote-store discipline as the single-query probe above: an
+    # os.path.exists probe is local-FS only, so on hdfs:// / s3a:// it
+    # is ALWAYS false — read the full layout and let the partition
+    # filter prune instead of silently returning an empty result set
+    if "://" not in index_path:
+        dirs = sorted(
+            {
+                p
+                for _, b in pairs
+                if os.path.exists(
+                    p := f"{index_path}/cells/block={b.replace(':', '%3A')}"
+                )
+            }
         )
-    cells = spark.read.option("basePath", f"{index_path}/cells").parquet(*dirs)
+        if not dirs:
+            return spark.createDataFrame(
+                [], f"{qid_col} long, vec_id long, score double, rn long"
+            )
+        cells = spark.read.option("basePath", f"{index_path}/cells").parquet(
+            *dirs
+        )
+    else:
+        cells = spark.read.parquet(f"{index_path}/cells").filter(
+            F.col("block").isin(sorted({b for _, b in pairs}))
+        )
     qb = spark.createDataFrame(pairs, f"{qid_col} long, block string")
     qv = spark.createDataFrame(qvecs, f"{qid_col} long, qv array<float>")
     cand = cells.join(F.broadcast(qb), "block").join(
@@ -898,8 +943,8 @@ def srp_index_append(
     spark,
     index_path: str,
     embeddings: DataFrame,
-    n_tables: int = 16,
-    n_planes: int = 6,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
 ) -> None:
     """Incremental SRP-LSH maintenance (the ``ivf_index_append`` twin):
@@ -911,6 +956,7 @@ def srp_index_append(
     routing."""
     from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
 
+    n_tables, n_planes = _srp_resolve(spark, index_path, n_tables, n_planes)
     mapper = make_srp_bucket_mapper(n_tables, n_planes)
     vb = embeddings.select(
         F.col(id_col).alias("vec_id"), "embedding"

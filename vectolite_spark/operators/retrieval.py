@@ -555,12 +555,35 @@ def append_trigram_index(
 
     Caller contract: ``new_docs`` must be genuinely new ids — postings
     are (trigram, doc_id) facts, so re-appending an existing doc would
-    double-count it in ``df`` and duplicate posting rows."""
+    double-count it in ``df`` and duplicate posting rows. The contract
+    is ENFORCED below (anti-join of the delta's ids against the
+    existing doclen): a violation — or a partially-failed earlier
+    append that did reach doclen — raises instead of silently
+    corrupting df/n_tri statistics (ADVICE r5). The guard joins the
+    tiny delta id set against doclen's single narrow column; it cannot
+    catch the narrower crash window where a prior append wrote postings
+    but died before doclen — that window is owned by the streaming
+    sink's batch marker."""
     spark = new_docs.sparkSession
     n_buckets = int(
         spark.read.parquet(f"{index_path}/meta").collect()[0]["n_buckets"]
     )
     from vectolite_spark._pandas_udfs import make_trigram_udf
+
+    overlap = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(spark.read.parquet(f"{index_path}/doclen").select("doc_id"), "doc_id")
+        .limit(5)
+        .collect()
+    )
+    if overlap:
+        ids = sorted(r["doc_id"] for r in overlap)
+        raise ValueError(
+            f"append_trigram_index: ids already indexed (e.g. {ids}) — "
+            "re-appending would double-count df/n_tri; dedupe the delta "
+            "or rebuild the index"
+        )
 
     tri = (
         new_docs.select(
@@ -595,11 +618,14 @@ def append_trigram_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
-    # delta doclen rows are for NEW doc ids only (caller contract), so
-    # a plain append is a disjoint union — no merge needed
+    # delta doclen rows are for NEW doc ids only (enforced above), so a
+    # plain append is a disjoint union — no merge needed. countDistinct
+    # (== count today: the trigram UDF emits distinct trigrams per doc)
+    # keeps |D| correct even if a future path feeds duplicate
+    # (doc_id, trigram) rows through here
     (
         tri.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .agg(F.countDistinct("trigram").alias("n_tri"))
         .write.mode("append")
         .parquet(f"{index_path}/doclen")
     )
@@ -955,6 +981,20 @@ def regex_literals(pattern: str) -> list[str]:
     while i < len(pattern):
         c = pattern[i]
         if c == "\\":
+            # Only SINGLE-char escapes may be skipped as "consume 2".
+            # Multi-char escape families (\xHH, \uHHHH, \0nn octal,
+            # \cX control, \p{..}/\P{..} properties, \Q..\E quoting,
+            # \N{..}, \k<name> named backrefs) and numeric backrefs
+            # would leave their trailing chars in the literal run —
+            # a spurious "required" trigram that prunes TRUE matches.
+            # Conservative: refuse, caller falls back to a full scan.
+            nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+            if not nxt or nxt in "xuUcpPQNkE0123456789":
+                raise ValueError(
+                    f"regex {pattern!r}: escape \\{nxt or '<end>'} opens a "
+                    "multi-char sequence — literal extraction would be "
+                    "unsound; use a full scan"
+                )
             flush()
             i += 2
         elif c == "[":

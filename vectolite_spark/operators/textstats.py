@@ -495,7 +495,10 @@ def ngram_novelty(
     the doc is stitched from already-seen text; the per-source average
     ranks feeds by marginal value).
 
-    Scale plan: two shuffles total. The (shingle-hash, doc) pairs need no
+    Scale plan: two ANALYTIC shuffles (three exchanges in the censused
+    plan — the extra one is ``widen_small_input``'s round-robin
+    repartition, a toy-scale fan-out that a real multi-split corpus
+    wouldn't carry). The (shingle-hash, doc) pairs need no
     distinct AT ALL — each doc is one input row, so ``array_distinct`` on
     the shingle array dedups within-doc repeats map-side at zero shuffle
     and the exploded pairs are globally unique by construction (a

@@ -6778,6 +6778,48 @@ def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+RANGE_ORACLES["gram_partials_covariance"] = {
+    # exact-DECIMAL covariance, unrounded — the float64 BLAS path must
+    # land within 1e-6 of it on every cell (same bound as the pytest pin)
+    "sql": """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS val
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+p AS (
+  SELECT a.i AS dim_i, b.i AS dim_j,
+         COUNT(*) AS n,
+         SUM(CAST(a.val * b.val AS DECIMAL(28,12))) AS sxy,
+         SUM(CAST(a.val AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(b.val AS DECIMAL(28,12))) AS sy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       CAST(sxy AS DOUBLE) / n
+       - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov
+FROM p
+""",
+    "key": ["dim_i", "dim_j"],
+    "abs_tol": {"cov": 1e-6},
+}
+
+
+@register("gram_partials_covariance")  # range-oracled: float64 BLAS partials
+def gram_partials_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB covariance fast path (VERDICT r5 item 3): per-Arrow-batch
+    numpy ``V.T @ V`` Gram partials inside ``mapInPandas`` — one BLAS syrk
+    per batch, the shuffle replaced by <= one tiny (n, d, gram, sums) row
+    per batch — aggregated driver-side. Unrounded float64 output; the
+    RANGE_ORACLES band pins every cell within 1e-6 of the exact
+    order-free DECIMAL oracle (``embedding_covariance``'s SQL sans
+    ROUND). The driver records rows-only; the accuracy contract lives in
+    the local range gate + tests/test_linalg.py."""
+    from vectolite_spark.operators.linalg import gram_partials_covariance
+
+    return gram_partials_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "jaccard_prefix_join",
     f"""

@@ -101,12 +101,11 @@ def stream_trigram_maintenance(
     pending files then stops). At 100 TB this is the index lifecycle: a
     continuous corpus never rebuilds, it appends per micro-batch and
     runs ``compact_trigram_index`` on a maintenance cadence."""
-    import os
-
     from vectolite_spark.operators.retrieval import (
         append_trigram_index,
         build_trigram_index,
     )
+    from vectolite_spark.store import _HadoopFS
 
     reader = spark.readStream.schema(src_schema)
     if max_files_per_trigger is not None:
@@ -119,11 +118,15 @@ def stream_trigram_maintenance(
         # posting would inflate the candidate count-match past
         # len(probed trigrams) — silently DROPPING true matches. The
         # marker (written only after the batch's writes complete) makes
-        # the replay a no-op instead.
-        marker = os.path.join(index_path, f"_batch_{batch_id}")
-        if os.path.exists(marker):
+        # the replay a no-op instead. Marker I/O goes through the same
+        # Hadoop-FS abstraction as the index writes: os.path on a
+        # remote store (hdfs://, s3a://) never sees the marker, so
+        # every recovery replay would re-append (ADVICE r5).
+        fs = _HadoopFS(batch_df.sparkSession, index_path)
+        marker = f"{index_path}/_batch_{batch_id}"
+        if fs.exists(marker):
             return
-        if not os.path.exists(os.path.join(index_path, "stats", "_SUCCESS")):
+        if not fs.exists(f"{index_path}/stats/_SUCCESS"):
             build_trigram_index(
                 batch_df,
                 index_path,
@@ -135,8 +138,7 @@ def stream_trigram_maintenance(
             append_trigram_index(
                 batch_df, index_path, text_col=text_col, id_col=id_col
             )
-        with open(marker, "w") as f:
-            f.write("done")
+        fs.write_text(marker, "done", overwrite=True)
 
     return (
         stream.writeStream.foreachBatch(sink)
