@@ -252,3 +252,37 @@ def test_png_codec_roundtrip_property():
         assert np.array_equal(img["pixels"], px)
 
     roundtrip()
+
+
+def test_image_fallback_seam():
+    """The Pillow fast-path seam: unknown image formats route through the
+    installed fallback decoder; without one (this container has no
+    Pillow) they raise the documented NotImplementedError. The Spark
+    plumbing (schema, batching) is identical either way."""
+    import pytest
+
+    from vectolite_spark import multimodal as mm
+
+    gif_ish = b"GIF89a" + bytes(64)  # not PNG, not JPEG
+    # auto mode, no Pillow in this container -> loud seam
+    assert mm._resolve_image_fallback() is None
+    with pytest.raises(NotImplementedError, match="set_image_fallback"):
+        mm.decode_real("image", gif_ish)
+    # a wired decoder (stand-in for Pillow) serves the same contract
+    try:
+        mm.set_image_fallback(lambda data: {"width": 7, "height": 9})
+        out = mm.decode_real("image", gif_ish)
+        assert (out["width"], out["height"]) == (7, 9)
+        assert out["n_bytes"] == len(gif_ish)
+    finally:
+        mm.set_image_fallback("auto")
+    # stdlib formats never consult the fallback
+    try:
+        mm.set_image_fallback(lambda data: (_ for _ in ()).throw(AssertionError))
+        import numpy as np
+
+        px = np.zeros((3, 4, 3), dtype=np.uint8)
+        out = mm.decode_real("image", mm.encode_png(px))
+        assert (out["width"], out["height"]) == (4, 3)
+    finally:
+        mm.set_image_fallback("auto")

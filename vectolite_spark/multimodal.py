@@ -34,6 +34,45 @@ FEATURE_SCHEMA = (
 )
 
 
+# Pluggable image fast-path seam: production clusters wire Pillow (or
+# any native decoder) here and every Spark-side consumer — schema,
+# mapInPandas batching, feature extraction — is unchanged. "auto" tries
+# Pillow when importable; a callable takes raw bytes and returns a dict
+# with width/height; None disables the fallback (pure-stdlib behavior).
+_IMAGE_FALLBACK = "auto"
+
+
+def set_image_fallback(fb) -> None:
+    """Install a fallback decoder for image formats the pure-stdlib path
+    cannot parse (anything beyond PNG / baseline JPEG). ``fb`` is a
+    callable ``bytes -> {"width": int, "height": int}``, or "auto"
+    (default: use Pillow when importable), or None (disable).
+
+    Workers import this module fresh, so a driver-side call does NOT
+    propagate into ``mapInPandas`` tasks — "auto" is the distributed
+    seam (each worker picks up Pillow if its runtime has it); a custom
+    callable is for driver-side decoding and tests."""
+    global _IMAGE_FALLBACK
+    _IMAGE_FALLBACK = fb
+
+
+def _resolve_image_fallback():
+    if _IMAGE_FALLBACK == "auto":
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401  (absent in this container)
+        except ImportError:
+            return None
+
+        def _pillow(data: bytes) -> dict:
+            with Image.open(io.BytesIO(data)) as im:
+                return {"width": im.width, "height": im.height}
+
+        return _pillow
+    return _IMAGE_FALLBACK
+
+
 def decode_real(kind: str, data: bytes) -> dict:
     """REAL decoder for the formats this container can actually parse:
     PNG images (zlib inflate + scanline unfiltering, below), baseline
@@ -61,11 +100,14 @@ def decode_real(kind: str, data: bytes) -> dict:
         elif data[:2] == JPEG_SOI:
             img = decode_jpeg(data)
         else:
-            raise NotImplementedError(
-                "real image decoding beyond PNG/baseline-JPEG requires "
-                "Pillow, which is not present in this environment; use "
-                "decode_fake"
-            )
+            fb = _resolve_image_fallback()
+            if fb is None:
+                raise NotImplementedError(
+                    "real image decoding beyond PNG/baseline-JPEG requires "
+                    "Pillow, which is not present in this environment; "
+                    "wire it via set_image_fallback or use decode_fake"
+                )
+            img = fb(data)
         base["width"], base["height"] = img["width"], img["height"]
         return base
     if kind == "audio":

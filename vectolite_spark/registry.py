@@ -2587,6 +2587,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
+@register("dedup_clusters_distributed", _SQL_CC_MIN_LABEL)
+def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with the driver-side union-find fast path
+    DISABLED (``small_graph_limit=0``): the min-label loop runs fully
+    distributed — per-round join + min-aggregate shuffles over the
+    checkpointed edge list — exactly as it would when 100 TB of pairs
+    no longer fit a driver working set (VERDICT r5 item 8: the toy-scale
+    hybrid fast path hid this shape from the census). Same oracle, same
+    fixpoint: the path choice is a pure execution detail."""
+    from vectolite_spark.operators.dedup import (
+        connected_components,
+        simhash_near_pairs,
+    )
+
+    pairs = simhash_near_pairs(load_table(spark, sf_dir, "documents"), radius=1)
+    return connected_components(pairs, small_graph_limit=0).orderBy("doc_id")
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -9033,90 +9051,86 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # r4's only red row, fixed this round (to_json reshape) — pos 1
-    "embedding_quantize_int8",
-    # the 16 entries with no driver row in any CORRECTNESS_r1-r4
-    # (VERDICT r4 item 2 — completes the rotation: 131 -> 147)
-    "hard_negative_mining",
-    "epoch_shuffle",
-    "bucketed_join_revenue",
-    "cdc_chunk_dedup",
-    "cdc_span_decontamination",
-    "cdc_indexed_decontamination",
+    # r5's only red row, fixed this round (-0.0 normalization) — pos 1
     "embedding_covariance",
-    "jaccard_prefix_join",
-    "streaming_dedup_counts",
-    "dup_graph_pagerank",
-    "bpe_train",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q16_supplier_variety",
-    "q21_waiting_supplier",
-    # new in r5: completes the 22-query TPC-H suite; deterministic sketch;
-    # curation/tokenizer/sampling additions
-    "q20_excess_stock_suppliers",
-    "kmv_distinct_tokens",
-    "cms_token_estimates",
-    "encoding_quality",
-    "stratified_split",
-    "diversity_sample",
-    "bpe_apply",
-    "ann_batch_lsh_indexed",
-    "ann_lsh_indexed_topk",
-    "streaming_topk_maintenance",
-    "streaming_user_totals",
-    "quality_rank_normalized",
-    "vocab_drift",
-    "dup_graph_triangles",
-    "matryoshka_recall_eval",
-    "dup_cross_source_stats",
-    # rewritten this round: deterministic SRP path, first-ever oracle
-    # (r1-r4 were err=no_oracle on the MLlib variant — VERDICT r4 item 4)
-    "ann_lsh_topk",
-    # code touched in round 5 (shared-partitioning distinct reshape /
-    # multimodal JPEG decode) — prior green rows are stale for these
-    "ngram_novelty",
-    "multimodal_features",
-    # core parity anchor (the flagship re-verifies every round; the other
-    # six batch/dedup keepers are r4-green and rotate to the tail so the
-    # slots maximize NEW driver evidence — union semantics, VERDICT r4)
+    # the 11 late-r5 entries with no driver row in any CORRECTNESS_r1-r5
+    # (VERDICT r5 item 2 — completes the rotation: every oracled entry
+    # gets an authoritative row in the r1-r6 union)
+    "aqp_join_universe_sample",
+    "constraint_audit",
+    "pareto_front_parts",
+    "copurchase_pairs",
+    "association_rules",
+    "event_transitions",
+    "session_paths",
+    "robust_anomalies",
+    "transition_entropy",
+    "session_duration_stats",
+    "item_recommendations",
+    # new this round: the 100 TB covariance fast path (rows-only at the
+    # driver; range-oracled 1e-6 locally — VERDICT r5 item 3)
+    "gram_partials_covariance",
+    # the two by-design rows-only entries have never had ANY driver row;
+    # give them their weaker rows-only evidence once
+    "approx_distinct_tokens",
+    "ann_mllib_lsh_topk",
+    # core parity anchor (re-verified every round)
     "flagship_topk",
-    # late-r5 text-search subsystem: zero driver evidence until now
-    "trigram_substring_search",
-    "trigram_batch_substring_search",
+    # code touched this round (ADVICE r5 fixes: SRP meta resolution,
+    # batch remote fallback, regex escape soundness, append guard,
+    # streaming marker via Hadoop FS) — prior green rows are stale
+    "ann_lsh_indexed_topk",
+    "ann_batch_lsh_indexed",
     "regex_trigram_search",
     "trigram_incremental_search",
-    "trigram_similarity_topk",
     "streaming_trigram_maintenance",
-    # added mid-round-5 (after the lists above were fixed) — zero driver
-    # evidence, so they take the window slots; the displaced r1/r2-green
-    # keepers (agg_pricing_summary, q3/q7/q10) retain their old rows
-    "matryoshka_two_stage_topk",
-    "bloom_vocab_membership",
-    "mmr_rerank_topk",
-    "passage_highlight",
-    "bigram_pmi_collocations",
-    "zonemap_pruned_scan",
-    "aqp_sampled_revenue",
+    # refresh the oldest evidence: r1-green entries unverified since
+    "ann_ivf_topk",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    # refresh r2-green entries (oldest remaining evidence); these slots
+    # are ALSO the swap pool for any operator added later this round —
+    # displacing a refresh costs nothing (old rows stand via union)
+    "agg_pricing_summary",
+    "asia_customer_orders",
+    "asof_last_click",
+    "big_ticket_orders",
+    "click_and_purchase_users",
+    "corpus_curation",
+    "cube_order_counts",
+    "customers_without_orders",
+    "dataset_split_counts",
+    "embedding_norm_stats",
+    "events_window_agg",
+    "frequent_tokens",
+    "grouped_doc_stats",
+    "join_revenue_by_nation",
+    "merge_upsert_preview",
+    "moment_stats",
+    "parts_per_flag",
+    "pivot_priority_by_year",
+    "price_histogram",
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    # jpeg.py bit-reader rewritten this round — re-verify the decode path
+    "multimodal_features",
+    # new this round: forced-distributed CC shape (VERDICT r5 item 8)
+    "dedup_clusters_distributed",
 ]
 
-# With this r5 window, EVERY oracled registry entry has (or gets this
-# round) at least one driver-green CORRECTNESS row across r1-r5: the 16
-# never-verified late-r4 additions are in, the fixed
-# embedding_quantize_int8 leads, and ann_lsh_topk gets its first real
-# oracle after 4 rounds of err=no_oracle. The only entries that never
-# appear driver-green by design are approx_distinct_tokens (HLL sketch,
-# range-oracled +-2rsd in pytest) and ann_mllib_lsh_topk (randomized
-# MLlib planes, recall-gated in pytest) — both sit in the middle.
-# Future rounds: put any query whose code changed back into the window;
-# keep the flagship anchor. ROTATE IN FOR r6: the late-r5 entries still
-# without a driver row — aqp_join_universe_sample, constraint_audit,
-# pareto_front_parts, copurchase_pairs, association_rules,
-# event_transitions, session_paths, robust_anomalies,
-# transition_entropy, session_duration_stats, item_recommendations,
-# plus anything newer (all have fresh
-# 3-scale local oracle runs; see tools/check_oracle.py).
+# With this r6 window, EVERY oracled registry entry has (or gets this
+# round) at least one driver-green CORRECTNESS row across r1-r6: the 11
+# never-verified late-r5 additions are in, the fixed embedding_covariance
+# leads, gram_partials_covariance (new, rows-only at the driver +
+# range-oracled locally) and the two by-design rows-only sketch/MLlib
+# entries get their first driver rows, every ADVICE-r5-touched query is
+# re-verified, and the remaining slots refresh the oldest (r1/r2) green
+# evidence. Future rounds: put any query whose code changed back into
+# the window; keep the flagship anchor; swap refresh slots for any
+# newly added operators (old rows stand via union semantics).
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
@@ -9127,29 +9141,14 @@ _DEMOTED_STABLE = [
     "hybrid_batch_indexed_topk",
     "dedup_clusters",
     "dedup_keep_list",
-    "pivot_priority_by_year",
     "rolling_avg_order_value",
-    "join_revenue_by_nation",
     "window_top_orders",
     "sessionize_events",
-    "customers_without_orders",
-    "events_window_agg",
     "top_customers_by_revenue",
-    "price_histogram",
-    "grouped_doc_stats",
     "rollup_revenue",
-    "asia_customer_orders",
-    "parts_per_flag",
     "sql_shipyear_revenue",
-    "moment_stats",
-    "cube_order_counts",
-    "embedding_norm_stats",
     "quantile_stats",
-    "asof_last_click",
     "range_join_value_bands",
-    "corpus_curation",
-    "merge_upsert_preview",
-    "frequent_tokens",
     "sample_per_source",
     "q4_priority_exists",
     "q19_disjunctive_revenue",
