@@ -152,8 +152,36 @@ def main() -> None:
     for t in threads:
         t.join()
     qps = n_threads * per_thread / (time.time() - t0)
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
     timings["serving_concurrent_qps"] = round(qps, 1)
+
+    # -- dynamic micro-batching (the deployment serving architecture) ------
+    # Naive job-per-query concurrency caps at the DAGScheduler admission
+    # rate (~30 q/s above). The MicroBatcher coalesces concurrent
+    # requests into one topk_batch job per dispatch cycle, approaching
+    # the batch path's ms-level per-query cost while each caller still
+    # sees request/response semantics.
+    from vectolite_spark.serving import MicroBatcher
+
+    mb = MicroBatcher(embs, k=10, max_batch=64, max_wait_ms=8)
+    mb_threads, mb_per = 32, 8
+
+    def _serve_mb(tid: int) -> None:
+        for i in range(mb_per):
+            mb.query(qvecs[(tid + i) % len(qvecs)])
+
+    _serve_mb(0)  # warm
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=_serve_mb, args=(t,)) for t in range(mb_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    timings["serving_microbatch_qps"] = round(
+        mb_threads * mb_per / (time.time() - t0), 1
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # -- batch throughput: 100 queries in ONE job --------------------------
     queries = (
@@ -308,6 +336,7 @@ def main() -> None:
     headline_keys = [
         "flagship_topk_cached_1q",
         "serving_concurrent_qps",
+        "serving_microbatch_qps",
         "batch_topk_100q_total",
         "batch_topk_per_query",
         "ingest_embed_write_total",

@@ -1,0 +1,84 @@
+"""Dynamic micro-batching serving layer: concurrent callers coalesce
+into one topk_batch job and every caller gets exactly the flagship
+per-query answer (no cross-query leakage, deterministic ordering)."""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from vectolite_spark.operators.topk import topk_ids
+from vectolite_spark.schema import load_table
+from vectolite_spark.serving import MicroBatcher
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_microbatcher_matches_per_query_path(spark):
+    embs = load_table(spark, SF, "embeddings").cache()
+    embs.count()
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(8).collect()
+    ]
+    want = {
+        i: [
+            (r["vec_id"], float(r["score"]))
+            for r in topk_ids(embs, qv, 5).collect()
+        ]
+        for i, qv in enumerate(qvecs)
+    }
+
+    mb = MicroBatcher(embs, k=5, max_batch=8, max_wait_ms=30)
+    got: dict[int, list] = {}
+    errs: list[Exception] = []
+
+    def client(i: int) -> None:
+        try:
+            got[i] = mb.query(qvecs[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert got == want
+    embs.unpersist()
+
+
+def test_microbatcher_single_query_and_overflow(spark):
+    embs = load_table(spark, SF, "embeddings").cache()
+    embs.count()
+    qv = [float(x) for x in embs.first()["embedding"]]
+    want = [
+        (r["vec_id"], float(r["score"])) for r in topk_ids(embs, qv, 3).collect()
+    ]
+    # a lone query still serves (pays at most max_wait extra)
+    mb = MicroBatcher(embs, k=3, max_batch=4, max_wait_ms=5)
+    assert mb.query(qv) == want
+    # more clients than max_batch: overflow rolls into a second cycle,
+    # every caller still gets the right answer
+    got = []
+    lock = threading.Lock()
+
+    def client() -> None:
+        r = mb.query(qv)
+        with lock:
+            got.append(r)
+
+    threads = [threading.Thread(target=client) for _ in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 10 and all(r == want for r in got)
+    mb.close()
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        mb.query(qv)
+    embs.unpersist()

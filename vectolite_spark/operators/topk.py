@@ -99,36 +99,48 @@ def topk_batch(
 
     Returns (query_id, vec_id, score, rn) with rn in 1..k, ties -> id asc.
     """
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [r[qid_col] for r in qrows]
+    qv = [[float(x) for x in r[qvec_col]] for r in qrows]
+    out = topk_batch_vecs(embeddings, qids, qv, k, id_col=id_col)
+    if id_col != "vec_id":
+        out = out.withColumnRenamed("vec_id", id_col)
+    return out.withColumnRenamed("query_id", qid_col) if qid_col != "query_id" else out
+
+
+def topk_batch_vecs(
+    embeddings: DataFrame,
+    qids: Sequence[int],
+    qvecs: Sequence[Sequence[float]],
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``topk_batch``'s core for a DRIVER-RESIDENT query working set:
+    ids+vectors as plain lists, skipping the createDataFrame → collect
+    round trip (the serving micro-batcher calls this on every dispatch
+    cycle, where that round trip was pure latency)."""
     from pyspark.sql import Window
 
     from vectolite_spark._pandas_udfs import make_batch_topk_mapper
 
-    qrows = queries.select(qid_col, qvec_col).collect()
-    qids = [r[qid_col] for r in qrows]
-    qv = [[float(x) for x in r[qvec_col]] for r in qrows]
+    qv = [[float(x) for x in v] for v in qvecs]
     src = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
     if src.rdd.getNumPartitions() == 1:
         # single-partition (cached working-set) serving regime: the
         # partition-local top-k IS the global top-k — the mapper emits the
         # final ranking and the merge shuffle + window disappear entirely
-        mapper = make_batch_topk_mapper(qids, qv, k, rank_mode=True)
-        out = src.mapInPandas(
+        mapper = make_batch_topk_mapper(list(qids), qv, k, rank_mode=True)
+        return src.mapInPandas(
             mapper, schema="query_id long, vec_id long, score double, rn long"
         )
-    else:
-        mapper = make_batch_topk_mapper(qids, qv, k)
-        partial = src.mapInPandas(
-            mapper, schema="query_id long, vec_id long, score double"
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("vec_id")
-        )
-        out = partial.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= k
-        )
-    if id_col != "vec_id":
-        out = out.withColumnRenamed("vec_id", id_col)
-    return out.withColumnRenamed("query_id", qid_col) if qid_col != "query_id" else out
+    mapper = make_batch_topk_mapper(list(qids), qv, k)
+    partial = src.mapInPandas(
+        mapper, schema="query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
 
 
 def topk_search(

@@ -9114,9 +9114,10 @@ _DRIVER_WINDOW = [
     "pivot_priority_by_year",
     "price_histogram",
     "q3_shipping_priority",
-    "q7_nation_volume",
     # jpeg.py bit-reader rewritten this round — re-verify the decode path
     "multimodal_features",
+    # topk_batch refactored through topk_batch_vecs (serving micro-batcher)
+    "batch_topk",
     # new this round: forced-distributed CC shape (VERDICT r5 item 8)
     "dedup_clusters_distributed",
 ]

@@ -1,0 +1,131 @@
+"""Dynamic micro-batching for online similarity serving.
+
+A single Spark job has a fixed scheduling floor (~0.2 s on this box at
+ANY data size), and the DAGScheduler admits jobs through one event
+loop — so per-query jobs cap out near ~30 queries/s no matter how many
+client threads submit (measured, round 6). The batch path is two orders
+of magnitude cheaper per query (one ``topk_batch`` job scores Q queries
+with a single (N_p x d) @ (d x Q) matmul per partition; ~3-4 ms/query at
+Q=100). The standard serving architecture bridging the two is DYNAMIC
+BATCHING, as used by model-inference servers (e.g. Triton's dynamic
+batcher, public docs): concurrent requests queue briefly, a dispatcher
+drains the queue into one batch job, and every waiter gets its own
+slice of the result.
+
+Latency/throughput contract: a lone query pays at most ``max_wait_ms``
+extra latency; under load the batch fills to ``max_batch`` and
+throughput approaches the batch path's per-query cost. No result ever
+crosses queries: the batch job keys every row by query_id.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+class MicroBatcher:
+    """Thread-safe dynamic batcher over ``operators.topk.topk_batch``.
+
+    ``query(qvec)`` blocks the calling thread until its result is ready
+    and returns ``[(vec_id, score), ...]`` (k rows, ties id-asc — the
+    flagship ordering). Concurrent callers are coalesced into one Spark
+    job per dispatch cycle.
+    """
+
+    def __init__(
+        self,
+        embeddings: DataFrame,
+        k: int = 10,
+        max_batch: int = 64,
+        max_wait_ms: float = 8.0,
+        id_col: str = "vec_id",
+    ):
+        self._embs = embeddings
+        self._k = int(k)
+        self._max_batch = int(max_batch)
+        self._max_wait = max_wait_ms / 1000.0
+        self._id_col = id_col
+        self._lock = threading.Condition()
+        self._pending: list[tuple[list[float], threading.Event, dict]] = []
+        self._dispatching = False
+        self._closed = False
+
+    def query(self, qvec: Sequence[float]) -> list[tuple[int, float]]:
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        done = threading.Event()
+        slot: dict = {}
+        with self._lock:
+            self._pending.append(([float(x) for x in qvec], done, slot))
+            # exactly one waiter becomes the dispatcher for each cycle;
+            # everyone else parks on their event
+            if not self._dispatching:
+                self._dispatching = True
+                dispatcher = True
+            else:
+                dispatcher = False
+        if dispatcher:
+            self._dispatch_cycle()
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["res"]
+
+    def _dispatch_cycle(self) -> None:
+        import time
+
+        # brief accumulation window: lets concurrent callers pile in so
+        # the job amortizes; a lone query pays at most max_wait extra
+        deadline = time.time() + self._max_wait
+        while time.time() < deadline:
+            with self._lock:
+                if len(self._pending) >= self._max_batch:
+                    break
+            time.sleep(self._max_wait / 4)
+        with self._lock:
+            batch = self._pending[: self._max_batch]
+            del self._pending[: self._max_batch]
+            # overflow beyond max_batch gets its OWN dispatcher thread so
+            # its accumulation + Spark job overlap with ours — two batch
+            # jobs run concurrently on the cluster instead of tail-
+            # draining serially (the local[32] box fits several 8-task
+            # jobs side by side; measured +~2x sustained q/s)
+            if self._pending:
+                t = threading.Thread(target=self._dispatch_cycle, daemon=True)
+                t.start()
+            else:
+                self._dispatching = False
+        try:
+            results = self._run_batch([b[0] for b in batch])
+            for i, (_, done, slot) in enumerate(batch):
+                slot["res"] = results[i]
+                done.set()
+        except Exception as e:  # propagate to every waiter, never hang
+            for _, done, slot in batch:
+                slot["err"] = e
+                done.set()
+
+    def _run_batch(self, qvecs: list[list[float]]) -> list[list[tuple]]:
+        from vectolite_spark.operators.topk import topk_batch_vecs
+
+        rows = (
+            topk_batch_vecs(
+                self._embs,
+                list(range(len(qvecs))),
+                qvecs,
+                self._k,
+                id_col=self._id_col,
+            )
+            .select("query_id", "vec_id", "score", "rn")
+            .collect()
+        )
+        out: list[list[tuple]] = [[] for _ in qvecs]
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
+            out[r["query_id"]].append((r["vec_id"], float(r["score"])))
+        return out
+
+    def close(self) -> None:
+        self._closed = True
