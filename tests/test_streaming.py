@@ -527,3 +527,45 @@ def test_stream_trigram_maintenance_appends_across_batches(spark, tmp_path):
         .collect()
     )
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_stream_ingest_replay_is_idempotent(spark, tmp_path):
+    """The per-batch commit marker turns an at-least-once foreachBatch
+    replay (crash after append, before checkpoint commit) into a no-op
+    instead of a duplicate append."""
+    from vectolite_spark.streaming.ingest import make_ingest_sink
+    from vectolite_spark.store import _HadoopFS
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.txt").write_text("only file")
+    store = SparkVectolite(
+        spark, str(tmp_path / "sdb"), embed_fn=stub_embedder(dim=8)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest(store, str(drop), ckpt, max_chars=1000, embed_dim=8)
+    q.awaitTermination(120)
+    assert store.count_documents() == 1
+    fs = _HadoopFS(spark, ckpt)
+    assert fs.exists(f"{ckpt}/vl_commits/_batch_0")
+
+    # simulate the replay the streaming engine performs after a crash:
+    # deliver batch 0's dataframe to the REAL sink again — the marker
+    # short-circuits it
+    batch_df = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(str(drop))
+        .select(
+            F.input_file_name().alias("source"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "filename"
+            ),
+            F.col("value").alias("text"),
+        )
+    )
+    sink = make_ingest_sink(store, ckpt, max_chars=1000, embed_dim=8)
+    sink(batch_df, 0)  # replay: marker exists -> no-op
+    assert store.count_documents() == 1  # no duplicate ingest
+    sink(batch_df, 1)  # a genuinely new batch still appends
+    assert store.count_documents() == 2

@@ -41,6 +41,42 @@ def stream_text_files(spark: SparkSession, input_dir: str, glob: str = "*.txt") 
     )
 
 
+def make_ingest_sink(
+    store,
+    checkpoint_dir: str,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    overlap: int = DEFAULT_OVERLAP,
+    embed_dim: int = 64,
+):
+    """The foreachBatch sink for ``stream_ingest``, exposed for direct
+    testing of its replay guard. foreachBatch is at-least-once: a crash
+    between the append and the checkpoint commit replays the batch,
+    which would duplicate every chunk row (``append_dataframe`` assigns
+    fresh ids, so exact dedup cannot catch it). Same discipline as the
+    trigram-maintenance sink: a per-batch marker, committed AFTER the
+    append, scoped INSIDE the checkpoint dir so wiping the checkpoint
+    (which restarts batch ids) wipes the markers with it; Hadoop-FS I/O
+    so remote checkpoint stores see the marker too."""
+    from vectolite_spark.ingest import ingest_pipeline
+    from vectolite_spark.store import _HadoopFS
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        fs = _HadoopFS(store.spark, checkpoint_dir)
+        marker = f"{checkpoint_dir}/vl_commits/_batch_{batch_id}"
+        if fs.exists(marker):
+            return
+        # distributed batch append: chunks/embeddings never hit the driver
+        store.append_dataframe(
+            ingest_pipeline(
+                batch_df, max_chars=max_chars, overlap=overlap, embed_dim=embed_dim
+            )
+        )
+        fs.mkdirs(f"{checkpoint_dir}/vl_commits")
+        fs.write_text(marker, "done", overwrite=True)
+
+    return sink
+
+
 def stream_ingest(
     store,
     input_dir: str,
@@ -55,17 +91,14 @@ def stream_ingest(
     Returns the started StreamingQuery (availableNow trigger: drains the
     directory then stops; call .awaitTermination()).
     """
-    from vectolite_spark.ingest import ingest_pipeline
-
     files = stream_text_files(store.spark, input_dir, glob)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # distributed batch append: chunks/embeddings never hit the driver
-        store.append_dataframe(
-            ingest_pipeline(
-                batch_df, max_chars=max_chars, overlap=overlap, embed_dim=embed_dim
-            )
-        )
+    sink = make_ingest_sink(
+        store,
+        checkpoint_dir,
+        max_chars=max_chars,
+        overlap=overlap,
+        embed_dim=embed_dim,
+    )
 
     return (
         files.writeStream.foreachBatch(sink)
