@@ -53,7 +53,7 @@ def main() -> int:
     for name in common:
         o, n = old[name], new[name]
         ratio = n / o if o > 0 else float("inf")
-        if name.endswith("_per_sec") and ratio > 0:
+        if (name.endswith("_per_sec") or name.endswith("_qps")) and ratio > 0:
             ratio = 1 / ratio  # throughput keys: higher is better
         flag = ""
         if ratio >= 1.25:
