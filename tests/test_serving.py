@@ -82,3 +82,19 @@ def test_microbatcher_single_query_and_overflow(spark):
     with pytest.raises(RuntimeError):
         mb.query(qv)
     embs.unpersist()
+
+
+def test_store_make_batcher(spark, tmp_path):
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "sdb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many([f"doc number {i}" for i in range(20)])
+    mb = store.make_batcher(top_k=3)
+    qv = [float(x) for x in store.embed_fn(["doc number 7"])[0]]
+    got = mb.query(qv)
+    want = [(d["id"], d["score"]) for d in store.query("doc number 7", top_k=3)]
+    assert got == want
+    mb.close()

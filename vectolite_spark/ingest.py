@@ -185,7 +185,10 @@ def read_jsonl(
         paths = [paths]
     for p in paths:
         if "*" not in p and "?" not in p:
-            if not os.path.exists(p):
+            # URI-schemed paths (hdfs://, s3a://) are validated by the
+            # Spark reader itself — an os.path probe is local-FS only
+            # and would reject every remote file
+            if "://" not in p and not os.path.exists(p):
                 raise VectoliteError(f"File does not exist: {p}")
             low = p.lower()
             if not any(low.endswith(s) for s in JSONL_SUFFIXES):
