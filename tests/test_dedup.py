@@ -688,3 +688,35 @@ def test_pagerank_deep_iterations_truncated(spark):
         assert got[i] == round(1000.0 / 4, 6), got
     assert got[4] == round(1000.0 * 0.15 / 4, 6), got
 
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
+    """The split invariant: every near-dup cluster sits entirely in one
+    split; singletons get their own id as cluster; identical docs share a
+    cluster and therefore a split. Ratio sanity on the real fixture."""
+    from vectolite_spark.operators.dedup import leakage_safe_split
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again", "a"),
+        (2, "the quick brown fox jumps over the lazy dog again", "a"),
+        (3, "completely different text about spark shuffles and joins", "b"),
+        (4, "yet another unrelated document mentioning parquet footers", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1
+    assert got[1]["split"] == got[2]["split"]
+    assert got[3]["cluster_id"] == 3 and got[4]["cluster_id"] == 4
+
+    from vectolite_spark.schema import load_table
+
+    out = leakage_safe_split(load_table(spark, sf_dir, "documents"))
+    straddle = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    frac = out.filter(F.col("split") == "train").count() / out.count()
+    assert 0.6 < frac < 0.95, frac

@@ -556,3 +556,62 @@ def test_bigram_pmi_closed_form(spark):
     assert abs(ny["pmi"] - want) < 1e-9
     # 'the cat' occurs 12x but 'the' is frequent (24) -> lower PMI
     assert ("the", "cat") in out and out[("the", "cat")]["pmi"] < ny["pmi"]
+
+
+def test_dsir_importance_weights_closed_form(spark):
+    """DSIR weights recomputed exactly in pure Python (same md5 buckets,
+    same add-1 smoothing, same DECIMAL(30,10)-quantized fold): the raw doc
+    that shares the target domain's vocabulary must outrank the alien doc,
+    and both weights must match to the emitted 6 dp."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from vectolite_spark.operators.textstats import dsir_importance_weights
+
+    target_text = "alpha beta gamma alpha beta"
+    rows = [
+        (1, target_text, "en", "t1", 0),
+        (2, target_text, "en", "t1", 0),
+        (100, "alpha beta gamma", "en", "raw", 0),
+        (101, "zeta eta theta iota", "en", "raw", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_importance_weights(docs, target_sources=["t1"]).collect()
+    }
+    assert set(got) == {100, 101}
+
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:6], 16) % 256
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for _id, text, _l, src, _n in rows:
+        for g in grams(text):
+            d = ct if src == "t1" else cr
+            d[bucket(g)] = d.get(bucket(g), 0) + 1
+    tt, tr = float(sum(ct.values())), float(sum(cr.values()))
+
+    def weight(text):
+        per: dict[int, int] = {}
+        for g in grams(text):
+            per[bucket(g)] = per.get(bucket(g), 0) + 1
+        acc = Decimal(0)
+        for b_, n in per.items():
+            lr = math.log((ct.get(b_, 0) + 1.0) / (tt + 256.0)) - math.log(
+                (cr.get(b_, 0) + 1.0) / (tr + 256.0)
+            )
+            acc += Decimal(f"{float(n) * lr:.10f}")
+        return round(float(acc), 6)
+
+    assert got[100] == weight("alpha beta gamma")
+    assert got[101] == weight("zeta eta theta iota")
+    assert got[100] > got[101]

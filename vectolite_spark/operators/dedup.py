@@ -1370,3 +1370,45 @@ def probe_cdc_chunk_index(
             F.round(F.col("n_contaminated") / F.col("n_chunks"), 6),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    train_threshold: int = 204,
+) -> DataFrame:
+    """Dedup-aware train/validation split: assign EVERY member of a
+    near-dup cluster to the same split, so a validation doc can never have
+    a near-copy in the training set (the eval-leakage failure mode plain
+    random splits have on undeduplicated corpora).
+
+    Clusters come from the simhash hamming<=1 pairs closed under
+    ``connected_components``; singleton docs are their own cluster. The
+    split decision hashes the CLUSTER id (md5 leading byte <
+    ``train_threshold``/256 -> train, default ~80/20), so membership is
+    deterministic, engine-portable, and independent of row order — and
+    adding docs later can never flip an existing cluster's split.
+
+    Scale: the pair/closure cost is the dedup pipeline's (blocked, capped,
+    O(log d) rounds); the split itself is one broadcast-size hash
+    expression and a left join of labels onto the corpus keyed by id.
+    Returns (doc_id, source, cluster_id, split).
+    """
+    pairs = simhash_near_pairs(df, text_col=text_col, id_col=id_col, radius=1)
+    labels = connected_components(pairs)
+    out = (
+        df.select(id_col, source_col)
+        .join(labels.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    first_byte = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return out.withColumn(
+        "split",
+        F.when(first_byte < train_threshold, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    ).orderBy(id_col)

@@ -975,3 +975,99 @@ def bigram_pmi_collocations(
         )
     )
     return out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_sources: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 256,
+    top_n: int = 50,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every RAW document by how target-domain-like its hashed n-gram
+    profile is, and keep the highest-scoring ones.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets`` buckets
+    (leading md5 hex — portable across engines). Two bag-of-buckets
+    multinomials are estimated with add-1 smoothing: p (over docs whose
+    ``source`` is in ``target_sources``) and q (over the rest). A raw
+    doc's log importance weight is sum_b n_b(doc) * ln(p_b / q_b) — large
+    when the doc's feature mass sits in buckets the target domain uses
+    more than the raw pool does.
+
+    Scale plan: the feature explode is narrow; per-doc bucket counts
+    combine map-side and shuffle only (doc_id, bucket, count) triples; the
+    two corpus distributions aggregate to ``n_buckets`` rows each and the
+    joined log-ratio table (256 rows) BROADCASTS to every executor, so
+    scoring 100 TB of raw text is one narrow pass over the counts + one
+    keyed fold per doc. Per-term products are quantized to DECIMAL(30,10)
+    before the fold so the weight sum is partition-order-free (both
+    engines fold identical decimals). Deterministic top-n: 6 dp rounded
+    weight desc, id asc.
+    """
+    toks = df.select(
+        F.col(id_col), F.col(source_col), norm_tokens(text_col).alias("t")
+    )
+    # sequence(1, 0) DESCENDS in Spark, so short docs need an explicit
+    # empty-bigram branch rather than an empty sequence
+    bigrams = F.when(
+        F.size(F.col("t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(F.concat(F.col("t"), bigrams)).alias("g"),
+    ).filter(F.col("g") != "")
+    bucketed = grams.select(
+        F.col(id_col),
+        F.col(source_col),
+        (F.conv(F.substring(F.md5(F.col("g")), 1, 6), 16, 10).cast("long")
+         % n_buckets).alias("bucket"),
+    )
+    is_target = F.col(source_col).isin(*target_sources)
+    per_doc = bucketed.groupBy(id_col, source_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # two corpus multinomials, derived from the compact per-doc counts
+    # (the wide explode combines map-side into (doc, bucket, n) before any
+    # shuffle); <= n_buckets rows after the fold, localCheckpointed so the
+    # totals job and the log-ratio join don't each re-run the corpus scan
+    dist = (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum(F.when(is_target, F.col("n")).otherwise(0)).alias("ct"),
+            F.sum(F.when(is_target, 0).otherwise(F.col("n"))).alias("cr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    ).first()
+    tt, tr = float(totals["tt"]), float(totals["tr"])
+    b = float(n_buckets)
+    log_ratio = dist.select(
+        "bucket",
+        (
+            F.log((F.col("ct").cast("double") + F.lit(1.0)) / F.lit(tt + b))
+            - F.log((F.col("cr").cast("double") + F.lit(1.0)) / F.lit(tr + b))
+        ).alias("lr"),
+    )
+    term = (F.col("n").cast("double") * F.col("lr")).cast("decimal(30,10)")
+    scored = (
+        per_doc.filter(~is_target)
+        .join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col, source_col)
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("dsir_weight"))
+    )
+    return scored.orderBy(
+        F.desc("dsir_weight"), F.asc(id_col)
+    ).limit(top_n)

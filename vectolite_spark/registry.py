@@ -9039,6 +9039,98 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split",
+    f"""
+WITH labels AS ({_SQL_CC_MIN_LABEL}),
+keyed AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, source, cluster_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2)
+                      AS INTEGER) < 204
+            THEN 'train' ELSE 'val' END AS split
+FROM keyed
+ORDER BY doc_id
+""",
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val split: every member of a simhash near-dup
+    cluster lands in the SAME split (cluster-id hash decides), so
+    validation can never contain a near-copy of a training doc. The
+    oracle recomputes clusters with the recursive reachability CTE and
+    replays the identical md5 split rule."""
+    from vectolite_spark.operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_DSIR_TARGETS = "('src0', 'src1', 'src2', 'src3')"
+
+_SQL_GRAMS = f"""
+  list_concat({_SQL_TOKENS},
+    CASE WHEN len({_SQL_TOKENS}) >= 2
+         THEN list_transform(range(1, len({_SQL_TOKENS})),
+                             i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1])
+         ELSE CAST([] AS VARCHAR[]) END)
+"""
+
+
+@register(
+    "dsir_importance_sample",
+    f"""
+WITH grams AS (
+  SELECT doc_id, source, g
+  FROM documents, UNNEST({_SQL_GRAMS}) AS u(g)
+  WHERE g != ''
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS n
+  FROM grams GROUP BY doc_id, source, bucket
+),
+dist AS (
+  SELECT bucket,
+         SUM(CASE WHEN source IN {_SQL_DSIR_TARGETS} THEN n ELSE 0 END) AS ct,
+         SUM(CASE WHEN source IN {_SQL_DSIR_TARGETS} THEN 0 ELSE n END) AS cr
+  FROM per_doc GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr
+        FROM dist),
+lr AS (
+  SELECT bucket,
+         ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 256.0))
+           - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 256.0)) AS lr
+  FROM dist, tot
+)
+SELECT p.doc_id, p.source,
+       ROUND(CAST(SUM(CAST(CAST(p.n AS DOUBLE) * l.lr AS DECIMAL(30,10)))
+                  AS DOUBLE), 6) AS dsir_weight
+FROM per_doc p JOIN lr l USING (bucket)
+WHERE p.source NOT IN {_SQL_DSIR_TARGETS}
+GROUP BY p.doc_id, p.source
+ORDER BY dsir_weight DESC, p.doc_id ASC
+LIMIT 50
+""",
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, public): rank raw-pool docs
+    by hashed-ngram importance weight against a target domain (sources
+    src0-src3 stand in for the curated target). The 256-bucket log-ratio
+    table broadcasts; per-doc counts combine map-side, so the corpus
+    shuffles only (doc, bucket, count) triples at any scale. DECIMAL-
+    quantized weight fold keeps the sum partition-order-free."""
+    from vectolite_spark.operators.textstats import dsir_importance_weights
+
+    return dsir_importance_weights(
+        load_table(spark, sf_dir, "documents"),
+        target_sources=["src0", "src1", "src2", "src3"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -9112,8 +9204,10 @@ _DRIVER_WINDOW = [
     "moment_stats",
     "parts_per_flag",
     "pivot_priority_by_year",
-    "price_histogram",
-    "q3_shipping_priority",
+    # new this round (displace two r2-green refreshes: price_histogram,
+    # q3_shipping_priority — their r2 rows stand via union semantics)
+    "dsir_importance_sample",
+    "leakage_safe_split",
     # jpeg.py bit-reader rewritten this round — re-verify the decode path
     "multimodal_features",
     # topk_batch refactored through topk_batch_vecs (serving micro-batcher)
