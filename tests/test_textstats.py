@@ -615,3 +615,24 @@ def test_dsir_importance_weights_closed_form(spark):
     assert got[100] == weight("alpha beta gamma")
     assert got[101] == weight("zeta eta theta iota")
     assert got[100] > got[101]
+
+
+def test_bpe_fertility_closed_form(spark):
+    """Same 'aaab aaab ab' corpus as the apply test, split across two
+    groups: group g1 holds the full doc (3 words, 10 chars, 3 BPE tokens
+    -> fertility 1.0, 10/3 chars/token); g2 holds 'ab ab' (2 words, 4
+    chars, 2 tokens after the (a,b) merge)."""
+    from vectolite_spark.operators.textstats import bpe_fertility_by_group
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab", "g1"), (2, "ab ab", "g2")],
+        "doc_id long, text string, grp string",
+    )
+    got = {r["grp"]: r for r in bpe_fertility_by_group(df, ["grp"]).collect()}
+    g1 = got["g1"]
+    assert (g1["n_words"], g1["n_chars"], g1["n_bpe_tokens"]) == (3, 10, 3)
+    assert g1["fertility"] == 1.0
+    assert g1["chars_per_token"] == round(10 / 3, 6)
+    g2 = got["g2"]
+    assert (g2["n_words"], g2["n_chars"], g2["n_bpe_tokens"]) == (2, 4, 2)
+    assert g2["fertility"] == 1.0 and g2["chars_per_token"] == 2.0

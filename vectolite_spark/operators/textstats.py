@@ -767,14 +767,29 @@ def bpe_apply_token_counts(
     Returns (id, n_char_tokens, n_bpe_tokens): character count before
     merging vs token count after; the ratio is the realized compression
     of the learned vocabulary."""
+    return (
+        _bpe_scored_words(df, [id_col], text_col, iterations)
+        .groupBy(id_col)
+        .agg(
+            F.sum("nb").cast("long").alias("n_char_tokens"),
+            F.sum("na").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_scored_words(
+    df: DataFrame, carry_cols: list[str], text_col: str, iterations: int
+) -> DataFrame:
+    """Shared train+apply kernel: one row per corpus word occurrence with
+    its char count ``nb`` and post-merge BPE token count ``na``, carrying
+    ``carry_cols`` through for whatever rollup the caller wants. The merge
+    table ships as literals; scoring stays in codegen."""
     merges = [
         (r["left_tok"], r["right_tok"])
         for r in bpe_train_merges(df, text_col, iterations).collect()
     ]
-    from vectolite_spark.operators.dedup import norm_tokens
-
     words = df.select(
-        F.col(id_col), F.explode(norm_tokens(text_col)).alias("w")
+        *[F.col(c) for c in carry_cols], F.explode(norm_tokens(text_col)).alias("w")
     ).filter(F.col("w") != "")
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
@@ -790,18 +805,48 @@ def bpe_apply_token_counts(
         )
         s = F.replace(merged, F.lit(BPE_SEP * 2), F.lit(BPE_SEP))
     n_after = F.size(F.filter(F.split(s, BPE_SEP), lambda x: x != ""))
-    return (
-        words.select(
-            F.col(id_col),
-            F.length("w").alias("nb"),
-            n_after.alias("na"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum("nb").cast("long").alias("n_char_tokens"),
-            F.sum("na").cast("long").alias("n_bpe_tokens"),
-        )
+    return words.select(
+        *[F.col(c) for c in carry_cols],
+        F.length("w").alias("nb"),
+        n_after.alias("na"),
     )
+
+
+def bpe_fertility_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    iterations: int = 3,
+) -> DataFrame:
+    """Tokenizer fertility report: how well the trained BPE vocabulary
+    compresses each slice of the corpus — tokens-per-word (fertility, the
+    number multilingual tokenizer papers track per language) and
+    chars-per-token (realized compression). A vocabulary trained on a
+    skewed mix shows high fertility on underrepresented slices; this is
+    the signal for rebalancing the mix or growing the vocab.
+
+    All sums are exact integers (map-side combined, one shuffle on the
+    tiny group key); the two ratios are single double divisions of exact
+    integers, bit-identical across engines. Deterministic order by group.
+    """
+    scored = _bpe_scored_words(df, group_cols, text_col, iterations)
+    out = scored.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("nb").cast("long").alias("n_chars"),
+        F.sum("na").cast("long").alias("n_bpe_tokens"),
+    )
+    return out.select(
+        *group_cols,
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    ).orderBy(*group_cols)
 
 
 def bloom_vocab_membership(

@@ -9040,6 +9040,93 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility",
+    f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+v0 AS (
+  SELECT '{_BPE_SEP}' || array_to_string(string_split(w, ''), '{_BPE_SEP}')
+         || '{_BPE_SEP}' AS s, wc
+  FROM words
+),
+p1 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v0")}),
+m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v1 AS ({_BPE_APPLY.format(sep=_BPE_SEP, src="v0", m="m1")}),
+p2 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v1")}),
+m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+v2 AS ({_BPE_APPLY.format(sep=_BPE_SEP, src="v1", m="m2")}),
+p3 AS ({_BPE_PAIRS.format(sep=_BPE_SEP, src="v2")}),
+m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+dwords AS (
+  SELECT lang, source, t.w
+  FROM documents, UNNEST({_SQL_TOKENS}) t(w)
+  WHERE t.w != ''
+),
+s0 AS (
+  SELECT lang, source, length(w) AS nb,
+         '{_BPE_SEP}' || array_to_string(string_split(w, ''), '{_BPE_SEP}')
+         || '{_BPE_SEP}' AS s
+  FROM dwords
+),
+a1 AS (
+  SELECT lang, source, nb,
+         replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                 '{_BPE_SEP}' || m.l || '{_BPE_SEP}{_BPE_SEP}' || m.r || '{_BPE_SEP}',
+                 '{_BPE_SEP}' || m.l || m.r || '{_BPE_SEP}'),
+                 '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+  FROM s0, m1 m
+),
+a2 AS (
+  SELECT lang, source, nb,
+         replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                 '{_BPE_SEP}' || m.l || '{_BPE_SEP}{_BPE_SEP}' || m.r || '{_BPE_SEP}',
+                 '{_BPE_SEP}' || m.l || m.r || '{_BPE_SEP}'),
+                 '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+  FROM a1, m2 m
+),
+a3 AS (
+  SELECT lang, source, nb,
+         replace(replace(replace(s, '{_BPE_SEP}', '{_BPE_SEP}{_BPE_SEP}'),
+                 '{_BPE_SEP}' || m.l || '{_BPE_SEP}{_BPE_SEP}' || m.r || '{_BPE_SEP}',
+                 '{_BPE_SEP}' || m.l || m.r || '{_BPE_SEP}'),
+                 '{_BPE_SEP}{_BPE_SEP}', '{_BPE_SEP}') AS s
+  FROM a2, m3 m
+),
+scored AS (
+  SELECT lang, source, nb,
+         len(list_filter(string_split(s, '{_BPE_SEP}'), x -> x != '')) AS na
+  FROM a3
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(nb) AS BIGINT) AS n_chars,
+       CAST(SUM(na) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(na) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       ROUND(CAST(SUM(nb) AS DOUBLE) / CAST(SUM(na) AS DOUBLE), 6)
+         AS chars_per_token
+FROM scored
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (lang, source): tokens-per-word and
+    chars-per-token under the corpus-trained 3-merge BPE vocabulary —
+    the mix-rebalancing signal multilingual tokenizer reports track.
+    Integer sums are exact; the two ratios are single double divisions
+    (``textstats.bpe_fertility_by_group``)."""
+    from vectolite_spark.operators.textstats import bpe_fertility_by_group
+
+    return bpe_fertility_by_group(
+        load_table(spark, sf_dir, "documents"), group_cols=["lang", "source"]
+    )
+
+
+@register(
     "leakage_safe_split",
     f"""
 WITH labels AS ({_SQL_CC_MIN_LABEL}),
@@ -9202,12 +9289,13 @@ _DRIVER_WINDOW = [
     "join_revenue_by_nation",
     "merge_upsert_preview",
     "moment_stats",
-    "parts_per_flag",
     "pivot_priority_by_year",
-    # new this round (displace two r2-green refreshes: price_histogram,
-    # q3_shipping_priority — their r2 rows stand via union semantics)
+    # new this round (displace three r2-green refreshes: price_histogram,
+    # q3_shipping_priority, parts_per_flag — their r2 rows stand via
+    # union semantics)
     "dsir_importance_sample",
     "leakage_safe_split",
+    "tokenizer_fertility",
     # jpeg.py bit-reader rewritten this round — re-verify the decode path
     "multimodal_features",
     # topk_batch refactored through topk_batch_vecs (serving micro-batcher)
