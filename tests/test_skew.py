@@ -411,3 +411,37 @@ def test_basket_pair_counts_vs_bruteforce_hypothesis(spark):
         assert got == want, (rows, got, want)
 
     check()
+
+
+def test_seasonal_decompose_pure_weekly_pattern(spark):
+    """A noiseless weekly pattern (value = 100 + weekday offset, no trend)
+    must decompose exactly: trend = the weekly mean (103), seasonal = the
+    per-weekday offset around it, residual identically zero (and +0.0,
+    never -0.0) on every interior day."""
+    import datetime
+
+    from vectolite_spark.operators.windows import seasonal_decompose_daily
+
+    base = datetime.datetime(2024, 3, 4, 12, 0, 0)  # a Monday
+    rows = []
+    for i in range(28):
+        d = base + datetime.timedelta(days=i)
+        rows.append((i, d, 1, "view", 100.0 + (i % 7), "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"]: r for r in seasonal_decompose_daily(events).collect()}
+    assert len(out) == 28
+    for i in range(28):
+        day = (base + datetime.timedelta(days=i)).strftime("%Y-%m-%d")
+        r = out[day]
+        assert r["day_value"] == 100.0 + (i % 7)
+        if 3 <= i <= 24:  # interior: full centered window
+            assert r["trend"] == 103.0, r
+            assert r["seasonal"] == (i % 7) - 3.0, r
+            assert r["residual"] == 0.0
+            assert str(r["residual"])[0] != "-"  # +0.0, not -0.0
+        else:
+            assert r["trend"] is None and r["residual"] is None

@@ -636,3 +636,24 @@ def test_bpe_fertility_closed_form(spark):
     g2 = got["g2"]
     assert (g2["n_words"], g2["n_chars"], g2["n_bpe_tokens"]) == (2, 4, 2)
     assert g2["fertility"] == 1.0 and g2["chars_per_token"] == 2.0
+
+
+def test_k_anonymity_audit_flags_only_small_classes(spark):
+    """Only quasi-identifier classes with fewer than 5 members surface;
+    the big class is silent; bin edges floor (149 chars -> bin 100)."""
+    import os, tempfile
+
+    import __spark_entry__  # noqa: F401
+    from vectolite_spark.registry import QUERIES
+
+    d = tempfile.mkdtemp()
+    rows = [(i, "x", "en", "big", 149) for i in range(10)]  # one class of 10
+    rows += [(100, "x", "de", "rare", 149), (101, "x", "de", "rare", 151)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r["lang"], r["source"], r["len_bin"], r["class_size"])
+        for r in QUERIES["k_anonymity_audit"](spark, d).collect()
+    ]
+    assert got == [("de", "rare", 100, 2)]

@@ -355,3 +355,90 @@ def transition_entropy(
         )
         .orderBy("prev_event")
     )
+
+
+def seasonal_decompose_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the DAILY value total:
+    value = trend + seasonal + residual. Trend is the centered
+    ``period``-day moving average; the seasonal component is the mean
+    detrended value per day-of-week; the residual is what anomaly review
+    actually reads (a spike that survives trend AND weekday correction).
+
+    Scale: the corpus-size work is ONE map-combined groupBy to daily
+    totals (events sum exactly as DECIMAL(20,8), order-free). Everything
+    after operates on #days rows — the single-partition ordered window is
+    bounded by the calendar, not the data (30 rows here; 36,500 for a
+    century), so this is safe at any corpus size. Day-of-week uses
+    epoch-day arithmetic (engine-portable, locale-free); per-weekday means
+    fold DECIMAL-quantized terms so both engines sum identically.
+
+    Returns one row per day: (day, n_events, day_value, trend, seasonal,
+    residual); trend/seasonal/residual are NULL for the first/last
+    period//2 days (undefined centered window) — kept, not dropped, so
+    the frame is gap-free for downstream charting.
+    """
+    half = period // 2
+    daily = (
+        events.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(20,8)")).alias("v"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    trended = daily.select(
+        "day",
+        "n_events",
+        F.col("v"),
+        F.when(
+            # a centered window is only complete when period rows exist
+            # AND the date span is contiguous (guards calendar gaps)
+            (F.count(F.lit(1)).over(w) == period)
+            & (
+                F.datediff(F.max("day").over(w), F.min("day").over(w))
+                == period - 1
+            ),
+            F.sum("v").over(w).cast("double") / float(period),
+        ).alias("trend"),
+    )
+    detrended = trended.withColumn(
+        "dt",
+        (F.col("v").cast("double") - F.col("trend")).cast("decimal(30,10)"),
+    ).withColumn(
+        "dow", F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), F.lit(7))
+    )
+    seasonal = (
+        detrended.filter(F.col("dt").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (F.sum("dt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "seasonal_raw"
+            )
+        )
+    )
+    # + 0.0 after the final ROUND: ROUND(-1e-9, 6) is -0.0, whose sign
+    # bit the driver's exact value-hash sees (the r5 embedding_covariance
+    # failure class); adding positive zero normalizes it in both engines
+    out = detrended.join(F.broadcast(seasonal), "dow", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("v").cast("double"), 2).alias("day_value"),
+        (F.round(F.col("trend"), 6) + F.lit(0.0)).alias("trend"),
+        F.when(
+            F.col("trend").isNotNull(), F.round("seasonal_raw", 6) + F.lit(0.0)
+        ).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(
+                F.col("v").cast("double") - F.col("trend") - F.col("seasonal_raw"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("residual"),
+    )
+    return out.orderBy("day")

@@ -9040,6 +9040,97 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_audit",
+    """
+WITH classes AS (
+  SELECT lang, source,
+         (n_chars // 100) * 100 AS len_bin,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM documents
+  GROUP BY lang, source, (n_chars // 100) * 100
+)
+SELECT lang, source, len_bin, class_size
+FROM classes
+WHERE class_size < 5
+ORDER BY class_size ASC, lang ASC, source ASC, len_bin ASC
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang, source, 100-char
+    length bin): equivalence classes smaller than k=5 — the rows a
+    release/training-data governance review must generalize or suppress,
+    since a small QI class re-identifies its members even after direct
+    identifiers are stripped (Sweeney 2002). One map-combined groupBy on
+    the QI tuple; the audit output is by definition tiny (only the risky
+    classes come back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        # floor division on both sides: Spark's cast-to-long truncates
+        # while DuckDB's CAST rounds, so neither cast is portable
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("len_bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    return (
+        classes.filter(F.col("class_size") < 5)
+        .orderBy(
+            F.asc("class_size"), F.asc("lang"), F.asc("source"), F.asc("len_bin")
+        )
+    )
+
+
+@register(
+    "seasonal_decomposition",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(20,8))) AS v
+  FROM events GROUP BY 1
+),
+trended AS (
+  SELECT day, n_events, v,
+         CASE WHEN COUNT(*) OVER w = 7
+                   AND (MAX(day) OVER w - MIN(day) OVER w) = 6
+              THEN CAST(SUM(v) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT day, n_events, v, trend,
+         CAST(CAST(v AS DOUBLE) - trend AS DECIMAL(30,10)) AS dt,
+         (day - DATE '1970-01-01') % 7 AS dow
+  FROM trended
+),
+seas AS (
+  SELECT dow, CAST(SUM(dt) AS DOUBLE) / COUNT(*) AS seasonal_raw
+  FROM det WHERE dt IS NOT NULL GROUP BY dow
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.n_events,
+       ROUND(CAST(d.v AS DOUBLE), 2) AS day_value,
+       ROUND(d.trend, 6) + 0.0 AS trend,
+       CASE WHEN d.trend IS NOT NULL
+            THEN ROUND(s.seasonal_raw, 6) + 0.0 END AS seasonal,
+       CASE WHEN d.trend IS NOT NULL
+            THEN ROUND(CAST(d.v AS DOUBLE) - d.trend - s.seasonal_raw, 6) + 0.0
+       END AS residual
+FROM det d LEFT JOIN seas s USING (dow)
+ORDER BY day
+""",
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-value series:
+    centered 7-day trend, day-of-week seasonal means, residual. The
+    corpus-size work is one map-combined daily rollup; everything after
+    runs on calendar-bounded rows (``windows.seasonal_decompose_daily``).
+    """
+    from vectolite_spark.operators.windows import seasonal_decompose_daily
+
+    return seasonal_decompose_daily(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "tokenizer_fertility",
     f"""
 WITH words AS (
@@ -9288,14 +9379,14 @@ _DRIVER_WINDOW = [
     "grouped_doc_stats",
     "join_revenue_by_nation",
     "merge_upsert_preview",
-    "moment_stats",
-    "pivot_priority_by_year",
-    # new this round (displace three r2-green refreshes: price_histogram,
-    # q3_shipping_priority, parts_per_flag — their r2 rows stand via
-    # union semantics)
+    # new this round (displace five r2-green refreshes: price_histogram,
+    # q3_shipping_priority, parts_per_flag, moment_stats,
+    # pivot_priority_by_year — their r2 rows stand via union semantics)
     "dsir_importance_sample",
     "leakage_safe_split",
     "tokenizer_fertility",
+    "seasonal_decomposition",
+    "k_anonymity_audit",
     # jpeg.py bit-reader rewritten this round — re-verify the decode path
     "multimodal_features",
     # topk_batch refactored through topk_batch_vecs (serving micro-batcher)
