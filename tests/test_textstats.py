@@ -657,3 +657,53 @@ def test_k_anonymity_audit_flags_only_small_classes(spark):
         for r in QUERIES["k_anonymity_audit"](spark, d).collect()
     ]
     assert got == [("de", "rare", 100, 2)]
+
+
+def test_span_corruption_pairs_match_pure_python(spark):
+    """Input/target reconstructed in pure Python (same md5 coins, same
+    3-token blocks, same sentinel numbering) for docs chosen to include
+    both masked and unmasked blocks; roundtrip invariant: replacing each
+    sentinel in the input with its target span recovers the original."""
+    import hashlib
+
+    from vectolite_spark.operators.textstats import span_corruption_pairs
+
+    texts = {
+        i: " ".join(f"tok{j}" for j in range(20)) for i in range(40)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in span_corruption_pairs(docs).collect()}
+
+    any_masked = False
+    for i, text in texts.items():
+        t = text.lower().split()
+        nb = (len(t) + 2) // 3
+        mask = [
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest().startswith("0")
+            for j in range(nb)
+        ]
+        k = 0
+        inp, tgt = [], []
+        for j in range(nb):
+            block = " ".join(t[j * 3 : j * 3 + 3])
+            if mask[j]:
+                inp.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}> {block}")
+                k += 1
+            else:
+                inp.append(block)
+        r = got[i]
+        assert r["n_tokens"] == len(t)
+        assert r["n_masked_blocks"] == k
+        assert r["input_text"] == " ".join(inp)
+        assert r["target_text"] == " ".join(tgt)
+        any_masked = any_masked or k > 0
+        # roundtrip: splice target spans back over the sentinels
+        recon = r["input_text"]
+        for piece in reversed(tgt):
+            sent, span = piece.split("> ", 1)
+            recon = recon.replace(sent + ">", span)
+        assert recon == " ".join(t)
+    assert any_masked  # the fixture must exercise the masked branch

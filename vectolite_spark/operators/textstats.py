@@ -1116,3 +1116,80 @@ def dsir_importance_weights(
     return scored.orderBy(
         F.desc("dsir_weight"), F.asc(id_col)
     ).limit(top_n)
+
+
+def span_corruption_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption pairs (Raffel et al. 2020, public): the
+    denoising pre-training objective's (input, target) transform. Tokens
+    are grouped into ``span``-token blocks; a DETERMINISTIC md5 coin per
+    (doc, block) masks ~1/16 of blocks; masked blocks are replaced by
+    numbered ``<extra_id_K>`` sentinels in the input and emitted after
+    their sentinel in the target.
+
+    Everything is IN-ROW array expression work — zero shuffles, linear
+    scan, the shape that streams through 100 TB. The sentinel number K is
+    the count of masked blocks BEFORE the block, computed with a
+    slice+filter prefix count (O(blocks^2) per row, bounded by document
+    length — ~170 blocks for a 512-token doc). md5 coins make the
+    corruption reproducible across retries, engines, and epochs.
+
+    Returns (doc_id, n_tokens, n_masked_blocks, input_text, target_text).
+    """
+    base = df.select(F.col(id_col), norm_tokens(text_col).alias("t"))
+    n = F.size("t")
+    nb = F.ceil(n / F.lit(float(span))).cast("int")
+    js = F.sequence(F.lit(0), nb - 1)  # nb >= 1: norm_tokens never empty
+
+    def coin(j):
+        return F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), j.cast("string"))
+        ).startswith("0")
+
+    def prefix_k(j):
+        # masked blocks strictly before j (the sentinel number)
+        return F.size(F.filter(F.slice(F.col("mask"), 1, j), lambda x: x))
+
+    def block_text(j):
+        return F.array_join(F.slice(F.col("t"), j * span + 1, span), " ")
+
+    def sentinel(j):
+        return F.concat(
+            F.lit("<extra_id_"), prefix_k(j).cast("string"), F.lit(">")
+        )
+
+    masked = base.select(
+        F.col(id_col),
+        "t",
+        n.alias("n"),
+        F.transform(js, coin).alias("mask"),
+    )
+    js2 = F.sequence(F.lit(0), F.size("mask") - 1)
+    is_masked = lambda j: F.element_at(F.col("mask"), j + 1)  # noqa: E731
+    return masked.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("mask"), lambda x: x))
+        .cast("long")
+        .alias("n_masked_blocks"),
+        F.array_join(
+            F.transform(
+                js2,
+                lambda j: F.when(is_masked(j), sentinel(j)).otherwise(
+                    block_text(j)
+                ),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(
+                F.filter(js2, is_masked),
+                lambda j: F.concat(sentinel(j), F.lit(" "), block_text(j)),
+            ),
+            " ",
+        ).alias("target_text"),
+    ).orderBy(id_col)

@@ -9040,6 +9040,56 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_corruption_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+b2 AS (
+  SELECT doc_id, t, len(t) AS n,
+         CAST(ceil(len(t) / 3.0) AS INT) AS nb
+  FROM base
+),
+m AS (
+  SELECT doc_id, t, n, nb,
+         list_transform(range(0, nb),
+           j -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))
+                LIKE '0%') AS mask
+  FROM b2
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked_blocks,
+  array_to_string(list_transform(range(0, nb), j ->
+    CASE WHEN mask[CAST(j AS INT) + 1]
+         THEN '<extra_id_' ||
+              CAST(len(list_filter(mask[1:CAST(j AS INT)], x -> x)) AS VARCHAR)
+              || '>'
+         ELSE array_to_string(t[CAST(j AS INT)*3+1 : CAST(j AS INT)*3+3], ' ')
+    END), ' ') AS input_text,
+  COALESCE(array_to_string(list_transform(
+      list_filter(range(0, nb), j -> mask[CAST(j AS INT) + 1]), j ->
+    '<extra_id_' ||
+    CAST(len(list_filter(mask[1:CAST(j AS INT)], x -> x)) AS VARCHAR)
+    || '> ' ||
+    array_to_string(t[CAST(j AS INT)*3+1 : CAST(j AS INT)*3+3], ' ')),
+    ' '), '') AS target_text
+FROM m
+ORDER BY doc_id
+""",
+)
+def span_corruption_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising pairs (Raffel et al. 2020):
+    deterministic md5-coin masking of 3-token blocks, numbered
+    <extra_id_K> sentinels, (input, target) per doc. Pure in-row array
+    expressions — zero shuffles at any corpus size
+    (``textstats.span_corruption_pairs``)."""
+    from vectolite_spark.operators.textstats import span_corruption_pairs
+
+    return span_corruption_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "k_anonymity_audit",
     """
 WITH classes AS (
@@ -9378,11 +9428,12 @@ _DRIVER_WINDOW = [
     "frequent_tokens",
     "grouped_doc_stats",
     "join_revenue_by_nation",
-    "merge_upsert_preview",
-    # new this round (displace five r2-green refreshes: price_histogram,
+    # new this round (displace six r2-green refreshes: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
-    # pivot_priority_by_year — their r2 rows stand via union semantics)
+    # pivot_priority_by_year, merge_upsert_preview — their r2 rows stand
+    # via union semantics)
     "dsir_importance_sample",
+    "span_corruption_pairs",
     "leakage_safe_split",
     "tokenizer_fertility",
     "seasonal_decomposition",
