@@ -52,6 +52,13 @@ HEADLINE = [
     "event_transitions",
     "session_paths",
     "robust_anomalies",
+    # round-6 additions
+    "dsir_importance_sample",
+    "span_corruption_pairs",
+    "leakage_safe_split",
+    "tokenizer_fertility",
+    "seasonal_decomposition",
+    "k_anonymity_audit",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
