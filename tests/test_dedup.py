@@ -720,3 +720,38 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
     assert straddle == 0
     frac = out.filter(F.col("split") == "train").count() / out.count()
     assert 0.6 < frac < 0.95, frac
+
+
+def test_cdc_containment_detects_embedded_quote(spark):
+    """A long passage embedded verbatim inside a bigger doc: CDC chunk
+    boundaries re-synchronize inside the shared span, so most of the
+    quote's chunks reappear in the host and containment lands high, with
+    the quote as inner_doc; an unrelated doc pairs with nothing.
+    Identical docs give containment exactly 1.0."""
+    import hashlib
+
+    from vectolite_spark.operators.dedup import cdc_containment_pairs
+
+    def pseudo_text(seed: str, n: int) -> str:
+        out = []
+        h = seed
+        while sum(len(x) for x in out) < n:
+            h = hashlib.md5(h.encode()).hexdigest()
+            out.append(h)
+        return " ".join(out)[:n]
+
+    quote = pseudo_text("quote", 2000)
+    host = pseudo_text("prefix", 900) + quote + pseudo_text("suffix", 900)
+    other = pseudo_text("unrelated", 2000)
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other), (4, quote)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["inner_doc"], r["outer_doc"]): r
+        for r in cdc_containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 4) in got and got[(1, 4)]["containment"] == 1.0  # identical
+    assert (1, 2) in got and got[(1, 2)]["containment"] >= 0.5  # quote in host
+    assert (4, 2) in got  # the duplicate quote is contained too
+    assert not any(3 in k for k in got)  # unrelated doc pairs with nothing

@@ -445,3 +445,33 @@ def test_seasonal_decompose_pure_weekly_pattern(spark):
             assert str(r["residual"])[0] != "-"  # +0.0, not -0.0
         else:
             assert r["trend"] is None and r["residual"] is None
+
+
+def test_sliding_wau_trailing_window_closed_form(spark):
+    """Hand-built activity: users {1,2} on day 0, {2,3} on day 3, {4} on
+    day 10. Trailing-7-day WAU at day 3 sees days -3..3 = {1,2,3}; at
+    day 10 the window (4..10) only sees {4}. Only observed days report."""
+    import datetime
+
+    from vectolite_spark.operators.windows import sliding_active_users
+
+    base = datetime.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+    for i, (day, user) in enumerate(
+        [(0, 1), (0, 2), (3, 2), (3, 3), (10, 4)]
+    ):
+        rows.append(
+            (i, base + datetime.timedelta(days=day), user, "view", 1.0, "{}")
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["day"]: r for r in sliding_active_users(events).collect()}
+    d = lambda k: (base + datetime.timedelta(days=k)).strftime("%Y-%m-%d")  # noqa: E731
+    assert set(got) == {d(0), d(3), d(10)}
+    assert (got[d(0)]["wau"], got[d(0)]["dau"]) == (2, 2)
+    assert (got[d(3)]["wau"], got[d(3)]["dau"]) == (3, 2)
+    assert got[d(3)]["stickiness"] == round(2 / 3, 6)
+    assert (got[d(10)]["wau"], got[d(10)]["dau"]) == (1, 1)

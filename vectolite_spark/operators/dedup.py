@@ -1412,3 +1412,80 @@ def leakage_safe_split(
             F.lit("val")
         ),
     ).orderBy(id_col)
+
+
+def cdc_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Containment detection (quote / excerpt / subset-document pairs):
+    doc pairs where the smaller doc's CDC chunk set is mostly inside the
+    other's — containment = |chunks(A) ∩ chunks(B)| / min(|A|, |B|).
+    Near-dup detectors score these LOW (Jaccard divides by the union, so
+    a 10x-longer superset doc drowns the quote); containment is the
+    right lens for "B embeds A".
+
+    Chunks shared by more than ``max_doc_freq`` docs are excluded from
+    pairing (license headers / boilerplate are not containment evidence,
+    and a ubiquitous chunk would otherwise fan the self-join out
+    quadratically — same hot-block discipline as every pair generator
+    here); the denominator stays the FULL chunk-set size. The one heavy
+    shuffle is the hash-equality self-join over doc-frequency-bounded
+    blocks; only (hash, id) rows move.
+
+    Returns (inner_doc, outer_doc, shared_chunks, inner_chunks,
+    containment >= threshold), inner = the doc with fewer distinct
+    chunks (ties: lower id).
+    """
+    sets = (
+        _cdc_chunk_rows(df, text_col, id_col, window)
+        .select(F.col(id_col).alias("doc"), "chunk_hash")
+        .distinct()
+    )
+    sets = _managed_cache("cdc_containment_sets", sets)
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("nc"))
+    from pyspark.sql import Window as W
+
+    dfq = F.count(F.lit(1)).over(W.partitionBy("chunk_hash"))
+    rare = sets.withColumn("_df", dfq).filter(
+        F.col("_df") <= max_doc_freq
+    ).drop("_df")
+    a = rare.select(F.col("doc").alias("da"), "chunk_hash")
+    b = rare.select(F.col("doc").alias("db"), "chunk_hash")
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("da"), F.col("nc").alias("na"))
+    sb = sizes.select(F.col("doc").alias("db"), F.col("nc").alias("nb"))
+    scored = (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("da"))
+            .otherwise(F.col("db"))
+            .cast("long")
+            .alias("inner_doc"),
+            F.when(F.col("na") <= F.col("nb"), F.col("db"))
+            .otherwise(F.col("da"))
+            .cast("long")
+            .alias("outer_doc"),
+            F.col("shared").cast("long").alias("shared_chunks"),
+            F.least("na", "nb").cast("long").alias("inner_chunks"),
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return scored.orderBy(
+        F.desc("containment"), F.asc("inner_doc"), F.asc("outer_doc")
+    )

@@ -442,3 +442,52 @@ def seasonal_decompose_daily(
         ).alias("residual"),
     )
     return out.orderBy("day")
+
+
+def sliding_active_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day trailing-window distinct active users (the DAU/WAU board):
+    for each observed day D, the distinct users active in [D-6, D], the
+    same-day distinct users, and the DAU/WAU stickiness ratio.
+
+    The Spark-shaped trick: a sliding DISTINCT cannot reuse partial
+    aggregates across windows, so instead of ``window_days`` self-scans
+    each event row EXPLODES to every report day whose trailing window
+    contains it (fan-out = window_days, a constant), and one two-phase
+    countDistinct per day finishes the job. One pass over the corpus at
+    any scale; the shuffle carries (day, user) pairs pre-deduplicated
+    map-side by the partial aggregate. Report days are restricted to
+    days that actually appear in the data.
+    """
+    ev = events.select(
+        F.to_date(F.col(ts_col)).alias("event_day"),
+        F.col(user_col).alias("u"),
+    )
+    expl = ev.select(
+        F.explode(
+            F.expr(
+                f"sequence(event_day, date_add(event_day, {window_days - 1}),"
+                " interval 1 day)"
+            )
+        ).alias("day"),
+        "u",
+    )
+    wau = expl.groupBy("day").agg(F.countDistinct("u").alias("wau"))
+    dau = ev.groupBy(F.col("event_day").alias("day")).agg(
+        F.countDistinct("u").alias("dau")
+    )
+    # inner join on dau restricts output to observed days (trailing
+    # windows that extend past the last data day never report)
+    out = wau.join(dau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("wau").cast("long").alias("wau"),
+        F.col("dau").cast("long").alias("dau"),
+        F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+    return out.orderBy("day")

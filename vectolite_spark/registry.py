@@ -9040,6 +9040,98 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_containment_pairs",
+    """
+WITH b AS (
+  SELECT doc_id, u.i FROM documents, UNNEST(range(1, length(text) - 6)) u(i)
+  WHERE md5(substr(text, CAST(u.i AS INT), 8)) LIKE '00%'
+),
+bl AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY doc_id),
+cuts AS (
+  SELECT d.doc_id, d.text,
+         list_concat(list_concat([CAST(1 AS BIGINT)], COALESCE(bl.bs, [])),
+                     [CAST(length(d.text) + 1 AS BIGINT)]) AS cs
+  FROM documents d LEFT JOIN bl USING (doc_id)
+),
+ch AS (
+  SELECT doc_id,
+         md5(substr(text, CAST(cs[CAST(j AS INT)] AS INT),
+                    CAST(cs[CAST(j AS INT)+1] - cs[CAST(j AS INT)] AS INT)))
+           AS h
+  FROM cuts, UNNEST(range(1, len(cs))) t(j)
+  WHERE cs[CAST(j AS INT)+1] > cs[CAST(j AS INT)]
+),
+sets AS (SELECT DISTINCT doc_id, h FROM ch),
+freq AS (SELECT h, COUNT(*) AS df FROM sets GROUP BY h),
+rare AS (SELECT s.doc_id, s.h FROM sets s JOIN freq USING (h) WHERE df <= 100),
+sizes AS (SELECT doc_id, COUNT(*) AS nc FROM sets GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b2.doc_id AS db, COUNT(*) AS shared
+  FROM rare a JOIN rare b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+  GROUP BY da, db
+)
+SELECT CAST(CASE WHEN sa.nc <= sb.nc THEN p.da ELSE p.db END AS BIGINT)
+         AS inner_doc,
+       CAST(CASE WHEN sa.nc <= sb.nc THEN p.db ELSE p.da END AS BIGINT)
+         AS outer_doc,
+       CAST(p.shared AS BIGINT) AS shared_chunks,
+       CAST(LEAST(sa.nc, sb.nc) AS BIGINT) AS inner_chunks,
+       ROUND(CAST(p.shared AS DOUBLE) / CAST(LEAST(sa.nc, sb.nc) AS DOUBLE), 6)
+         AS containment
+FROM pairs p JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+WHERE ROUND(CAST(p.shared AS DOUBLE) / CAST(LEAST(sa.nc, sb.nc) AS DOUBLE), 6)
+        >= 0.5
+ORDER BY containment DESC, inner_doc ASC, outer_doc ASC
+""",
+)
+def cdc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/excerpt containment pairs over CDC chunk sets: shared-chunk
+    fraction of the SMALLER doc's chunk set (Jaccard under-scores
+    subset docs; containment is the "B embeds A" lens). Boilerplate
+    chunks (doc freq > 100) are excluded from pairing, keeping the
+    hash-equality self-join block-bounded
+    (``dedup.cdc_containment_pairs``)."""
+    from vectolite_spark.operators.dedup import cdc_containment_pairs
+
+    return cdc_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sliding_wau",
+    """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS event_day, user_id FROM events
+),
+expl AS (
+  SELECT event_day + CAST(i AS INT) AS day, user_id
+  FROM ev, UNNEST(range(0, 7)) u(i)
+),
+wau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM expl GROUP BY day
+),
+dau AS (
+  SELECT event_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ev GROUP BY event_day
+)
+SELECT strftime(w.day, '%Y-%m-%d') AS day, w.wau, a.dau,
+       ROUND(CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM wau w JOIN dau a USING (day)
+ORDER BY day
+""",
+)
+def sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day + DAU/WAU stickiness.
+    A sliding DISTINCT can't reuse partials across windows, so each event
+    explodes to the 7 report days whose window contains it (constant
+    fan-out) and one two-phase countDistinct per day finishes — one pass
+    at any corpus size (``windows.sliding_active_users``)."""
+    from vectolite_spark.operators.windows import sliding_active_users
+
+    return sliding_active_users(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "span_corruption_pairs",
     f"""
 WITH base AS (
@@ -9426,13 +9518,13 @@ _DRIVER_WINDOW = [
     "embedding_norm_stats",
     "events_window_agg",
     "frequent_tokens",
-    "grouped_doc_stats",
-    "join_revenue_by_nation",
-    # new this round (displace six r2-green refreshes: price_histogram,
+    # new this round (displace eight r2-green refreshes: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
-    # pivot_priority_by_year, merge_upsert_preview — their r2 rows stand
-    # via union semantics)
+    # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
+    # join_revenue_by_nation — their r2 rows stand via union semantics)
     "dsir_importance_sample",
+    "cdc_containment_pairs",
+    "sliding_wau",
     "span_corruption_pairs",
     "leakage_safe_split",
     "tokenizer_fertility",
