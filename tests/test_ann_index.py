@@ -633,3 +633,25 @@ def test_srp_index_meta_drives_probe_parameters(spark, sf_dir, tmp_path):
     # mismatched explicit parameters fail loudly, never serve garbage
     with pytest.raises(ValueError, match="built with"):
         srp_index_topk(spark, path, qvec, k=5, n_tables=16, n_planes=6)
+
+
+def test_embedding_outliers_flags_planted_point(spark):
+    """A planted far point is the only flag; a constant-valued cluster
+    (MAD = 0) is excluded rather than divided by zero."""
+    from vectolite_spark.operators.ann import embedding_outliers
+
+    rows = []
+    # label 0: spread-out ring around [1, 0] + one far outlier
+    offs = [0.0, 0.01, -0.01, 0.02, -0.02, 0.03, -0.03, 0.04, -0.04, 0.05]
+    for i, o in enumerate(offs):
+        rows.append((i, [1.0 + o, o], 0))
+    rows.append((99, [50.0, 50.0], 0))  # planted outlier
+    # label 1: all identical -> every dist == 0 -> MAD == 0 -> excluded
+    for i in range(5):
+        rows.append((200 + i, [3.0, 3.0], 1))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = embedding_outliers(embs, threshold=2.5).collect()
+    assert [r["vec_id"] for r in got] == [99]
+    assert got[0]["label"] == 0 and got[0]["m"] > 2.5

@@ -1045,3 +1045,49 @@ def matryoshka_two_stage_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "score", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Embedding-quality outliers: vectors unusually FAR from their own
+    cluster's centroid, by the robust modified z-score over centroid
+    distance (Iglewicz-Hoaglin, as ``windows.mad_outliers``) — mislabeled
+    rows, corrupted encodes, and off-manifold points that degrade both
+    retrieval training and IVF routing.
+
+    Shape: exact-DECIMAL per-label centroids (``build_centroids``, tiny)
+    broadcast back; the distance is a JVM ``zip_with`` + left-to-right
+    ``aggregate`` fold (bit-identical to the oracle's list_dot_product,
+    same parity contract as the flagship cosine), rounded 6 dp BEFORE the
+    two exact per-label percentile passes so both engines take medians
+    over identical values. No window over raw rows; at 100 TB swap the
+    exact percentiles for approx_percentile exactly as mad_outliers
+    documents. Returns flagged (vec_id, label, dist, m), m rounded 6 dp.
+    """
+    from vectolite_spark.operators.windows import mad_outliers
+
+    cents = build_centroids(embeddings, label_col, emb_col).withColumnRenamed(
+        "cluster", label_col
+    )
+    j = embeddings.join(F.broadcast(cents), label_col)
+    diff = F.zip_with(
+        F.col(emb_col),
+        F.col("centroid"),
+        lambda x, c: x.cast("double") - c,
+    )
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)), 6
+    )
+    d = j.select(F.col(id_col), F.col(label_col), dist.alias("dist"))
+    out = mad_outliers(d, label_col, "dist", id_col, threshold)
+    return out.select(
+        F.col(id_col).cast("long"),
+        F.col(label_col).cast("int").alias(label_col),
+        "dist",
+        "m",
+    ).orderBy(id_col)

@@ -9040,6 +9040,49 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_outliers",
+    """
+WITH cent AS (
+  SELECT label, CAST(u.i AS INT) AS pos,
+         CAST(SUM(CAST(embedding[CAST(u.i AS INT)] AS DECIMAL(28,12)))
+              AS DOUBLE) / COUNT(*) AS c
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+  GROUP BY label, pos
+),
+centl AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+dist AS (
+  SELECT e.vec_id, e.label,
+         ROUND(sqrt(list_dot_product(
+           list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                               - cl.centroid[CAST(i AS INT)]),
+           list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                               - cl.centroid[CAST(i AS INT)]))), 6) AS dist
+  FROM embeddings e JOIN centl cl USING (label)
+),
+med AS (SELECT label, quantile_cont(dist, 0.5) AS med FROM dist GROUP BY label),
+mad AS (SELECT d.label, quantile_cont(abs(d.dist - m.med), 0.5) AS mad
+        FROM dist d JOIN med m USING (label) GROUP BY d.label)
+SELECT d.vec_id, CAST(d.label AS INTEGER) AS label, d.dist,
+       ROUND(0.6745 * (d.dist - m.med) / a.mad, 6) AS m
+FROM dist d JOIN med m USING (label) JOIN mad a USING (label)
+WHERE a.mad > 0
+  AND abs(ROUND(0.6745 * (d.dist - m.med) / a.mad, 6)) > 2.5
+ORDER BY d.vec_id
+""",
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors robustly far from their own label centroid (modified
+    z-score on centroid distance > 2.5): mislabels / corrupted encodes
+    that poison retrieval training and IVF routing
+    (``ann.embedding_outliers``)."""
+    from vectolite_spark.operators.ann import embedding_outliers
+
+    return embedding_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "cdc_containment_pairs",
     """
 WITH b AS (
@@ -9517,14 +9560,15 @@ _DRIVER_WINDOW = [
     "dataset_split_counts",
     "embedding_norm_stats",
     "events_window_agg",
-    "frequent_tokens",
-    # new this round (displace eight r2-green refreshes: price_histogram,
+    # new this round (displace nine r2-green refreshes: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
     # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
-    # join_revenue_by_nation — their r2 rows stand via union semantics)
+    # join_revenue_by_nation, frequent_tokens — their r2 rows stand via
+    # union semantics)
     "dsir_importance_sample",
     "cdc_containment_pairs",
     "sliding_wau",
+    "embedding_outliers",
     "span_corruption_pairs",
     "leakage_safe_split",
     "tokenizer_fertility",
