@@ -755,3 +755,48 @@ def test_cdc_containment_detects_embedded_quote(spark):
     assert (1, 2) in got and got[(1, 2)]["containment"] >= 0.5  # quote in host
     assert (4, 2) in got  # the duplicate quote is contained too
     assert not any(3 in k for k in got)  # unrelated doc pairs with nothing
+
+
+def test_contrastive_triplets_match_brute_force(spark):
+    """Near-parallel vectors all collide in every SRP bucket, so the
+    candidate set is all pairs and the triplet choice must equal the
+    brute-force cosine argmax per side; anchors lacking a same-label
+    candidate are dropped."""
+    import math
+
+    from vectolite_spark.operators.dedup import contrastive_triplets
+
+    base = [10.0] * 8 + [5.0] * 8
+    rows = []
+    labels = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}  # label 2 is a singleton
+    for vid, lab in labels.items():
+        v = list(base)
+        v[0] += vid * 0.01  # tiny distinct perturbation, same SRP signs
+        v[1] += (vid % 3) * 0.02
+        rows.append((vid, v, lab))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["anchor_id"]: r for r in contrastive_triplets(embs).collect()}
+
+    vecs = {vid: [float(__import__("numpy").float32(x)) for x in
+                  ([base[0] + vid * 0.01, base[1] + (vid % 3) * 0.02] + base[2:])]
+            for vid, _ in labels.items()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return round(dot / (na * nb), 6)
+
+    assert 5 not in got  # singleton label: no positive -> dropped
+    for a in (1, 2, 3, 4):
+        same = [(cos(a, o), -o) for o in labels if o != a and labels[o] == labels[a]]
+        diff = [(cos(a, o), -o) for o in labels if labels[o] != labels[a]]
+        want_pos = -max(same)[1]
+        want_neg = -max(diff)[1]
+        assert got[a]["pos_id"] == want_pos, (a, got[a])
+        assert got[a]["neg_id"] == want_neg, (a, got[a])
+        assert got[a]["margin"] == round(
+            got[a]["pos_score"] - got[a]["neg_score"], 6
+        )

@@ -513,6 +513,39 @@ def srp_hard_negatives(
     the full pair space."""
     from pyspark.sql import Window
 
+    cand = _srp_scored_candidates(
+        embeddings, n_tables, n_planes, id_col, label_col, max_block_size
+    ).filter(~F.col("same_label"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("other_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("neg_id"),
+            F.col("rank").cast("int").alias("neg_rank"),
+            "score",
+        )
+    )
+
+
+def _srp_scored_candidates(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Shared SRP-block candidate kernel: distinct (anchor_id, other_id,
+    same_label, score) pairs from capped LSH buckets, cosine scored with
+    the left-to-right JVM fold (bit-identical to DuckDB's
+    list_dot_product). Feeds hard-negative mining (different-label side)
+    and contrastive triplet assembly (both sides from ONE pass)."""
+    from pyspark.sql import Window
+
     from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
 
     mapper = make_srp_bucket_mapper(n_tables, n_planes)
@@ -550,30 +583,83 @@ def srp_hard_negatives(
         ),
         6,
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (F.col("a.label") != F.col("b.label")),
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("anchor_id"),
-            F.col("b.vec_id").alias("neg_id"),
+            F.col("b.vec_id").alias("other_id"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
             score.alias("score"),
         )
         .distinct()  # the same pair surfaces from multiple tables
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("neg_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, hard negative):
+    per anchor, the most-similar SAME-label candidate and the
+    most-similar DIFFERENT-label candidate, both drawn from ONE pass of
+    the capped SRP-LSH candidate kernel — no O(n^2) similarity join for
+    either side. Anchors lacking either side are dropped (a triplet loss
+    needs both). ``margin`` = pos_score - neg_score: small or negative
+    margins are exactly the informative examples batch construction
+    wants first.
+
+    Scale: identical shape to hard-negative mining — blocked, capped,
+    two bounded windows over the candidate set, one anchor-keyed join.
+    """
+    from pyspark.sql import Window
+
+    cand = _srp_scored_candidates(
+        embeddings, n_tables, n_planes, id_col, label_col, max_block_size
+    )
+    cand = _managed_cache("contrastive_cands", cand)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("other_id")
+    )
+    pos = (
+        cand.filter(F.col("same_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
         .select(
             "anchor_id",
-            "neg_id",
-            F.col("rank").cast("int").alias("neg_rank"),
-            "score",
+            F.col("other_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
         )
+    )
+    neg = (
+        cand.filter(~F.col("same_label"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            (F.round(F.col("pos_score") - F.col("neg_score"), 6) + F.lit(0.0))
+            .alias("margin"),
+        )
+        .orderBy("anchor_id")
     )
 
 

@@ -9040,6 +9040,74 @@ def regex_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_triplets",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 32) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 8 AS t, p.g % 8 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+keys_capped AS (
+  SELECT vec_id, t, bucket FROM (
+    SELECT vec_id, t, bucket,
+           COUNT(*) OVER (PARTITION BY t, bucket) AS bc
+    FROM keys
+  ) WHERE bc <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS other_id,
+         (ea.label = eb.label) AS same_label,
+         {_SQL_COS.format(a="ea.v", b="eb.v")} AS score
+  FROM keys_capped a
+  JOIN keys_capped b ON a.t = b.t AND a.bucket = b.bucket
+                    AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+pos AS (
+  SELECT anchor_id, other_id AS pos_id, score AS pos_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY score DESC, other_id) AS r
+        FROM cand WHERE same_label)
+  WHERE r = 1
+),
+neg AS (
+  SELECT anchor_id, other_id AS neg_id, score AS neg_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY score DESC, other_id) AS r
+        FROM cand WHERE NOT same_label)
+  WHERE r = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+       ROUND(p.pos_score - n.neg_score, 6) + 0.0 AS margin
+FROM pos p JOIN neg n USING (anchor_id)
+ORDER BY anchor_id
+""",
+)
+def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, positive, hard-negative) triplets from ONE
+    pass of the capped SRP-LSH candidate kernel: same-label top-1 and
+    different-label top-1 per anchor, joined; margin = pos - neg (the
+    batch-construction priority signal). Same bucketed/capped scale
+    shape as hard-negative mining (``dedup.contrastive_triplets``)."""
+    from vectolite_spark.operators.dedup import contrastive_triplets
+
+    return contrastive_triplets(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_outliers",
     """
 WITH cent AS (
@@ -9559,12 +9627,12 @@ _DRIVER_WINDOW = [
     "customers_without_orders",
     "dataset_split_counts",
     "embedding_norm_stats",
-    "events_window_agg",
-    # new this round (displace nine r2-green refreshes: price_histogram,
+    # new this round (displace ten r2-green refreshes: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
     # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
-    # join_revenue_by_nation, frequent_tokens — their r2 rows stand via
-    # union semantics)
+    # join_revenue_by_nation, frequent_tokens, events_window_agg — their
+    # r2 rows stand via union semantics)
+    "contrastive_triplets",
     "dsir_importance_sample",
     "cdc_containment_pairs",
     "sliding_wau",
