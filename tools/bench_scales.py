@@ -59,6 +59,10 @@ HEADLINE = [
     "tokenizer_fertility",
     "seasonal_decomposition",
     "k_anonymity_audit",
+    "sliding_wau",
+    "cdc_containment_pairs",
+    "embedding_outliers",
+    "contrastive_triplets",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
