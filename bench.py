@@ -306,6 +306,8 @@ def main() -> None:
     # still includes the full scan+shuffle work every run; it only strips
     # the nondeterministic overhead. N is env-tunable for quick iteration.
     bench_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    from vectolite_spark.operators.dedup import clear_managed_caches
+
     for name in _registry_bench():
         fn = registry.QUERIES.get(name)
         if fn is None:
@@ -318,6 +320,11 @@ def main() -> None:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 4)
+        # isolate queries from each other: a dozen lingering operator
+        # caches (simhash sigs, PPJoin tokens, triplet candidates, ...)
+        # measurably slowed UNRELATED late-sweep queries (ann_pq_topk
+        # drifted 0.46 -> 0.72 s as the registry grew r5 -> r6)
+        clear_managed_caches()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query map -> BENCH_DETAIL.json; stdout carries ONLY a compact

@@ -42,6 +42,16 @@ def _managed_cache(key: str, df: DataFrame) -> DataFrame:
     return _MANAGED_CACHES[key]
 
 
+def clear_managed_caches() -> None:
+    """Unpersist every managed cache. Long-lived sessions that sweep MANY
+    operators (bench, the oracle gate) call this between queries so one
+    operator's cached working set cannot squeeze execution memory for the
+    next — a dozen lingering caches measurably slowed unrelated
+    mapInPandas stages late in a 200-query sweep."""
+    for key in list(_MANAGED_CACHES):
+        _MANAGED_CACHES.pop(key).unpersist(blocking=False)
+
+
 def widen_small_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Spread a small input across the cluster before a per-row-expensive
     (Arrow UDF) stage.
