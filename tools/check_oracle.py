@@ -94,9 +94,14 @@ def main():
     spark = get_spark("oracle-check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    from vectolite_spark.operators.dedup import clear_managed_caches
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # per-query cache isolation (same rationale as bench.py): one
+        # operator's lingering caches must not slow or starve the next
+        clear_managed_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
