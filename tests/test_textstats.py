@@ -707,3 +707,29 @@ def test_span_corruption_pairs_match_pure_python(spark):
             recon = recon.replace(sent + ">", span)
         assert recon == " ".join(t)
     assert any_masked  # the fixture must exercise the masked branch
+
+
+def test_dsir_gumbel_key_formula(spark):
+    """The Gumbel key is exactly weight + (-ln(-ln(u))) with the doc's
+    md5-derived uniform — recomputed in pure Python from each output
+    row's own weight; ordering follows the key, not the raw weight."""
+    import hashlib
+    import math
+
+    from vectolite_spark.operators.textstats import dsir_gumbel_sample
+
+    rows = [(i, f"alpha beta w{i} w{i+1} gamma delta", "t1" if i < 3 else "raw")
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = dsir_gumbel_sample(docs, target_sources=["t1"], top_n=10).collect()
+    assert len(out) == 10
+    keys = []
+    for r in out:
+        u = (int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+             + 0.5) / 2**32
+        want = round(r["dsir_weight"] - math.log(-math.log(u)), 6) + 0.0
+        assert r["gumbel_key"] == want, (r, want)
+        keys.append(r["gumbel_key"])
+    assert keys == sorted(keys, reverse=True)

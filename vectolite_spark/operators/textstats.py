@@ -1113,9 +1113,54 @@ def dsir_importance_weights(
         .groupBy(id_col, source_col)
         .agg(F.round(F.sum(term).cast("double"), 6).alias("dsir_weight"))
     )
+    if top_n is None:
+        return scored
     return scored.orderBy(
         F.desc("dsir_weight"), F.asc(id_col)
     ).limit(top_n)
+
+
+def dsir_gumbel_sample(
+    df: DataFrame,
+    target_sources: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 256,
+    top_n: int = 50,
+) -> DataFrame:
+    """The DSIR paper's actual selection rule: GUMBEL-TOP-K resampling
+    over the importance weights rather than a deterministic arg-top-k —
+    sampling without replacement proportional to exp(weight), done as
+    one order-by (Xie et al. 2023 §2; Kool et al. 2019 for the
+    Gumbel-top-k equivalence). The noise is DETERMINISTIC here: each
+    doc's uniform comes from its md5 (u = (hash+0.5)/2^32), so the
+    sample is reproducible across engines, retries, and epochs — the
+    same trick the epoch-shuffle and sampling ops use. Selection key =
+    weight + (-ln(-ln u)), rounded 6 dp with an id tie-break.
+
+    Same two-pass scale shape as ``dsir_importance_weights``; the key
+    adds one narrow expression."""
+    scored = dsir_importance_weights(
+        df,
+        target_sources,
+        text_col=text_col,
+        id_col=id_col,
+        source_col=source_col,
+        n_buckets=n_buckets,
+        top_n=None,
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col("dsir_weight") - F.log(-F.log(u)), 6) + F.lit(0.0)
+    return (
+        scored.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(top_n)
+    )
 
 
 def span_corruption_pairs(

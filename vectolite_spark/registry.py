@@ -9562,6 +9562,70 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsir_gumbel_sample",
+    f"""
+WITH grams AS (
+  SELECT doc_id, source, g
+  FROM documents, UNNEST({_SQL_GRAMS}) AS u(g)
+  WHERE g != ''
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS n
+  FROM grams GROUP BY doc_id, source, bucket
+),
+dist AS (
+  SELECT bucket,
+         SUM(CASE WHEN source IN {_SQL_DSIR_TARGETS} THEN n ELSE 0 END) AS ct,
+         SUM(CASE WHEN source IN {_SQL_DSIR_TARGETS} THEN 0 ELSE n END) AS cr
+  FROM per_doc GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr
+        FROM dist),
+lr AS (
+  SELECT bucket,
+         ln((CAST(ct AS DOUBLE) + 1.0) / (tt + 256.0))
+           - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 256.0)) AS lr
+  FROM dist, tot
+),
+scored AS (
+  SELECT p.doc_id, p.source,
+         ROUND(CAST(SUM(CAST(CAST(p.n AS DOUBLE) * l.lr AS DECIMAL(30,10)))
+                    AS DOUBLE), 6) AS dsir_weight
+  FROM per_doc p JOIN lr l USING (bucket)
+  WHERE p.source NOT IN {_SQL_DSIR_TARGETS}
+  GROUP BY p.doc_id, p.source
+),
+keyed AS (
+  SELECT doc_id, source, dsir_weight,
+         ROUND(dsir_weight
+               - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) + 0.5) / 4294967296.0)), 6) + 0.0
+           AS gumbel_key
+  FROM scored
+)
+SELECT doc_id, source, dsir_weight, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 50
+""",
+)
+def dsir_gumbel_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's paper-faithful selection: Gumbel-top-k resampling over the
+    importance weights (sampling w/o replacement proportional to
+    exp(weight)) with DETERMINISTIC md5-derived Gumbel noise — the
+    sample reproduces across engines, retries, and epochs
+    (``textstats.dsir_gumbel_sample``)."""
+    from vectolite_spark.operators.textstats import dsir_gumbel_sample
+
+    return dsir_gumbel_sample(
+        load_table(spark, sf_dir, "documents"),
+        target_sources=["src0", "src1", "src2", "src3"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -9626,14 +9690,14 @@ _DRIVER_WINDOW = [
     "cube_order_counts",
     "customers_without_orders",
     "dataset_split_counts",
-    "embedding_norm_stats",
-    # new this round (displace ten r2-green refreshes: price_histogram,
+    # new this round (displace eleven r2-green refreshes: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
     # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
-    # join_revenue_by_nation, frequent_tokens, events_window_agg — their
-    # r2 rows stand via union semantics)
+    # join_revenue_by_nation, frequent_tokens, events_window_agg,
+    # embedding_norm_stats — their r2 rows stand via union semantics)
     "contrastive_triplets",
     "dsir_importance_sample",
+    "dsir_gumbel_sample",
     "cdc_containment_pairs",
     "sliding_wau",
     "embedding_outliers",
