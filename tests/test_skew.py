@@ -475,3 +475,34 @@ def test_sliding_wau_trailing_window_closed_form(spark):
     assert (got[d(3)]["wau"], got[d(3)]["dau"]) == (3, 2)
     assert got[d(3)]["stickiness"] == round(2 / 3, 6)
     assert (got[d(10)]["wau"], got[d(10)]["dau"]) == (1, 1)
+
+
+def test_resample_interpolate_linear_closed_form(spark):
+    """Observations at minutes 0 (v=10) and 4 (v=30) for one user inside
+    the 6h grid: interior gap minutes interpolate linearly (15/20/25);
+    minutes after the last observation have only one neighbor -> NULL."""
+    import datetime
+
+    import __spark_entry__  # noqa: F401
+    from vectolite_spark.registry import QUERIES
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    base = datetime.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        (1, base, 5, "view", 10.0, "{}"),
+        (2, base + datetime.timedelta(minutes=4), 5, "view", 30.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["minute"]: r
+        for r in QUERIES["resample_interpolate"](spark, d).collect()
+    }
+    assert len(got) == 360
+    assert [got[m]["v_interp"] for m in range(5)] == [10.0, 15.0, 20.0, 25.0, 30.0]
+    assert got[1]["was_gap"] == 1 and got[0]["was_gap"] == 0
+    assert all(got[m]["v_interp"] is None for m in range(5, 360))

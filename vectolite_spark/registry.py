@@ -4669,6 +4669,116 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_interpolate",
+    """
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+grid AS (
+  SELECT u.user_id, CAST(m.m AS INTEGER) AS minute
+  FROM u CROSS JOIN (SELECT unnest(range(0, 360)) AS m) m
+),
+obs AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - 1704067200000000) // 60000000 AS INTEGER) AS minute,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS v
+  FROM events
+  WHERE user_id < 10
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-01 06:00:00'
+  GROUP BY user_id, minute
+),
+joined AS (
+  SELECT g.user_id, g.minute, o.v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.minute = g.minute
+),
+ctx AS (
+  SELECT user_id, minute, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN minute END IGNORE NULLS)
+           OVER wb AS pm,
+         FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN minute END IGNORE NULLS)
+           OVER wf AS nm
+  FROM joined
+  WINDOW wb AS (PARTITION BY user_id ORDER BY minute
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY minute
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, minute,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN ROUND(pv + (nv - pv) * (CAST(minute - pm AS DOUBLE)
+                                         / CAST(nm - pm AS DOUBLE)), 6) + 0.0
+       END AS v_interp,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM ctx
+""",
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapfill with LINEAR interpolation (the hypertable
+    ``time_bucket_gapfill`` + ``interpolate`` shape, the twin of
+    ``resample_ffill``'s locf): a gap minute takes
+    prev + (next - prev) * elapsed-fraction between its neighboring
+    observations; edge gaps with only one neighbor stay NULL (honest —
+    extrapolation is a modeling decision, not a fill). Same in-plan
+    grid; TWO bounded windows per user (last-non-null back, first-non-
+    null forward) instead of one — still a single narrow shuffle on
+    user_id, window state bounded by one entity's timeline."""
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-01 06:00:00").cast("timestamp_ntz")
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    minute = F.expr(
+        "CAST((unix_micros(ts) - 1704067200000000) DIV 60000000 AS INT)"
+    )
+    obs = (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select("user_id", minute.alias("minute"), "value")
+        .groupBy("user_id", "minute")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("v")
+        )
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(359))).alias("minute"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(obs, ["user_id", "minute"], "left")
+    obs_min = F.when(F.col("v").isNotNull(), F.col("minute"))
+    pv = F.last("v", ignorenulls=True).over(wb)
+    pm = F.last(obs_min, ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nm = F.first(obs_min, ignorenulls=True).over(wf)
+    frac = (F.col("minute") - pm).cast("double") / (nm - pm).cast("double")
+    interp = F.round(pv + (nv - pv) * frac, 6) + F.lit(0.0)
+    return j.select(
+        "user_id",
+        "minute",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .alias("v_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+
+
+@register(
     "clean_corpus_summary",
     _SQL_CC_MIN_LABEL.replace(
         """SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
@@ -9689,15 +9799,16 @@ _DRIVER_WINDOW = [
     "corpus_curation",
     "cube_order_counts",
     "customers_without_orders",
-    "dataset_split_counts",
-    # new this round (displace eleven r2-green refreshes: price_histogram,
+    # new this round (displace twelve r2-green refreshes: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
     # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
     # join_revenue_by_nation, frequent_tokens, events_window_agg,
-    # embedding_norm_stats — their r2 rows stand via union semantics)
+    # embedding_norm_stats, dataset_split_counts — their r2 rows stand
+    # via union semantics)
     "contrastive_triplets",
     "dsir_importance_sample",
     "dsir_gumbel_sample",
+    "resample_interpolate",
     "cdc_containment_pairs",
     "sliding_wau",
     "embedding_outliers",
