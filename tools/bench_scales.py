@@ -63,6 +63,8 @@ HEADLINE = [
     "cdc_containment_pairs",
     "embedding_outliers",
     "contrastive_triplets",
+    "dsir_gumbel_sample",
+    "resample_interpolate",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
