@@ -655,3 +655,26 @@ def test_embedding_outliers_flags_planted_point(spark):
     got = embedding_outliers(embs, threshold=2.5).collect()
     assert [r["vec_id"] for r in got] == [99]
     assert got[0]["label"] == 0 and got[0]["m"] > 2.5
+
+
+def test_embedding_drift_closed_form(spark):
+    """Label 0: both parity halves identical -> drift 0. Label 1: even
+    half at [1,0], odd half at [1,2] -> centroid distance exactly 2."""
+    from vectolite_spark.operators.ann import embedding_drift
+
+    rows = []
+    for vid in range(4):  # label 0: all the same vector
+        rows.append((vid, [5.0, 5.0], 0))
+    rows += [
+        (10, [1.0, 0.0], 1),
+        (12, [1.0, 0.0], 1),  # even ids
+        (11, [1.0, 2.0], 1),
+        (13, [1.0, 2.0], 1),  # odd ids
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in embedding_drift(embs).collect()}
+    assert got[0]["centroid_l2"] == 0.0
+    assert (got[1]["n_even"], got[1]["n_odd"]) == (2, 2)
+    assert got[1]["centroid_l2"] == 2.0

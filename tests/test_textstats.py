@@ -733,3 +733,39 @@ def test_dsir_gumbel_key_formula(spark):
         assert r["gumbel_key"] == want, (r, want)
         keys.append(r["gumbel_key"])
     assert keys == sorted(keys, reverse=True)
+
+
+def test_schema_drift_audit_closed_form(spark):
+    """Two clean periods: first half 2 rows (prices 10, 20; 1 customer),
+    second half 4 rows (prices 30x4; 2 customers). Every metric and
+    relative change is hand-computable."""
+    import datetime
+    import os, tempfile
+
+    import __spark_entry__  # noqa: F401
+    from vectolite_spark.registry import QUERIES
+
+    d = tempfile.mkdtemp()
+    day = lambda k: datetime.datetime(2024, 1, 1 + k)  # noqa: E731
+    rows = [
+        (1, 100, "O", 10.0, day(0), "1-URGENT"),
+        (2, 100, "O", 20.0, day(1), "1-URGENT"),
+        (3, 200, "F", 30.0, day(8), "2-HIGH"),
+        (4, 200, "F", 30.0, day(9), "2-HIGH"),
+        (5, 300, "F", 30.0, day(9), "3-MEDIUM"),
+        (6, 300, "F", 30.0, day(9), "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    got = {r["metric"]: r for r in QUERIES["schema_drift_audit"](spark, d).collect()}
+    assert (got["row_count"]["first_half"], got["row_count"]["second_half"]) == (2.0, 4.0)
+    assert got["row_count"]["rel_change"] == 1.0
+    assert (got["totalprice_mean"]["first_half"], got["totalprice_mean"]["second_half"]) == (15.0, 30.0)
+    assert got["totalprice_mean"]["rel_change"] == 1.0
+    assert (got["custkey_distinct"]["first_half"], got["custkey_distinct"]["second_half"]) == (1.0, 2.0)
+    assert (got["priority_distinct"]["first_half"], got["priority_distinct"]["second_half"]) == (1.0, 2.0)
+    assert (got["status_distinct"]["first_half"], got["status_distinct"]["second_half"]) == (1.0, 1.0)
+    assert got["status_distinct"]["rel_change"] == 0.0

@@ -1091,3 +1091,62 @@ def embedding_outliers(
         "dist",
         "m",
     ).orderBy(id_col)
+
+
+def embedding_drift(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding A/B stability: the L2 distance between the
+    centroids of the two deterministic id-parity halves of each label.
+    Two random halves of a stationary, coherent label should have
+    near-identical centroids; a large split distance means the label is
+    heterogeneous or the encoder drifted mid-corpus — the monitor an
+    embedding pipeline runs after every backfill or model swap.
+
+    Shape: both halves' centroids come from ONE exact-DECIMAL
+    posexplode aggregate keyed on (label, parity); the per-label result
+    joins the two tiny centroid relations and folds the distance with
+    the left-to-right JVM aggregate (oracle: list_dot_product on the
+    element-wise difference). Output is one row per label at any scale.
+    """
+    par = (F.pmod(F.col(id_col), F.lit(2)) == 0).alias("even")
+    halves = embeddings.select(
+        F.col(label_col).alias("lab"), par, F.col(emb_col).alias("e")
+    )
+    exploded = halves.select("lab", "even", F.posexplode("e").alias("pos", "x"))
+    dims = exploded.groupBy("lab", "even", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents = dims.groupBy("lab", "even").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.first("n").alias("n"),
+    )
+    a = cents.filter(F.col("even")).select(
+        F.col("lab"), F.col("centroid").alias("ca"), F.col("n").alias("n_even")
+    )
+    b = cents.filter(~F.col("even")).select(
+        F.col("lab"), F.col("centroid").alias("cb"), F.col("n").alias("n_odd")
+    )
+    diff = F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x - y)
+    dist = F.round(
+        F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)), 6
+    )
+    return (
+        a.join(b, "lab")
+        .select(
+            F.col("lab").cast("int").alias("label"),
+            F.col("n_even").cast("long").alias("n_even"),
+            F.col("n_odd").cast("long").alias("n_odd"),
+            dist.alias("centroid_l2"),
+        )
+        .orderBy("label")
+    )

@@ -1029,7 +1029,7 @@ def dsir_importance_weights(
     id_col: str = "doc_id",
     source_col: str = "source",
     n_buckets: int = 256,
-    top_n: int = 50,
+    top_n: int | None = 50,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     score every RAW document by how target-domain-like its hashed n-gram

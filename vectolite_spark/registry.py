@@ -4669,6 +4669,174 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_drift",
+    """
+WITH dims AS (
+  SELECT label, (vec_id % 2 = 0) AS even, CAST(u.i AS INT) AS pos,
+         CAST(SUM(CAST(embedding[CAST(u.i AS INT)] AS DECIMAL(28,12)))
+              AS DOUBLE) / COUNT(*) AS c,
+         COUNT(*) AS n
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+  GROUP BY label, even, pos
+),
+cents AS (
+  SELECT label, even, list(c ORDER BY pos) AS centroid, MIN(n) AS n
+  FROM dims GROUP BY label, even
+),
+a AS (SELECT label, centroid AS ca, n AS n_even FROM cents WHERE even),
+b AS (SELECT label, centroid AS cb, n AS n_odd FROM cents WHERE NOT even)
+SELECT CAST(a.label AS INTEGER) AS label,
+       CAST(a.n_even AS BIGINT) AS n_even,
+       CAST(b.n_odd AS BIGINT) AS n_odd,
+       ROUND(sqrt(list_dot_product(
+         list_transform(range(1, len(a.ca) + 1),
+                        i -> a.ca[CAST(i AS INT)] - b.cb[CAST(i AS INT)]),
+         list_transform(range(1, len(a.ca) + 1),
+                        i -> a.ca[CAST(i AS INT)] - b.cb[CAST(i AS INT)]))), 6)
+         AS centroid_l2
+FROM a JOIN b USING (label)
+ORDER BY label
+""",
+)
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding A/B stability: L2 distance between the
+    centroids of the two id-parity halves — the post-backfill /
+    post-model-swap drift monitor (``ann.embedding_drift``)."""
+    from vectolite_spark.operators.ann import embedding_drift
+
+    return embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "schema_drift_audit",
+    """
+WITH d AS (
+  SELECT *, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day FROM orders
+),
+m AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM d),
+agg AS (
+  SELECT
+    CAST(COUNT(CASE WHEN day <= mid THEN 1 END) AS DOUBLE) AS n_a,
+    CAST(COUNT(CASE WHEN day >  mid THEN 1 END) AS DOUBLE) AS n_b,
+    CAST(SUM(CASE WHEN day <= mid
+             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      / COUNT(CASE WHEN day <= mid THEN 1 END) AS mean_a,
+    CAST(SUM(CASE WHEN day > mid
+             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      / COUNT(CASE WHEN day > mid THEN 1 END) AS mean_b,
+    MAX(CASE WHEN day <= mid THEN o_totalprice END) AS max_a,
+    MAX(CASE WHEN day >  mid THEN o_totalprice END) AS max_b,
+    CAST(COUNT(DISTINCT CASE WHEN day <= mid THEN o_orderstatus END)
+         AS DOUBLE) AS st_a,
+    CAST(COUNT(DISTINCT CASE WHEN day > mid THEN o_orderstatus END)
+         AS DOUBLE) AS st_b,
+    CAST(COUNT(DISTINCT CASE WHEN day <= mid THEN o_orderpriority END)
+         AS DOUBLE) AS pr_a,
+    CAST(COUNT(DISTINCT CASE WHEN day > mid THEN o_orderpriority END)
+         AS DOUBLE) AS pr_b,
+    CAST(COUNT(DISTINCT CASE WHEN day <= mid THEN o_custkey END)
+         AS DOUBLE) AS ck_a,
+    CAST(COUNT(DISTINCT CASE WHEN day > mid THEN o_custkey END)
+         AS DOUBLE) AS ck_b
+  FROM d, m
+)
+SELECT metric,
+       ROUND(fh, 4) AS first_half,
+       ROUND(sh, 4) AS second_half,
+       ROUND((sh - fh) / fh, 6) + 0.0 AS rel_change
+FROM (
+  SELECT 'row_count' AS metric, n_a AS fh, n_b AS sh FROM agg
+  UNION ALL SELECT 'totalprice_mean', mean_a, mean_b FROM agg
+  UNION ALL SELECT 'totalprice_max', max_a, max_b FROM agg
+  UNION ALL SELECT 'status_distinct', st_a, st_b FROM agg
+  UNION ALL SELECT 'priority_distinct', pr_a, pr_b FROM agg
+  UNION ALL SELECT 'custkey_distinct', ck_a, ck_b FROM agg
+)
+ORDER BY metric
+""",
+)
+def schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift monitor: per-column profile of the FIRST half
+    of the order-date range vs the SECOND (row volume, exact-DECIMAL
+    price mean, price max, per-column distinct cardinalities) with the
+    relative change — the check that catches a upstream producer
+    silently changing enums, key spaces, or value ranges between
+    periods. ONE conditional-aggregate pass over the table (map-side
+    combined; the split day comes from a tiny bounds pre-pass), output
+    is 6 fixed rows at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    )
+    b = orders.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    ).first()
+    a_ = F.col("day") <= int(b["mid"])
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.agg(
+        F.count(F.when(a_, 1)).cast("double").alias("n_a"),
+        F.count(F.when(~a_, 1)).cast("double").alias("n_b"),
+        (
+            F.sum(F.when(a_, price_dec)).cast("double")
+            / F.count(F.when(a_, 1))
+        ).alias("mean_a"),
+        (
+            F.sum(F.when(~a_, price_dec)).cast("double")
+            / F.count(F.when(~a_, 1))
+        ).alias("mean_b"),
+        F.max(F.when(a_, F.col("o_totalprice"))).alias("max_a"),
+        F.max(F.when(~a_, F.col("o_totalprice"))).alias("max_b"),
+        F.countDistinct(F.when(a_, F.col("o_orderstatus")))
+        .cast("double")
+        .alias("st_a"),
+        F.countDistinct(F.when(~a_, F.col("o_orderstatus")))
+        .cast("double")
+        .alias("st_b"),
+        F.countDistinct(F.when(a_, F.col("o_orderpriority")))
+        .cast("double")
+        .alias("pr_a"),
+        F.countDistinct(F.when(~a_, F.col("o_orderpriority")))
+        .cast("double")
+        .alias("pr_b"),
+        F.countDistinct(F.when(a_, F.col("o_custkey")))
+        .cast("double")
+        .alias("ck_a"),
+        F.countDistinct(F.when(~a_, F.col("o_custkey")))
+        .cast("double")
+        .alias("ck_b"),
+    )
+    def row(name, fa, fb):
+        return F.struct(
+            F.lit(name).alias("metric"),
+            F.col(fa).alias("fh"),
+            F.col(fb).alias("sh"),
+        )
+
+    rows = F.explode(
+        F.array(
+            row("row_count", "n_a", "n_b"),
+            row("totalprice_mean", "mean_a", "mean_b"),
+            row("totalprice_max", "max_a", "max_b"),
+            row("status_distinct", "st_a", "st_b"),
+            row("priority_distinct", "pr_a", "pr_b"),
+            row("custkey_distinct", "ck_a", "ck_b"),
+        )
+    ).alias("r")
+    return (
+        agg.select(rows)
+        .select(
+            F.col("r.metric").alias("metric"),
+            F.round("r.fh", 4).alias("first_half"),
+            F.round("r.sh", 4).alias("second_half"),
+            (
+                F.round((F.col("r.sh") - F.col("r.fh")) / F.col("r.fh"), 6)
+                + F.lit(0.0)
+            ).alias("rel_change"),
+        )
+        .orderBy("metric")
+    )
+
+
+@register(
     "resample_interpolate",
     """
 WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
@@ -9797,9 +9965,8 @@ _DRIVER_WINDOW = [
     "big_ticket_orders",
     "click_and_purchase_users",
     "corpus_curation",
-    "cube_order_counts",
-    "customers_without_orders",
-    # new this round (displace twelve r2-green refreshes: price_histogram,
+    # new this round (displace fourteen r2-green refreshes — includes
+    # cube_order_counts and customers_without_orders: price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
     # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
     # join_revenue_by_nation, frequent_tokens, events_window_agg,
@@ -9809,6 +9976,8 @@ _DRIVER_WINDOW = [
     "dsir_importance_sample",
     "dsir_gumbel_sample",
     "resample_interpolate",
+    "schema_drift_audit",
+    "embedding_drift",
     "cdc_containment_pairs",
     "sliding_wau",
     "embedding_outliers",
