@@ -65,6 +65,8 @@ HEADLINE = [
     "contrastive_triplets",
     "dsir_gumbel_sample",
     "resample_interpolate",
+    "schema_drift_audit",
+    "embedding_drift",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
