@@ -506,3 +506,28 @@ def test_resample_interpolate_linear_closed_form(spark):
     assert [got[m]["v_interp"] for m in range(5)] == [10.0, 15.0, 20.0, 25.0, 30.0]
     assert got[1]["was_gap"] == 1 and got[0]["was_gap"] == 0
     assert all(got[m]["v_interp"] is None for m in range(5, 360))
+
+
+def test_key_skew_report_closed_form(spark):
+    """A planted hot key (60 of 100 rows) reports share 0.6 and
+    imbalance = 60 / (100/5 keys) = 3.0; ordering is count desc."""
+    import __spark_entry__  # noqa: F401
+    from vectolite_spark.registry import QUERIES
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [(i, 7) for i in range(60)] + [
+        (100 + i, 1 + (i % 4)) for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    got = QUERIES["key_skew_report"](spark, d).collect()
+    top = got[0]
+    assert (top["key"], top["cnt"]) == (7, 60)
+    assert top["share"] == 0.6
+    assert top["imbalance"] == 3.0
+    assert (top["n_keys"], top["n_rows"]) == (5, 100)
+    assert [r["cnt"] for r in got] == sorted(
+        [r["cnt"] for r in got], reverse=True
+    )

@@ -4669,6 +4669,70 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_skew_report",
+    """
+WITH counts AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM counts
+)
+SELECT c.key, c.cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6) AS share,
+       ROUND(CAST(c.cnt AS DOUBLE)
+             / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)), 6)
+         AS imbalance,
+       s.n_keys, s.n_rows
+FROM counts c, stats s
+ORDER BY c.cnt DESC, c.key ASC
+LIMIT 10
+""",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on lineitem.l_suppkey: the top-10
+    heaviest keys with their row share and imbalance factor
+    (count / mean-count) — the number that decides whether a planned
+    join needs salting, AQE skew splitting, or nothing. One map-combined
+    groupBy; the stats row is a 1-row broadcast; output is top-10 under
+    a strict total order at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    j = counts.crossJoin(F.broadcast(stats))
+    return (
+        j.select(
+            "key",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("cnt").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                ),
+                6,
+            ).alias("imbalance"),
+            "n_keys",
+            "n_rows",
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
+
+
+@register(
     "embedding_drift",
     """
 WITH dims AS (
@@ -9964,9 +10028,9 @@ _DRIVER_WINDOW = [
     "asof_last_click",
     "big_ticket_orders",
     "click_and_purchase_users",
-    "corpus_curation",
-    # new this round (displace fourteen r2-green refreshes — includes
-    # cube_order_counts and customers_without_orders: price_histogram,
+    # new this round (displace fifteen r2-green refreshes — includes
+    # corpus_curation, cube_order_counts, customers_without_orders:
+    # price_histogram,
     # q3_shipping_priority, parts_per_flag, moment_stats,
     # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
     # join_revenue_by_nation, frequent_tokens, events_window_agg,
@@ -9978,6 +10042,7 @@ _DRIVER_WINDOW = [
     "resample_interpolate",
     "schema_drift_audit",
     "embedding_drift",
+    "key_skew_report",
     "cdc_containment_pairs",
     "sliding_wau",
     "embedding_outliers",
