@@ -10065,10 +10065,19 @@ _DRIVER_WINDOW = [
 # leads, gram_partials_covariance (new, rows-only at the driver +
 # range-oracled locally) and the two by-design rows-only sketch/MLlib
 # entries get their first driver rows, every ADVICE-r5-touched query is
-# re-verified, and the remaining slots refresh the oldest (r1/r2) green
-# evidence. Future rounds: put any query whose code changed back into
-# the window; keep the flagship anchor; swap refresh slots for any
-# newly added operators (old rows stand via union semantics).
+# re-verified, the 16 operators ADDED in r6 (dsir pair, span corruption,
+# leakage split, fertility, seasonal, k-anonymity, wau, containment,
+# embedding outliers/drift, triplets, interpolate, schema drift, key
+# skew) all hold window slots, and the remaining slots refresh the
+# oldest (r1/r2) green evidence.
+#
+# ROTATE IN FOR r7: all 16 r6 additions will have driver rows after this
+# round — swap them out for (a) anything whose code changes in r7, (b)
+# the r2-refresh slots still unrotated (agg_pricing_summary,
+# asia_customer_orders, asof_last_click, big_ticket_orders,
+# click_and_purchase_users remain in-window; the fifteen displaced ones
+# listed below never got their refresh), (c) new r7 operators. Keep the
+# flagship anchor; old rows stand via union semantics.
 
 # driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
 _DEMOTED_STABLE = [
