@@ -125,7 +125,13 @@ def main() -> None:
         topk_ids(embs, qv, 10).collect()
     single_q = (time.time() - t0) / len(qvecs)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    timings["flagship_topk_cached_1q"] = round(single_q, 4)
+    # key carries the cache partitioning (_p8) since round 7: r6 switched
+    # the serving cache from 32 partitions to 8 under the OLD key, so
+    # cross-round diffs conflated the config change with code changes —
+    # the rename resets the baseline to compare like with like
+    # (tools/bench_diff.py aliases the r6 p8-measured old key onto this
+    # one so r6->r7 continuity holds).
+    timings["flagship_topk_cached_1q_p8"] = round(single_q, 4)
 
     # -- sustained concurrent serving throughput ---------------------------
     # The single-query number above is the Spark job-scheduling floor
@@ -341,7 +347,7 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     headline_keys = [
-        "flagship_topk_cached_1q",
+        "flagship_topk_cached_1q_p8",
         "serving_concurrent_qps",
         "serving_microbatch_qps",
         "batch_topk_100q_total",
@@ -371,8 +377,8 @@ def main() -> None:
         "streaming_windowed_counts",
     ]
     result = {
-        "metric": "flagship_topk_cached_1q_sec",
-        "value": timings["flagship_topk_cached_1q"],
+        "metric": "flagship_topk_cached_1q_p8_sec",
+        "value": timings["flagship_topk_cached_1q_p8"],
         "unit": "sec",
         "queries": {k: timings[k] for k in headline_keys if k in timings},
         "n_registry_queries": sum(1 for n in _registry_bench() if n in timings),
@@ -384,7 +390,7 @@ def main() -> None:
     if "reference_1q_sec" in timings:
         # measured ratios vs the executed reference (>1 = we are faster)
         result["speedup_1q_vs_reference"] = round(
-            timings["reference_1q_sec"] / timings["flagship_topk_cached_1q"], 3
+            timings["reference_1q_sec"] / timings["flagship_topk_cached_1q_p8"], 3
         )
         result["speedup_batch_vs_reference"] = round(
             timings["reference_1q_sec"] / timings["batch_topk_per_query"], 3

@@ -678,3 +678,35 @@ def test_embedding_drift_closed_form(spark):
     assert got[0]["centroid_l2"] == 0.0
     assert (got[1]["n_even"], got[1]["n_odd"]) == (2, 2)
     assert got[1]["centroid_l2"] == 2.0
+
+
+def test_srp_meta_absent_vs_unreadable(spark, sf_dir, tmp_path):
+    """ADVICE r6: _srp_resolve must distinguish a genuinely pre-meta
+    index (meta dir absent -> trust the CALLER's explicit params, not
+    hardcoded defaults) from an unreadable meta (corrupt/transient ->
+    the read error PROPAGATES instead of silently probing with wrong
+    planes)."""
+    import os
+
+    import pytest
+
+    from vectolite_spark.operators.ann import _srp_resolve, build_srp_index
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "srp_premeta")
+    build_srp_index(embs, path, n_tables=4, n_planes=3)
+    # simulate a pre-meta index
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "meta"))
+    # explicit caller params are trusted verbatim
+    assert _srp_resolve(spark, path, 4, 3) == (4, 3)
+    assert _srp_resolve(spark, path, 8, 5) == (8, 5)
+    # unset params fall back to the historical defaults
+    assert _srp_resolve(spark, path, None, None) == (16, 6)
+    # a PRESENT but unreadable meta raises, never guesses
+    os.makedirs(os.path.join(path, "meta"))
+    with open(os.path.join(path, "meta", "part-corrupt.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        _srp_resolve(spark, path, None, None)

@@ -98,3 +98,66 @@ def test_store_make_batcher(spark, tmp_path):
     want = [(d["id"], d["score"]) for d in store.query("doc number 7", top_k=3)]
     assert got == want
     mb.close()
+
+
+def test_microbatcher_dispatch_failure_resets_latch(spark):
+    """A batch job that throws must fail ITS waiters and reset the
+    dispatch latch — the batcher stays usable for the next query
+    (ADVICE r6: a pre-_run_batch throw used to wedge _dispatching=True
+    and park every later caller forever)."""
+    embs = load_table(spark, SF, "embeddings").cache()
+    embs.count()
+    qv = [float(x) for x in embs.first()["embedding"]]
+    mb = MicroBatcher(embs, k=3, max_batch=4, max_wait_ms=5)
+    want = mb.query(qv)
+
+    boom = RuntimeError("injected batch failure")
+
+    def broken(_qvecs):
+        raise boom
+
+    orig = mb._run_batch
+    mb._run_batch = broken
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        mb.query(qv)
+    # latch reset: a healthy dispatch cycle still serves afterwards
+    mb._run_batch = orig
+    assert mb.query(qv) == want
+    embs.unpersist()
+
+
+def test_microbatcher_close_wakes_parked_waiters(spark):
+    """close() must error out already-parked waiters instead of leaving
+    them blocked on events nobody will set (ADVICE r6)."""
+    import time
+
+    embs = load_table(spark, SF, "embeddings").cache()
+    embs.count()
+    qv = [float(x) for x in embs.first()["embedding"]]
+    mb = MicroBatcher(embs, k=3, max_batch=64, max_wait_ms=200)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def client() -> None:
+        try:
+            mb.query(qv)
+            with lock:
+                outcomes.append("ok")
+        except RuntimeError:
+            with lock:
+                outcomes.append("closed")
+
+    threads = [threading.Thread(target=client) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.05)  # let them park inside the accumulation window
+    mb.close()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads), "a waiter stayed parked"
+    # every client finished — served by the live dispatcher's final batch
+    # or failed with the close error; none hung
+    assert len(outcomes) == 4
+    embs.unpersist()

@@ -769,3 +769,26 @@ def test_schema_drift_audit_closed_form(spark):
     assert (got["priority_distinct"]["first_half"], got["priority_distinct"]["second_half"]) == (1.0, 2.0)
     assert (got["status_distinct"]["first_half"], got["status_distinct"]["second_half"]) == (1.0, 1.0)
     assert got["status_distinct"]["rel_change"] == 0.0
+
+
+def test_dsir_importance_weights_degenerate_inputs_raise(spark):
+    """ADVICE r6: empty corpus / unmatched target_sources raise a
+    descriptive ValueError instead of float(None)'s TypeError."""
+    import pytest
+
+    from vectolite_spark.operators.textstats import dsir_importance_weights
+
+    empty = spark.createDataFrame(
+        [(1, "t1", ""), (2, "raw", "  ")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="no tokens"):
+        dsir_importance_weights(empty, target_sources=["t1"]).collect()
+
+    docs = spark.createDataFrame(
+        [(1, "t1", "alpha beta"), (2, "raw", "gamma delta")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="matched no documents"):
+        dsir_importance_weights(docs, target_sources=["nope"]).collect()
+    with pytest.raises(ValueError, match="no raw pool"):
+        dsir_importance_weights(docs, target_sources=["t1", "raw"]).collect()

@@ -43,6 +43,15 @@ def main() -> int:
         old_path = rounds[-1]
         new_path = os.path.join(REPO, "BENCH_DETAIL.json")
     old, new = _queries(old_path), _queries(new_path)
+    # r7 renamed flagship_topk_cached_1q -> ..._p8 (the cache went
+    # 32 -> 8 partitions in r6 under the old key). The alias keeps
+    # continuity vs BENCH_r06+ artifacts, which already measured the p8
+    # cache; do NOT hand this tool a pre-r6 artifact for that key — those
+    # measured the 32-partition cache and the ratio would conflate the
+    # config change with code changes.
+    for old_key, new_key in [("flagship_topk_cached_1q", "flagship_topk_cached_1q_p8")]:
+        if old_key in old and new_key in new and old_key not in new:
+            old[new_key] = old.pop(old_key)
     common = sorted(set(old) & set(new))
     if not common:
         print(f"no common query keys between {old_path} and {new_path}")

@@ -739,21 +739,36 @@ def srp_query_blocks(
     return out
 
 
-def _srp_meta(spark, index_path: str) -> tuple[int, int]:
-    """(n_tables, n_planes) the index was BUILT with. Probing with any
+def _srp_meta(spark, index_path: str) -> tuple[int, int] | None:
+    """(n_tables, n_planes) the index was BUILT with, or None for a
+    pre-meta index (built before the meta file existed). Probing with
     other values computes different hyperplanes and silently returns
     near-empty/wrong results, so the probe/append paths must never
-    guess. Pre-meta indexes (built before the meta file existed) fall
-    back to the historical defaults they were necessarily built with."""
-    try:
-        r = spark.read.parquet(f"{index_path}/meta").collect()[0]
-        return int(r["n_tables"]), int(r["n_planes"])
-    except Exception:
-        return 16, 6
+    guess. Absence is decided by an explicit FS existence check — a
+    TRANSIENT read failure (object-store hiccup, permissions) must
+    propagate, not quietly masquerade as "no meta" and probe with the
+    wrong planes: that is the exact silent corruption this file guards
+    against."""
+    from vectolite_spark.store import _HadoopFS
+
+    meta_path = f"{index_path}/meta"
+    if not _HadoopFS(spark, index_path).exists(meta_path):
+        return None
+    r = spark.read.parquet(meta_path).collect()[0]
+    return int(r["n_tables"]), int(r["n_planes"])
 
 
 def _srp_resolve(spark, index_path, n_tables, n_planes) -> tuple[int, int]:
-    mt, mp = _srp_meta(spark, index_path)
+    meta = _srp_meta(spark, index_path)
+    if meta is None:
+        # pre-meta index: the caller's explicit hyperparameters are the
+        # only record of how it was built — trust them, and fall back to
+        # the historical defaults only when the caller left them unset
+        return (
+            16 if n_tables is None else int(n_tables),
+            6 if n_planes is None else int(n_planes),
+        )
+    mt, mp = meta
     if n_tables is not None and int(n_tables) != mt or (
         n_planes is not None and int(n_planes) != mp
     ):

@@ -1097,6 +1097,25 @@ def dsir_importance_weights(
     totals = dist.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     ).first()
+    # empty corpus (every doc tokenized to nothing) -> dist has no rows
+    # -> both sums are NULL; target_sources matching no docs -> tt == 0.
+    # Either way the importance distribution is undefined — raise a
+    # descriptive error instead of float(None)'s opaque TypeError.
+    if totals["tt"] is None or totals["tr"] is None:
+        raise ValueError(
+            "dsir_importance_weights: no tokens found in the corpus "
+            "(empty input or every document tokenized to nothing)"
+        )
+    if float(totals["tt"]) == 0.0:
+        raise ValueError(
+            f"dsir_importance_weights: target_sources={target_sources!r} "
+            "matched no documents — the target multinomial is undefined"
+        )
+    if float(totals["tr"]) == 0.0:
+        raise ValueError(
+            "dsir_importance_weights: every document is in target_sources "
+            "— there is no raw pool to weight"
+        )
     tt, tr = float(totals["tt"]), float(totals["tr"])
     b = float(n_buckets)
     log_ratio = dist.select(

@@ -54,11 +54,14 @@ class MicroBatcher:
         self._closed = False
 
     def query(self, qvec: Sequence[float]) -> list[tuple[int, float]]:
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         done = threading.Event()
         slot: dict = {}
         with self._lock:
+            # checked under the lock: a close() racing an unlocked check
+            # could drain the queue between check and append, stranding
+            # this waiter on an event nobody will ever set
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
             self._pending.append(([float(x) for x in qvec], done, slot))
             # exactly one waiter becomes the dispatcher for each cycle;
             # everyone else parks on their event
@@ -77,35 +80,53 @@ class MicroBatcher:
     def _dispatch_cycle(self) -> None:
         import time
 
-        # brief accumulation window: lets concurrent callers pile in so
-        # the job amortizes; a lone query pays at most max_wait extra
-        deadline = time.time() + self._max_wait
-        while time.time() < deadline:
-            with self._lock:
-                if len(self._pending) >= self._max_batch:
-                    break
-            time.sleep(self._max_wait / 4)
-        with self._lock:
-            batch = self._pending[: self._max_batch]
-            del self._pending[: self._max_batch]
-            # overflow beyond max_batch gets its OWN dispatcher thread so
-            # its accumulation + Spark job overlap with ours — two batch
-            # jobs run concurrently on the cluster instead of tail-
-            # draining serially (the local[32] box fits several 8-task
-            # jobs side by side; measured +~2x sustained q/s)
-            if self._pending:
-                t = threading.Thread(target=self._dispatch_cycle, daemon=True)
-                t.start()
-            else:
-                self._dispatching = False
+        batch: list[tuple[list[float], threading.Event, dict]] = []
         try:
+            # brief accumulation window: lets concurrent callers pile in
+            # so the job amortizes; a lone query pays at most max_wait
+            # extra
+            deadline = time.time() + self._max_wait
+            while time.time() < deadline:
+                with self._lock:
+                    if len(self._pending) >= self._max_batch or self._closed:
+                        break
+                time.sleep(self._max_wait / 4)
+            with self._lock:
+                batch = self._pending[: self._max_batch]
+                del self._pending[: self._max_batch]
+                # overflow beyond max_batch gets its OWN dispatcher thread
+                # so its accumulation + Spark job overlap with ours — two
+                # batch jobs run concurrently on the cluster instead of
+                # tail-draining serially (the local[32] box fits several
+                # 8-task jobs side by side; measured +~2x sustained q/s)
+                if self._pending:
+                    t = threading.Thread(
+                        target=self._dispatch_cycle, daemon=True
+                    )
+                    t.start()
+                else:
+                    self._dispatching = False
+            if not batch:  # close() drained the queue under us
+                return
             results = self._run_batch([b[0] for b in batch])
             for i, (_, done, slot) in enumerate(batch):
                 slot["res"] = results[i]
                 done.set()
-        except Exception as e:  # propagate to every waiter, never hang
-            for _, done, slot in batch:
-                slot["err"] = e
+        except BaseException as e:
+            # Never strand a waiter or wedge the dispatch latch: anything
+            # thrown ANYWHERE in the cycle (including Thread.start()
+            # failing under resource pressure, which would otherwise
+            # leave _dispatching True forever and park every later
+            # query() indefinitely) fails this batch AND whatever is
+            # still queued, then resets the latch so the batcher stays
+            # usable.
+            err = e if isinstance(e, Exception) else RuntimeError(repr(e))
+            with self._lock:
+                stranded = batch + self._pending
+                self._pending = []
+                self._dispatching = False
+            for _, done, slot in stranded:
+                slot["err"] = err
                 done.set()
 
     def _run_batch(self, qvecs: list[list[float]]) -> list[list[tuple]]:
@@ -128,4 +149,16 @@ class MicroBatcher:
         return out
 
     def close(self) -> None:
-        self._closed = True
+        """Reject new queries AND wake every already-parked waiter with a
+        clear error — a waiter whose batch never dispatches must not
+        block forever on its event."""
+        with self._lock:
+            self._closed = True
+            pending = self._pending
+            self._pending = []
+            # _dispatching is left to any live dispatcher to reset; it
+            # will extract an empty batch and return.
+        err = RuntimeError("MicroBatcher is closed")
+        for _, done, slot in pending:
+            slot["err"] = err
+            done.set()
