@@ -152,3 +152,51 @@ def test_topk_search_end_to_end(spark, sf_dir):
     # filtered search only returns matching lang
     en = topk_search(docs, embs, qvec, k=5, doc_filter=F.col("lang") == "en").collect()
     assert all(r["lang"] == "en" for r in en)
+
+
+def test_topk_batch_guards_driver_collect(spark):
+    """VERDICT r6 item 4: the small-Q serving paths collect the query
+    table driver-side; an over-ceiling query table must fail loudly with
+    a pointer to the distributed path, never silently OOM the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.topk import topk_batch
+
+    embs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 2)).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    queries = spark.range(20).select(
+        F.col("id").alias("query_id"),
+        F.array(*[(F.col("id") % (i + 2)).cast("float") for i in range(4)]).alias(
+            "query_vec"
+        ),
+    )
+    # under the ceiling: serves normally
+    assert topk_batch(queries, embs, k=3, max_driver_rows=20).count() == 60
+    # over the ceiling: loud failure naming the distributed alternative
+    with pytest.raises(ValueError, match="topk_batch_lsh"):
+        topk_batch(queries, embs, k=3, max_driver_rows=19)
+
+
+def test_srp_batch_probe_guards_driver_collect(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.ann import build_srp_index, srp_index_topk_batch
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "srp_guard")
+    build_srp_index(embs, path, n_tables=4, n_planes=3)
+    queries = embs.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert srp_index_topk_batch(
+        spark, path, queries, k=2, max_driver_rows=5
+    ).count() > 0
+    with pytest.raises(ValueError, match="topk_batch_lsh"):
+        srp_index_topk_batch(spark, path, queries, k=2, max_driver_rows=4)

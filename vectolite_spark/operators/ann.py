@@ -886,6 +886,7 @@ def srp_index_topk_batch(
     n_planes: int | None = None,
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
+    max_driver_rows: int | None = None,
 ) -> DataFrame:
     """Batch probe of the persisted SRP-LSH index: ONE pruned scan for
     the UNION of every query's block directories (the bm25/ivf batch
@@ -900,9 +901,18 @@ def srp_index_topk_batch(
     from pyspark.sql import Window
 
     from vectolite_spark._pandas_udfs import make_pair_cosine_udf
+    from vectolite_spark.operators.topk import (
+        MAX_DRIVER_QUERY_ROWS,
+        collect_query_working_set,
+    )
 
     n_tables, n_planes = _srp_resolve(spark, index_path, n_tables, n_planes)
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_working_set(
+        queries,
+        [qid_col, qvec_col],
+        MAX_DRIVER_QUERY_ROWS if max_driver_rows is None else max_driver_rows,
+        "operators.ann.topk_batch_lsh",
+    )
     pairs = []
     qvecs = []
     for r in qrows:

@@ -30,6 +30,33 @@ from vectolite_spark.functions.vector import cosine_score
 
 SCORE_DECIMALS = 6
 
+# Ceiling on query working sets that serving paths pull to the driver
+# (topk_batch, ann.srp_index_topk_batch). The small-Q collect is the
+# right plan for online serving (the query set is a literal working set:
+# it ships in a closure / broadcast and costs Q*d floats of driver
+# memory), but at 100x scale a caller handing a million-row query TABLE
+# to these paths would silently OOM the driver — fail loudly with a
+# pointer to the distributed path instead.
+MAX_DRIVER_QUERY_ROWS = 10_000
+
+
+def collect_query_working_set(
+    queries: DataFrame, cols: Sequence[str], max_rows: int, alternative: str
+) -> list:
+    """Collect the query working set with a size ceiling, in ONE job:
+    ``limit(max_rows + 1).collect()`` never materializes more than the
+    threshold on the driver even for an arbitrarily large input, and the
+    +1 row is the overflow tripwire."""
+    rows = queries.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query working set exceeds {max_rows} rows — this path "
+            "collects queries to the driver (small-Q online serving "
+            f"shape); for large query tables use {alternative}, which "
+            "keeps both sides distributed"
+        )
+    return rows
+
 
 def score_embeddings(
     embeddings: DataFrame,
@@ -86,6 +113,7 @@ def topk_batch(
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
     id_col: str = "vec_id",
+    max_driver_rows: int = MAX_DRIVER_QUERY_ROWS,
 ) -> DataFrame:
     """Many-query similarity join: top-k per query vector.
 
@@ -99,7 +127,12 @@ def topk_batch(
 
     Returns (query_id, vec_id, score, rn) with rn in 1..k, ties -> id asc.
     """
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = collect_query_working_set(
+        queries,
+        [qid_col, qvec_col],
+        max_driver_rows,
+        "operators.ann.topk_batch_lsh",
+    )
     qids = [r[qid_col] for r in qrows]
     qv = [[float(x) for x in r[qvec_col]] for r in qrows]
     out = topk_batch_vecs(embeddings, qids, qv, k, id_col=id_col)
