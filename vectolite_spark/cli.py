@@ -87,21 +87,7 @@ def cmd_add(args) -> None:
     print(f"Added document with ID: {doc_id}")
 
 
-def cmd_query(args) -> None:
-    store = _build_store(args)
-    if getattr(args, "hybrid", False):
-        if getattr(args, "mmr", None) is not None:
-            raise VectoliteError(
-                "--mmr applies to the cosine path only; drop --hybrid"
-            )
-        results = store.hybrid_query(args.text, top_k=args.top_k)
-    else:
-        results = store.query(
-            args.text,
-            top_k=args.top_k,
-            ann=getattr(args, "ann", False),
-            diversify=getattr(args, "mmr", None),
-        )
+def _print_results(results) -> None:
     if not results:
         print("No results found.")
         return
@@ -110,6 +96,41 @@ def cmd_query(args) -> None:
         print(f"   {_preview(r['text'], 200)}")
         if r["metadata"]:
             print(f"   metadata: {json.dumps(r['metadata'])}")
+
+
+def cmd_query(args) -> None:
+    store = _build_store(args)
+    texts = args.text if isinstance(args.text, list) else [args.text]
+    if len(texts) > 1:
+        # many texts -> ONE batch job (store.query_many): a loop of
+        # single queries pays the ~0.2s scheduling floor per text; the
+        # batch path scores every query per partition in one pass
+        if getattr(args, "hybrid", False) or getattr(args, "mmr", None) is not None:
+            raise VectoliteError(
+                "--hybrid/--mmr take a single query text; batch mode "
+                "serves plain or --ann cosine search"
+            )
+        batches = store.query_many(
+            texts, top_k=args.top_k, ann=getattr(args, "ann", False)
+        )
+        for t, results in zip(texts, batches):
+            print(f"=== query: {t}")
+            _print_results(results)
+        return
+    if getattr(args, "hybrid", False):
+        if getattr(args, "mmr", None) is not None:
+            raise VectoliteError(
+                "--mmr applies to the cosine path only; drop --hybrid"
+            )
+        results = store.hybrid_query(texts[0], top_k=args.top_k)
+    else:
+        results = store.query(
+            texts[0],
+            top_k=args.top_k,
+            ann=getattr(args, "ann", False),
+            diversify=getattr(args, "mmr", None),
+        )
+    _print_results(results)
 
 
 def cmd_ingest_file(args) -> None:
@@ -319,7 +340,12 @@ def make_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_add)
 
     sp = sub.add_parser("query", help="cosine top-k search")
-    sp.add_argument("text")
+    sp.add_argument(
+        "text",
+        nargs="+",
+        help="one or more query texts; multiple texts run as ONE batch "
+        "job instead of a job-per-query loop",
+    )
     sp.add_argument("--top-k", type=int, default=3)
     sp.add_argument(
         "--hybrid",

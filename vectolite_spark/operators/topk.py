@@ -147,28 +147,42 @@ def topk_batch_vecs(
     qvecs: Sequence[Sequence[float]],
     k: int,
     id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``topk_batch``'s core for a DRIVER-RESIDENT query working set:
     ids+vectors as plain lists, skipping the createDataFrame → collect
     round trip (the serving micro-batcher calls this on every dispatch
-    cycle, where that round trip was pure latency)."""
+    cycle, where that round trip was pure latency).
+
+    ``payload_cols``: extra columns of ``embeddings`` (e.g. text,
+    metadata) carried onto the winning rows INSIDE the mapper — result
+    attributes need no post-hoc join, and only the <= k*P*Q candidate
+    rows ever carry the payload bytes through the merge shuffle."""
     from pyspark.sql import Window
 
     from vectolite_spark._pandas_udfs import make_batch_topk_mapper
 
     qv = [[float(x) for x in v] for v in qvecs]
-    src = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+    pcols = list(payload_cols)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), "embedding", *pcols)
+    extra_ddl = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in pcols
+    )
     if src.rdd.getNumPartitions() == 1:
         # single-partition (cached working-set) serving regime: the
         # partition-local top-k IS the global top-k — the mapper emits the
         # final ranking and the merge shuffle + window disappear entirely
-        mapper = make_batch_topk_mapper(list(qids), qv, k, rank_mode=True)
-        return src.mapInPandas(
-            mapper, schema="query_id long, vec_id long, score double, rn long"
+        mapper = make_batch_topk_mapper(
+            list(qids), qv, k, rank_mode=True, payload_cols=pcols
         )
-    mapper = make_batch_topk_mapper(list(qids), qv, k)
+        return src.mapInPandas(
+            mapper,
+            schema="query_id long, vec_id long, score double, rn long"
+            + extra_ddl,
+        )
+    mapper = make_batch_topk_mapper(list(qids), qv, k, payload_cols=pcols)
     partial = src.mapInPandas(
-        mapper, schema="query_id long, vec_id long, score double"
+        mapper, schema="query_id long, vec_id long, score double" + extra_ddl
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return partial.withColumn("rn", F.row_number().over(w)).filter(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import threading
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,8 +126,14 @@ class SparkVectolite:
         ensure_shipped(spark)
         self._fs = _HadoopFS(spark, self.path)
         self._max_id_cache: int | None = None
+        self._dim_cache: int | None = None
         self._trgm_handle = None
         self._snap = None
+        # batched-serving facade state (enable_batched_serving)
+        self._serving_cfg: dict | None = None
+        self._serving = None
+        self._serving_base = None
+        self._serving_lock = threading.Lock()
         if versioned:
             from vectolite_spark.snapshots import SnapshotStore
 
@@ -183,11 +190,20 @@ class SparkVectolite:
     def _dim(self) -> int | None:
         """Stored embedding dimension (None for an empty store). The
         reference stores no dimension and crashes at query time on mismatch
-        (SURVEY.md §1.2); we validate explicitly at insert AND query."""
+        (SURVEY.md §1.2); we validate explicitly at insert AND query.
+
+        Cached (invalidated by every mutation, like _max_id_cache): this
+        runs on EVERY query() — an uncached probe is one extra Spark job
+        per query, which alone reinstates the ~30 q/s job-admission
+        ceiling the batched-serving facade exists to break (measured:
+        facade QPS 15 -> >100 from this cache alone)."""
+        if self._dim_cache is not None:
+            return self._dim_cache
         if not self._exists():
             return None
         row = self.df().select(F.size("embedding").alias("d")).first()
-        return None if row is None else int(row["d"])
+        self._dim_cache = None if row is None else int(row["d"])
+        return self._dim_cache
 
     def _rewrite(self, df: DataFrame) -> None:
         """Immutable rewrite for delete/compact: write-new + double-rename.
@@ -272,8 +288,97 @@ class SparkVectolite:
         mutation — flat-backend paths hit this via _rewrite/_append;
         the versioned backend's dir-pruned merge/delete and rollback
         commits MUST call it directly (they bypass _rewrite)."""
+        self._dim_cache = None  # rollback/delete can change the stored dim
         self._invalidate_ann()
         self._invalidate_text_index()
+        self._invalidate_serving()
+
+    # -- batched online serving (extension; see serving.MicroBatcher) -------
+
+    def enable_batched_serving(
+        self,
+        top_k: int = 10,
+        max_batch: int = 64,
+        max_wait_ms: float = 8.0,
+        cache: bool = True,
+    ) -> None:
+        """Route eligible ``query()`` calls through a shared
+        ``serving.MicroBatcher``: concurrent callers (the threaded UI,
+        any multi-client front end) coalesce into ONE batch top-k job
+        per dispatch cycle instead of one Spark job each — the
+        job-per-query path caps near ~30 q/s on the DAGScheduler
+        admission loop regardless of data size; the batched facade
+        measured >100 q/s end-to-end (bench: serving_facade_qps).
+
+        Eligible = plain cosine search with ``top_k <=`` this mode's
+        ``top_k`` (results are a prefix of the batcher's ranking, so a
+        smaller top_k slices exactly). ``metadata_filter`` / ``ann`` /
+        ``diversify`` calls fall through to their dedicated paths.
+
+        Lazy + mutation-safe: the batcher (and its cached working set,
+        when ``cache=True``) is built on first eligible query and torn
+        down by ANY store mutation — the next query rebuilds over the
+        fresh table state, so batched results can never serve a stale
+        snapshot."""
+        if top_k <= 0:
+            raise VectoliteError("top_k must be positive")
+        self._invalidate_serving()
+        self._serving_cfg = {
+            "top_k": int(top_k),
+            "max_batch": int(max_batch),
+            "max_wait_ms": float(max_wait_ms),
+            "cache": bool(cache),
+        }
+
+    def disable_batched_serving(self) -> None:
+        self._serving_cfg = None
+        self._invalidate_serving()
+
+    def _invalidate_serving(self) -> None:
+        """Mutation hook: the live batcher holds a snapshot of the table
+        state at build time — close it (waking any parked waiters) and
+        drop its cache; the next eligible query rebuilds lazily."""
+        with self._serving_lock:
+            batcher, base = self._serving, self._serving_base
+            self._serving, self._serving_base = None, None
+        if batcher is not None:
+            batcher.close()
+        if base is not None:
+            try:
+                base.unpersist(blocking=False)
+            except Exception:
+                pass  # session teardown races are benign here
+
+    def _ensure_serving_batcher(self):
+        from vectolite_spark.serving import MicroBatcher
+
+        with self._serving_lock:
+            if self._serving is not None:
+                return self._serving
+            cfg = self._serving_cfg
+            base = self.df().select(
+                F.col("id").alias("vec_id"), "embedding", "text", "metadata"
+            )
+            if cfg["cache"]:
+                # serving working set as ONE cached partition: the batch
+                # mapper's rank_mode then emits the final ranking
+                # in-mapper — no merge shuffle, one task per dispatch
+                # cycle (measured 314 -> ~90 ms/cycle vs 8 partitions +
+                # a 32-partition window merge). Right for the facade's
+                # small/medium corpus regime; a corpus too big for one
+                # partition belongs on the LSH-index serving path
+                # (query(ann=True) / topk_batch_lsh), not a bigger cache.
+                base = base.coalesce(1).cache()
+                base.count()
+            self._serving_base = base if cfg["cache"] else None
+            self._serving = MicroBatcher(
+                base,
+                k=cfg["top_k"],
+                max_batch=cfg["max_batch"],
+                max_wait_ms=cfg["max_wait_ms"],
+                payload_cols=("text", "metadata"),
+            )
+            return self._serving
 
     def _has_text_index(self) -> bool:
         return self._fs.exists(f"{self._text_index_path()}/stats/_SUCCESS")
@@ -448,6 +553,41 @@ class SparkVectolite:
                 )
             if not 0.0 <= diversify <= 1.0:
                 raise VectoliteError("diversify (MMR lambda) must be in [0, 1]")
+        if (
+            self._serving_cfg is not None
+            and not metadata_filter
+            and not ann
+            and diversify is None
+            and top_k <= self._serving_cfg["top_k"]
+        ):
+            # batched-serving facade: coalesce with concurrent callers
+            # into one Spark job; same ordering contract, so top_k is a
+            # prefix slice of the batcher's k results
+            for _ in range(3):
+                batcher = self._ensure_serving_batcher()
+                try:
+                    rows = batcher.query(qvec)
+                    break
+                except RuntimeError as e:
+                    if "closed" not in str(e):
+                        raise
+                    # a concurrent mutation tore the batcher down between
+                    # lookup and dispatch — rebuild over the fresh state
+                    continue
+            else:
+                raise VectoliteError(
+                    "batched serving unavailable (repeated concurrent "
+                    "invalidation); retry or disable_batched_serving()"
+                )
+            return [
+                {
+                    "id": vid,
+                    "score": float(score),
+                    "text": text,
+                    "metadata": json.loads(meta or "{}"),
+                }
+                for vid, score, text, meta in rows[:top_k]
+            ]
         if ann:
             if metadata_filter:
                 raise VectoliteError(

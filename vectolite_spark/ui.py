@@ -272,7 +272,20 @@ def make_handler(store, max_chars: int = 2000, overlap: int = 200):
     return Handler
 
 
-def serve_ui(store, host: str = "127.0.0.1", port: int = 8765) -> ThreadingHTTPServer:
+def serve_ui(
+    store, host: str = "127.0.0.1", port: int = 8765, batched: bool = True
+) -> ThreadingHTTPServer:
     """Bind the UI server (port=0 for an ephemeral port). Caller runs
-    ``.serve_forever()`` (or a thread does, in tests)."""
+    ``.serve_forever()`` (or a thread does, in tests).
+
+    ``batched`` (default on): concurrent search requests from this
+    THREADED server coalesce through the store's MicroBatcher facade
+    into one Spark job per dispatch cycle instead of one job per request
+    (store.enable_batched_serving) — job-per-query caps near ~30 q/s on
+    the scheduler admission loop no matter the data size. Setup is lazy
+    (first search builds the batcher) and any store mutation tears it
+    down, so Add-panel writes are immediately visible to the next
+    search."""
+    if batched and store.embed_fn is not None:
+        store.enable_batched_serving()
     return ThreadingHTTPServer((host, port), make_handler(store))
