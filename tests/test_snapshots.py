@@ -185,9 +185,9 @@ def test_delete_during_concurrent_commit_raises_not_lost_update(store, spark):
     writer2 = SnapshotStore(spark, store.path)
     orig = store._affected_dirs
 
-    def racing_probe(dirs, probe):
+    def racing_probe(dirs, probe, schema=None):
         writer2.append(_df(spark, [99]))  # lands version 2 first
-        return orig(dirs, probe)
+        return orig(dirs, probe, schema=schema)
 
     store._affected_dirs = racing_probe
     with pytest.raises(SnapshotConflict):
@@ -208,10 +208,10 @@ def test_conflicted_delete_retry_self_heals(store, spark):
     writer2 = SnapshotStore(spark, store.path)
     orig = store._affected_dirs
 
-    def racing_probe(dirs, probe):
+    def racing_probe(dirs, probe, schema=None):
         store._affected_dirs = orig  # race once
         writer2.append(_df(spark, [50]))
-        return orig(dirs, probe)
+        return orig(dirs, probe, schema=schema)
 
     store._affected_dirs = racing_probe
     with pytest.raises(SnapshotConflict):
@@ -286,11 +286,11 @@ def test_with_conflict_retry_wins_after_race(store, spark):
     orig = store._affected_dirs
     raced = {"n": 0}
 
-    def racing_probe(dirs, probe):
+    def racing_probe(dirs, probe, schema=None):
         if raced["n"] == 0:
             raced["n"] += 1
             writer2.append(_df(spark, [77]))
-        return orig(dirs, probe)
+        return orig(dirs, probe, schema=schema)
 
     store._affected_dirs = racing_probe
     v = with_conflict_retry(lambda: store.delete_where(F.col("id") == 1))
@@ -325,3 +325,55 @@ def test_concurrent_append_stress_no_lost_updates(store, spark):
     # every intermediate version is still readable (manifest isolation)
     for k, v in enumerate(versions):
         assert len(store.read(version=v).collect()) == k + 1
+
+
+def test_schema_evolution_add_column(store, spark):
+    """ADD-column evolution (VERDICT r6 item 6): a later append may carry
+    new columns; the manifest records the evolved union schema, older
+    rows NULL-backfill on read, time travel keeps each version's own
+    schema, and a type change fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.errors import VectoliteError
+
+    store.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    store.append(
+        spark.createDataFrame([(3, "c", 30)], "id long, val string, score long")
+    )
+    cur = store.read()
+    assert set(cur.columns) == {"id", "val", "score"}
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 30}
+    # time travel: version 0 predates the column — its schema has no trace
+    assert set(store.read(version=0).columns) == {"id", "val"}
+    # predicates on the evolved column resolve against pre-evolution dirs
+    store.delete_where(F.col("score") == 30)
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 2]
+    assert set(store.read().columns) == {"id", "val", "score"}
+    # merge with a second new column evolves again (and NULL-backfills)
+    store.merge(
+        spark.createDataFrame(
+            [(2, "b2", None, "x")], "id long, val string, score long, tag string"
+        ),
+        key="id",
+    )
+    got = {r["id"]: (r["val"], r["tag"]) for r in store.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", "x")}
+    # rollback restores the old schema with the old data
+    store.rollback(0)
+    assert set(store.read().columns) == {"id", "val"}
+    # type change is a refusal, not a coercion
+    with pytest.raises(VectoliteError, match="type change"):
+        store.append(spark.createDataFrame([(9, 1.5)], "id long, val double"))
+
+
+def test_schema_evolution_compact_preserves_union(store, spark):
+    store.append(spark.createDataFrame([(1, "a")], "id long, val string"))
+    store.append(
+        spark.createDataFrame([(2, "b", 7)], "id long, val string, extra long")
+    )
+    store.compact()
+    cur = store.read()
+    assert set(cur.columns) == {"id", "val", "extra"}
+    assert {r["id"]: r["extra"] for r in cur.collect()} == {1: None, 2: 7}

@@ -77,6 +77,66 @@ class SnapshotStore:
             )
         return json.loads(self._fs.read_text(p))
 
+    # -- schema evolution ------------------------------------------------------
+
+    def _schema_of(self, version: int):
+        """The table's StructType AT ``version``. Since schema evolution
+        landed, every commit records its (evolved) schema in the manifest
+        — the Delta-shaped answer: readers pin the manifest schema instead
+        of sampling (at 100 TB: merging) data-file footers. Pre-evolution
+        manifests carry no schema; for those, fall back to ONE
+        mergeSchema footer-union read (legacy compat only)."""
+        import pyspark.sql.types as T
+
+        if version < 0:
+            return None
+        m = self._read_manifest(version)
+        s = m.get("schema")
+        if s:
+            return T.StructType.fromJson(json.loads(s))
+        dirs = m["dirs"]
+        if not dirs:
+            return None
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(*dirs).schema
+        )
+
+    @staticmethod
+    def _evolve_schema(prev, df_schema):
+        """ADD-COLUMN evolution: the union of the table's schema and the
+        incoming frame's, existing columns first. New columns append;
+        columns the incoming frame lacks stay (readers NULL-backfill
+        them); a TYPE change raises — silent coercion across 100 TB of
+        history is a corruption, not a convenience."""
+        import pyspark.sql.types as T
+
+        if prev is None:
+            return df_schema
+        have = {f.name: f for f in prev.fields}
+        out = list(prev.fields)
+        for f in df_schema.fields:
+            old = have.get(f.name)
+            if old is None:
+                out.append(f)
+            elif old.dataType != f.dataType:
+                raise VectoliteError(
+                    f"schema evolution: column {f.name!r} type change "
+                    f"{old.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not supported (only "
+                    "ADD-column evolution); write a new table or cast the "
+                    "incoming frame"
+                )
+        return T.StructType(out)
+
+    def _read_dirs(self, dirs: list[str], schema=None) -> DataFrame:
+        """Scan data dirs under a PINNED schema (parquet resolves columns
+        by name; files missing a column yield NULL — the backfill read).
+        Without a schema (legacy manifests) fall back to a footer-union
+        mergeSchema read."""
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*dirs)
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
     # -- commit --------------------------------------------------------------
 
     def _commit(
@@ -132,33 +192,47 @@ class SnapshotStore:
         """Commit ``df`` as a new version = previous dirs + one new dir.
         The write happens BEFORE the manifest create, so a crash or a lost
         race never corrupts the table — it only strands an unreferenced
-        dir for vacuum."""
+        dir for vacuum. ``df`` may ADD columns (schema evolution): the
+        committed manifest records the evolved union schema and readers
+        NULL-backfill older dirs; type changes raise."""
         version = self.current_version() + 1
+        schema = self._evolve_schema(self._schema_of(version - 1), df.schema)
         new_dir = self._new_data_dir(version, "append")
         df.write.mode("error").parquet(new_dir)
         dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
-        return self._commit(dirs + [new_dir], "append", version=version)
+        return self._commit(
+            dirs + [new_dir],
+            "append",
+            extra={"schema": schema.json()},
+            version=version,
+        )
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
         """Full-table rewrite (delete/update/compact all reduce to this at
         this layer): new version references ONLY the new dir; history keeps
-        every older version readable until vacuum."""
+        every older version readable until vacuum. The schema is REPLACED
+        by ``df``'s (a full rewrite owns the table; compact preserves the
+        union schema automatically because it rewrites ``read()``)."""
         version = self.current_version() + 1
         new_dir = self._new_data_dir(version, op)
         df.write.mode("error").parquet(new_dir)
-        return self._commit([new_dir], op, version=version)
+        return self._commit(
+            [new_dir], op, extra={"schema": df.schema.json()}, version=version
+        )
 
-    def _affected_dirs(self, dirs: list[str], probe) -> list[str]:
+    def _affected_dirs(self, dirs: list[str], probe, schema=None) -> list[str]:
         """ONE Spark job that finds which data dirs contain rows matched
         by ``probe`` (a DataFrame -> DataFrame transform): all dirs scan as
         a single DataFrame, each row tagged with its source dir via
         ``input_file_name()``, and the matched-dir set aggregates in one
         pass. The r3 shape — a sequential ``limit(1).count()`` per dir —
         was O(dirs) driver round-trips; this is O(1) jobs regardless of
-        dir count, and the predicate still pushes down into every scan."""
+        dir count, and the predicate still pushes down into every scan.
+        ``schema``: pin the table schema so a probe referencing an
+        evolution-added column resolves against dirs written before it."""
         from pyspark.sql import functions as F
 
-        tagged = self.spark.read.parquet(*dirs).withColumn(
+        tagged = self._read_dirs(dirs, schema).withColumn(
             "_src_dir", F.element_at(F.split(F.input_file_name(), "/"), -2)
         )
         hit = {
@@ -182,27 +256,28 @@ class SnapshotStore:
         if version == 0:
             raise VectoliteError("store is empty (no commits yet)")
         dirs = self._read_manifest(version - 1)["dirs"]
-        matched = self._affected_dirs(dirs, lambda df: df.filter(condition))
+        schema = self._schema_of(version - 1)
+        matched = self._affected_dirs(
+            dirs, lambda df: df.filter(condition), schema=schema
+        )
         kept = [d for d in dirs if d not in set(matched)]
         if matched:
             # SQL DELETE semantics: only predicate==TRUE rows die; a NULL
             # predicate keeps the row (bare ~condition would drop it)
             survives = ~F.coalesce(condition, F.lit(False))
             new_dir = self._new_data_dir(version, "delete")
-            self.spark.read.parquet(*matched).filter(survives).write.mode(
+            self._read_dirs(matched, schema).filter(survives).write.mode(
                 "error"
             ).parquet(new_dir)
             if self._dir_has_data(new_dir):
                 kept.append(new_dir)
-        return self._commit(
-            kept,
-            "delete",
-            extra={
-                "rewritten_dirs": len(matched),
-                "pruned_dirs": len(dirs) - len(matched),
-            },
-            version=version,
-        )
+        extra = {
+            "rewritten_dirs": len(matched),
+            "pruned_dirs": len(dirs) - len(matched),
+        }
+        if schema is not None:
+            extra["schema"] = schema.json()  # delete never changes schema
+        return self._commit(kept, "delete", extra=extra, version=version)
 
     def merge(self, incoming: DataFrame, key: str = "id") -> int:
         """Dir-pruned MERGE (upsert): dirs containing a matched key are
@@ -216,6 +291,8 @@ class SnapshotStore:
 
         version = self.current_version() + 1
         dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
+        prev_schema = self._schema_of(version - 1)
+        schema = self._evolve_schema(prev_schema, incoming.schema)
         # cache the key set: it drives the probe, the rewrite anti-join,
         # and would otherwise re-execute an expensive incoming pipeline
         # (callers with a heavy upstream should also persist `incoming`:
@@ -225,7 +302,9 @@ class SnapshotStore:
             keys = F.broadcast(key_set)
             matched = (
                 self._affected_dirs(
-                    dirs, lambda df: df.join(keys, key, "left_semi")
+                    dirs,
+                    lambda df: df.join(keys, key, "left_semi"),
+                    schema=prev_schema,
                 )
                 if dirs
                 else []
@@ -233,7 +312,7 @@ class SnapshotStore:
             kept = [d for d in dirs if d not in set(matched)]
             if matched:
                 new_dir = self._new_data_dir(version, "merge")
-                self.spark.read.parquet(*matched).join(
+                self._read_dirs(matched, prev_schema).join(
                     keys, key, "left_anti"
                 ).write.mode("error").parquet(new_dir)
                 if self._dir_has_data(new_dir):
@@ -248,6 +327,7 @@ class SnapshotStore:
             extra={
                 "rewritten_dirs": len(matched),
                 "pruned_dirs": len(dirs) - len(matched),
+                "schema": schema.json(),
             },
             version=version,
         )
@@ -276,25 +356,41 @@ class SnapshotStore:
 
     def rollback(self, version: int) -> int:
         """Restore an old version AS A NEW COMMIT (never mutates history —
-        the bad versions stay inspectable, exactly Delta's RESTORE)."""
-        dirs = self._read_manifest(version)["dirs"]
+        the bad versions stay inspectable, exactly Delta's RESTORE). The
+        restored version's schema comes back with it."""
+        m = self._read_manifest(version)
+        extra = {"schema": m["schema"]} if "schema" in m else None
         return self._commit(
-            dirs, f"rollback:{version}", version=self.current_version() + 1
+            m["dirs"],
+            f"rollback:{version}",
+            extra=extra,
+            version=self.current_version() + 1,
         )
 
     # -- read ----------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default: current). Snapshot-isolated:
-        the plan references exactly the manifest's immutable dirs."""
+        the plan references exactly the manifest's immutable dirs, under
+        the manifest's recorded schema — rows from dirs written before a
+        column was added read it as NULL (backfill-on-read), with no
+        footer sampling at plan time."""
         if version is None:
             version = self.current_version()
         if version < 0:
             raise VectoliteError("store is empty (no commits yet)")
-        dirs = self._read_manifest(version)["dirs"]
+        m = self._read_manifest(version)
+        dirs = m["dirs"]
         if not dirs:
             raise VectoliteError(f"version {version} has no data dirs")
-        return self.spark.read.parquet(*dirs)
+        import pyspark.sql.types as T
+
+        schema = (
+            T.StructType.fromJson(json.loads(m["schema"]))
+            if "schema" in m
+            else None
+        )
+        return self._read_dirs(dirs, schema)
 
     def diff(self, v_old: int, v_new: int, key: str = "id") -> DataFrame:
         """Row-level diff between two versions keyed by ``key``: returns
@@ -438,6 +534,9 @@ def make_stream_sink(store: SnapshotStore):
         if int(batch_id) <= last_stream_batch_id(store):
             return  # replayed batch: already committed, exactly-once skip
         version = store.current_version() + 1
+        schema = store._evolve_schema(
+            store._schema_of(version - 1), batch_df.schema
+        )
         new_dir = f"{store._data_dir}/v{version:08d}-stream"
         batch_df.write.mode("overwrite").parquet(new_dir)
         dirs = (
@@ -445,7 +544,7 @@ def make_stream_sink(store: SnapshotStore):
         )
         store._commit(
             dirs + [new_dir], f"stream:{batch_id}",
-            extra={"batch_id": int(batch_id)},
+            extra={"batch_id": int(batch_id), "schema": schema.json()},
             version=version,
         )
 
