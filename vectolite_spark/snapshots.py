@@ -196,15 +196,17 @@ class SnapshotStore:
         committed manifest records the evolved union schema and readers
         NULL-backfill older dirs; type changes raise."""
         version = self.current_version() + 1
+        prev = self._read_manifest(version - 1) if version > 0 else {"dirs": []}
         schema = self._evolve_schema(self._schema_of(version - 1), df.schema)
         new_dir = self._new_data_dir(version, "append")
         df.write.mode("error").parquet(new_dir)
-        dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
+        dirs = prev["dirs"]
+        extra: dict = {"schema": schema.json()}
+        carried = self._carried_zonemaps(prev, dirs)
+        if carried:
+            extra["zonemaps"] = carried  # untouched dirs keep their stats
         return self._commit(
-            dirs + [new_dir],
-            "append",
-            extra={"schema": schema.json()},
-            version=version,
+            dirs + [new_dir], "append", extra=extra, version=version
         )
 
     def overwrite(self, df: DataFrame, op: str = "overwrite") -> int:
@@ -255,7 +257,8 @@ class SnapshotStore:
         version = self.current_version() + 1
         if version == 0:
             raise VectoliteError("store is empty (no commits yet)")
-        dirs = self._read_manifest(version - 1)["dirs"]
+        prev = self._read_manifest(version - 1)
+        dirs = prev["dirs"]
         schema = self._schema_of(version - 1)
         matched = self._affected_dirs(
             dirs, lambda df: df.filter(condition), schema=schema
@@ -277,6 +280,9 @@ class SnapshotStore:
         }
         if schema is not None:
             extra["schema"] = schema.json()  # delete never changes schema
+        carried = self._carried_zonemaps(prev, kept)
+        if carried:
+            extra["zonemaps"] = carried  # rewritten dirs lose their stats
         return self._commit(kept, "delete", extra=extra, version=version)
 
     def merge(self, incoming: DataFrame, key: str = "id") -> int:
@@ -290,7 +296,8 @@ class SnapshotStore:
         from pyspark.sql import functions as F
 
         version = self.current_version() + 1
-        dirs = self._read_manifest(version - 1)["dirs"] if version > 0 else []
+        prev = self._read_manifest(version - 1) if version > 0 else {"dirs": []}
+        dirs = prev["dirs"]
         prev_schema = self._schema_of(version - 1)
         schema = self._evolve_schema(prev_schema, incoming.schema)
         # cache the key set: it drives the probe, the rewrite anti-join,
@@ -321,23 +328,116 @@ class SnapshotStore:
             incoming.write.mode("error").parquet(inc_dir)
         finally:
             key_set.unpersist(blocking=False)
+        extra = {
+            "rewritten_dirs": len(matched),
+            "pruned_dirs": len(dirs) - len(matched),
+            "schema": schema.json(),
+        }
+        carried = self._carried_zonemaps(prev, kept)
+        if carried:
+            extra["zonemaps"] = carried
         return self._commit(
-            kept + [inc_dir],
-            "merge",
-            extra={
-                "rewritten_dirs": len(matched),
-                "pruned_dirs": len(dirs) - len(matched),
-                "schema": schema.json(),
-            },
-            version=version,
+            kept + [inc_dir], "merge", extra=extra, version=version
         )
 
-    def compact(self, target_files: int = 1) -> int:
-        return self.overwrite(
-            self.read().coalesce(target_files), op="compact"
-        )
+    def compact(
+        self,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the table into ``target_files`` files as one commit.
 
-    def maybe_compact(self, max_dirs: int = 64, target_files: int = 8) -> int | None:
+        ``zorder_by=[c1, c2]``: the compaction ALSO lays the files out in
+        Morton/Z order on the two columns and builds a per-file zone map
+        next to the new data dir — Delta's OPTIMIZE ZORDER shape. The
+        zone map's path is recorded in the manifest (``zonemaps``) and
+        carried forward by later append/delete/merge commits for as long
+        as the compacted dir survives unchanged, so ``read_pruned``
+        keeps skipping files across subsequent appends. At 100 TB this
+        is the maintenance pass that turns a churned append-log into a
+        two-dimensionally clustered, stats-pruned scan."""
+        version = self.current_version() + 1
+        df = self.read()  # union schema, so compaction preserves evolution
+        op = "compact"
+        if zorder_by is not None:
+            if len(zorder_by) != 2:
+                raise VectoliteError(
+                    "zorder_by takes exactly two columns (Morton pair)"
+                )
+            from vectolite_spark.operators.layout import zorder_frame
+
+            arranged = zorder_frame(
+                df, zorder_by[0], zorder_by[1], n_files=target_files
+            )
+        else:
+            arranged = df.coalesce(target_files)
+        new_dir = self._new_data_dir(version, op)
+        arranged.write.mode("error").parquet(new_dir)
+        extra: dict = {"schema": df.schema.json()}
+        if zorder_by is not None:
+            from vectolite_spark.operators.layout import build_zonemap
+
+            build_zonemap(self.spark, new_dir, list(zorder_by))
+            extra["zonemaps"] = {new_dir: new_dir + ".zonemap"}
+            extra["zorder_by"] = list(zorder_by)
+        return self._commit([new_dir], op, extra=extra, version=version)
+
+    def _carried_zonemaps(self, prev_manifest: dict, dirs: list[str]) -> dict:
+        """Zone maps stay valid exactly while their dir is carried
+        UNCHANGED into the next version — a rewritten or dropped dir
+        loses its entry (the map describes bytes that no longer exist)."""
+        keep = set(dirs)
+        return {
+            d: z
+            for d, z in (prev_manifest.get("zonemaps") or {}).items()
+            if d in keep
+        }
+
+    def read_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Zone-map data skipping over the versioned table: dirs with a
+        recorded zone map scan ONLY the files whose (min, max) rectangle
+        intersects every predicate range; dirs without one (appends since
+        the last z-order compact) scan fully with the residual filter.
+        Returns (DataFrame, n_files_read, n_files_total) counted over the
+        zone-mapped dirs — the pruning evidence tests assert on."""
+        from pyspark.sql import functions as F
+
+        from vectolite_spark.operators.layout import zonemap_pruned_read
+
+        if version is None:
+            version = self.current_version()
+        m = self._read_manifest(version)
+        zonemaps = m.get("zonemaps") or {}
+        residual = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            residual = residual & F.col(c).between(F.lit(lo), F.lit(hi))
+        parts: list[DataFrame] = []
+        files_read = files_total = 0
+        plain = [d for d in m["dirs"] if d not in zonemaps]
+        for d in m["dirs"]:
+            if d not in zonemaps:
+                continue
+            df, nr, nt = zonemap_pruned_read(self.spark, d, ranges)
+            files_read += nr
+            files_total += nt
+            parts.append(df)
+        if plain:
+            parts.append(self._read_dirs(plain).filter(residual))
+        if not parts:
+            return self.read(version).filter(F.lit(False)), 0, 0
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out, files_read, files_total
+
+    def maybe_compact(
+        self,
+        max_dirs: int = 64,
+        target_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> int | None:
         """Threshold-gated compaction — the small-files policy a long-lived
         table needs: every append/stream commit adds a dir, and a scan of
         10k tiny dirs is listing- and open-bound long before it is
@@ -352,18 +452,20 @@ class SnapshotStore:
             return None
         if len(self._read_manifest(version)["dirs"]) <= max_dirs:
             return None
-        return self.compact(target_files)
+        return self.compact(target_files, zorder_by=zorder_by)
 
     def rollback(self, version: int) -> int:
         """Restore an old version AS A NEW COMMIT (never mutates history —
         the bad versions stay inspectable, exactly Delta's RESTORE). The
         restored version's schema comes back with it."""
         m = self._read_manifest(version)
-        extra = {"schema": m["schema"]} if "schema" in m else None
+        extra = {
+            k: m[k] for k in ("schema", "zonemaps", "zorder_by") if k in m
+        }
         return self._commit(
             m["dirs"],
             f"rollback:{version}",
-            extra=extra,
+            extra=extra or None,
             version=self.current_version() + 1,
         )
 
@@ -466,7 +568,11 @@ class SnapshotStore:
                 referenced.add(d.rstrip("/").rsplit("/", 1)[-1])
         removed_dirs = 0
         for name in self._fs.list_names(self._data_dir):
-            if name not in referenced:
+            # a dir's zone map lives beside it as <dir>.zonemap and shares
+            # its lifetime: kept while the dir is referenced, collected
+            # with it otherwise
+            base = name[: -len(".zonemap")] if name.endswith(".zonemap") else name
+            if base not in referenced:
                 self._fs.delete(f"{self._data_dir}/{name}")
                 removed_dirs += 1
         for v in drop:
