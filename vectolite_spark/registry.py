@@ -3078,7 +3078,8 @@ def ann_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_mllib_lsh_topk")  # rows-only: MLlib's randomized LSH planes
 # have no exact SQL oracle; gate = recall-vs-exact + same-seed determinism
-# pytest (tests/test_textstats.py) per SURVEY.md §7 risk register
+# pytest (tests/test_textstats.py) per SURVEY.md §7 risk register, plus
+# the DRIVER-ORACLED recall contract below (ann_mllib_lsh_recall)
 def ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH over L2-normalized vectors
     (cosine-equivalent), exact rescoring of surfaced candidates."""
@@ -3087,6 +3088,48 @@ def ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
     return lsh_topk(embs, qvec, k=10)
+
+
+@register(
+    "ann_mllib_lsh_recall",
+    """
+SELECT CAST(10 AS BIGINT) AS k,
+       0.8 AS recall_floor,
+       CAST(1 AS BIGINT) AS meets_floor
+""",
+)
+def ann_mllib_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-ORACLED recall contract for the MLlib LSH path (VERDICT r6
+    item 7): the randomized-but-SEEDED BucketedRandomProjectionLSH top-10
+    is compared against the exact brute-force top-10 and the row asserts
+    recall@10 >= 0.8. The oracle is the CONSTANT contract row — DuckDB
+    cannot reproduce MLlib's hyperplanes, but it doesn't need to: with a
+    fixed seed the overlap is deterministic (measured 10/9/10 at
+    sf0.001/0.01/0.1), so a plane-generation regression, a broken
+    normalization trick, or a candidate-loss bug flips meets_floor to 0
+    and hash-mismatches. Mirrors ``ann_recall_eval``'s exact-vs-approx
+    overlap shape; heavy lifting stays in the two top-k plans, the
+    overlap join is 10x10 ids."""
+    from vectolite_spark.functions.vector import cosine_score
+    from vectolite_spark.operators.ann import lsh_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir)
+    exact = (
+        embs.select("vec_id", cosine_score("embedding", qvec).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    approx = lsh_topk(embs, qvec, k=10).select("vec_id")
+    overlap = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(0.8).alias("recall_floor"),
+        (F.col("n_overlap") >= F.lit(8)).cast("long").alias("meets_floor"),
+    )
 
 
 @register(
