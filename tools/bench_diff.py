@@ -9,7 +9,10 @@ Usage:
 Prints one line per query present in both files: old, new, ratio
 (new/old), with >=1.25x regressions and <=0.8x improvements flagged.
 Exit code 1 if any query regressed >= 1.5x (a real, re-measured slowdown
-should be explained in the commit message, not discovered by the judge).
+should be explained in the commit message, not discovered by the judge),
+or if a HARD_FAIL_KEYS serving-latency key regressed >= 1.25x — the
+ANN serving probes drifted ~1.2x/round for two rounds under the generic
+gate (VERDICT r6 item 3), so they get the tight one.
 """
 
 from __future__ import annotations
@@ -20,6 +23,18 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# serving-latency keys held to the tighter 1.25x gate
+HARD_FAIL_KEYS = {
+    "ann_pq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_built_topk",
+    "ann_ivfpq_probe_prebuilt",
+    "ivfpq_probe_partial_1q",
+    "ann_lsh_indexed_topk",
+    "serving_facade_qps",
+    "serving_microbatch_qps",
+}
 
 
 def _queries(path: str) -> dict[str, float]:
@@ -59,6 +74,7 @@ def main() -> int:
     print(f"old: {old_path}\nnew: {new_path}\n")
     print(f"{'query':42s} {'old_s':>8s} {'new_s':>8s} {'ratio':>7s}")
     worst = 0.0
+    hard_failures = []
     for name in common:
         o, n = old[name], new[name]
         ratio = n / o if o > 0 else float("inf")
@@ -68,12 +84,23 @@ def main() -> int:
         if ratio >= 1.25:
             flag = "  REGRESSED"
             worst = max(worst, ratio)
+            if name in HARD_FAIL_KEYS:
+                flag = "  REGRESSED(serving-hard-gate)"
+                hard_failures.append((name, ratio))
         elif ratio <= 0.8:
             flag = "  improved"
         print(f"{name:42s} {o:8.3f} {n:8.3f} {ratio:6.2f}x{flag}")
     only_new = sorted(set(new) - set(old))
     if only_new:
         print(f"\nnew-only keys (no prior baseline): {', '.join(only_new)}")
+    if hard_failures:
+        worst_hard = max(r for _, r in hard_failures)
+        names = ", ".join(n for n, _ in hard_failures)
+        print(
+            f"\nFAIL: serving keys past the 1.25x hard gate ({names}; "
+            f"worst {worst_hard:.2f}x) — profile before shipping"
+        )
+        return 1
     if worst >= 1.5:
         print(f"\nFAIL: worst regression {worst:.2f}x >= 1.5x — explain or fix")
         return 1

