@@ -800,3 +800,32 @@ def test_contrastive_triplets_match_brute_force(spark):
         assert got[a]["margin"] == round(
             got[a]["pos_score"] - got[a]["neg_score"], 6
         )
+
+
+def test_semdedup_prune_closed_form(spark):
+    """SemDeDup on a planted corpus: identical vectors within a cluster
+    prune down to the lowest id; cross-cluster identicals never interact;
+    orthogonal vectors survive."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.dedup import semdedup_prune
+
+    rows = [
+        # cluster 0: ids 1,2,3 identical (prune 2,3), id 4 orthogonal
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0, 0.0]),
+        (3, 0, [1.0, 0.0, 0.0, 0.0]),
+        (4, 0, [0.0, 1.0, 0.0, 0.0]),
+        # cluster 1: id 5 identical to cluster 0's vectors but OTHER cluster
+        (5, 1, [1.0, 0.0, 0.0, 0.0]),
+        (6, 1, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r["cluster"]: (r["n_members"], r["n_pruned"], r["n_kept"], r["kept_id_sum"])
+        for r in semdedup_prune(embs, tau=0.9).collect()
+    }
+    assert out[0] == (4, 2, 2, 1 + 4)
+    assert out[1] == (2, 0, 2, 5 + 6)

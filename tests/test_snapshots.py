@@ -442,3 +442,36 @@ def test_maybe_compact_zorder_passthrough(store, spark):
     v = store.maybe_compact(max_dirs=2, target_files=4, zorder_by=["user_id", "ts"])
     assert v is not None
     assert "zonemaps" in store._read_manifest(v)
+
+
+def test_read_changes_append_only_window(store, spark):
+    """read_changes delivers exactly the rows added between versions
+    (manifest set-difference), empty for an empty window, and REFUSES a
+    window containing a rewrite (moved rows are not inserts)."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.errors import VectoliteError
+
+    v0 = store.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    v1 = store.append(spark.createDataFrame([(3,), (4,)], "id long"))
+    v2 = store.append(spark.createDataFrame([(5,)], "id long"))
+    assert _ids(store.read_changes(v0, v1)) == [3, 4]
+    assert _ids(store.read_changes(v0, v2)) == [3, 4, 5]
+    assert _ids(store.read_changes(-1, v0)) == [1, 2]
+    assert store.read_changes(v2, v2).count() == 0
+    store.delete_where(F.col("id") == 1)
+    with pytest.raises(VectoliteError, match="rewrite commit"):
+        store.read_changes(v1)
+    # a fresh window after the rewrite works again
+    v4 = store.append(spark.createDataFrame([(9,)], "id long"))
+    assert _ids(store.read_changes(v4 - 1, v4)) == [9]
+
+
+def test_read_changes_carries_evolved_schema(store, spark):
+    v0 = store.append(spark.createDataFrame([(1, "a")], "id long, val string"))
+    v1 = store.append(
+        spark.createDataFrame([(2, "b", 5)], "id long, val string, extra long")
+    )
+    delta = store.read_changes(v0, v1)
+    assert set(delta.columns) == {"id", "val", "extra"}
+    assert delta.first()["extra"] == 5

@@ -443,6 +443,59 @@ def embedding_cosine_pairs(
     )
 
 
+def semdedup_prune(
+    embeddings: DataFrame,
+    tau: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication SCOPED TO EMBEDDING CLUSTERS — pairwise cosine is
+    computed only within a cluster (here the ``label`` column; in the
+    paper, k-means cells), and of each near-duplicate pair one member is
+    pruned. Deterministic keep rule: the LOWER id survives (a vector is
+    pruned iff some lower-id cluster-mate has cosine >= tau to it) — the
+    paper keeps the member farthest from the centroid; id-order is the
+    engine-exact equivalent the oracle can replay bit-for-bit.
+
+    Returns the per-cluster curation audit a pipeline operator reports:
+    (cluster, n_members, n_pruned, n_kept, kept_id_sum) — kept_id_sum is
+    the order-insensitive checksum of the surviving ids, so the oracle
+    verifies the exact KEEP SET, not just its size.
+
+    Scale shape: inherits ``embedding_cosine_pairs``' plan — ONE shuffle
+    co-locating each cluster, one upper-triangle matmul per cluster
+    block, hot clusters capped at ``max_block_size`` (at 100 TB the
+    clusters come from the IVF index and oversized cells are re-split
+    there, exactly the paper's k-means-before-pairwise reason to exist).
+    The prune flag then joins back as a broadcast of the (small)
+    pruned-id set. No reference counterpart — north-star extension."""
+    pairs = embedding_cosine_pairs(
+        embeddings,
+        block_col=block_col,
+        id_col=id_col,
+        min_score=tau,
+        max_block_size=max_block_size,
+    )
+    pruned = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    flagged = embeddings.select(block_col, id_col).join(
+        F.broadcast(pruned.withColumn("_pruned", F.lit(1))), id_col, "left"
+    )
+    return flagged.groupBy(F.col(block_col).alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.coalesce(F.col("_pruned"), F.lit(0))).cast("long").alias(
+            "n_pruned"
+        ),
+        F.sum(F.when(F.col("_pruned").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_pruned").isNull(), F.col(id_col)).otherwise(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
+
+
 def embedding_srp_pairs(
     embeddings: DataFrame,
     n_tables: int = 4,

@@ -2688,6 +2688,41 @@ _SQL_COS = (
 
 
 @register(
+    "semdedup_prune",
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= 0.3
+)
+SELECT CAST(e.label AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN p.vec_id IS NULL THEN e.vec_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM e LEFT JOIN pruned p ON e.vec_id = p.vec_id
+GROUP BY e.label
+""",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023): within each
+    embedding cluster, drop the higher-id member of every cosine>=tau
+    pair; the audit row per cluster carries the exact keep set via its
+    id checksum. The cluster-scoped pairwise is the method's whole
+    scaling argument — see ``dedup.semdedup_prune`` for the plan."""
+    from vectolite_spark.operators.dedup import semdedup_prune as _sp
+
+    out = _sp(load_table(spark, sf_dir, "embeddings"), tau=0.3)
+    return out.withColumn("cluster", F.col("cluster").cast("long"))
+
+
+@register(
     "dedup_embedding_srp",
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -8447,6 +8482,57 @@ def snapshot_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "n_events long, n_users long, min_event_id long, max_event_id long",
+    )
+
+
+@register(
+    "snapshot_changed_data_feed",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_changed,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
+def snapshot_changed_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption off the versioned store (Delta CDF shape):
+    commit the corpus in two appends, then ``read_changes(v0, v1)``
+    hands a downstream job ONLY the rows added in between — a manifest
+    set-difference whose scan touches delta bytes only, never the
+    100 TB base. The oracle recomputes the same aggregate from the
+    second append's slice directly: the feed must deliver exactly those
+    rows (id checksum pins the set). Rewrite commits in the window are
+    rejected by the API (moved rows are not inserts) — that refusal is
+    pytest-gated in test_snapshots."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="vl_snap_cdf_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(docs.filter(F.col("doc_id") % 3 != 0))
+        v1 = s.append(docs.filter(F.col("doc_id") % 3 == 0))
+        rows = (
+            s.read_changes(v0, v1)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_changed"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_changed long, sum_chars long, n_langs long, id_checksum long"
     )
 
 

@@ -494,6 +494,47 @@ class SnapshotStore:
         )
         return self._read_dirs(dirs, schema)
 
+    def read_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Changed-data feed (Delta CDF shape): the ROWS ADDED between
+        ``v_from`` (exclusive) and ``v_to`` (inclusive) as one DataFrame —
+        the incremental-consumption primitive that lets a downstream job
+        process only the delta instead of rescanning 100 TB per run. An
+        appended commit's rows are exactly its new dirs, so the feed is a
+        manifest set-difference and the scan touches ONLY delta bytes.
+
+        Valid when every commit in the window is insert-only (append /
+        stream); a rewrite (delete/merge/compact/rollback) MOVES existing
+        rows into new dirs, which would replay old rows as inserts — the
+        method detects that and raises, pointing to ``diff()`` (key-level
+        CDC) instead of silently over-delivering."""
+        if v_to is None:
+            v_to = self.current_version()
+        if v_from > v_to:
+            raise VectoliteError(f"v_from {v_from} is after v_to {v_to}")
+        for v in range(v_from + 1, v_to + 1):
+            op = self._read_manifest(v)["op"]
+            if op != "append" and not op.startswith("stream:"):
+                raise VectoliteError(
+                    f"read_changes window contains a rewrite commit "
+                    f"(v{v}: {op}) — new dirs there are moved rows, not "
+                    "inserts; use diff() for key-level CDC across rewrites"
+                )
+        m_to = self._read_manifest(v_to)
+        old = set(self._read_manifest(v_from)["dirs"]) if v_from >= 0 else set()
+        new_dirs = [d for d in m_to["dirs"] if d not in old]
+        import pyspark.sql.types as T
+
+        schema = (
+            T.StructType.fromJson(json.loads(m_to["schema"]))
+            if "schema" in m_to
+            else None
+        )
+        if not new_dirs:
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return self.read(v_to).limit(0)
+        return self._read_dirs(new_dirs, schema)
+
     def diff(self, v_old: int, v_new: int, key: str = "id") -> DataFrame:
         """Row-level diff between two versions keyed by ``key``: returns
         (key, change) with change in {'added', 'removed'} — the
