@@ -475,3 +475,27 @@ def test_read_changes_carries_evolved_schema(store, spark):
     delta = store.read_changes(v0, v1)
     assert set(delta.columns) == {"id", "val", "extra"}
     assert delta.first()["extra"] == 5
+
+
+def test_erasure_audit_detects_history_and_strays(store, spark):
+    """erasure_audit must fail a plain delete (old versions still hold
+    the rows), pass after vacuum, and flag unreferenced stray dirs."""
+    from pyspark.sql import functions as F
+
+    store.append(spark.createDataFrame([(1, "x"), (2, "gone")], "id long, tag string"))
+    store.delete_where(F.col("tag") == "gone")
+    pre = store.erasure_audit(F.col("tag") == "gone")
+    assert pre["n_matches"] > 0 and not pre["erased"]  # time travel retains it
+    store.vacuum(keep_versions=1)
+    post = store.erasure_audit(F.col("tag") == "gone")
+    assert post == {
+        "n_versions": 1, "n_matches": 0, "n_unreferenced_dirs": 0, "erased": True,
+    }
+    # a stranded dir (crashed commit) blocks the erasure claim
+    spark.createDataFrame([(9, "gone")], "id long, tag string").write.parquet(
+        f"{store._data_dir}/v99999999-crashed-deadbeef"
+    )
+    stray = store.erasure_audit(F.col("tag") == "gone")
+    assert stray["n_unreferenced_dirs"] == 1 and not stray["erased"]
+    store.vacuum(keep_versions=1)
+    assert store.erasure_audit(F.col("tag") == "gone")["erased"]

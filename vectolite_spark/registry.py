@@ -8537,6 +8537,59 @@ def snapshot_changed_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gdpr_erasure_audit",
+    """
+SELECT CAST(1 AS BIGINT) AS n_versions,
+       CAST(0 AS BIGINT) AS n_matches,
+       CAST(0 AS BIGINT) AS n_unreferenced_dirs,
+       CAST(1 AS BIGINT) AS erased,
+       CAST((SELECT COUNT(*) FROM documents WHERE lang != 'de') AS BIGINT)
+         AS n_rows_live
+""",
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten round trip on the versioned store: append
+    the corpus, COW-delete one language, vacuum history to one version,
+    then AUDIT that the predicate matches zero rows across every
+    retained version and no unreferenced dir lingers — on a
+    time-traveling table a delete is not erasure until retention drops
+    the old manifests, and the audit is what proves it (the compliance
+    question a 100 TB store actually gets asked). The oracle pins the
+    full contract row plus the surviving row count. Deliberate-failure
+    cases (pre-vacuum audit finds matches; stranded dirs flip erased=0)
+    are pytest-gated in test_snapshots."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = tempfile.mkdtemp(prefix="vl_snap_gdpr_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        s.append(docs)
+        s.delete_where(F.col("lang") == "de")
+        s.vacuum(keep_versions=1)
+        audit = s.erasure_audit(F.col("lang") == "de")
+        n_live = s.read().count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                audit["n_versions"],
+                audit["n_matches"],
+                audit["n_unreferenced_dirs"],
+                1 if audit["erased"] else 0,
+                n_live,
+            )
+        ],
+        "n_versions long, n_matches long, n_unreferenced_dirs long, "
+        "erased long, n_rows_live long",
+    )
+
+
+@register(
     "aqp_sampled_revenue",
     """
 WITH tagged AS (

@@ -621,6 +621,40 @@ class SnapshotStore:
         return {"removed_manifests": len(drop), "removed_dirs": removed_dirs}
 
 
+    def erasure_audit(self, condition) -> dict:
+        """Right-to-be-forgotten verification: prove a predicate matches
+        ZERO rows anywhere in the store — every retained version's data
+        AND any unreferenced dir still on disk (a crashed commit or an
+        un-vacuumed old version both count as 'not erased'; time travel
+        means a plain delete is NOT erasure until vacuum drops the old
+        manifests). One job over the union of retained dirs under the
+        current schema, plus one FS listing for strays. Returns
+        {n_versions, n_matches, n_unreferenced_dirs, erased}."""
+        versions = self._versions()
+        dirs = sorted(
+            {d for v in versions for d in self._read_manifest(v)["dirs"]}
+        )
+        referenced = {d.rstrip("/").rsplit("/", 1)[-1] for d in dirs}
+        stray = [
+            n
+            for n in self._fs.list_names(self._data_dir)
+            if (n[: -len(".zonemap")] if n.endswith(".zonemap") else n)
+            not in referenced
+        ]
+        n_matches = 0
+        if dirs:
+            schema = self._schema_of(versions[-1]) if versions else None
+            n_matches = int(
+                self._read_dirs(dirs, schema).filter(condition).count()
+            )
+        return {
+            "n_versions": len(versions),
+            "n_matches": n_matches,
+            "n_unreferenced_dirs": len(stray),
+            "erased": n_matches == 0 and not stray,
+        }
+
+
 def with_conflict_retry(op, attempts: int = 3):
     """Run a commit-producing callable under optimistic concurrency: on
     ``SnapshotConflict`` re-invoke it (the store's mutation methods
