@@ -10296,11 +10296,78 @@ def dsir_gumbel_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # r5's only red row, fixed this round (-0.0 normalization) — pos 1
+    # -- r7 window ---------------------------------------------------------
+    # core parity anchor (re-verified every round)
+    "flagship_topk",
+    # NEW in r7 — first driver rows
+    "snapshot_schema_evolution",      # manifest-schema evolution round trip
+    "snapshot_zorder_pruned_scan",    # OPTIMIZE-ZORDER-shaped compaction
+    "ann_mllib_lsh_recall",           # seeded-recall contract row
+    "semdedup_prune",                 # SemDeDup cluster-scoped pruning
+    "snapshot_changed_data_feed",     # Delta-CDF incremental read
+    "gdpr_erasure_audit",             # erasure proof across history
+    # code touched in r7 — prior green rows are stale
+    "batch_topk",                 # collect guard + payload-through-mapper
+    "ann_batch_lsh_indexed",      # srp batch collect guard
+    "ann_lsh_indexed_topk",       # _srp_meta/_srp_resolve rework
+    "ann_pq_topk",                # memoized codebook + query vector
+    "snapshot_time_travel",       # snapshots.py schema/zonemap rework
+    "snapshot_version_diff",
+    "snapshot_pruned_delete",
+    "zonemap_pruned_scan",        # layout.zorder_frame refactor
+    "dsir_importance_sample",     # degenerate-input guard
+    "dsir_gumbel_sample",
+    # refresh the oldest union evidence (r2-green, 5 rounds old) — the
+    # VERDICT r6 item 1 list: the fifteen r2 refreshes displaced in r6
+    # plus the rest of the r2 cohort, oldest-first
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "dataset_split_counts",
+    "pivot_priority_by_year",
+    "rolling_avg_order_value",
+    "join_revenue_by_nation",
+    "window_top_orders",
+    "sessionize_events",
+    "events_window_agg",
+    "customers_without_orders",
+    "grouped_doc_stats",
+    "rollup_revenue",
+    "price_histogram",
+    "top_customers_by_revenue",
+    "parts_per_flag",
+    "sql_shipyear_revenue",
+    "moment_stats",
+    "cube_order_counts",
+    "embedding_norm_stats",
+    "quantile_stats",
+    "range_join_value_bands",
+    "corpus_curation",
+    "merge_upsert_preview",
+    "frequent_tokens",
+    "sample_per_source",
+    "q4_priority_exists",
+    "q19_disjunctive_revenue",
+    "tfidf_top_terms",
+    # oldest r3-green refreshes fill the last slots
+    "topk_filtered",
+    "count_documents",
+]
+
+# ROTATE IN FOR r8: after this round the oldest union evidence is the
+# r3-green cohort (point_lookup, pagination, projection_truncate,
+# delete_as_filter, chunk_documents, profile_documents, dedup_exact,
+# dedup_minhash*, json_access, the dedup/dup_graph r3 block, ...) — fill
+# non-(new/touched) slots from it oldest-first, keep the flagship
+# anchor, and put anything whose code changes in r8 back in the window.
+# Old rows stand via union semantics.
+
+# driver-green in r6 (see CORRECTNESS_r06.json) — the freshest evidence
+# in the registry, safe to re-verify last
+_DEMOTED_STABLE = [
     "embedding_covariance",
-    # the 11 late-r5 entries with no driver row in any CORRECTNESS_r1-r5
-    # (VERDICT r5 item 2 — completes the rotation: every oracled entry
-    # gets an authoritative row in the r1-r6 union)
     "aqp_join_universe_sample",
     "constraint_audit",
     "pareto_front_parts",
@@ -10312,49 +10379,24 @@ _DRIVER_WINDOW = [
     "transition_entropy",
     "session_duration_stats",
     "item_recommendations",
-    # new this round: the 100 TB covariance fast path (rows-only at the
-    # driver; range-oracled 1e-6 locally — VERDICT r5 item 3)
     "gram_partials_covariance",
-    # the two by-design rows-only entries have never had ANY driver row;
-    # give them their weaker rows-only evidence once
     "approx_distinct_tokens",
     "ann_mllib_lsh_topk",
-    # core parity anchor (re-verified every round)
-    "flagship_topk",
-    # code touched this round (ADVICE r5 fixes: SRP meta resolution,
-    # batch remote fallback, regex escape soundness, append guard,
-    # streaming marker via Hadoop FS) — prior green rows are stale
-    "ann_lsh_indexed_topk",
-    "ann_batch_lsh_indexed",
     "regex_trigram_search",
     "trigram_incremental_search",
     "streaming_trigram_maintenance",
-    # refresh the oldest evidence: r1-green entries unverified since
     "ann_ivf_topk",
     "dedup_simhash",
     "doc_fingerprint",
     "lang_id",
     "text_quality",
     "token_count",
-    # refresh r2-green entries (oldest remaining evidence); these slots
-    # are ALSO the swap pool for any operator added later this round —
-    # displacing a refresh costs nothing (old rows stand via union)
     "agg_pricing_summary",
     "asia_customer_orders",
     "asof_last_click",
     "big_ticket_orders",
     "click_and_purchase_users",
-    # new this round (displace fifteen r2-green refreshes — includes
-    # corpus_curation, cube_order_counts, customers_without_orders:
-    # price_histogram,
-    # q3_shipping_priority, parts_per_flag, moment_stats,
-    # pivot_priority_by_year, merge_upsert_preview, grouped_doc_stats,
-    # join_revenue_by_nation, frequent_tokens, events_window_agg,
-    # embedding_norm_stats, dataset_split_counts — their r2 rows stand
-    # via union semantics)
     "contrastive_triplets",
-    "dsir_importance_sample",
-    "dsir_gumbel_sample",
     "resample_interpolate",
     "schema_drift_audit",
     "embedding_drift",
@@ -10367,95 +10409,8 @@ _DRIVER_WINDOW = [
     "tokenizer_fertility",
     "seasonal_decomposition",
     "k_anonymity_audit",
-    # jpeg.py bit-reader rewritten this round — re-verify the decode path
     "multimodal_features",
-    # topk_batch refactored through topk_batch_vecs (serving micro-batcher)
-    "batch_topk",
-    # new this round: forced-distributed CC shape (VERDICT r5 item 8)
     "dedup_clusters_distributed",
-]
-
-# With this r6 window, EVERY oracled registry entry has (or gets this
-# round) at least one driver-green CORRECTNESS row across r1-r6: the 11
-# never-verified late-r5 additions are in, the fixed embedding_covariance
-# leads, gram_partials_covariance (new, rows-only at the driver +
-# range-oracled locally) and the two by-design rows-only sketch/MLlib
-# entries get their first driver rows, every ADVICE-r5-touched query is
-# re-verified, the 16 operators ADDED in r6 (dsir pair, span corruption,
-# leakage split, fertility, seasonal, k-anonymity, wau, containment,
-# embedding outliers/drift, triplets, interpolate, schema drift, key
-# skew) all hold window slots, and the remaining slots refresh the
-# oldest (r1/r2) green evidence.
-#
-# ROTATE IN FOR r7: all 16 r6 additions will have driver rows after this
-# round — swap them out for (a) anything whose code changes in r7, (b)
-# the r2-refresh slots still unrotated (agg_pricing_summary,
-# asia_customer_orders, asof_last_click, big_ticket_orders,
-# click_and_purchase_users remain in-window; the fifteen displaced ones
-# listed below never got their refresh), (c) new r7 operators. Keep the
-# flagship anchor; old rows stand via union semantics.
-
-# driver-green in r1-r4 (see CORRECTNESS_r0*.json) — safe to re-verify last
-_DEMOTED_STABLE = [
-    # r4-green core keepers rotated out for the late-r5 additions
-    "batch_topk",
-    "bm25_batch_indexed_topk",
-    "ann_ivf_batch_topk",
-    "hybrid_batch_indexed_topk",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "rolling_avg_order_value",
-    "window_top_orders",
-    "sessionize_events",
-    "top_customers_by_revenue",
-    "rollup_revenue",
-    "sql_shipyear_revenue",
-    "quantile_stats",
-    "range_join_value_bands",
-    "sample_per_source",
-    "q4_priority_exists",
-    "q19_disjunctive_revenue",
-    "tfidf_top_terms",
-    # green in the r4 window (CORRECTNESS_r04.json)
-    "clean_corpus_summary",
-    "ann_ivfpq_partial_probe",
-    "token_budget_sample",
-    "snapshot_version_diff",
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "rerank_topk",
-    "ann_ivfpq_exact_rescore",
-    "ann_ivfpq_probe_prebuilt",
-    "snapshot_pruned_delete",
-    "snapshot_time_travel",
-    "bm25_indexed_topk",
-    "hybrid_indexed_topk",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_dormant_balances",
-    "funnel_conversion",
-    "cohort_retention",
-    "char_entropy",
-    "minhash_estimation_error",
-    "ann_recall_eval",
-    "salted_segment_revenue",
-    "corpus_checksum",
-    "winsorized_stats",
-    "token_len_histogram",
-    "resample_ffill",
-    "event_zscore_anomalies",
-    "embedding_dim_variance",
-    "equi_depth_histogram",
-    "top_quality_per_source",
-    "embedding_cluster_stats",
-    "incremental_agg_merge",
-    "skew_safe_distinct",
-    "weighted_sample_aes",
 ]
 
 
