@@ -82,11 +82,17 @@ def main() -> int:
             ratio = 1 / ratio  # throughput keys: higher is better
         flag = ""
         if ratio >= 1.25:
-            flag = "  REGRESSED"
-            worst = max(worst, ratio)
-            if name in HARD_FAIL_KEYS:
-                flag = "  REGRESSED(serving-hard-gate)"
-                hard_failures.append((name, ratio))
+            if name.startswith("reference_"):
+                # calibration keys measure the REFERENCE engine's own
+                # run-to-run variance (sqlite row-by-row inserts swing
+                # with disk conditions) — report, never gate on them
+                flag = "  reference-calibration drift (not gated)"
+            else:
+                flag = "  REGRESSED"
+                worst = max(worst, ratio)
+                if name in HARD_FAIL_KEYS:
+                    flag = "  REGRESSED(serving-hard-gate)"
+                    hard_failures.append((name, ratio))
         elif ratio <= 0.8:
             flag = "  improved"
         print(f"{name:42s} {o:8.3f} {n:8.3f} {ratio:6.2f}x{flag}")
