@@ -385,9 +385,15 @@ def main() -> None:
     idx = IVFPQIndex(spark, idx_path, m=8)
     idx.topk(qvecs[0], k=10, n_probe=4, refine=100).count()  # warm plans
     probe_q = qvecs[1 % len(qvecs)]  # tiny SFs may sample only one vector
-    t0 = time.time()
-    idx.topk(probe_q, k=10, n_probe=4, refine=100).count()
-    timings["ivfpq_probe_partial_1q"] = round(time.time() - t0, 4)
+    # min-of-3: this key sits under bench_diff's 1.25x serving hard gate,
+    # and a single shot swings inside the box's +-30% band (r6 0.61 vs an
+    # r7 min-of-8 profile at 0.79 on identical code)
+    probe_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.topk(probe_q, k=10, n_probe=4, refine=100).count()
+        probe_runs.append(time.time() - t0)
+    timings["ivfpq_probe_partial_1q"] = round(min(probe_runs), 4)
 
     # -- registry queries (parquet scans included) -------------------------
     # min of N runs (default 2): single cold runs showed +-30-70% run-to-
