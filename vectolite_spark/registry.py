@@ -26,6 +26,7 @@ ORACLES: dict[str, str] = {}
 # per-process parquet copies of the events table used as streaming sources
 # (keyed by sf_dir; reused across invocations instead of leaking tempdirs)
 _STREAM_SRC_CACHE: dict[str, str] = {}
+_STREAM_SESS_SRC_CACHE: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -6693,6 +6694,84 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    """
+WITH br AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM br
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (gap-based, DYNAMIC-extent event-time
+    sessions) through a REAL streaming query, ORACLED against batch
+    gap-sessionization: every emitted closed session's (user, start,
+    end=last+gap, count) must hash-match the lag()-derived batch twin —
+    the one Structured Streaming windowing primitive the registry's
+    tumbling/sliding entries didn't cover, and the streaming twin of
+    ``sessionize_events``. Append mode only emits sessions the watermark
+    has CLOSED, so the replayed source carries one far-future sentinel
+    row (user_id -1, max_ts + 10h) that pushes the final watermark past
+    every real session's end — the sentinel's own session is filtered
+    out of the result. State stays bounded by the watermark horizon;
+    the memory sink holds only closed-session rows."""
+    import tempfile
+    import uuid
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.streaming.ingest import session_window_counts
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src_dir = _STREAM_SESS_SRC_CACHE.get(sf_dir)
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="vl_stream_sess_") + "/src"
+        sentinel = events.agg(
+            (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+        )
+        events.unionByName(sentinel).write.mode("overwrite").parquet(src_dir)
+        _STREAM_SESS_SRC_CACHE[sf_dir] = src_dir
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(
+        src_dir
+    )
+    out = session_window_counts(
+        stream, gap="30 minutes", watermark="2 hours"
+    )
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise VectoliteError("streaming_session_windows did not drain in 180s")
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
+        F.col("user_id").cast("long"),
+        F.expr("unix_micros(session_start)").alias("session_start_us"),
+        F.expr("unix_micros(session_end)").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
     "streaming_windowed_counts",
     """
 SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
@@ -10563,15 +10642,16 @@ _DRIVER_WINDOW = [
     "corpus_curation",
     "merge_upsert_preview",
     "frequent_tokens",
-    "sample_per_source",
-    # late-r7 additions take the last two slots (never driver-verified)
+    # late-r7 additions take the last slots (never driver-verified)
+    "streaming_session_windows",
     "retrieval_ndcg_eval",
     "centroid_classify_confusion",
 ]
 
 # ROTATE IN FOR r8: after this round the oldest union evidence is the
 # r3-green cohort (topk_filtered, count_documents, point_lookup,
-# q4_priority_exists, q19_disjunctive_revenue, tfidf_top_terms (r2),
+# q4_priority_exists, q19_disjunctive_revenue, tfidf_top_terms,
+# sample_per_source (r2),
 # pagination, projection_truncate, delete_as_filter, chunk_documents,
 # profile_documents, dedup_exact, dedup_minhash*, json_access, the
 # dedup/dup_graph r3 block, ...) — fill non-(new/touched) slots from it
