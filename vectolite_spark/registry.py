@@ -8882,6 +8882,78 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdf_incremental_dedup",
+    """
+WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+dup AS (
+  SELECT DISTINCT d.doc_id
+  FROM delta d JOIN base b ON sha256(d.text) = sha256(b.text)
+)
+SELECT CAST((SELECT COUNT(*) FROM delta) AS BIGINT) AS n_delta,
+       CAST((SELECT COUNT(*) FROM dup) AS BIGINT) AS n_dup_vs_base,
+       CAST((SELECT COUNT(*) FROM delta)
+            - (SELECT COUNT(*) FROM dup) AS BIGINT) AS n_new_unique,
+       CAST((SELECT COALESCE(SUM(doc_id), 0) FROM dup) AS BIGINT)
+         AS dup_id_checksum
+""",
+)
+def cdf_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB maintenance loop composed end to end: the corpus lands
+    as snapshot v0, a delta commit lands as v1, ``read_changes(v0, v1)``
+    hands ONLY the delta rows to exact dedup against the v0 snapshot —
+    per ingest cycle the work is O(delta · hash + broadcast-ish join
+    against the base hash set), never a full-corpus self-join. This is
+    the composition the table-format pieces exist FOR (Delta CDF +
+    dedup), and the checksum pins the exact duplicate set. Base hashes
+    at 100 TB live in a persisted hash index (cdc_indexed_decontamination
+    pattern); here the one-pass sha2 join states the semantics."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="vl_cdf_dedup_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(docs.filter(F.col("doc_id") % 5 != 0))
+        v1 = s.append(docs.filter(F.col("doc_id") % 5 == 0))
+        delta = s.read_changes(v0, v1).select(
+            "doc_id", F.sha2("text", 256).alias("h")
+        )
+        base_h = s.read(v0).select(F.sha2("text", 256).alias("h")).distinct()
+        dup = delta.join(base_h, "h", "left_semi").select("doc_id").distinct()
+        row = (
+            delta.agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+            .crossJoin(
+                dup.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_dup_vs_base"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0))
+                    .cast("long")
+                    .alias("dup_id_checksum"),
+                )
+            )
+            .select(
+                "n_delta",
+                "n_dup_vs_base",
+                (F.col("n_delta") - F.col("n_dup_vs_base"))
+                .cast("long")
+                .alias("n_new_unique"),
+                "dup_id_checksum",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        row,
+        "n_delta long, n_dup_vs_base long, n_new_unique long, "
+        "dup_id_checksum long",
+    )
+
+
+@register(
     "aqp_sampled_revenue",
     """
 WITH tagged AS (
@@ -10641,9 +10713,9 @@ _DRIVER_WINDOW = [
     "range_join_value_bands",
     "corpus_curation",
     "merge_upsert_preview",
-    "frequent_tokens",
     # late-r7 additions take the last slots (never driver-verified)
     "streaming_session_windows",
+    "cdf_incremental_dedup",
     "retrieval_ndcg_eval",
     "centroid_classify_confusion",
 ]
@@ -10651,7 +10723,7 @@ _DRIVER_WINDOW = [
 # ROTATE IN FOR r8: after this round the oldest union evidence is the
 # r3-green cohort (topk_filtered, count_documents, point_lookup,
 # q4_priority_exists, q19_disjunctive_revenue, tfidf_top_terms,
-# sample_per_source (r2),
+# sample_per_source, frequent_tokens (r2),
 # pagination, projection_truncate, delete_as_filter, chunk_documents,
 # profile_documents, dedup_exact, dedup_minhash*, json_access, the
 # dedup/dup_graph r3 block, ...) — fill non-(new/touched) slots from it
