@@ -234,3 +234,24 @@ def test_store_batched_serving_sees_mutations(spark, tmp_path):
     assert after[0]["id"] == new_id and after[0]["score"] == 1.0
     assert before[0]["id"] != new_id
     store.disable_batched_serving()
+
+
+def test_batched_serving_on_versioned_store(spark, tmp_path):
+    """The facade works over the snapshot-versioned backend too: its
+    df() reads through manifests, and a versioned mutation (a snapshot
+    commit) still tears the batcher down before the next query."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "vdb"), embed_fn=stub_embedder(dim=8),
+        versioned=True,
+    )
+    store.insert_many([f"versioned doc number {i}" for i in range(12)])
+    want = store.query("versioned doc number 3", top_k=2)
+    store.enable_batched_serving(top_k=5, max_wait_ms=5)
+    assert store.query("versioned doc number 3", top_k=2) == want
+    new_id = store.insert("a versioned probe text")
+    got = store.query("a versioned probe text", top_k=1)
+    assert got[0]["id"] == new_id and got[0]["score"] == 1.0
+    store.disable_batched_serving()

@@ -499,3 +499,39 @@ def test_erasure_audit_detects_history_and_strays(store, spark):
     assert stray["n_unreferenced_dirs"] == 1 and not stray["erased"]
     store.vacuum(keep_versions=1)
     assert store.erasure_audit(F.col("tag") == "gone")["erased"]
+
+
+def test_read_pruned_time_travel_and_edge_cases(store, spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from vectolite_spark.errors import VectoliteError
+
+    # empty store: read_changes refuses clearly
+    with pytest.raises(VectoliteError, match="empty"):
+        store.read_changes(-1)
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 50).alias("user_id"), (F.col("id") % 200).alias("ts")
+    )
+    store.append(df)
+    v_z = store.compact(target_files=8, zorder_by=["user_id", "ts"])
+    # a later plain append does NOT appear when time-traveling read_pruned
+    store.append(
+        spark.createDataFrame([(5555, 10, 50)], "id long, user_id long, ts long")
+    )
+    ranges = {"user_id": (10, 14), "ts": (40, 60)}
+    at_z, nr, nt = store.read_pruned(ranges, version=v_z)
+    assert 5555 not in {r["id"] for r in at_z.collect()}
+    assert 0 < nr <= nt
+    # pre-zonemap version: pure residual-filter path, still correct
+    at_v0, nr0, nt0 = store.read_pruned(ranges, version=0)
+    want = sorted(
+        r["id"]
+        for r in store.read(0)
+        .filter(F.col("user_id").between(10, 14) & F.col("ts").between(40, 60))
+        .collect()
+    )
+    assert sorted(r["id"] for r in at_v0.collect()) == want
+    assert (nr0, nt0) == (0, 0)  # no zone-mapped dirs at v0

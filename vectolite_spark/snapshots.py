@@ -509,6 +509,8 @@ class SnapshotStore:
         CDC) instead of silently over-delivering."""
         if v_to is None:
             v_to = self.current_version()
+        if v_to < 0:
+            raise VectoliteError("store is empty (no commits yet)")
         if v_from > v_to:
             raise VectoliteError(f"v_from {v_from} is after v_to {v_to}")
         for v in range(v_from + 1, v_to + 1):
