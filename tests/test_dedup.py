@@ -829,3 +829,31 @@ def test_semdedup_prune_closed_form(spark):
     }
     assert out[0] == (4, 2, 2, 1 + 4)
     assert out[1] == (2, 0, 2, 5 + 6)
+    # uncapped clusters report capped=0
+    assert all(
+        r["capped"] == 0 for r in semdedup_prune(embs, tau=0.9).collect()
+    )
+
+
+def test_semdedup_prune_surfaces_capped_clusters(spark):
+    """A cluster larger than max_block_size is SKIPPED by the pairwise
+    pass — the audit must say so (capped=1, everything reported kept)
+    instead of silently claiming n_pruned=0 as if it had looked
+    (ADVICE r7 item 1)."""
+    from vectolite_spark.operators.dedup import semdedup_prune
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(1, 6)]  # 5 identical, hot
+    rows += [(10, 1, [1.0, 0.0]), (11, 1, [1.0, 0.0])]  # small cluster
+    embs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r["cluster"]: r
+        for r in semdedup_prune(embs, tau=0.9, max_block_size=3).collect()
+    }
+    hot = out[0]
+    assert hot["capped"] == 1
+    assert hot["n_pruned"] == 0 and hot["n_kept"] == hot["n_members"] == 5
+    small = out[1]
+    assert small["capped"] == 0
+    assert small["n_pruned"] == 1 and small["kept_id_sum"] == 10

@@ -117,6 +117,33 @@ def test_streaming_append_exactly_once(store, spark, tmp_path):
     assert store.current_version() + 1 == n_versions
 
 
+def test_stream_sink_carries_zonemaps(store, spark):
+    """The streaming sink's commit must carry forward zone maps for
+    untouched dirs exactly like append() — otherwise the first
+    micro-batch after a z-order compact silently drops the compacted
+    dirs' stats and read_pruned full-scans them (ADVICE r7 item 4)."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.snapshots import make_stream_sink
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 50).alias("user_id"),
+        (F.col("id") * 7 % 500).alias("ts"),
+    )
+    store.append(df)
+    v = store.compact(target_files=8, zorder_by=["user_id", "ts"])
+    zm = store._read_manifest(v)["zonemaps"]
+    assert zm
+    batch = spark.range(2000, 2010).select(
+        F.col("id"), (F.col("id") % 50).alias("user_id"),
+        (F.col("id") * 7 % 500).alias("ts"),
+    )
+    make_stream_sink(store)(batch, 0)
+    m = store._read_manifest(store.current_version())
+    assert m.get("zonemaps") == zm  # compacted dir's stats survived
+
+
 def test_delete_where_prunes_unaffected_dirs(store, spark):
     store.append(_df(spark, [1, 2]))
     store.append(_df(spark, [3, 4]))
@@ -484,8 +511,9 @@ def test_erasure_audit_detects_history_and_strays(store, spark):
 
     store.append(spark.createDataFrame([(1, "x"), (2, "gone")], "id long, tag string"))
     store.delete_where(F.col("tag") == "gone")
-    pre = store.erasure_audit(F.col("tag") == "gone")
+    pre = store.erasure_audit(F.col("tag") == "gone", checksum_col="id")
     assert pre["n_matches"] > 0 and not pre["erased"]  # time travel retains it
+    assert pre["match_checksum"] == 2  # WHICH rows the audit saw, not just n
     store.vacuum(keep_versions=1)
     post = store.erasure_audit(F.col("tag") == "gone")
     assert post == {

@@ -778,12 +778,26 @@ def _srp_resolve(spark, index_path, n_tables, n_planes) -> tuple[int, int]:
     meta = _srp_meta(spark, index_path)
     if meta is None:
         # pre-meta index: the caller's explicit hyperparameters are the
-        # only record of how it was built — trust them, and fall back to
-        # the historical defaults only when the caller left them unset
-        return (
-            16 if n_tables is None else int(n_tables),
-            6 if n_planes is None else int(n_planes),
-        )
+        # only record of how it was built — trust them on THIS call (the
+        # caller asserts them; there is nothing to check against), fall
+        # back to the historical defaults only when left unset, and then
+        # PERSIST the resolved pair as the index's meta so every
+        # subsequent probe/append is checked against it instead of being
+        # trusted again (first resolve wins; a later caller passing
+        # different values gets the mismatch error, not silent wrong
+        # planes). Best-effort: a read-only index location keeps the
+        # trust-the-caller behavior rather than failing the probe.
+        nt = 16 if n_tables is None else int(n_tables)
+        npl = 6 if n_planes is None else int(n_planes)
+        try:
+            spark.createDataFrame(
+                [(nt, npl)], "n_tables int, n_planes int"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{index_path}/meta"
+            )
+        except Exception:
+            pass  # unwritable index dir: stay caller-asserted
+        return nt, npl
     mt, mp = meta
     if n_tables is not None and int(n_tables) != mt or (
         n_planes is not None and int(n_planes) != mp

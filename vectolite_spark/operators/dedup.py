@@ -460,9 +460,14 @@ def semdedup_prune(
     engine-exact equivalent the oracle can replay bit-for-bit.
 
     Returns the per-cluster curation audit a pipeline operator reports:
-    (cluster, n_members, n_pruned, n_kept, kept_id_sum) — kept_id_sum is
-    the order-insensitive checksum of the surviving ids, so the oracle
-    verifies the exact KEEP SET, not just its size.
+    (cluster, n_members, n_pruned, n_kept, kept_id_sum, capped) —
+    kept_id_sum is the order-insensitive checksum of the surviving ids,
+    so the oracle verifies the exact KEEP SET, not just its size.
+    ``capped=1`` marks a cluster larger than ``max_block_size`` whose
+    pairwise pass was SKIPPED (everything reported kept): without the
+    flag the audit would claim "nothing pruned" for exactly the hottest
+    clusters — the caller must re-block those upstream (finer IVF
+    cells), and the flag is what tells them to.
 
     Scale shape: inherits ``embedding_cosine_pairs``' plan — ONE shuffle
     co-locating each cluster, one upper-triangle matmul per cluster
@@ -482,17 +487,26 @@ def semdedup_prune(
     flagged = embeddings.select(block_col, id_col).join(
         F.broadcast(pruned.withColumn("_pruned", F.lit(1))), id_col, "left"
     )
-    return flagged.groupBy(F.col(block_col).alias("cluster")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum(F.coalesce(F.col("_pruned"), F.lit(0))).cast("long").alias(
-            "n_pruned"
-        ),
-        F.sum(F.when(F.col("_pruned").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_kept"),
-        F.sum(F.when(F.col("_pruned").isNull(), F.col(id_col)).otherwise(0))
-        .cast("long")
-        .alias("kept_id_sum"),
+    return (
+        flagged.groupBy(F.col(block_col).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.coalesce(F.col("_pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(F.when(F.col("_pruned").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("_pruned").isNull(), F.col(id_col)).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .withColumn(
+            "capped",
+            (F.col("n_members") > F.lit(int(max_block_size))).cast("long"),
+        )
     )
 
 

@@ -2726,9 +2726,13 @@ _SQL_COS = (
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+sz AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+elig AS (
+  SELECT e.* FROM e JOIN sz ON e.label = sz.label WHERE sz.n <= 1000
+),
 pruned AS (
   SELECT DISTINCT b.vec_id
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM elig a JOIN elig b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE {_SQL_COS.format(a="a.v", b="b.v")} >= 0.3
 )
 SELECT CAST(e.label AS BIGINT) AS cluster,
@@ -2738,8 +2742,10 @@ SELECT CAST(e.label AS BIGINT) AS cluster,
        CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_kept,
        CAST(SUM(CASE WHEN p.vec_id IS NULL THEN e.vec_id ELSE 0 END) AS BIGINT)
-         AS kept_id_sum
-FROM e LEFT JOIN pruned p ON e.vec_id = p.vec_id
+         AS kept_id_sum,
+       CAST(CASE WHEN MAX(sz.n) > 1000 THEN 1 ELSE 0 END AS BIGINT) AS capped
+FROM e JOIN sz ON e.label = sz.label
+       LEFT JOIN pruned p ON e.vec_id = p.vec_id
 GROUP BY e.label
 """,
 )
@@ -3185,7 +3191,7 @@ def ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_mllib_lsh_recall",
     """
 SELECT CAST(10 AS BIGINT) AS k,
-       0.8 AS recall_floor,
+       CAST(0.8 AS DOUBLE) AS recall_floor,
        CAST(1 AS BIGINT) AS meets_floor
 """,
 )
@@ -8831,9 +8837,11 @@ def snapshot_changed_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gdpr_erasure_audit",
     """
-SELECT CAST(1 AS BIGINT) AS n_versions,
-       CAST(0 AS BIGINT) AS n_matches,
-       CAST(0 AS BIGINT) AS n_unreferenced_dirs,
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE lang = 'de') AS BIGINT)
+         AS n_matches_pre,
+       CAST((SELECT COALESCE(SUM(doc_id), 0) FROM documents
+             WHERE lang = 'de') AS BIGINT) AS match_checksum_pre,
+       CAST(0 AS BIGINT) AS n_matches_post,
        CAST(1 AS BIGINT) AS erased,
        CAST((SELECT COUNT(*) FROM documents WHERE lang != 'de') AS BIGINT)
          AS n_rows_live
@@ -8841,15 +8849,16 @@ SELECT CAST(1 AS BIGINT) AS n_versions,
 )
 def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten round trip on the versioned store: append
-    the corpus, COW-delete one language, vacuum history to one version,
-    then AUDIT that the predicate matches zero rows across every
-    retained version and no unreferenced dir lingers — on a
-    time-traveling table a delete is not erasure until retention drops
-    the old manifests, and the audit is what proves it (the compliance
-    question a 100 TB store actually gets asked). The oracle pins the
-    full contract row plus the surviving row count. Deliberate-failure
-    cases (pre-vacuum audit finds matches; stranded dirs flip erased=0)
-    are pytest-gated in test_snapshots."""
+    the corpus, COW-delete one language, AUDIT PRE-VACUUM (the audit
+    must still FIND the rows in retained history — on a time-traveling
+    table a delete is not erasure until retention drops the old
+    manifests), vacuum to one version, then audit again and prove zero
+    matches. The pre-vacuum audit's match count AND doc_id checksum are
+    data-derived on the oracle side (VERDICT r7 item 4: a lying audit
+    that blindly reports zero now hash-fails the driver instead of only
+    pytest), as is the surviving live-row count. Deliberate-failure
+    cases (stranded dirs flip erased=0) are pytest-gated in
+    test_snapshots."""
     import shutil
     import tempfile
 
@@ -8861,23 +8870,24 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = SnapshotStore(spark, f"{base}/table")
         s.append(docs)
         s.delete_where(F.col("lang") == "de")
+        pre = s.erasure_audit(F.col("lang") == "de", checksum_col="doc_id")
         s.vacuum(keep_versions=1)
-        audit = s.erasure_audit(F.col("lang") == "de")
+        post = s.erasure_audit(F.col("lang") == "de")
         n_live = s.read().count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
-                audit["n_versions"],
-                audit["n_matches"],
-                audit["n_unreferenced_dirs"],
-                1 if audit["erased"] else 0,
+                pre["n_matches"],
+                pre["match_checksum"],
+                post["n_matches"],
+                1 if post["erased"] else 0,
                 n_live,
             )
         ],
-        "n_versions long, n_matches long, n_unreferenced_dirs long, "
-        "erased long, n_rows_live long",
+        "n_matches_pre long, match_checksum_pre long, "
+        "n_matches_post long, erased long, n_rows_live long",
     )
 
 
@@ -9451,7 +9461,7 @@ _TRGM_BATCH_QUERIES = (
 @register(
     "trigram_batch_substring_search",
     """
-SELECT q.query_id, d.doc_id
+SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id
 FROM (VALUES (1, 'vector scan'), (2, 'window agg'), (3, 'hash join x'))
      q(query_id, pattern)
 JOIN documents d ON contains(lower(d.text), q.pattern)

@@ -623,7 +623,7 @@ class SnapshotStore:
         return {"removed_manifests": len(drop), "removed_dirs": removed_dirs}
 
 
-    def erasure_audit(self, condition) -> dict:
+    def erasure_audit(self, condition, checksum_col: str | None = None) -> dict:
         """Right-to-be-forgotten verification: prove a predicate matches
         ZERO rows anywhere in the store — every retained version's data
         AND any unreferenced dir still on disk (a crashed commit or an
@@ -631,7 +631,12 @@ class SnapshotStore:
         means a plain delete is NOT erasure until vacuum drops the old
         manifests). One job over the union of retained dirs under the
         current schema, plus one FS listing for strays. Returns
-        {n_versions, n_matches, n_unreferenced_dirs, erased}."""
+        {n_versions, n_matches, n_unreferenced_dirs, erased}; when
+        ``checksum_col`` is given the dict also carries
+        ``match_checksum`` = SUM(checksum_col) over matched rows, so an
+        external verifier can pin WHICH rows the audit saw, not just how
+        many (a lying audit that blindly reports zero fails the
+        checksum, not only the count)."""
         versions = self._versions()
         dirs = sorted(
             {d for v in versions for d in self._read_manifest(v)["dirs"]}
@@ -644,17 +649,29 @@ class SnapshotStore:
             not in referenced
         ]
         n_matches = 0
+        checksum = 0
         if dirs:
+            from pyspark.sql import functions as F
+
             schema = self._schema_of(versions[-1]) if versions else None
-            n_matches = int(
-                self._read_dirs(dirs, schema).filter(condition).count()
-            )
-        return {
+            matched = self._read_dirs(dirs, schema).filter(condition)
+            if checksum_col is not None:
+                row = matched.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum(checksum_col), F.lit(0)).alias("c"),
+                ).collect()[0]
+                n_matches, checksum = int(row["n"]), int(row["c"])
+            else:
+                n_matches = int(matched.count())
+        out = {
             "n_versions": len(versions),
             "n_matches": n_matches,
             "n_unreferenced_dirs": len(stray),
             "erased": n_matches == 0 and not stray,
         }
+        if checksum_col is not None:
+            out["match_checksum"] = checksum
+        return out
 
 
 def with_conflict_retry(op, attempts: int = 3):
@@ -722,12 +739,22 @@ def make_stream_sink(store: SnapshotStore):
         )
         new_dir = f"{store._data_dir}/v{version:08d}-stream"
         batch_df.write.mode("overwrite").parquet(new_dir)
-        dirs = (
-            store._read_manifest(version - 1)["dirs"] if version > 0 else []
+        prev = (
+            store._read_manifest(version - 1)
+            if version > 0
+            else {"dirs": []}
         )
+        dirs = prev["dirs"]
+        extra: dict = {"batch_id": int(batch_id), "schema": schema.json()}
+        # carry zone maps for untouched dirs, matching append(): without
+        # this the first micro-batch after a z-order compact silently
+        # drops the compacted dirs' stats and read_pruned full-scans them
+        carried = store._carried_zonemaps(prev, dirs)
+        if carried:
+            extra["zonemaps"] = carried
         store._commit(
             dirs + [new_dir], f"stream:{batch_id}",
-            extra={"batch_id": int(batch_id), "schema": schema.json()},
+            extra=extra,
             version=version,
         )
 

@@ -323,15 +323,17 @@ class SparkVectolite:
         if top_k <= 0:
             raise VectoliteError("top_k must be positive")
         self._invalidate_serving()
-        self._serving_cfg = {
-            "top_k": int(top_k),
-            "max_batch": int(max_batch),
-            "max_wait_ms": float(max_wait_ms),
-            "cache": bool(cache),
-        }
+        with self._serving_lock:  # cfg writes pair with _ensure's read
+            self._serving_cfg = {
+                "top_k": int(top_k),
+                "max_batch": int(max_batch),
+                "max_wait_ms": float(max_wait_ms),
+                "cache": bool(cache),
+            }
 
     def disable_batched_serving(self) -> None:
-        self._serving_cfg = None
+        with self._serving_lock:
+            self._serving_cfg = None
         self._invalidate_serving()
 
     def _invalidate_serving(self) -> None:
@@ -356,6 +358,12 @@ class SparkVectolite:
             if self._serving is not None:
                 return self._serving
             cfg = self._serving_cfg
+            if cfg is None:
+                # a concurrent disable_batched_serving() won the race
+                # between query()'s eligibility check and this build —
+                # tell the caller to fall back to the exact path instead
+                # of dereferencing a None cfg
+                return None
             base = self.df().select(
                 F.col("id").alias("vec_id"), "embedding", "text", "metadata"
             )
@@ -563,8 +571,11 @@ class SparkVectolite:
             # batched-serving facade: coalesce with concurrent callers
             # into one Spark job; same ordering contract, so top_k is a
             # prefix slice of the batcher's k results
+            rows = None
             for _ in range(3):
                 batcher = self._ensure_serving_batcher()
+                if batcher is None:
+                    break  # disabled concurrently -> exact path below
                 try:
                     rows = batcher.query(qvec)
                     break
@@ -579,15 +590,16 @@ class SparkVectolite:
                     "batched serving unavailable (repeated concurrent "
                     "invalidation); retry or disable_batched_serving()"
                 )
-            return [
-                {
-                    "id": vid,
-                    "score": float(score),
-                    "text": text,
-                    "metadata": json.loads(meta or "{}"),
-                }
-                for vid, score, text, meta in rows[:top_k]
-            ]
+            if rows is not None:
+                return [
+                    {
+                        "id": vid,
+                        "score": float(score),
+                        "text": text,
+                        "metadata": json.loads(meta or "{}"),
+                    }
+                    for vid, score, text, meta in rows[:top_k]
+                ]
         if ann:
             if metadata_filter:
                 raise VectoliteError(
