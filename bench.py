@@ -339,36 +339,58 @@ def main() -> None:
     # build-if-absent no-ops from an earlier run.
     import shutil as _shutil
 
-    for recipe in (
-        "ivfpq_v2_c16m8k16",
-        "bm25_v1_b32",
-        "ivf_v1",
-        "ivfpq_lbl_m8k16",
-        "trgm_v2_b16",
-        "trgm_inc_v1_b8",
-        "trgm_stream_v1_b8",
-    ):
-        _shutil.rmtree(
-            registry.index_cache_path(recipe, SF_DIR), ignore_errors=True
-        )
-    t0 = time.time()
-    idx_path = registry._ensure_ivfpq_index(spark, SF_DIR)
-    timings["ivfpq_index_build"] = round(time.time() - t0, 4)
-    t0 = time.time()
-    registry._ensure_bm25_index(spark, SF_DIR)
-    timings["bm25_index_build"] = round(time.time() - t0, 4)
-    t0 = time.time()
-    registry._ensure_ivf_index(spark, SF_DIR)
-    timings["ivf_index_build"] = round(time.time() - t0, 4)
-    t0 = time.time()
-    registry._ensure_trigram_index(spark, SF_DIR)
-    timings["trgm_index_build"] = round(time.time() - t0, 4)
-    t0 = time.time()
-    registry._ensure_trgm_inc_index(spark, SF_DIR)
-    timings["trgm_incremental_build"] = round(time.time() - t0, 4)
-    t0 = time.time()
-    registry._ensure_trgm_stream_index(spark, SF_DIR)
-    timings["trgm_streaming_build"] = round(time.time() - t0, 4)
+    # min-of-N per build (VERDICT r7 item 2: ivf_index_build swung 1.97x
+    # on identical code when the facade bench ran right before it —
+    # single-shot builds sit inside the box's +-30-70% noise band just
+    # like probes do). Each attempt clears the recipe's cache dirs first
+    # so every run is a REAL build, and the last run leaves the index in
+    # place for the probe sections below.
+    import gc as _gc
+
+    _gc.collect()  # drop facade-bench garbage before timing builds
+
+    def _timed_build(recipes: tuple, build_fn, runs: int = 3):
+        best = None
+        out = None
+        for _ in range(runs):
+            for r in recipes:
+                _shutil.rmtree(
+                    registry.index_cache_path(r, SF_DIR), ignore_errors=True
+                )
+            t0 = time.time()
+            out = build_fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4), out
+
+    timings["ivfpq_index_build"], idx_path = _timed_build(
+        ("ivfpq_v2_c16m8k16",),
+        lambda: registry._ensure_ivfpq_index(spark, SF_DIR),
+        runs=2,  # the 13s distributed-Lloyd build: 2 runs bounds noise
+        # without doubling bench wall time a third time
+    )
+    timings["bm25_index_build"], _ = _timed_build(
+        ("bm25_v1_b32",), lambda: registry._ensure_bm25_index(spark, SF_DIR)
+    )
+    timings["ivf_index_build"], _ = _timed_build(
+        ("ivf_v1",), lambda: registry._ensure_ivf_index(spark, SF_DIR)
+    )
+    timings["trgm_index_build"], _ = _timed_build(
+        ("trgm_v2_b16",),
+        lambda: registry._ensure_trigram_index(spark, SF_DIR),
+    )
+    timings["trgm_incremental_build"], _ = _timed_build(
+        ("trgm_inc_v1_b8",),
+        lambda: registry._ensure_trgm_inc_index(spark, SF_DIR),
+    )
+    timings["trgm_streaming_build"], _ = _timed_build(
+        ("trgm_stream_v1_b8",),
+        lambda: registry._ensure_trgm_stream_index(spark, SF_DIR),
+    )
+    _shutil.rmtree(
+        registry.index_cache_path("ivfpq_lbl_m8k16", SF_DIR),
+        ignore_errors=True,
+    )  # cleared here; built+timed below in ivfpq_label_index_build_and_eval
     # bucketed layout is build-once/join-many like the indexes: time the
     # build separately so the registry entry reflects steady-state serving
     from vectolite_spark.operators.layout import ensure_bucketed_table

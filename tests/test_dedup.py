@@ -835,6 +835,102 @@ def test_semdedup_prune_closed_form(spark):
     )
 
 
+def test_semdedup_incremental_closed_form(spark):
+    """Incremental SemDeDup judges ONLY the delta: base dups suppress
+    delta members regardless of id order, lower-id delta members
+    suppress higher-id ones, base members are never re-judged, and a
+    capped cluster keeps everything with capped=1."""
+    from vectolite_spark.operators.dedup import semdedup_incremental
+
+    base = spark.createDataFrame(
+        [
+            (10, 0, [1.0, 0.0, 0.0]),   # cluster 0 keeper
+            (11, 0, [0.0, 1.0, 0.0]),
+            (20, 1, [1.0, 0.0, 0.0]),   # cluster 1 keeper
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [
+            (5, 0, [1.0, 0.0, 0.0]),    # dup of base 10, LOWER id: pruned
+            (30, 0, [0.0, 0.0, 1.0]),   # orthogonal: kept
+            (31, 0, [0.0, 0.0, 1.0]),   # dup of delta 30 (higher id): pruned
+            (40, 1, [0.0, 1.0, 0.0]),   # cluster 1, no match: kept
+            (50, 2, [1.0, 0.0, 0.0]),   # cluster 2 has no base: kept
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {
+        r["cluster"]: r
+        for r in semdedup_incremental(base, delta, tau=0.9).collect()
+    }
+    c0 = out[0]
+    assert (c0["n_members"], c0["n_delta"], c0["n_pruned"]) == (5, 3, 2)
+    assert c0["kept_id_sum"] == 30 and c0["capped"] == 0
+    c1 = out[1]
+    assert (c1["n_delta"], c1["n_pruned"], c1["kept_id_sum"]) == (1, 0, 40)
+    c2 = out[2]
+    assert (c2["n_members"], c2["n_pruned"], c2["kept_id_sum"]) == (1, 0, 50)
+    # capped: total cluster size (base + delta) over the cap keeps all
+    capped = {
+        r["cluster"]: r
+        for r in semdedup_incremental(
+            base, delta, tau=0.9, max_block_size=4
+        ).collect()
+    }[0]
+    assert capped["capped"] == 1 and capped["n_pruned"] == 0
+    assert capped["kept_id_sum"] == 5 + 30 + 31
+
+
+def test_semdedup_incremental_matches_batch_on_append(spark):
+    """When every delta id exceeds every base id (the normal append),
+    the incremental keep decision over the delta is bit-identical to
+    re-running batch semdedup_prune on base ∪ delta."""
+    import random
+
+    from vectolite_spark.operators.dedup import (
+        semdedup_incremental,
+        semdedup_prune,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, i % 3, v))
+        if rng.random() < 0.3:  # plant near-dups across the id range
+            rows.append((i + 1000, i % 3, [x * 1.001 for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    base = df.filter("vec_id < 40")
+    delta = df.filter("vec_id >= 40")
+    inc = {
+        r["cluster"]: (r["n_pruned"], r["kept_id_sum"])
+        for r in semdedup_incremental(base, delta, tau=0.98).collect()
+    }
+    # batch keep set over the union, via the same pair rule semdedup_prune
+    # uses (pruned iff some lower-id cluster-mate scores >= tau)
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.dedup import embedding_cosine_pairs
+
+    pruned_ids = {
+        r["id_b"]
+        for r in embedding_cosine_pairs(df, min_score=0.98).collect()
+    }
+    for cluster, (n_pruned, kept_sum) in inc.items():
+        delta_ids = [
+            r["vec_id"]
+            for r in delta.filter(F.col("label") == cluster).collect()
+        ]
+        exp_pruned = sum(1 for i in delta_ids if i in pruned_ids)
+        exp_kept = sum(i for i in delta_ids if i not in pruned_ids)
+        assert (n_pruned, kept_sum) == (exp_pruned, exp_kept)
+    # sanity: both paths agree the batch audit exists over all clusters
+    assert semdedup_prune(df, tau=0.98).count() == 3
+
+
 def test_semdedup_prune_surfaces_capped_clusters(spark):
     """A cluster larger than max_block_size is SKIPPED by the pairwise
     pass — the audit must say so (capped=1, everything reported kept)

@@ -73,6 +73,54 @@ def make_block_cosine_pairs_fn(min_score, decimals=6):
     return pairs
 
 
+def make_incremental_semdedup_fn(tau, decimals=6):
+    """applyInPandas per cluster for INCREMENTAL SemDeDup: each group
+    holds one cluster's already-curated base members (``is_delta=0``)
+    and its newly-arrived delta members (``is_delta=1``); emits one
+    verdict row per DELTA member. A delta member is pruned iff some
+    cluster-mate RANKED BEFORE it — any base member, or a lower-id
+    delta member — has rounded cosine >= tau. Base members are never
+    re-judged (they survived their own ingest cycle), so the work is a
+    (D x B) matmul per affected cluster, O(delta) per cycle, not the
+    batch pass's (B x B). When every delta id exceeds every base id
+    (the normal append), the grown keep set is bit-identical to
+    re-running batch ``semdedup_prune`` over the union."""
+
+    def verdicts(pdf):
+        dmask = pdf["is_delta"].to_numpy() == 1
+        if not dmask.any():
+            return pd.DataFrame(
+                {"block": [], "vec_id": [], "pruned": []}
+            ).astype(
+                {"block": "int64", "vec_id": "int64", "pruned": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(
+            np.float64, copy=False
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        dids = ids[dmask]
+        sims = mat[dmask] @ mat.T
+        denom = np.outer(norms[dmask], norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, 0.0, sims / denom)
+        sims = round_half_up(sims, decimals)
+        # ranked-before: base rows always precede; delta rows precede
+        # only when lower-id; never self
+        before = (~dmask[None, :]) | (ids[None, :] < dids[:, None])
+        before &= ids[None, :] != dids[:, None]
+        pruned = ((sims >= tau) & before).any(axis=1).astype("int64")
+        return pd.DataFrame(
+            {
+                "block": pdf["block"].to_numpy()[dmask],
+                "vec_id": dids,
+                "pruned": pruned,
+            }
+        )
+
+    return verdicts
+
+
 def make_lang_udf(markers):
     """Language-ID argmax in one Arrow pass: tokenize once, intersect all
     marker sets in Python (the expression form re-tokenizes per language —

@@ -510,6 +510,107 @@ def semdedup_prune(
     )
 
 
+def semdedup_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    tau: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Incremental SemDeDup over a changed-data feed (VERDICT r7 item 5):
+    judge ONLY the delta. ``base`` is the already-curated keep set,
+    ``delta`` the newly-committed vectors (e.g.
+    ``SnapshotStore.read_changes``); a delta member is pruned iff some
+    cluster-mate ranked before it (any base member, or a lower-id delta
+    member) has rounded cosine >= tau. Base members are never re-judged
+    — their cycle already ran — so per ingest the cost is O(|delta|)
+    cluster assignments + a (D x B) matmul per AFFECTED cluster, while
+    re-running batch ``semdedup_prune`` over base ∪ delta would pay the
+    full (B x B) pass on 100 TB of already-curated corpus every cycle.
+    When delta ids exceed base ids (the normal append) the grown keep
+    set is bit-identical to the batch result over the union.
+
+    Plan: delta's distinct clusters broadcast-semi-join the base (only
+    affected clusters' members move), ONE shuffle co-locates each
+    affected cluster, one (D x B) matmul per cluster emits delta
+    verdicts. Clusters whose total size exceeds ``max_block_size`` are
+    skipped and surfaced with ``capped=1`` / everything kept (same
+    audit honesty as ``semdedup_prune``). Returns per-cluster audit:
+    (cluster, n_members, n_delta, n_pruned, n_kept, kept_id_sum,
+    capped); kept_id_sum checksums the surviving DELTA ids."""
+    from vectolite_spark._pandas_udfs import make_incremental_semdedup_fn
+
+    d = delta.select(
+        F.col(block_col).cast("long").alias("block"),
+        F.col(id_col).alias("vec_id"),
+        "embedding",
+        F.lit(1).alias("is_delta"),
+    )
+    affected = d.select("block").distinct()
+    b = base.select(
+        F.col(block_col).cast("long").alias("block"),
+        F.col(id_col).alias("vec_id"),
+        "embedding",
+        F.lit(0).alias("is_delta"),
+    ).join(F.broadcast(affected), "block", "left_semi")
+    work = b.unionByName(d)
+    # block cap via COUNT OVER: same zero-extra-shuffle device as
+    # embedding_cosine_pairs — the window's hash partitioning on block
+    # already satisfies applyInPandas's grouping distribution
+    from pyspark.sql import Window
+
+    sized = work.withColumn(
+        "_bc", F.count(F.lit(1)).over(Window.partitionBy("block"))
+    )
+    small = sized.filter(F.col("_bc") <= max_block_size).drop("_bc")
+    fn = make_incremental_semdedup_fn(tau)
+    verdicts = small.groupBy("block").applyInPandas(
+        fn, schema="block long, vec_id long, pruned long"
+    )
+    sizes = work.groupBy("block").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        d.join(verdicts.select("vec_id", "pruned"), "vec_id", "left")
+        .groupBy(F.col("block").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_delta"),
+            F.sum(F.coalesce(F.col("pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(
+                F.when(F.coalesce(F.col("pruned"), F.lit(0)) == 0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("pruned"), F.lit(0)) == 0,
+                    F.col("vec_id"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .join(sizes.withColumnRenamed("block", "cluster"), "cluster")
+        .withColumn(
+            "capped",
+            (F.col("n_members") > F.lit(int(max_block_size))).cast("long"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "n_delta",
+            "n_pruned",
+            "n_kept",
+            "kept_id_sum",
+            "capped",
+        )
+    )
+
+
 def embedding_srp_pairs(
     embeddings: DataFrame,
     n_tables: int = 4,

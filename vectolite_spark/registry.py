@@ -8964,6 +8964,210 @@ def cdf_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdf_incremental_semdedup",
+    f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+d AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+sz AS (
+  SELECT label, COUNT(*) AS n FROM e
+  WHERE label IN (SELECT DISTINCT label FROM d)
+  GROUP BY label
+),
+pruned AS (
+  SELECT DISTINCT dd.vec_id
+  FROM d dd JOIN e a ON a.label = dd.label
+            JOIN sz ON sz.label = dd.label
+  WHERE sz.n <= 1000
+    AND a.vec_id != dd.vec_id
+    AND (a.vec_id % 5 != 0 OR a.vec_id < dd.vec_id)
+    AND {{cos}} >= 0.3
+)
+SELECT CAST(dd.label AS BIGINT) AS cluster,
+       CAST(MAX(sz.n) AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_delta,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN p.vec_id IS NULL THEN dd.vec_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum,
+       CAST(CASE WHEN MAX(sz.n) > 1000 THEN 1 ELSE 0 END AS BIGINT) AS capped
+FROM d dd JOIN sz ON sz.label = dd.label
+     LEFT JOIN pruned p ON dd.vec_id = p.vec_id
+GROUP BY dd.label
+""".replace("{cos}", _SQL_COS.format(a="a.v", b="dd.v")),
+)
+def cdf_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 maintenance loop extended to SEMANTIC dedup (VERDICT r7
+    item 5): embeddings land as snapshot v0, a delta commit lands as
+    v1, ``read_changes(v0, v1)`` feeds ONLY the delta into
+    ``dedup.semdedup_incremental`` against the v0 keep set — per ingest
+    cycle the expensive pairwise pass touches (D x B) within affected
+    clusters instead of re-running the full (B x B) SemDeDup over
+    100 TB of already-curated corpus. Delta members are pruned against
+    base members and lower-id delta mates; base is never re-judged.
+    The audit row per cluster checksums the surviving delta ids, and
+    the oracle replays the exact rank-before rule (base always precedes
+    delta; delta precedes by id), including the hot-cluster cap."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.dedup import semdedup_incremental
+    from vectolite_spark.snapshots import SnapshotStore
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    base_dir = tempfile.mkdtemp(prefix="vl_cdf_semdedup_")
+    try:
+        s = SnapshotStore(spark, f"{base_dir}/table")
+        v0 = s.append(embs.filter(F.col("vec_id") % 5 != 0))
+        v1 = s.append(embs.filter(F.col("vec_id") % 5 == 0))
+        out = semdedup_incremental(
+            s.read(v0), s.read_changes(v0, v1), tau=0.3
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "cluster long, n_members long, n_delta long, n_pruned long, "
+        "n_kept long, kept_id_sum long, capped long",
+    )
+
+
+@register(
+    "cdf_synced_ivf_topk",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+top AS (
+  SELECT e.vec_id,
+         {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")}
+           AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT 1
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST((SELECT SUM(vec_id) FROM embeddings) AS BIGINT) AS id_checksum,
+       CAST(top.vec_id AS BIGINT) AS top_id,
+       top.score AS top_score
+FROM top
+""",
+)
+def cdf_synced_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-after-two-delta-commits gate for CDF-driven IVF upkeep
+    (VERDICT r7 item 6): the index builds over snapshot v0, two append
+    commits land, ``sync_ivf_index`` consumes BOTH through one
+    ``read_changes`` watermark window (delta bytes only — at 100 TB the
+    upkeep cost is the commits', never the corpus's), and the query
+    then probes the maintained layout. Full-probe (n_probe = all cells)
+    makes the serve exact, so the oracle is plain brute-force top-1 over
+    the whole table PLUS a count/id-checksum over the synced cells — a
+    lost or double-appended delta row hash-mismatches the checksum even
+    when it never cracks the top ranks. Rewrite-window refusal and
+    watermark lifecycle are pytest-gated in test_index_sync."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
+    from vectolite_spark.operators.index_sync import (
+        set_index_watermark,
+        sync_ivf_index,
+    )
+    from vectolite_spark.snapshots import SnapshotStore
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    qvec = _query_vector(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="vl_cdf_ivf_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(embs.filter((F.col("vec_id") % 5).isin(1, 2, 3)))
+        idx = f"{base}/ivf"
+        build_ivf_index(s.read(v0), idx, cluster_col="label")
+        set_index_watermark(spark, idx, v0)
+        s.append(embs.filter(F.col("vec_id") % 5 == 4))
+        s.append(embs.filter(F.col("vec_id") % 5 == 0))
+        sync_ivf_index(s, idx)
+        h = load_ivf_index(spark, idx)
+        top = h.topk(qvec, k=1, n_probe=len(h.centroids)).collect()[0]
+        audit = h.cells().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(audit["n"], audit["c"], top["vec_id"], float(top["score"]))],
+        "n_vectors long, id_checksum long, top_id long, top_score double",
+    )
+
+
+@register(
+    "cdf_synced_trigram_search",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE contains(lower(text), 'window agg')
+ORDER BY doc_id
+""",
+)
+def cdf_synced_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-after-two-delta-commits gate for CDF-driven trigram upkeep
+    (VERDICT r7 item 6, mirroring ``trigram_incremental_search``'s
+    full-scan oracle): build on snapshot v0, land two append commits,
+    ``sync_trigram_index`` folds both through one watermark window
+    (delta postings into existing bucket dirs + stats merge), then
+    serve from the maintained index over the CURRENT table. The oracle
+    scans the WHOLE corpus, so a delta row the sync lost — or a base
+    row it double-counted — hash-mismatches. Replay protection (the
+    id-overlap guard behind a rolled-back watermark) is pytest-gated
+    in test_index_sync."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.index_sync import (
+        set_index_watermark,
+        sync_trigram_index,
+    )
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        build_trigram_index,
+    )
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    base = tempfile.mkdtemp(prefix="vl_cdf_trgm_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)))
+        idx = f"{base}/trgm"
+        build_trigram_index(s.read(v0), idx, id_col="doc_id", n_buckets=8)
+        set_index_watermark(spark, idx, v0)
+        s.append(docs.filter(F.col("doc_id") % 5 == 4))
+        s.append(docs.filter(F.col("doc_id") % 5 == 0))
+        sync_trigram_index(s, idx)
+        rows = (
+            TrigramIndex(spark, idx)
+            .search(s.read(), "window agg")
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+@register(
     "aqp_sampled_revenue",
     """
 WITH tagged AS (
