@@ -210,7 +210,9 @@ def main() -> None:
             .limit(512)
             .collect()
         ]
-        fstore.insert_many(ftexts)
+        fstore.insert_many(
+            ftexts, [{"tenant": f"t{i % 3}"} for i in range(len(ftexts))]
+        )
         fstore.enable_batched_serving(top_k=10, max_batch=128, max_wait_ms=8)
         fq = ftexts[:12]
         # 64 concurrent clients: the dispatch-cycle job floor on this box
@@ -233,6 +235,32 @@ def main() -> None:
         for t in threads:
             t.join()
         timings["serving_facade_qps"] = round(
+            f_threads * f_per / (time.time() - t0), 1
+        )
+
+        # filtered-facade QPS (VERDICT r7 item 7): tenant-filtered
+        # queries ride the same batcher via recall-safe over-fetch —
+        # a 1/3-selectivity filter over top_k*4 fetched rows answers
+        # batched; before r8 this workload paid one job per query
+        def _serve_filtered(tid: int) -> None:
+            for i in range(f_per):
+                fstore.query(
+                    fq[(tid + i) % len(fq)],
+                    top_k=5,
+                    metadata_filter={"tenant": f"t{tid % 3}"},
+                )
+
+        _serve_filtered(0)  # warm
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=_serve_filtered, args=(t,))
+            for t in range(f_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        timings["serving_facade_filtered_qps"] = round(
             f_threads * f_per / (time.time() - t0), 1
         )
         fstore.disable_batched_serving()

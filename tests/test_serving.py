@@ -113,7 +113,7 @@ def test_microbatcher_dispatch_failure_resets_latch(spark):
 
     boom = RuntimeError("injected batch failure")
 
-    def broken(_qvecs):
+    def broken(*_a):
         raise boom
 
     orig = mb._run_batch
@@ -187,9 +187,9 @@ def test_store_batched_serving_facade_matches_exact_path(spark, tmp_path):
     cycles: list[int] = []
     orig = batcher._run_batch
 
-    def counting(qvecs):
+    def counting(qvecs, ks=None):
         cycles.append(len(qvecs))
-        return orig(qvecs)
+        return orig(qvecs, ks)
 
     batcher._run_batch = counting
 
@@ -214,6 +214,71 @@ def test_store_batched_serving_facade_matches_exact_path(spark, tmp_path):
         assert res == want[texts[i % 5]]
     # over-ceiling top_k falls through to the per-job path (still correct)
     assert store.query(texts[0], top_k=8) == store.query(texts[0], top_k=8)
+    store.disable_batched_serving()
+
+
+def test_store_batched_serving_filtered_queries(spark, tmp_path):
+    """VERDICT r7 item 7: metadata-filtered queries ride the shared
+    batcher via recall-safe over-fetch — concurrent filtered callers
+    coalesce into fewer dispatch cycles, every answer equals the exact
+    filtered job's, and provably-incomplete prefixes (too-selective
+    filters) fall back to the exact path instead of under-returning."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "fdb"), embed_fn=stub_embedder(dim=8)
+    )
+    texts = [f"filter doc number {i}" for i in range(40)]
+    store.insert_many(
+        texts, [{"tenant": f"t{i % 3}", "n": i} for i in range(40)]
+    )
+    probes = texts[:6]
+    want = {
+        (t, ten): store.query(t, top_k=3, metadata_filter={"tenant": ten})
+        for t in probes
+        for ten in ("t0", "t1")
+    }
+    want_n5 = store.query(probes[0], top_k=2, metadata_filter={"n": 5})
+    assert want_n5, "fixture: the n=5 doc must exist"
+
+    store.enable_batched_serving(top_k=5, max_wait_ms=40, filter_overfetch=4)
+    batcher = store._ensure_serving_batcher()
+    cycles: list[int] = []
+    orig = batcher._run_batch
+
+    def counting(qvecs, ks=None):
+        cycles.append(len(qvecs))
+        return orig(qvecs, ks)
+
+    batcher._run_batch = counting
+
+    got: dict[int, list] = {}
+    errs: list[Exception] = []
+
+    def client(i: int) -> None:
+        t, ten = probes[i % 6], ("t0" if i % 2 else "t1")
+        try:
+            got[i] = store.query(t, top_k=3, metadata_filter={"tenant": ten})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sum(cycles) == 12, "every filtered query entered the facade"
+    assert len(cycles) < 12, "concurrent filtered callers coalesced"
+    for i, res in got.items():
+        assert res == want[(probes[i % 6], "t0" if i % 2 else "t1")]
+    # too-selective filters: single-match (falls back, stays exact) and
+    # zero-match (returns empty, never invents rows)
+    assert (
+        store.query(probes[0], top_k=2, metadata_filter={"n": 5}) == want_n5
+    )
+    assert store.query(probes[0], top_k=3, metadata_filter={"tenant": "zz"}) == []
     store.disable_batched_serving()
 
 

@@ -176,9 +176,9 @@ def test_concurrent_ui_searches_coalesce_through_batcher(ui):
     cycles: list[int] = []
     orig = batcher._run_batch
 
-    def counting(qvecs):
+    def counting(qvecs, ks=None):
         cycles.append(len(qvecs))
-        return orig(qvecs)
+        return orig(qvecs, ks)
 
     batcher._run_batch = counting
     q = urllib.parse.quote("alpha document about vectors")

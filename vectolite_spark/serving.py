@@ -62,7 +62,15 @@ class MicroBatcher:
         self._dispatching = False
         self._closed = False
 
-    def query(self, qvec: Sequence[float]) -> list[tuple[int, float]]:
+    def query(
+        self, qvec: Sequence[float], k: int | None = None
+    ) -> list[tuple[int, float]]:
+        """``k`` (optional, <= the batcher's k): per-query fetch depth.
+        A mixed cycle runs ONE job at the cycle's max depth and slices
+        each caller's rows to its own k — so an over-fetching caller
+        (the store's filtered facade) doesn't inflate every other
+        caller's payload collect."""
+        kq = self._k if k is None else min(int(k), self._k)
         done = threading.Event()
         slot: dict = {}
         with self._lock:
@@ -71,7 +79,7 @@ class MicroBatcher:
             # this waiter on an event nobody will ever set
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._pending.append(([float(x) for x in qvec], done, slot))
+            self._pending.append(([float(x) for x in qvec], kq, done, slot))
             # exactly one waiter becomes the dispatcher for each cycle;
             # everyone else parks on their event
             if not self._dispatching:
@@ -117,8 +125,10 @@ class MicroBatcher:
                     self._dispatching = False
             if not batch:  # close() drained the queue under us
                 return
-            results = self._run_batch([b[0] for b in batch])
-            for i, (_, done, slot) in enumerate(batch):
+            results = self._run_batch(
+                [b[0] for b in batch], [b[1] for b in batch]
+            )
+            for i, (_, _, done, slot) in enumerate(batch):
                 slot["res"] = results[i]
                 done.set()
         except BaseException as e:
@@ -134,27 +144,42 @@ class MicroBatcher:
                 stranded = batch + self._pending
                 self._pending = []
                 self._dispatching = False
-            for _, done, slot in stranded:
+            for _, _, done, slot in stranded:
                 slot["err"] = err
                 done.set()
 
-    def _run_batch(self, qvecs: list[list[float]]) -> list[list[tuple]]:
+    def _run_batch(
+        self, qvecs: list[list[float]], ks: list[int] | None = None
+    ) -> list[list[tuple]]:
         from vectolite_spark.operators.topk import topk_batch_vecs
 
-        rows = (
-            topk_batch_vecs(
-                self._embs,
-                list(range(len(qvecs))),
-                qvecs,
-                self._k,
-                id_col=self._id_col,
-                payload_cols=self._payload_cols,
-            )
-            .select("query_id", "vec_id", "score", "rn", *self._payload_cols)
-            .collect()
+        ks = ks if ks is not None else [self._k] * len(qvecs)
+        ranked = topk_batch_vecs(
+            self._embs,
+            list(range(len(qvecs))),
+            qvecs,
+            max(ks),
+            id_col=self._id_col,
+            payload_cols=self._payload_cols,
         )
+        if len(set(ks)) > 1:
+            # mixed depths: slice INSIDE the job so a deep over-fetcher
+            # doesn't inflate every caller's payload collect
+            from pyspark.sql import functions as F
+
+            kmap = F.create_map(
+                *[F.lit(v) for qid, kq in enumerate(ks) for v in (qid, kq)]
+            )
+            ranked = ranked.filter(
+                F.col("rn") <= F.element_at(kmap, F.col("query_id"))
+            )
+        rows = ranked.select(
+            "query_id", "vec_id", "score", "rn", *self._payload_cols
+        ).collect()
         out: list[list[tuple]] = [[] for _ in qvecs]
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rn"])):
+            if r["rn"] > ks[r["query_id"]]:
+                continue  # deeper than this caller asked for
             rec = (r["vec_id"], float(r["score"]))
             if self._payload_cols:
                 rec += tuple(r[c] for c in self._payload_cols)
@@ -172,6 +197,6 @@ class MicroBatcher:
             # _dispatching is left to any live dispatcher to reset; it
             # will extract an empty batch and return.
         err = RuntimeError("MicroBatcher is closed")
-        for _, done, slot in pending:
+        for _, _, done, slot in pending:
             slot["err"] = err
             done.set()

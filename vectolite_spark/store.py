@@ -301,6 +301,7 @@ class SparkVectolite:
         max_batch: int = 64,
         max_wait_ms: float = 8.0,
         cache: bool = True,
+        filter_overfetch: int = 4,
     ) -> None:
         """Route eligible ``query()`` calls through a shared
         ``serving.MicroBatcher``: concurrent callers (the threaded UI,
@@ -310,10 +311,21 @@ class SparkVectolite:
         admission loop regardless of data size; the batched facade
         measured >100 q/s end-to-end (bench: serving_facade_qps).
 
-        Eligible = plain cosine search with ``top_k <=`` this mode's
-        ``top_k`` (results are a prefix of the batcher's ranking, so a
-        smaller top_k slices exactly). ``metadata_filter`` / ``ann`` /
-        ``diversify`` calls fall through to their dedicated paths.
+        Eligible = cosine search with ``top_k <=`` this mode's ``top_k``
+        (results are a prefix of the batcher's ranking, so a smaller
+        top_k slices exactly), with or without ``metadata_filter``.
+        Filtered queries ride the SAME batcher via recall-safe
+        over-fetch (VERDICT r7 item 7): the batcher fetches
+        ``top_k * filter_overfetch`` global rows per query and the
+        facade post-filters driver-side; a query whose filtered hits
+        within that prefix reach ``top_k`` (or whose prefix already
+        covers the whole corpus) is PROVABLY complete — every global
+        row outside the prefix scores below the returned ones — and is
+        answered batched. Only queries too selective for the prefix
+        fall back to the exact filtered job, so selective-tenant
+        workloads pay the job floor per miss, not per query.
+        ``ann`` / ``diversify`` calls fall through to their dedicated
+        paths.
 
         Lazy + mutation-safe: the batcher (and its cached working set,
         when ``cache=True``) is built on first eligible query and torn
@@ -322,6 +334,8 @@ class SparkVectolite:
         snapshot."""
         if top_k <= 0:
             raise VectoliteError("top_k must be positive")
+        if filter_overfetch < 1:
+            raise VectoliteError("filter_overfetch must be >= 1")
         self._invalidate_serving()
         with self._serving_lock:  # cfg writes pair with _ensure's read
             self._serving_cfg = {
@@ -329,6 +343,7 @@ class SparkVectolite:
                 "max_batch": int(max_batch),
                 "max_wait_ms": float(max_wait_ms),
                 "cache": bool(cache),
+                "overfetch": int(filter_overfetch),
             }
 
     def disable_batched_serving(self) -> None:
@@ -379,14 +394,41 @@ class SparkVectolite:
                 base = base.coalesce(1).cache()
                 base.count()
             self._serving_base = base if cfg["cache"] else None
+            # k covers the filtered-path over-fetch: plain queries slice
+            # the prefix, filtered queries post-filter it (the heap is
+            # k*overfetch instead of k — noise next to the job floor)
             self._serving = MicroBatcher(
                 base,
-                k=cfg["top_k"],
+                k=cfg["top_k"] * cfg.get("overfetch", 1),
                 max_batch=cfg["max_batch"],
                 max_wait_ms=cfg["max_wait_ms"],
                 payload_cols=("text", "metadata"),
             )
             return self._serving
+
+    @staticmethod
+    def _match_filter(meta_json: str | None, fcmp: dict) -> bool:
+        """Driver-side twin of the exact path's
+        ``get_json_object(metadata, $.key) == cmp`` predicates, applied
+        to the batcher's over-fetched prefix: a present value compares
+        by its JSON text form (unquoted strings, 'true'/'false', JSON
+        number formatting — the same normalization fcmp was built
+        with); a missing key or JSON null never matches, exactly like
+        get_json_object's NULL."""
+        try:
+            d = json.loads(meta_json or "{}")
+        except ValueError:
+            return False
+        if not isinstance(d, dict):
+            return False
+        for key, cmp in fcmp.items():
+            v = d.get(key)
+            if v is None:
+                return False
+            s = v if isinstance(v, str) else json.dumps(v)
+            if s != cmp:
+                return False
+        return True
 
     def _has_text_index(self) -> bool:
         return self._fs.exists(f"{self._text_index_path()}/stats/_SUCCESS")
@@ -561,23 +603,46 @@ class SparkVectolite:
                 )
             if not 0.0 <= diversify <= 1.0:
                 raise VectoliteError("diversify (MMR lambda) must be in [0, 1]")
+        fcmp = None
+        if metadata_filter:
+            # validate ONCE, before any path: get_json_object returns the
+            # raw JSON text of the value (unquoted strings, 'true'/
+            # 'false', JSON number formatting) — compare against the JSON
+            # serialization, NOT Python str(). None is indistinguishable
+            # from a missing key; reject it and non-scalars loudly.
+            fcmp = {}
+            for key, value in metadata_filter.items():
+                if value is None or not isinstance(value, (str, int, float)):
+                    raise VectoliteError(
+                        "metadata_filter values must be str/int/float/bool, "
+                        f"got {type(value).__name__} for key {key!r}"
+                    )
+                fcmp[key] = value if isinstance(value, str) else json.dumps(value)
         if (
             self._serving_cfg is not None
-            and not metadata_filter
             and not ann
             and diversify is None
             and top_k <= self._serving_cfg["top_k"]
         ):
             # batched-serving facade: coalesce with concurrent callers
             # into one Spark job; same ordering contract, so top_k is a
-            # prefix slice of the batcher's k results
+            # prefix slice of the batcher's ranking. Filtered queries
+            # post-filter the over-fetched prefix and answer batched
+            # only when PROVABLY complete (see enable_batched_serving).
             rows = None
+            k_fetch = 0
             for _ in range(3):
                 batcher = self._ensure_serving_batcher()
                 if batcher is None:
                     break  # disabled concurrently -> exact path below
+                k_fetch = batcher._k
                 try:
-                    rows = batcher.query(qvec)
+                    # plain queries fetch only their slice; filtered ones
+                    # fetch the full over-provisioned depth for the
+                    # completeness proof below
+                    rows = batcher.query(
+                        qvec, k=top_k if fcmp is None else k_fetch
+                    )
                     break
                 except RuntimeError as e:
                     if "closed" not in str(e):
@@ -591,15 +656,31 @@ class SparkVectolite:
                     "invalidation); retry or disable_batched_serving()"
                 )
             if rows is not None:
-                return [
-                    {
-                        "id": vid,
-                        "score": float(score),
-                        "text": text,
-                        "metadata": json.loads(meta or "{}"),
-                    }
-                    for vid, score, text, meta in rows[:top_k]
-                ]
+                n_global = len(rows)
+                if fcmp is not None:
+                    rows = [
+                        r for r in rows if self._match_filter(r[3], fcmp)
+                    ]
+                # completeness proof: every global row outside the
+                # fetched prefix scores below every row inside it, so a
+                # filtered prefix holding top_k hits IS the filtered
+                # top-k; a prefix shorter than k_fetch ranked the whole
+                # corpus, so whatever survived the filter is all there is
+                if (
+                    fcmp is None
+                    or len(rows) >= top_k
+                    or n_global < k_fetch
+                ):
+                    return [
+                        {
+                            "id": vid,
+                            "score": float(score),
+                            "text": text,
+                            "metadata": json.loads(meta or "{}"),
+                        }
+                        for vid, score, text, meta in rows[:top_k]
+                    ]
+                # too selective for the prefix: exact filtered job below
         if ann:
             if metadata_filter:
                 raise VectoliteError(
@@ -628,21 +709,8 @@ class SparkVectolite:
                 for r in out
             ]
         base = self.df()
-        if metadata_filter:
-            for key, value in metadata_filter.items():
-                # get_json_object returns the raw JSON text of the value:
-                # unquoted for strings, 'true'/'false' for booleans, JSON
-                # number formatting for numerics — so compare against the
-                # JSON serialization, NOT Python str() ('True' vs 'true',
-                # '1.0' vs '1' would silently match nothing). None can't be
-                # distinguished from a missing key here; reject it and
-                # non-scalars loudly instead of returning empty results.
-                if value is None or not isinstance(value, (str, int, float)):
-                    raise VectoliteError(
-                        "metadata_filter values must be str/int/float/bool, "
-                        f"got {type(value).__name__} for key {key!r}"
-                    )
-                cmp = value if isinstance(value, str) else json.dumps(value)
+        if fcmp:
+            for key, cmp in fcmp.items():
                 base = base.filter(
                     F.get_json_object("metadata", f"$.{key}") == cmp
                 )
