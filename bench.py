@@ -330,11 +330,12 @@ def main() -> None:
     ).astype(_np.uint8)
     _jb = encode_jpeg(_img, quality_q=2)
 
-    def _rate(decode) -> float:
-        decode(_jb)  # warm
+    def _rate(decode, sample=None) -> float:
+        payload = _jb if sample is None else sample
+        decode(payload)  # warm
         t0, n = time.time(), 0
         while time.time() - t0 < 2.0:
-            decode(_jb)
+            decode(payload)
             n += 1
         return round(n / (time.time() - t0), 2)
 
@@ -345,6 +346,34 @@ def main() -> None:
     timings["multimodal_pillow_fallback_present"] = 1.0 if _fb else 0.0
     if _fb is not None:
         timings["multimodal_decode_fallback_rows_per_sec"] = _rate(_fb)
+    # audio seam (VERDICT r7 item 9): honest presence flag + rate when a
+    # codec library is wired, mirroring the image keys; own-code WAV
+    # decode is always measured
+    from vectolite_spark.multimodal import _resolve_audio_fallback
+
+    import io as _io
+    import wave as _wave
+
+    _buf = _io.BytesIO()
+    with _wave.open(_buf, "wb") as _w:
+        _w.setnchannels(1)
+        _w.setsampwidth(2)
+        _w.setframerate(8000)
+        _w.writeframes(
+            (_np.sin(_np.arange(4000) * 0.1) * 12000)
+            .astype(_np.int16)
+            .tobytes()
+        )
+    _wb = _buf.getvalue()
+    timings["multimodal_audio_wav_rows_per_sec"] = _rate(
+        lambda b: decode_real("audio", b), sample=_wb
+    )
+    _afb = _resolve_audio_fallback()
+    timings["multimodal_audio_fallback_present"] = 1.0 if _afb else 0.0
+    if _afb is not None:
+        timings["multimodal_audio_fallback_rows_per_sec"] = _rate(
+            _afb, sample=_wb
+        )
 
     # -- measured reference baseline (VERDICT r1 item 8) -------------------
     # run the ACTUAL reference engine (sqlite-backed, CLI deps stubbed the

@@ -254,6 +254,47 @@ def test_png_codec_roundtrip_property():
     roundtrip()
 
 
+def test_audio_fallback_seam():
+    """The soundfile/torchaudio fast-path seam, mirroring the image one
+    (VERDICT r7 item 9): unknown audio formats route through the
+    installed fallback decoder; without one (this container has
+    neither library) they raise the documented NotImplementedError;
+    stdlib formats (PCM WAV, MP3 headers) never consult the fallback."""
+    import pytest
+
+    from vectolite_spark import multimodal as mm
+
+    flac_ish = b"fLaC\x00\x00\x00\x22" + bytes(64)
+    assert mm._resolve_audio_fallback() is None  # no codec libs here
+    with pytest.raises(NotImplementedError, match="set_audio_fallback"):
+        mm.decode_real("audio", flac_ish)
+    try:
+        mm.set_audio_fallback(
+            lambda data: {
+                "sample_rate": 16000,
+                "n_channels": 2,
+                "n_frames": 8000,
+                "duration_s": 0.5,
+                "rms": 0.1,
+            }
+        )
+        out = mm.decode_real("audio", flac_ish)
+        assert out["duration_s"] == 0.5
+        assert out["n_bytes"] == len(flac_ish)
+    finally:
+        mm.set_audio_fallback("auto")
+    # stdlib WAV never consults the fallback
+    try:
+        mm.set_audio_fallback(
+            lambda data: (_ for _ in ()).throw(AssertionError)
+        )
+        _, wav = _tone_wav()
+        out = mm.decode_real("audio", wav)
+        assert out["duration_s"] == pytest.approx(0.25)
+    finally:
+        mm.set_audio_fallback("auto")
+
+
 def test_image_fallback_seam():
     """The Pillow fast-path seam: unknown image formats route through the
     installed fallback decoder; without one (this container has no

@@ -73,6 +73,81 @@ def _resolve_image_fallback():
     return _IMAGE_FALLBACK
 
 
+# Pluggable audio fast-path seam, mirroring the image one (VERDICT r7
+# item 9): production clusters wire soundfile/torchaudio here and the
+# Spark-side plumbing (schema, mapInPandas batching, feature extraction)
+# is unchanged. "auto" tries soundfile, then torchaudio, when
+# importable; a callable takes raw bytes and returns a dict with at
+# least duration_s (sample_rate/n_channels/n_frames/rms welcome); None
+# disables the fallback (pure-stdlib behavior: WAV + MP3 headers only).
+_AUDIO_FALLBACK = "auto"
+
+
+def set_audio_fallback(fb) -> None:
+    """Install a fallback decoder for audio formats the pure-stdlib path
+    cannot parse (anything beyond PCM-WAV / MP3 header metadata).
+    ``fb`` is a callable ``bytes -> {"duration_s": float, ...}``, or
+    "auto" (default: soundfile, then torchaudio, when importable), or
+    None (disable).
+
+    Workers import this module fresh, so a driver-side call does NOT
+    propagate into ``mapInPandas`` tasks — "auto" is the distributed
+    seam (each worker picks up its runtime's codec library); a custom
+    callable is for driver-side decoding and tests."""
+    global _AUDIO_FALLBACK
+    _AUDIO_FALLBACK = fb
+
+
+def _resolve_audio_fallback():
+    if _AUDIO_FALLBACK == "auto":
+        import io
+
+        try:
+            import soundfile as sf
+        except ImportError:
+            sf = None
+        if sf is not None:
+
+            def _soundfile(data: bytes) -> dict:
+                import numpy as np
+
+                arr, rate = sf.read(io.BytesIO(data), dtype="float64")
+                n_frames = int(arr.shape[0])
+                n_ch = int(arr.shape[1]) if arr.ndim > 1 else 1
+                rms = float(np.sqrt((arr * arr).mean())) if n_frames else None
+                return {
+                    "sample_rate": int(rate),
+                    "n_channels": n_ch,
+                    "n_frames": n_frames,
+                    "duration_s": round(n_frames / rate, 6) if rate else 0.0,
+                    "rms": rms,
+                }
+
+            return _soundfile
+        try:
+            import torchaudio
+        except ImportError:
+            return None
+
+        def _torchaudio(data: bytes) -> dict:
+            import numpy as np
+
+            wav, rate = torchaudio.load(io.BytesIO(data))
+            arr = wav.numpy().astype(np.float64)
+            n_ch, n_frames = int(arr.shape[0]), int(arr.shape[1])
+            rms = float(np.sqrt((arr * arr).mean())) if n_frames else None
+            return {
+                "sample_rate": int(rate),
+                "n_channels": n_ch,
+                "n_frames": n_frames,
+                "duration_s": round(n_frames / rate, 6) if rate else 0.0,
+                "rms": rms,
+            }
+
+        return _torchaudio
+    return _AUDIO_FALLBACK
+
+
 def decode_real(kind: str, data: bytes) -> dict:
     """REAL decoder for the formats this container can actually parse:
     PNG images (zlib inflate + scanline unfiltering, below), baseline
@@ -116,12 +191,20 @@ def decode_real(kind: str, data: bytes) -> dict:
         if data[:4] == b"RIFF":
             base["duration_s"] = decode_wav(data)["duration_s"]
         elif is_mp3(data):
+            # own-code header scan gives the true duration; a wired
+            # fallback (soundfile/torchaudio) would add PCM samples but
+            # the feature row needs only the container facts
             base["duration_s"] = decode_mp3_meta(data)["duration_s"]
         else:
-            raise NotImplementedError(
-                "real audio decoding beyond PCM-WAV/MP3 requires "
-                "soundfile/torchaudio; use decode_fake"
-            )
+            fb = _resolve_audio_fallback()
+            if fb is None:
+                raise NotImplementedError(
+                    "real audio decoding beyond PCM-WAV/MP3 requires "
+                    "soundfile/torchaudio, neither present in this "
+                    "environment; wire one via set_audio_fallback or "
+                    "use decode_fake"
+                )
+            base["duration_s"] = fb(data)["duration_s"]
         return base
     if kind == "video":
         from vectolite_spark.avi import decode_avi_meta, is_avi

@@ -139,10 +139,19 @@ def bucketed_join(
 # the scan planner reads IT, not the data.
 
 
-def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
-    """Morton/Z value: each column min-max normalized to ``bits`` bits,
-    bits interleaved (c1 even positions, c2 odd). Pure integer column
-    expressions — deterministic, codegen'd, no UDF."""
+def zorder_value_multi(cols, los, his, bits: int = 16):
+    """k-column Morton/Z value (VERDICT r7 item 8 — real pruning keys
+    come in 3s: source, lang, date): each column min-max normalized to
+    ``min(bits, 63 // k)`` bits (the interleaved value must fit a
+    signed 64-bit long), bits round-robin interleaved (column j takes
+    positions ``k*i + j``). Pure integer column expressions —
+    deterministic, codegen'd, no UDF. More columns dilute each one's
+    resolution (k=3 -> 16 bits each, k=4 -> 15) — the standard Z-order
+    trade; beyond ~4 columns prefer partitioning on the extras."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder needs at least one column")
+    bits = min(int(bits), 63 // k)
     top = (1 << bits) - 1
 
     def norm(c, lo, hi):
@@ -154,21 +163,30 @@ def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
             / F.lit(float(hi - lo))
         ).cast("long")
 
-    n1, n2 = norm(c1, min1, max1), norm(c2, min2, max2)
+    norms = [norm(c, lo, hi) for c, lo, hi in zip(cols, los, his)]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        b1 = F.shiftright(n1, i).bitwiseAND(F.lit(1))
-        b2 = F.shiftright(n2, i).bitwiseAND(F.lit(1))
-        z = z + b1 * F.lit(1 << (2 * i)) + b2 * F.lit(1 << (2 * i + 1))
+        for j, n in enumerate(norms):
+            b = F.shiftright(n, i).bitwiseAND(F.lit(1))
+            z = z + b * F.lit(1 << (k * i + j))
     return z
 
 
-def zorder_frame(
-    df: DataFrame, col1: str, col2: str, n_files: int = 32, bits: int = 16
+def zorder_value(c1, c2, min1, max1, min2, max2, bits: int = 16):
+    """Two-column Morton value (the historical pair form): delegates to
+    ``zorder_value_multi`` — c1 on even bit positions, c2 on odd."""
+    return zorder_value_multi(
+        [c1, c2], [min1, min2], [max1, max2], bits=bits
+    )
+
+
+def zorder_frame_multi(
+    df: DataFrame, cols: list[str], n_files: int = 32, bits: int = 16
 ) -> DataFrame:
-    """The Z-ordered ARRANGEMENT of ``df`` (no write): Morton value,
-    range-partition into ``n_files`` z-contiguous partitions (each one a
-    small (col1, col2) rectangle), sort within partitions so Parquet
+    """The Z-ordered ARRANGEMENT of ``df`` over k columns (no write):
+    one stats job for the per-column (min, max), Morton value,
+    range-partition into ``n_files`` z-contiguous partitions (each one
+    a small k-dimensional box), sort within partitions so Parquet
     row-group stats are tight too. Callers that own their write path
     (the snapshot store's compaction commit) write this frame; plain
     layouts use ``write_zordered``. Numeric or timestamp columns
@@ -181,15 +199,18 @@ def zorder_frame(
             return F.unix_timestamp(c)
         return c.cast("long")
 
-    stats = df.select(
-        F.min(as_num(col1)).alias("lo1"),
-        F.max(as_num(col1)).alias("hi1"),
-        F.min(as_num(col2)).alias("lo2"),
-        F.max(as_num(col2)).alias("hi2"),
-    ).first()
-    z = zorder_value(
-        as_num(col1), as_num(col2),
-        stats["lo1"], stats["hi1"], stats["lo2"], stats["hi2"], bits=bits,
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs += [
+            F.min(as_num(c)).alias(f"lo{j}"),
+            F.max(as_num(c)).alias(f"hi{j}"),
+        ]
+    stats = df.select(*aggs).first()
+    z = zorder_value_multi(
+        [as_num(c) for c in cols],
+        [stats[f"lo{j}"] for j in range(len(cols))],
+        [stats[f"hi{j}"] for j in range(len(cols))],
+        bits=bits,
     )
     return (
         df.withColumn("_z", z)
@@ -197,6 +218,14 @@ def zorder_frame(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def zorder_frame(
+    df: DataFrame, col1: str, col2: str, n_files: int = 32, bits: int = 16
+) -> DataFrame:
+    """Two-column form of ``zorder_frame_multi`` (the historical pair
+    signature)."""
+    return zorder_frame_multi(df, [col1, col2], n_files=n_files, bits=bits)
 
 
 def write_zordered(
