@@ -427,7 +427,7 @@ def main() -> None:
         # without doubling bench wall time a third time
     )
     timings["bm25_index_build"], _ = _timed_build(
-        ("bm25_v1_b32",), lambda: registry._ensure_bm25_index(spark, SF_DIR)
+        ("bm25_v2_b32",), lambda: registry._ensure_bm25_index(spark, SF_DIR)
     )
     timings["ivf_index_build"], _ = _timed_build(
         ("ivf_v1",), lambda: registry._ensure_ivf_index(spark, SF_DIR)

@@ -73,6 +73,48 @@ def test_sync_refuses_unbound_index_and_rewrite_windows(
     assert index_watermark(spark, idx) == v0
 
 
+def test_sync_bm25_matches_rebuild(store, spark, tmp_path):
+    """CDF-synced BM25: two delta commits fold through one watermark
+    window and the served scores equal a from-scratch rebuild over the
+    current table."""
+    from vectolite_spark.operators.retrieval import (
+        BM25Index,
+        build_bm25_index,
+    )
+    from vectolite_spark.operators.index_sync import sync_bm25_index
+
+    docs = [
+        (i, f"term{i % 4} shared word filler{i}") for i in range(1, 13)
+    ]
+
+    def _df(lo, hi):
+        return spark.createDataFrame(
+            [d for d in docs if lo <= d[0] < hi], "doc_id long, text string"
+        )
+
+    idx = str(tmp_path / "bm25")
+    v0 = store.append(_df(1, 7))
+    build_bm25_index(store.read(v0), idx, n_buckets=4)
+    set_index_watermark(spark, idx, v0)
+    store.append(_df(7, 10))
+    v2 = store.append(_df(10, 13))
+    assert sync_bm25_index(store, idx) == {
+        "v_from": v0, "v_to": v2, "n_rows": 6,
+    }
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(store.read(), full, n_buckets=4)
+    terms = ["shared", "term1", "term2"]
+    got = sorted(
+        (r["doc_id"], r["score"])
+        for r in BM25Index(spark, idx).scores(terms).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["score"])
+        for r in BM25Index(spark, full).scores(terms).collect()
+    )
+    assert got == want and len(got) == 12
+
+
 def test_sync_trigram_serves_delta_and_guards_replay(store, spark, tmp_path):
     from vectolite_spark.operators.retrieval import (
         TrigramIndex,

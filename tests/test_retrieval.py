@@ -98,6 +98,48 @@ def test_rerank_stub_deterministic_and_gated(spark):
     )
 
 
+def test_bm25_append_matches_rebuild(spark, sf_dir, tmp_path):
+    """v2 incremental append: build on half the corpus, append the other
+    half, and every score must equal a from-scratch rebuild's
+    bit-for-bit (df merge + exact integer avgdl arithmetic); a replayed
+    delta hits the doclen overlap guard."""
+    import pytest
+
+    from vectolite_spark.operators.retrieval import (
+        BM25Index,
+        append_bm25_index,
+        build_bm25_index,
+    )
+    from vectolite_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "bm25_inc")
+    build_bm25_index(half_a, inc_path, n_buckets=8)
+    append_bm25_index(half_b, inc_path)
+    full_path = str(tmp_path / "bm25_full")
+    build_bm25_index(docs, full_path, n_buckets=8)
+
+    inc, full = BM25Index(spark, inc_path), BM25Index(spark, full_path)
+    assert (inc.n_docs, inc.total_dl, inc.avgdl) == (
+        full.n_docs,
+        full.total_dl,
+        full.avgdl,
+    )
+    terms = ["vector", "scan", "window", "merge"]
+    got = sorted(
+        (r["doc_id"], r["score"]) for r in inc.scores(terms).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["score"]) for r in full.scores(terms).collect()
+    )
+    assert got == want and got, "append must equal rebuild exactly"
+    with pytest.raises(ValueError, match="already indexed"):
+        append_bm25_index(half_b, inc_path)  # replayed delta
+
+
 def test_bm25_index_matches_scan_side(spark, sf_dir, tmp_path):
     """The persisted inverted index must reproduce the scan-side BM25
     scores exactly, and the probe must read only the query terms'

@@ -94,6 +94,29 @@ def sync_ivf_index(store, index_path: str, id_col: str = "vec_id") -> dict:
     )
 
 
+def sync_bm25_index(
+    store,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold every store commit since the watermark into the BM25 v2
+    index via ``append_bm25_index`` (delta postings into existing
+    bucket dirs, termstats merge, exact integer n_docs/total_dl
+    update — scores match a rebuild bit-for-bit). The doclen overlap
+    guard turns a replayed delta into a loud error. Returns
+    {v_from, v_to, n_rows}."""
+    from vectolite_spark.operators.retrieval import append_bm25_index
+
+    return _sync(
+        store,
+        index_path,
+        lambda delta: append_bm25_index(
+            delta, index_path, text_col=text_col, id_col=id_col
+        ),
+    )
+
+
 def sync_trigram_index(
     store,
     index_path: str,

@@ -198,19 +198,23 @@ def build_bm25_index(
     when term stats ride an existing scan, wrong amortization for a query
     workload. Here tokenization/tf/df/dl are paid ONCE; a query reads only
     the probed term-buckets (partition pruning), so serving cost scales
-    with posting-list size, not corpus size. df rides denormalized on the
-    posting rows so the probe needs no second lookup table."""
+    with posting-list size, not corpus size.
+
+    v2 layout (r8): ``df`` lives in its own vocabulary-sized
+    ``termstats`` table instead of riding denormalized on every posting
+    row — the change that makes EXACT incremental append possible (an
+    appended doc raises df for its terms; with df on posting rows every
+    old row of those terms would need a rewrite, with a separate table
+    the merge rewrites only the vocabulary-bounded small side — the
+    same economics as the trigram index's stats). ``doclen`` gives the
+    replay guard and the exact avgdl recompute; ``stats`` keeps integer
+    ``total_dl`` so avgdl is derived identically to the scan path's
+    DECIMAL-sum formula at any append depth. Probes broadcast-join the
+    query's handful of termstats rows — no second big-table lookup."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
     )
     dl = toks.select("doc_id", F.size("t").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("dl").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
-    ).withColumn("n_buckets", F.lit(n_buckets))
     tf = (
         toks.select("doc_id", F.explode("t").alias("term"))
         .filter(F.col("term") != "")
@@ -218,16 +222,115 @@ def build_bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
     (
-        tf.join(df_tbl, "term")
-        .join(dl, "doc_id")
+        tf.join(dl, "doc_id")
         .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
-        .select("bucket", "term", "doc_id", "tf", "dl", "df")
+        .select("bucket", "term", "doc_id", "tf", "dl")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
+    dl.write.mode("overwrite").parquet(f"{index_path}/doclen")
+    df_tbl.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/termstats"
+    )
+    # stats LAST: its _SUCCESS is the build-complete marker
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+    ).withColumn("n_buckets", F.lit(n_buckets)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/stats")
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental BM25 maintenance (r8): fold NEW documents into an
+    existing v2 index without rebuilding — delta postings append into
+    the existing bucket dirs, ``doclen`` appends the new doc lengths,
+    the vocabulary-sized ``termstats`` table merges old+delta df counts
+    and rewrites whole (it is the small side by construction — the
+    exact reason v2 moved df OFF the posting rows), and ``stats``
+    updates n_docs/total_dl by exact integer arithmetic, so avgdl —
+    and therefore every score — equals a from-scratch rebuild's
+    bit-for-bit.
+
+    Caller contract mirrors ``append_trigram_index``: ``new_docs`` must
+    be genuinely new ids, ENFORCED by an anti-join of the delta's ids
+    against ``doclen`` (a replayed delta raises instead of
+    double-counting df/total_dl). The narrower crash window — postings
+    written, died before doclen — is owned by the streaming sink's
+    batch marker, same as the trigram path."""
+    spark = new_docs.sparkSession
+    srow = spark.read.parquet(f"{index_path}/stats").first()
+    n_buckets = int(srow["n_buckets"])
+    overlap = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(
+            spark.read.parquet(f"{index_path}/doclen").select("doc_id"),
+            "doc_id",
+        )
+        .limit(5)
+        .collect()
+    )
+    if overlap:
+        ids = sorted(r["doc_id"] for r in overlap)
+        raise ValueError(
+            f"append_bm25_index: ids already indexed (e.g. {ids}) — "
+            "re-appending would double-count df/total_dl; dedupe the "
+            "delta or rebuild the index"
+        )
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
+    ).cache()
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    delta_tot = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    ).first()
+    (
+        tf.join(dl, "doc_id")
+        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+        .select("bucket", "term", "doc_id", "tf", "dl")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    dl.write.mode("append").parquet(f"{index_path}/doclen")
+    # overwrite-while-reading hazard: materialize the merged termstats on
+    # the driver first (vocabulary-bounded), then write fresh
+    merged = (
+        spark.read.parquet(f"{index_path}/termstats")
+        .unionByName(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    toks.unpersist()
+    spark.createDataFrame(merged, "term string, df bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/termstats")
+    spark.createDataFrame(
+        [
+            (
+                int(srow["n_docs"]) + int(delta_tot["n"]),
+                int(srow["total_dl"]) + int(delta_tot["s"]),
+                n_buckets,
+            )
+        ],
+        "n_docs bigint, total_dl bigint, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
 
 
 class BM25Index:
@@ -242,17 +345,34 @@ class BM25Index:
         self.path = index_path
         row = spark.read.parquet(f"{index_path}/stats").first()
         self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        # avgdl derived from the integer total exactly as the scan path's
+        # DECIMAL-sum formula does (dl sums are exact in a long, and
+        # long -> double -> divide is the same IEEE sequence) — so
+        # index == scan holds bit-for-bit at ANY append depth
+        self.total_dl = int(row["total_dl"])
+        self.avgdl = (
+            float(self.total_dl) / self.n_docs if self.n_docs else 0.0
+        )
         self.n_buckets = int(row["n_buckets"])
 
-    def scores(self, terms: Sequence[str]) -> DataFrame:
-        terms = list(terms)
+    def _probe(self, terms: Sequence[str]) -> DataFrame:
+        """Partition-pruned posting rows for ``terms``, with df joined
+        from the vocabulary-sized termstats table (broadcast: the probe
+        needs only the query's handful of term rows)."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         p = (
             self.spark.read.parquet(f"{self.path}/postings")
             .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
+            .filter(F.col("term").isin(list(terms)))
         )
+        ts = self.spark.read.parquet(f"{self.path}/termstats").filter(
+            F.col("term").isin(list(terms))
+        )
+        return p.join(F.broadcast(ts), "term")
+
+    def scores(self, terms: Sequence[str]) -> DataFrame:
+        terms = list(terms)
+        p = self._probe(terms)
         idf = F.log(
             (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
         )
@@ -291,12 +411,7 @@ class BM25Index:
             for t in dict.fromkeys(terms)
         ]
         all_terms = sorted({t for _, t in qt})
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
-        p = (
-            self.spark.read.parquet(f"{self.path}/postings")
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(all_terms))
-        )
+        p = self._probe(all_terms)
         qt_df = self.spark.createDataFrame(qt, "query_id long, term string")
         idf = F.log(
             (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1

@@ -89,8 +89,10 @@ def _ensure_bm25_index(spark, sf_dir: str) -> str:
 
     from vectolite_spark.operators.retrieval import build_bm25_index
 
-    path = index_cache_path("bm25_v1_b32", sf_dir)
-    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+    # v2 layout (r8: df in termstats, doclen, integer stats); stats is
+    # written LAST so its _SUCCESS is the build-complete marker
+    path = index_cache_path("bm25_v2_b32", sf_dir)
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         build_bm25_index(
             load_table(spark, sf_dir, "documents"), path, n_buckets=32
         )
@@ -9165,6 +9167,55 @@ def cdf_synced_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+@register(
+    "cdf_synced_bm25_topk",
+    "WITH "
+    + _SQL_BM25
+    + """
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def cdf_synced_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-after-two-delta-commits gate for CDF-driven BM25 upkeep —
+    the third index family on the watermark loop (r8; IVF and trigram
+    landed with it). Build over snapshot v0, land two append commits,
+    ``sync_bm25_index`` folds both through one window (delta postings
+    append + vocabulary-sized termstats merge + exact integer
+    n_docs/total_dl update — the v2 layout whose separated df column
+    makes the append EXACT). The oracle is the scan-side BM25 over the
+    WHOLE corpus: stale df, a lost delta doc, or drifted avgdl all
+    hash-mismatch. Replay protection is pytest-gated in
+    test_index_sync / test_retrieval."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.index_sync import (
+        set_index_watermark,
+        sync_bm25_index,
+    )
+    from vectolite_spark.operators.retrieval import (
+        BM25Index,
+        build_bm25_index,
+    )
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="vl_cdf_bm25_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)))
+        idx = f"{base}/bm25"
+        build_bm25_index(s.read(v0), idx, n_buckets=8)
+        set_index_watermark(spark, idx, v0)
+        s.append(docs.filter(F.col("doc_id") % 5 == 4))
+        s.append(docs.filter(F.col("doc_id") % 5 == 0))
+        sync_bm25_index(s, idx)
+        rows = BM25Index(spark, idx).topk(_BM25_TERMS, k=10).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 @register(
