@@ -546,6 +546,60 @@ def test_read_changes_carries_evolved_schema(store, spark):
     assert delta.first()["extra"] == 5
 
 
+def test_shallow_clone_zero_copy_divergence(store, spark, tmp_path):
+    """Shallow clone references the source's dirs (zero bytes copied),
+    then the two logs diverge independently: clone COW-delete leaves
+    the source intact, source appends never appear in the clone, and
+    clone vacuum never touches the shared source dirs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.snapshots import SnapshotStore
+
+    empty = SnapshotStore(spark, str(tmp_path / "empty"))
+    with pytest.raises(VectoliteError, match="empty"):
+        empty.shallow_clone(str(tmp_path / "nope"))
+
+    store.append(_df(spark, [1, 2, 3, 4]))
+    clone = store.shallow_clone(str(tmp_path / "clone"))
+    assert _ids(clone.read()) == [1, 2, 3, 4]
+    # zero-copy: the clone's own data dir holds nothing
+    assert clone._fs.list_names(clone._data_dir) == []
+    with pytest.raises(VectoliteError, match="already has commits"):
+        store.shallow_clone(str(tmp_path / "clone"))
+
+    # divergence: clone delete is COW into the clone's dir; source intact
+    clone.delete_where(F.col("id") == 2)
+    assert _ids(clone.read()) == [1, 3, 4]
+    assert _ids(store.read()) == [1, 2, 3, 4]
+    # source append never appears in the clone
+    store.append(_df(spark, [9]))
+    assert _ids(store.read()) == [1, 2, 3, 4, 9]
+    assert _ids(clone.read()) == [1, 3, 4]
+    # clone vacuum drops its own history but never the shared source dirs
+    clone.vacuum(keep_versions=1)
+    assert _ids(clone.read()) == [1, 3, 4]
+    assert _ids(store.read()) == [1, 2, 3, 4, 9]
+
+
+def test_shallow_clone_carries_zonemaps(store, spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 50).alias("user_id"),
+        (F.col("id") * 7 % 500).alias("ts"),
+    )
+    store.append(df)
+    v = store.compact(target_files=8, zorder_by=["user_id", "ts"])
+    zm = store._read_manifest(v)["zonemaps"]
+    clone = store.shallow_clone(str(store.path) + "_zclone")
+    assert clone._read_manifest(0).get("zonemaps") == zm
+    pruned, nr, nt = clone.read_pruned({"user_id": (3, 5)})
+    assert nr < nt  # the shared stats keep pruning on the clone
+    assert pruned.count() == df.filter(F.col("user_id").between(3, 5)).count()
+
+
 def test_erasure_audit_detects_history_and_strays(store, spark):
     """erasure_audit must fail a plain delete (old versions still hold
     the rows), pass after vacuum, and flag unreferenced stray dirs."""

@@ -9219,6 +9219,67 @@ def cdf_synced_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_shallow_clone",
+    """
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_src,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_clone_v0,
+       CAST((SELECT SUM(doc_id) FROM documents) AS BIGINT)
+         AS clone_v0_checksum,
+       CAST((SELECT COUNT(*) FROM documents)
+            + (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+            AS BIGINT) AS n_clone_after_append,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_src_after,
+       CAST(0 AS BIGINT) AS n_files_copied
+""",
+)
+def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table clone (Delta CLONE shape, r8): the clone's v0
+    manifest references the source's data dirs — cloning a 100 TB
+    table is one JSON write (``n_files_copied`` pins the zero), and
+    the clone's read equals the source bit-for-bit (row count + id
+    checksum, oracle-derived). Commits then diverge: an append lands
+    only in the clone (``n_clone_after_append``) while the source is
+    untouched (``n_src_after``). Vacuum safety, COW-delete divergence,
+    and zone-map carry are pytest-gated in test_snapshots."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = tempfile.mkdtemp(prefix="vl_snap_clone_")
+    try:
+        src = SnapshotStore(spark, f"{base}/src")
+        src.append(docs)
+        n_src = src.read().count()
+        clone = src.shallow_clone(f"{base}/clone")
+        n_files_copied = len(clone._fs.list_names(clone._data_dir))
+        v0 = clone.read(0).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("c"),
+        ).collect()[0]
+        clone.append(docs.filter(F.col("doc_id") % 7 == 0))
+        n_clone_after = clone.read().count()
+        n_src_after = src.read().count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_src,
+                v0["n"],
+                v0["c"],
+                n_clone_after,
+                n_src_after,
+                n_files_copied,
+            )
+        ],
+        "n_src long, n_clone_v0 long, clone_v0_checksum long, "
+        "n_clone_after_append long, n_src_after long, n_files_copied long",
+    )
+
+
+@register(
     "aqp_sampled_revenue",
     """
 WITH tagged AS (

@@ -603,6 +603,46 @@ class SnapshotStore:
 
     # -- retention -----------------------------------------------------------
 
+    def shallow_clone(self, dst_path: str) -> "SnapshotStore":
+        """Zero-copy shallow clone (Delta CLONE shape, r8): the clone's
+        v0 manifest REFERENCES the source's current data dirs by
+        absolute path — no bytes move, so cloning a 100 TB table is one
+        tiny JSON write. From then on the two logs diverge
+        independently: clone commits (append / COW delete / compact)
+        write into the clone's OWN data dir and the source never sees
+        them, while source commits never appear in the clone (every
+        version pins its dirs). Zone maps carry — they describe the
+        shared bytes. ``vacuum`` stays safe on the CLONE side by
+        construction (it deletes only inside its own data dir, and the
+        referenced source dirs live elsewhere).
+
+        Caveats (Delta's too, stated loudly): VACUUM or history
+        retention on the SOURCE can delete dirs a clone still
+        references — cross-table reference counting is a catalog's job,
+        not a file layout's; retain source history while shallow clones
+        live, or deep-copy via ``clone.compact()``. GDPR erasure on the
+        source does NOT erase clones (their manifests keep referencing
+        the pre-delete dirs) — run the erasure per clone;
+        ``erasure_audit`` on the clone surfaces the violation."""
+        src_v = self.current_version()
+        if src_v < 0:
+            raise VectoliteError(
+                "cannot shallow-clone an empty store (no commits yet)"
+            )
+        m = self._read_manifest(src_v)
+        dst = SnapshotStore(self.spark, dst_path)
+        if dst.current_version() >= 0:
+            raise VectoliteError(
+                f"clone destination {dst_path} already has commits"
+            )
+        extra: dict = {"cloned_from": self.path, "src_version": src_v}
+        if m.get("schema"):
+            extra["schema"] = m["schema"]
+        if m.get("zonemaps"):
+            extra["zonemaps"] = m["zonemaps"]
+        dst._commit(list(m["dirs"]), "clone", extra=extra, version=0)
+        return dst
+
     def vacuum(self, keep_versions: int = 2) -> dict:
         """Drop manifests older than the newest ``keep_versions`` and delete
         data dirs no retained version references (including dirs stranded
