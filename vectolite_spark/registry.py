@@ -10986,75 +10986,73 @@ def dsir_gumbel_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # -- r7 window ---------------------------------------------------------
+    # -- r8 window ---------------------------------------------------------
     # core parity anchor (re-verified every round)
     "flagship_topk",
-    # NEW in r7 — first driver rows
-    "snapshot_schema_evolution",      # manifest-schema evolution round trip
-    "snapshot_zorder_pruned_scan",    # OPTIMIZE-ZORDER-shaped compaction
-    "ann_mllib_lsh_recall",           # seeded-recall contract row
-    "semdedup_prune",                 # SemDeDup cluster-scoped pruning
-    "snapshot_changed_data_feed",     # Delta-CDF incremental read
-    "gdpr_erasure_audit",             # erasure proof across history
-    # code touched in r7 — prior green rows are stale
-    "batch_topk",                 # collect guard + payload-through-mapper
-    "ann_batch_lsh_indexed",      # srp batch collect guard
-    "ann_lsh_indexed_topk",       # _srp_meta/_srp_resolve rework
-    "ann_pq_topk",                # memoized codebook + query vector
-    "snapshot_time_travel",       # snapshots.py schema/zonemap rework
-    "snapshot_version_diff",
-    "snapshot_pruned_delete",
-    "zonemap_pruned_scan",        # layout.zorder_frame refactor
-    "dsir_importance_sample",     # degenerate-input guard
-    "dsir_gumbel_sample",
-    "ann_ivfpq_probe_prebuilt",   # joinless probe->refine->rescore (r7)
-    "ann_ivfpq_exact_rescore",
-    "ann_ivfpq_partial_probe",
-    # refresh the oldest union evidence (r2-green, 5 rounds old) — the
-    # VERDICT r6 item 1 list: the fifteen r2 refreshes displaced in r6
-    # plus the rest of the r2 cohort, oldest-first
-    "q3_shipping_priority",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "dataset_split_counts",
-    "pivot_priority_by_year",
-    "rolling_avg_order_value",
-    "join_revenue_by_nation",
-    "window_top_orders",
-    "sessionize_events",
-    "events_window_agg",
-    "customers_without_orders",
-    "grouped_doc_stats",
-    "rollup_revenue",
-    "price_histogram",
-    "top_customers_by_revenue",
-    "parts_per_flag",
-    "sql_shipyear_revenue",
-    "moment_stats",
-    "cube_order_counts",
-    "embedding_norm_stats",
-    "quantile_stats",
-    "range_join_value_bands",
-    "corpus_curation",
-    "merge_upsert_preview",
-    # late-r7 additions take the last slots (never driver-verified)
-    "streaming_session_windows",
-    "cdf_incremental_dedup",
-    "retrieval_ndcg_eval",
-    "centroid_classify_confusion",
+    # NEW in r8 — first driver rows
+    "cdf_incremental_semdedup",   # incremental SemDeDup over the CDF
+    "cdf_synced_ivf_topk",        # watermark-synced IVF serve
+    "cdf_synced_trigram_search",  # watermark-synced trigram serve
+    "cdf_synced_bm25_topk",       # watermark-synced BM25 v2 serve
+    "snapshot_shallow_clone",     # zero-copy clone divergence
+    # code touched in r8 — prior green rows are stale
+    "semdedup_prune",             # capped-cluster audit column
+    "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
+    "ann_mllib_lsh_recall",       # recall_floor cast-align
+    "trigram_batch_substring_search",  # query_id cast-align
+    "bm25_indexed_topk",          # BM25 v2 layout (termstats join)
+    "bm25_batch_indexed_topk",
+    "hybrid_indexed_topk",
+    "hybrid_batch_indexed_topk",
+    "zonemap_pruned_scan",        # zorder_value_multi refactor
+    "snapshot_zorder_pruned_scan",
+    "ann_lsh_indexed_topk",       # _srp_resolve meta self-heal
+    "ann_batch_lsh_indexed",
+    # refresh the oldest union evidence (VERDICT r7 item 1): the last
+    # r2-green entries + the r3 cohort, oldest-first; the 11 r3 names
+    # left over (see ROTATE note below) fill r9's slots
+    "frequent_tokens",
+    "q19_disjunctive_revenue",
+    "q4_priority_exists",
+    "sample_per_source",
+    "tfidf_top_terms",
+    "topk_filtered",
+    "point_lookup",
+    "pagination",
+    "projection_truncate",
+    "delete_as_filter",
+    "count_documents",
+    "json_access",
+    "chunk_documents",
+    "profile_documents",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_r1",
+    "dedup_embedding_cosine",
+    "dedup_embedding_srp",
+    "dedup_clusters_bigstar",
+    "ann_batch_lsh",
+    "ann_ivf_built_topk",
+    "ann_quantized_topk",
+    "dup_graph_degree",
+    "dup_span_coverage",
+    "fuzzy_doc_pairs",
+    "bigram_lm_nll",
+    "boilerplate_ngram_score",
+    "mixture_weights",
 ]
 
-# ROTATE IN FOR r8: after this round the oldest union evidence is the
-# r3-green cohort (topk_filtered, count_documents, point_lookup,
-# q4_priority_exists, q19_disjunctive_revenue, tfidf_top_terms,
-# sample_per_source, frequent_tokens (r2),
-# pagination, projection_truncate, delete_as_filter, chunk_documents,
-# profile_documents, dedup_exact, dedup_minhash*, json_access, the
-# dedup/dup_graph r3 block, ...) — fill non-(new/touched) slots from it
-# oldest-first, keep the flagship anchor, and put anything whose code
-# changes in r8 back in the window. Old rows stand via union semantics.
+# ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
+# r3-green tail — bpe_merge_candidates, curriculum_stages,
+# decontaminate_eval_overlap, pii_redaction, repetition_stats,
+# sequence_packing, streaming_windowed_counts, training_shards,
+# vocab_coverage, zipf_slope — then the r4 cohort (recompute from the
+# CORRECTNESS_r0*.json union, latest-green-round per entry). Fill
+# non-(new/touched) slots oldest-first, keep the flagship anchor, and
+# put anything whose code changes in r9 back in the window.
 
 # driver-green in r6 (see CORRECTNESS_r06.json) — the freshest evidence
 # in the registry, safe to re-verify last
