@@ -681,11 +681,12 @@ def test_embedding_drift_closed_form(spark):
 
 
 def test_srp_meta_absent_vs_unreadable(spark, sf_dir, tmp_path):
-    """ADVICE r6: _srp_resolve must distinguish a genuinely pre-meta
-    index (meta dir absent -> trust the CALLER's explicit params, not
-    hardcoded defaults) from an unreadable meta (corrupt/transient ->
-    the read error PROPAGATES instead of silently probing with wrong
-    planes)."""
+    """ADVICE r6 + r7: _srp_resolve must distinguish a genuinely
+    pre-meta index (meta dir absent -> trust the CALLER's explicit
+    params ONCE, then PERSIST them as the index meta so later
+    mismatches raise — the r7 self-heal) from an unreadable meta
+    (corrupt/transient -> the read error PROPAGATES instead of silently
+    probing with wrong planes)."""
     import os
 
     import pytest
@@ -699,12 +700,20 @@ def test_srp_meta_absent_vs_unreadable(spark, sf_dir, tmp_path):
     import shutil
 
     shutil.rmtree(os.path.join(path, "meta"))
-    # explicit caller params are trusted verbatim
+    # explicit caller params are trusted on the FIRST resolve — and
+    # persisted, so the assertion is checked from then on (ADVICE r7)
     assert _srp_resolve(spark, path, 4, 3) == (4, 3)
-    assert _srp_resolve(spark, path, 8, 5) == (8, 5)
-    # unset params fall back to the historical defaults
+    assert os.path.exists(os.path.join(path, "meta"))
+    assert _srp_resolve(spark, path, 4, 3) == (4, 3)  # matching: fine
+    with pytest.raises(ValueError, match="mismatch|built with"):
+        _srp_resolve(spark, path, 8, 5)  # no longer silently trusted
+    # a fresh pre-meta index with unset params falls back to the
+    # historical defaults (and persists them)
+    shutil.rmtree(os.path.join(path, "meta"))
     assert _srp_resolve(spark, path, None, None) == (16, 6)
+    assert _srp_resolve(spark, path, 16, 6) == (16, 6)
     # a PRESENT but unreadable meta raises, never guesses
+    shutil.rmtree(os.path.join(path, "meta"))
     os.makedirs(os.path.join(path, "meta"))
     with open(os.path.join(path, "meta", "part-corrupt.parquet"), "w") as f:
         f.write("this is not parquet")

@@ -73,6 +73,55 @@ def test_sync_refuses_unbound_index_and_rewrite_windows(
     assert index_watermark(spark, idx) == v0
 
 
+def test_sync_srp_and_ivfpq_consume_exactly_the_delta(
+    store, spark, tmp_path
+):
+    """The SRP and IVF-PQ families on the watermark loop: after a sync
+    spanning two commits, each index's cells hold exactly the current
+    table's ids — nothing lost, nothing doubled — and the IVF-PQ delta
+    rows carry frozen-codebook codes of the right shape."""
+    from vectolite_spark.operators.ann import (
+        build_ivfpq_index,
+        build_srp_index,
+    )
+    from vectolite_spark.operators.index_sync import (
+        sync_ivfpq_index,
+        sync_srp_index,
+    )
+
+    def _vecs8(ids):
+        return spark.createDataFrame(
+            [
+                (i, i % 2, [float(i % 7), 1.0, float(i % 3), 0.5] * 2)
+                for i in ids
+            ],
+            "vec_id long, label int, embedding array<float>",
+        )
+
+    v0 = store.append(_vecs8(range(0, 20)))
+    srp, ivfpq = str(tmp_path / "srp"), str(tmp_path / "ivfpq")
+    build_srp_index(store.read(v0), srp, n_tables=2, n_planes=3)
+    build_ivfpq_index(store.read(v0), ivfpq, cluster_col="label", m=4)
+    set_index_watermark(spark, srp, v0)
+    set_index_watermark(spark, ivfpq, v0)
+    store.append(_vecs8(range(20, 26)))
+    v2 = store.append(_vecs8(range(26, 30)))
+    assert sync_srp_index(store, srp) == {
+        "v_from": v0, "v_to": v2, "n_rows": 10,
+    }
+    assert sync_ivfpq_index(store, ivfpq, m=4) == {
+        "v_from": v0, "v_to": v2, "n_rows": 10,
+    }
+    # SRP: every id present in every table's bucketing (2 tables)
+    srp_rows = spark.read.parquet(f"{srp}/cells").collect()
+    assert len(srp_rows) == 30 * 2
+    assert sorted({r["vec_id"] for r in srp_rows}) == list(range(30))
+    # IVF-PQ: one row per vector, codes of m subspaces, no dups
+    pq_rows = spark.read.parquet(f"{ivfpq}/cells").collect()
+    assert sorted(r["vec_id"] for r in pq_rows) == list(range(30))
+    assert all(len(r["codes"]) == 4 for r in pq_rows)
+
+
 def test_sync_bm25_matches_rebuild(store, spark, tmp_path):
     """CDF-synced BM25: two delta commits fold through one watermark
     window and the served scores equal a from-scratch rebuild over the

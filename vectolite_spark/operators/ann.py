@@ -727,6 +727,40 @@ class IVFPQIndex:
         return topk_ids(survivors.select("vec_id", "embedding"), qvec, k)
 
 
+def ivfpq_index_append(
+    spark, index_path: str, embeddings: DataFrame,
+    m: int = 8, id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF-PQ maintenance (r8; the ``ivf_index_append`` twin
+    for the compressed layout): route NEW vectors to the EXISTING IVF
+    centroids and encode them with the FROZEN PQ codebook, then append
+    into the cell-partitioned layout — one narrow matmul + encode stage,
+    no rebuild, no touch of existing cells' files. Probes see the new
+    vectors immediately (routing and codes are pure functions of the
+    frozen index parameters). Neither centroids nor codebook move —
+    after heavy distribution drift, rebuild with ``build_ivfpq_index``
+    (quantization error of appended vectors grows with drift; the
+    exact-rescore refine step keeps returned SCORES true either way)."""
+    from vectolite_spark._pandas_udfs import make_pq_encode_mapper
+
+    idx = IVFPQIndex(spark, index_path, m=m)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), "embedding"
+    )
+    assigned = assign_cells(base, idx.centroids, id_col="vec_id")
+    codes = base.mapInPandas(
+        make_pq_encode_mapper(idx.codebook, m),
+        schema="vec_id long, codes array<int>",
+    )
+    (
+        assigned.join(codes, "vec_id")
+        .select("vec_id", "codes", "embedding", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/cells")
+    )
+
+
 def srp_query_blocks(
     qvec, n_tables: int = 16, n_planes: int = 6
 ) -> list[str]:

@@ -94,6 +94,42 @@ def sync_ivf_index(store, index_path: str, id_col: str = "vec_id") -> dict:
     )
 
 
+def sync_srp_index(store, index_path: str, id_col: str = "vec_id") -> dict:
+    """Fold every store commit since the watermark into the SRP-LSH
+    index: the delta buckets with the same deterministic planes
+    (resolved from the index meta) and appends under its block dirs —
+    block membership is a pure function of the vector, so append never
+    degrades routing. Returns {v_from, v_to, n_rows}."""
+    from vectolite_spark.operators.ann import srp_index_append
+
+    return _sync(
+        store,
+        index_path,
+        lambda delta: srp_index_append(
+            store.spark, index_path, delta, id_col=id_col
+        ),
+    )
+
+
+def sync_ivfpq_index(
+    store, index_path: str, m: int = 8, id_col: str = "vec_id"
+) -> dict:
+    """Fold every store commit since the watermark into the IVF-PQ
+    index: delta vectors route to the frozen centroids and encode with
+    the frozen codebook (``ivfpq_index_append``) — rebuild after heavy
+    drift, then fast-forward the watermark. Returns
+    {v_from, v_to, n_rows}."""
+    from vectolite_spark.operators.ann import ivfpq_index_append
+
+    return _sync(
+        store,
+        index_path,
+        lambda delta: ivfpq_index_append(
+            store.spark, index_path, delta, m=m, id_col=id_col
+        ),
+    )
+
+
 def sync_bm25_index(
     store,
     index_path: str,

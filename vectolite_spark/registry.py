@@ -9280,6 +9280,159 @@ def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdf_synced_srp_topk",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 16) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 4 AS t, p.g % 4 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT v.vec_id AS vec_id
+  FROM keys q JOIN keys v ON q.t = v.t AND q.bucket = v.bucket
+  WHERE q.vec_id = 0
+),
+scored AS (
+  SELECT c.vec_id, {_SQL_COS.format(a="eq.v", b="ev.v")} AS score
+  FROM cand c JOIN e eq ON eq.vec_id = 0 JOIN e ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT vec_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
+def cdf_synced_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-after-two-delta-commits gate for CDF-driven SRP-LSH upkeep
+    (r8; fourth index family on the watermark loop): build the bucket
+    layout over snapshot v0, land two append commits,
+    ``sync_srp_index`` buckets ONLY the delta with the planes resolved
+    from the index meta and appends under its block dirs. Block
+    membership is a pure function of the vector, so the synced index
+    serves EXACTLY what a from-scratch build over the current table
+    would — the oracle replays the same deterministic md5-Rademacher
+    planes (4 tables x 4 planes here: the per-call tmpdir build keeps
+    the dir fan-out at 4*16 instead of the shared cache's 16*64, and
+    the SQL's range/t/b arithmetic matches): a delta vector the sync
+    lost, double-bucketed, or routed with wrong planes
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.ann import build_srp_index, srp_index_topk
+    from vectolite_spark.operators.index_sync import (
+        set_index_watermark,
+        sync_srp_index,
+    )
+    from vectolite_spark.snapshots import SnapshotStore
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = _query_vector(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="vl_cdf_srp_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(embs.filter((F.col("vec_id") % 5).isin(1, 2, 3)))
+        idx = f"{base}/srp"
+        build_srp_index(s.read(v0), idx, n_tables=4, n_planes=4)
+        set_index_watermark(spark, idx, v0)
+        s.append(embs.filter(F.col("vec_id") % 5 == 4))
+        s.append(embs.filter(F.col("vec_id") % 5 == 0))
+        sync_srp_index(s, idx)
+        rows = srp_index_topk(spark, idx, qvec, k=10).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, score double, rn long")
+
+
+@register(
+    "cdf_synced_ivfpq_topk",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+top AS (
+  SELECT e.vec_id,
+         {_SQL_COS.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")}
+           AS score
+  FROM embeddings e, q
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT 1
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST((SELECT SUM(vec_id) FROM embeddings) AS BIGINT) AS id_checksum,
+       CAST(top.vec_id AS BIGINT) AS top_id,
+       top.score AS top_score
+FROM top
+""",
+)
+def cdf_synced_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-after-two-delta-commits gate for CDF-driven IVF-PQ upkeep
+    (r8; fifth index family on the watermark loop): build over snapshot
+    v0, land two appends, ``sync_ivfpq_index`` routes the delta to the
+    FROZEN centroids and encodes with the FROZEN codebook
+    (``ivfpq_index_append``) — per cycle the cost is one matmul+encode
+    over delta bytes. Full probe + full refine makes the serve exact
+    (the rescore step ranks every surfaced row at full precision), so
+    the oracle is brute-force top-1 over the whole table PLUS a
+    count/id-checksum over the synced cells — a lost or double-encoded
+    delta row hash-mismatches even when it never cracks the top."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+    from vectolite_spark.operators.index_sync import (
+        set_index_watermark,
+        sync_ivfpq_index,
+    )
+    from vectolite_spark.snapshots import SnapshotStore
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    qvec = _query_vector(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="vl_cdf_ivfpq_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(embs.filter((F.col("vec_id") % 5).isin(1, 2, 3)))
+        idx = f"{base}/ivfpq"
+        build_ivfpq_index(s.read(v0), idx, cluster_col="label")
+        set_index_watermark(spark, idx, v0)
+        s.append(embs.filter(F.col("vec_id") % 5 == 4))
+        s.append(embs.filter(F.col("vec_id") % 5 == 0))
+        sync_ivfpq_index(s, idx)
+        h = IVFPQIndex(spark, idx)
+        top = h.topk(
+            qvec, k=1, n_probe=len(h.centroids), refine=100_000
+        ).collect()[0]
+        audit = h.spark.read.parquet(f"{idx}/cells").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(audit["n"], audit["c"], top["vec_id"], float(top["score"]))],
+        "n_vectors long, id_checksum long, top_id long, top_score double",
+    )
+
+
+@register(
     "aqp_sampled_revenue",
     """
 WITH tagged AS (
