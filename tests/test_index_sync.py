@@ -164,6 +164,43 @@ def test_sync_bm25_matches_rebuild(store, spark, tmp_path):
     assert got == want and len(got) == 12
 
 
+def test_rebuild_and_fast_forward_recovers_from_rewrite(
+    store, spark, tmp_path
+):
+    """A rewrite commit inside the window makes sync refuse; the
+    documented recovery — rebuild over the current snapshot and
+    fast-forward the watermark — restores the loop: the next append
+    syncs as a plain delta again."""
+    from vectolite_spark.operators.ann import build_ivf_index, load_ivf_index
+    from vectolite_spark.operators.index_sync import (
+        rebuild_and_fast_forward,
+        sync_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    v0 = store.append(_vecs(spark, range(0, 8)))
+    build_ivf_index(store.read(v0), idx, cluster_col="label")
+    set_index_watermark(spark, idx, v0)
+    store.append(_vecs(spark, range(8, 10)))
+    store.compact(target_files=2)  # rewrite: moved rows, not inserts
+    with pytest.raises(VectoliteError, match="rewrite"):
+        sync_ivf_index(store, idx)
+    out = rebuild_and_fast_forward(
+        store, idx,
+        lambda df, p: build_ivf_index(df, p, cluster_col="label"),
+    )
+    assert out == {"version": store.current_version(), "n_rows": 10}
+    assert index_watermark(spark, idx) == store.current_version()
+    got = sorted(
+        r["vec_id"] for r in load_ivf_index(spark, idx).cells().collect()
+    )
+    assert got == list(range(10))  # rebuild covered the rewrite exactly
+    # the loop is live again: a later append folds in as a plain delta
+    v_next = store.append(_vecs(spark, range(10, 12)))
+    assert sync_ivf_index(store, idx)["n_rows"] == 2
+    assert index_watermark(spark, idx) == v_next
+
+
 def test_sync_trigram_serves_delta_and_guards_replay(store, spark, tmp_path):
     from vectolite_spark.operators.retrieval import (
         TrigramIndex,

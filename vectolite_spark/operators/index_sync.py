@@ -94,6 +94,29 @@ def sync_ivf_index(store, index_path: str, id_col: str = "vec_id") -> dict:
     )
 
 
+def rebuild_and_fast_forward(store, index_path: str, build_fn) -> dict:
+    """The recovery path the sync refusal points to: when a rewrite
+    commit (delete / compact / merge / rollback) lands inside the sync
+    window, ``sync_*`` raises — moved rows are not inserts, and folding
+    them in as deltas would double-index every moved row. This helper
+    rebuilds the index over the CURRENT snapshot and fast-forwards the
+    watermark in one call:
+
+        rebuild_and_fast_forward(
+            store, idx, lambda df, p: build_trigram_index(df, p))
+
+    ``build_fn(df, index_path)`` owns the build (each family's builder
+    has its own knobs). The rebuild reads one snapshot-pinned table
+    scan; at 100 TB that is the periodic-maintenance cost a rewrite
+    commit already implies — the watermark loop keeps every OTHER cycle
+    at delta cost. Returns {"version": v, "n_rows": n}."""
+    v = store.current_version()
+    df = store.read(v)
+    build_fn(df, index_path)
+    set_index_watermark(store.spark, index_path, v)
+    return {"version": v, "n_rows": int(df.count())}
+
+
 def sync_srp_index(store, index_path: str, id_col: str = "vec_id") -> dict:
     """Fold every store commit since the watermark into the SRP-LSH
     index: the delta buckets with the same deterministic planes

@@ -9433,6 +9433,83 @@ def cdf_synced_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_loop_capstone",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE contains(lower(text), 'window agg')
+ORDER BY doc_id
+""",
+)
+def maintenance_loop_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format maintenance loop composed END TO END (r8
+    capstone): three append commits land; a Z-ORDER COMPACTION rewrites
+    the table (small-files + clustering maintenance); the trigram
+    index — whose sync correctly REFUSES the rewrite window —
+    recovers via ``rebuild_and_fast_forward``; a further append commit
+    folds in through a plain ``sync_trigram_index``; and the query
+    serves from the maintained index over the current table. This is
+    the operational cycle a 100 TB corpus actually lives: appends at
+    delta cost, periodic rewrites at scan cost, index upkeep riding
+    the watermark either way. The oracle is the whole-corpus scan —
+    any leg dropping or doubling rows hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.operators.index_sync import (
+        rebuild_and_fast_forward,
+        set_index_watermark,
+        sync_trigram_index,
+    )
+    from vectolite_spark.operators.retrieval import (
+        TrigramIndex,
+        build_trigram_index,
+    )
+    from vectolite_spark.snapshots import SnapshotStore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="vl_maint_loop_")
+    try:
+        s = SnapshotStore(spark, f"{base}/table")
+        v0 = s.append(docs.filter(F.col("doc_id") % 4 == 1))
+        s.append(docs.filter(F.col("doc_id") % 4 == 2))
+        s.append(docs.filter(F.col("doc_id") % 4 == 3))
+        idx = f"{base}/trgm"
+        build_trigram_index(s.read(v0), idx, id_col="doc_id", n_buckets=8)
+        set_index_watermark(spark, idx, v0)
+        # periodic maintenance: small-files + clustering rewrite
+        s.compact(target_files=8, zorder_by=["n_chars", "doc_id"])
+        try:
+            sync_trigram_index(s, idx)
+            raise AssertionError(
+                "sync must refuse the rewrite window"
+            )  # pragma: no cover
+        except VectoliteError:
+            pass  # the refusal is the contract; recover below
+        rebuild_and_fast_forward(
+            s, idx,
+            lambda df, p: build_trigram_index(
+                df, p, id_col="doc_id", n_buckets=8
+            ),
+        )
+        s.append(docs.filter(F.col("doc_id") % 4 == 0))
+        sync_trigram_index(s, idx)
+        rows = (
+            TrigramIndex(spark, idx)
+            .search(s.read(), "window agg")
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+@register(
     "aqp_sampled_revenue",
     """
 WITH tagged AS (
