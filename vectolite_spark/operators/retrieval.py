@@ -354,21 +354,47 @@ class BM25Index:
             float(self.total_dl) / self.n_docs if self.n_docs else 0.0
         )
         self.n_buckets = int(row["n_buckets"])
+        self._df_cache: dict | None = None
+
+    def _dfs(self) -> dict:
+        """Per-term document frequencies, memoized driver-side for the
+        handle's lifetime — termstats is vocabulary-bounded (the same
+        small-side argument that lets appends merge-rewrite it whole),
+        so the first probe pays one tiny read and every later probe
+        resolves df as literals with ZERO extra scan or join stage.
+        Like n_docs/avgdl, the memo pins the index state at handle
+        creation: construct a fresh handle after an append."""
+        if self._df_cache is None:
+            self._df_cache = {
+                r["term"]: int(r["df"])
+                for r in self.spark.read.parquet(
+                    f"{self.path}/termstats"
+                ).collect()
+            }
+        return self._df_cache
 
     def _probe(self, terms: Sequence[str]) -> DataFrame:
-        """Partition-pruned posting rows for ``terms``, with df joined
-        from the vocabulary-sized termstats table (broadcast: the probe
-        needs only the query's handful of term rows)."""
+        """Partition-pruned posting rows for ``terms``, with df attached
+        as a literal term->df map from the memoized termstats (no second
+        table in the plan — the probe stays one pruned scan)."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         p = (
             self.spark.read.parquet(f"{self.path}/postings")
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(list(terms)))
         )
-        ts = self.spark.read.parquet(f"{self.path}/termstats").filter(
-            F.col("term").isin(list(terms))
+        dfs = self._dfs()
+        pairs = []
+        for t in terms:
+            if t in dfs:
+                pairs += [F.lit(t), F.lit(dfs[t])]
+        if not pairs:
+            # no probed term exists in the vocabulary: no posting rows
+            # will survive the filter either — keep the schema stable
+            return p.withColumn("df", F.lit(0).cast("long"))
+        return p.withColumn(
+            "df", F.element_at(F.create_map(*pairs), F.col("term"))
         )
-        return p.join(F.broadcast(ts), "term")
 
     def scores(self, terms: Sequence[str]) -> DataFrame:
         terms = list(terms)

@@ -125,6 +125,21 @@ _PQ_CODEBOOK_CACHE: dict = {}
 # Indexes under .cache are build-once/immutable within a process.
 _IVFPQ_HANDLE_CACHE: dict = {}
 
+# per-process BM25 handles keyed by path (r8): constructing one reads
+# stats, and the first probe memoizes the vocabulary-sized termstats as
+# a driver dict — open-once/probe-many, same discipline as IVF-PQ.
+_BM25_HANDLE_CACHE: dict = {}
+
+
+def _bm25_handle(spark, sf_dir: str):
+    from vectolite_spark.operators.retrieval import BM25Index
+
+    path = _ensure_bm25_index(spark, sf_dir)
+    h = _BM25_HANDLE_CACHE.get(path)
+    if h is None:
+        h = _BM25_HANDLE_CACHE[path] = BM25Index(spark, path)
+    return h
+
 
 _TABLE_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
@@ -7171,11 +7186,7 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets of the 3 query terms (partition pruning on the postings
     layout) and never touches the corpus. REQUIRED to equal the
     scan-side ``bm25_topk`` result, whose SQL is the shared oracle."""
-    from vectolite_spark.operators.retrieval import BM25Index
-
-    return BM25Index(spark, _ensure_bm25_index(spark, sf_dir)).topk(
-        _BM25_TERMS, k=10
-    )
+    return _bm25_handle(spark, sf_dir).topk(_BM25_TERMS, k=10)
 
 
 _BM25_BATCH_QUERIES = (
@@ -7243,9 +7254,7 @@ def bm25_batch_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated. Probe cost scales with the union's posting lists — at
     100 TB a thousand-query batch still reads only its term buckets,
     never the corpus."""
-    from vectolite_spark.operators.retrieval import BM25Index
-
-    idx = BM25Index(spark, _ensure_bm25_index(spark, sf_dir))
+    idx = _bm25_handle(spark, sf_dir)
     return idx.batch_topk(_BM25_BATCH_QUERIES, k=5)
 
 
@@ -7327,14 +7336,13 @@ def hybrid_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from vectolite_spark.operators.ann import load_ivf_index
-    from vectolite_spark.operators.retrieval import BM25Index, rrf_fuse
+    from vectolite_spark.operators.retrieval import rrf_fuse
 
-    bm25_path = _ensure_bm25_index(spark, sf_dir)
     ivf_path = _ensure_ivf_index(spark, sf_dir)
     qvec = _query_vector(spark, sf_dir)
     rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lexr = (
-        BM25Index(spark, bm25_path)
+        _bm25_handle(spark, sf_dir)
         .topk(_BM25_TERMS, k=20)
         .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .select("doc_id", "rank")
@@ -7450,11 +7458,9 @@ def hybrid_batch_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every query from the raw tables."""
     from pyspark.sql import Window
 
-    from vectolite_spark.operators.retrieval import BM25Index
-
     from vectolite_spark.operators.ann import load_ivf_index
 
-    bm25 = BM25Index(spark, _ensure_bm25_index(spark, sf_dir))
+    bm25 = _bm25_handle(spark, sf_dir)
     ivf = load_ivf_index(spark, _ensure_ivf_index(spark, sf_dir))
     qids = sorted(_HYBRID_BATCH_TERMS)
     lexr = bm25.batch_topk(
