@@ -11230,6 +11230,9 @@ _DRIVER_WINDOW = [
     "cdf_synced_ivf_topk",        # watermark-synced IVF serve
     "cdf_synced_trigram_search",  # watermark-synced trigram serve
     "cdf_synced_bm25_topk",       # watermark-synced BM25 v2 serve
+    "cdf_synced_srp_topk",        # watermark-synced SRP serve
+    "cdf_synced_ivfpq_topk",      # watermark-synced IVF-PQ serve
+    "maintenance_loop_capstone",  # full maintenance cycle composed
     "snapshot_shallow_clone",     # zero-copy clone divergence
     # code touched in r8 — prior green rows are stale
     "semdedup_prune",             # capped-cluster audit column
@@ -11276,13 +11279,11 @@ _DRIVER_WINDOW = [
     "dup_graph_degree",
     "dup_span_coverage",
     "fuzzy_doc_pairs",
-    "bigram_lm_nll",
-    "boilerplate_ngram_score",
-    "mixture_weights",
 ]
 
 # ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
-# r3-green tail — bpe_merge_candidates, curriculum_stages,
+# r3-green tail — bigram_lm_nll, boilerplate_ngram_score,
+# mixture_weights, bpe_merge_candidates, curriculum_stages,
 # decontaminate_eval_overlap, pii_redaction, repetition_stats,
 # sequence_packing, streaming_windowed_counts, training_shards,
 # vocab_coverage, zipf_slope — then the r4 cohort (recompute from the
