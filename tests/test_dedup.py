@@ -657,6 +657,38 @@ def test_srp_hard_negatives_closed_form(spark):
         assert len(rs) <= 2
 
 
+def test_bitext_margin_mine_closed_form(spark):
+    # an identical even/odd twin collides in every SRP table at cosine
+    # 1.0; its margin is 1.0 / mean(top-k) >= 1, so it must be mined as
+    # its source's best target. Output invariants: src even, tgt odd,
+    # one row per src, margins >= threshold.
+    import random
+
+    from vectolite_spark.operators.dedup import bitext_margin_mine
+
+    rng = random.Random(23)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], 0) for i in range(40)
+    ]
+    rows.append((201, list(rows[6][1]), 0))  # odd-id twin of even src 6
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = bitext_margin_mine(embs, k=3).collect()
+    by_src = {}
+    for r in out:
+        assert r["src_id"] % 2 == 0 and r["tgt_id"] % 2 == 1
+        assert r["margin"] >= 1.0
+        assert r["src_id"] not in by_src  # one best target per source
+        by_src[r["src_id"]] = r
+    best6 = by_src[6]
+    assert best6["tgt_id"] == 201 and best6["score"] == 1.0
+    # ratio margin: the twin's cosine equals the neighborhood max, so
+    # its margin is at least 1 and strictly above any non-twin score
+    assert best6["margin"] >= 1.0
+
+
 def test_pagerank_deep_iterations_truncated(spark):
     """VERDICT r4 item 7: iterations=10 must run with bounded lineage —
     the every-3rd-step localCheckpoint keeps the final plan a small

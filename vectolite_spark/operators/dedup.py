@@ -841,6 +841,108 @@ def contrastive_triplets(
     )
 
 
+def bitext_margin_mine(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    k: int = 4,
+    min_margin: float = 1.0,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): score each candidate (src, tgt) pair by its
+    cosine RELATIVE to both endpoints' neighborhoods —
+    ``margin = cos(x, y) / ((deg(x) + deg(y)) / 2)`` where ``deg`` is the
+    mean cosine of the endpoint's k nearest candidates — and keep each
+    source's best target when the margin clears ``min_margin``. Absolute
+    cosine thresholds mine hubs (vectors close to everything); the
+    ratio margin cancels hubness, which is why it wins at corpus scale.
+
+    Here the two "languages" are the deterministic even/odd ``vec_id``
+    halves of the embedding table (the fixture has no parallel corpora);
+    swapping in a real src/tgt pair of tables is the same plan with the
+    parity filter replaced by the table tag.
+
+    Candidates come from ONE pass of the capped SRP-LSH kernel
+    (``_srp_scored_candidates`` — md5-Rademacher planes, oracle-portable,
+    hot buckets capped with zero extra shuffles), so no stage touches the
+    |src| x |tgt| pair space. Neighborhood means are computed over the
+    forward and backward top-k of the SAME candidate set: two bounded
+    row_number windows + two k-bounded aggregates, all keyed on the ids
+    the candidate rows already carry. ``deg`` sums fold 6dp-rounded
+    scores through DECIMAL(18,6) so accumulation order cannot move the
+    mean; the final margin divides identical doubles on both engines.
+
+    At 100 TB: the SRP stage is a narrow matmul per Arrow batch, the
+    block self-join shuffles only capped buckets, and every later stage
+    is keyed on src/tgt ids — the classic mine-then-filter shape CCMatrix
+    runs at billions of sentences."""
+    from pyspark.sql import Window
+
+    cand = _srp_scored_candidates(
+        embeddings.withColumn("_lbl", F.lit(0)),
+        n_tables,
+        n_planes,
+        id_col,
+        "_lbl",
+        max_block_size,
+    )
+    scored = _managed_cache(
+        "bitext_cands",
+        cand.filter(
+            (F.col("anchor_id") % 2 == 0) & (F.col("other_id") % 2 == 1)
+        ).select(
+            F.col("anchor_id").alias("src_id"),
+            F.col("other_id").alias("tgt_id"),
+            "score",
+        ),
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("score"), F.asc("src_id"))
+    fwdk = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    bwdk = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    deg = lambda df, key, out: df.groupBy(key).agg(  # noqa: E731
+        (
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias(out)
+    )
+    degx = deg(fwdk, "src_id", "deg_x")
+    degy = deg(bwdk, "tgt_id", "deg_y")
+    margins = (
+        fwdk.join(degx, "src_id")
+        .join(degy, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.when(F.col("deg_x") + F.col("deg_y") == 0, F.lit(0.0)).otherwise(
+                    F.col("score")
+                    / ((F.col("deg_x") + F.col("deg_y")) / F.lit(2.0))
+                ),
+                6,
+            ),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    return (
+        margins.withColumn("brn", F.row_number().over(wbest))
+        .filter((F.col("brn") == 1) & (F.col("margin") >= min_margin))
+        .select("src_id", "tgt_id", "score", "margin")
+        .orderBy("src_id")
+    )
+
+
 _SMALL_GRAPH_EDGES = 200_000
 
 

@@ -11210,6 +11210,103 @@ def dsir_gumbel_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bitext_margin_mine",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT g, list_transform(range(0, 64),
+    j -> CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':'
+                                       || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END) AS plane
+  FROM range(0, 32) t(g)
+),
+bits AS (
+  SELECT e.vec_id, p.g // 8 AS t, p.g % 8 AS b,
+         CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+keys AS (
+  SELECT vec_id, t, SUM(bit * (1 << b)) AS bucket FROM bits GROUP BY vec_id, t
+),
+keys_capped AS (
+  SELECT vec_id, t, bucket FROM (
+    SELECT vec_id, t, bucket, COUNT(*) OVER (PARTITION BY t, bucket) AS bc
+    FROM keys
+  ) WHERE bc <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id
+  FROM keys_capped a
+  JOIN keys_capped b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+),
+scored AS (
+  SELECT c.src_id, c.tgt_id, {{cos}} AS score
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.src_id
+  JOIN e eb ON eb.vec_id = c.tgt_id
+),
+fwdk AS (
+  SELECT * FROM (
+    SELECT src_id, tgt_id, score,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY score DESC, tgt_id) AS rn
+    FROM scored
+  ) WHERE rn <= 4
+),
+degx AS (
+  SELECT src_id,
+         CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS deg_x
+  FROM fwdk GROUP BY src_id
+),
+bwdk AS (
+  SELECT * FROM (
+    SELECT src_id, tgt_id, score,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id
+                              ORDER BY score DESC, src_id) AS rn
+    FROM scored
+  ) WHERE rn <= 4
+),
+degy AS (
+  SELECT tgt_id,
+         CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS deg_y
+  FROM bwdk GROUP BY tgt_id
+),
+margins AS (
+  SELECT f.src_id, f.tgt_id, f.score,
+         ROUND(CASE WHEN (x.deg_x + y.deg_y) = 0 THEN 0.0
+               ELSE f.score / ((x.deg_x + y.deg_y) / 2.0) END, 6) AS margin
+  FROM fwdk f
+  JOIN degx x ON x.src_id = f.src_id
+  JOIN degy y ON y.tgt_id = f.tgt_id
+),
+best AS (
+  SELECT src_id, tgt_id, score, margin,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS brn
+  FROM margins
+)
+SELECT src_id, tgt_id, score, margin
+FROM best WHERE brn = 1 AND margin >= 1.0
+ORDER BY src_id
+""".format(cos=_SQL_COS.format(a="ea.v", b="eb.v")),
+)
+def bitext_margin_mine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (the CCMatrix/LASER recipe):
+    each even-id vector's best odd-id match by RATIO MARGIN — cosine
+    normalized by the mean cosine of both endpoints' k-nearest candidate
+    neighborhoods — which cancels hubness where an absolute threshold
+    mines hubs. Candidates come from the same deterministic capped
+    SRP-LSH kernel as ``hard_negative_mining`` (md5-Rademacher planes the
+    oracle derives identically); neighborhood means fold 6dp scores
+    through DECIMAL(18,6) so accumulation order cannot move them
+    (``dedup.bitext_margin_mine``)."""
+    from vectolite_spark.operators.dedup import bitext_margin_mine
+
+    return bitext_margin_mine(load_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -11234,6 +11331,7 @@ _DRIVER_WINDOW = [
     "cdf_synced_ivfpq_topk",      # watermark-synced IVF-PQ serve
     "maintenance_loop_capstone",  # full maintenance cycle composed
     "snapshot_shallow_clone",     # zero-copy clone divergence
+    "bitext_margin_mine",         # margin-kNN parallel-pair mining
     # code touched in r8 — prior green rows are stale
     "semdedup_prune",             # capped-cluster audit column
     "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
@@ -11278,11 +11376,11 @@ _DRIVER_WINDOW = [
     "ann_quantized_topk",
     "dup_graph_degree",
     "dup_span_coverage",
-    "fuzzy_doc_pairs",
 ]
 
 # ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
-# r3-green tail — bigram_lm_nll, boilerplate_ngram_score,
+# r3-green tail — fuzzy_doc_pairs (displaced from the r8 window by the
+# late bitext_margin_mine addition), bigram_lm_nll, boilerplate_ngram_score,
 # mixture_weights, bpe_merge_candidates, curriculum_stages,
 # decontaminate_eval_overlap, pii_redaction, repetition_stats,
 # sequence_packing, streaming_windowed_counts, training_shards,
