@@ -67,6 +67,27 @@ HEADLINE = [
     "resample_interpolate",
     "schema_drift_audit",
     "embedding_drift",
+    # round-7 additions
+    "semdedup_prune",
+    "gdpr_erasure_audit",
+    "snapshot_schema_evolution",
+    "snapshot_zorder_pruned_scan",
+    "snapshot_changed_data_feed",
+    "cdf_incremental_dedup",
+    "retrieval_ndcg_eval",
+    "centroid_classify_confusion",
+    "ann_ivfpq_probe_prebuilt",
+    "streaming_session_windows",
+    # round-8 additions
+    "cdf_incremental_semdedup",
+    "cdf_synced_ivf_topk",
+    "cdf_synced_bm25_topk",
+    "cdf_synced_trigram_search",
+    "cdf_synced_srp_topk",
+    "cdf_synced_ivfpq_topk",
+    "maintenance_loop_capstone",
+    "snapshot_shallow_clone",
+    "bitext_margin_mine",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 
