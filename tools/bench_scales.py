@@ -88,6 +88,7 @@ HEADLINE = [
     "maintenance_loop_capstone",
     "snapshot_shallow_clone",
     "bitext_margin_mine",
+    "minhash_recall_contract",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 

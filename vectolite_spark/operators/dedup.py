@@ -212,6 +212,110 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    t: float = 0.5,
+    query_max_id: int = 100,
+    recall_floor: float = 0.5,
+) -> DataFrame:
+    """End-to-end recall contract for the MinHash-LSH dedup pipeline —
+    the dedup twin of ``ann_mllib_lsh_recall``: ground truth is EXACT
+    shingle-set Jaccard >= ``t`` over pairs touching a fixed query cohort
+    (doc_id < ``query_max_id``), the measured system is the full
+    ``minhash_lsh_pairs`` path (banded buckets, hot-bucket cap, est-sim
+    filter) exactly as a curation run uses it. One row:
+    (n_true, n_hit, recall, recall_floor).
+
+    The exact side is an inverted-index join (query docs' postings vs
+    the corpus postings — docs sharing zero shingles have J = 0 < t, so
+    restricting to >= 1 shared shingle loses nothing), which is the
+    standard bounded way to ground-truth a similarity index without the
+    N^2 pair space; the cohort keeps it query-docs x postings. Both
+    sides share the same shingle UDF the signatures use, so the oracle
+    derives identical sets. At 100 TB this is an offline eval job over a
+    sampled cohort — the number a curation run quotes when it picks
+    (num_hashes, bands) for a target J threshold."""
+    from vectolite_spark._pandas_udfs import make_shingle_udf
+
+    sh = _managed_cache(
+        "mh_recall_shingles",
+        widen_small_input(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(make_shingle_udf()(F.col(text_col))).alias(
+                "shingles"
+            ),
+        ),
+    )
+    post = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    qp = post.filter(F.col("doc_id") < query_max_id)
+    shared = (
+        qp.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.least("a.doc_id", "b.doc_id").alias("lo"),
+            F.greatest("a.doc_id", "b.doc_id").alias("hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # pairs with BOTH endpoints in the cohort aggregate their shared
+    # count twice (once per direction); halve exactly those
+    shared = shared.withColumn(
+        "shared",
+        F.when(
+            (F.col("lo") < query_max_id) & (F.col("hi") < query_max_id),
+            F.col("shared") / 2,
+        ).otherwise(F.col("shared")),
+    )
+    truth = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("lo"), F.col("sz").alias("sza")),
+            "lo",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("hi"), F.col("sz").alias("szb")),
+            "hi",
+        )
+        .filter(
+            F.col("shared")
+            / (F.col("sza") + F.col("szb") - F.col("shared"))
+            >= t
+        )
+        .select("lo", "hi")
+        .distinct()
+    )
+    lsh = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands
+    ).filter(
+        (F.col("doc_a") < query_max_id) | (F.col("doc_b") < query_max_id)
+    )
+    hit = truth.join(
+        lsh.select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")),
+        ["lo", "hi"],
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n")).alias("t")
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n")).alias("h")
+    return n_true.crossJoin(n_hit).select(
+        F.col("t.n").alias("n_true"),
+        F.col("h.n").alias("n_hit"),
+        F.round(
+            F.when(F.col("t.n") == 0, F.lit(1.0)).otherwise(
+                F.col("h.n").cast("double") / F.col("t.n")
+            ),
+            6,
+        ).alias("recall"),
+        F.lit(float(recall_floor)).alias("recall_floor"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

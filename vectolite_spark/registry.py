@@ -11307,6 +11307,59 @@ def bitext_margin_mine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_mine(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "minhash_recall_contract",
+    f"""
+WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shingles
+            FROM documents),
+post AS (SELECT doc_id, s FROM sh, UNNEST(shingles) AS t(s)),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+qp AS (SELECT doc_id, s FROM post WHERE doc_id < 100),
+shared0 AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS lo, GREATEST(a.doc_id, b.doc_id) AS hi,
+         COUNT(*) AS shared
+  FROM qp a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+shared AS (
+  -- both-in-cohort pairs joined in both orientations: halve exactly those
+  SELECT lo, hi,
+         CASE WHEN lo < 100 AND hi < 100 THEN shared / 2 ELSE shared END
+           AS shared
+  FROM shared0
+),
+truth AS (
+  SELECT DISTINCT s.lo, s.hi FROM shared s
+  JOIN sizes za ON za.doc_id = s.lo
+  JOIN sizes zb ON zb.doc_id = s.hi
+  WHERE s.shared / (za.sz + zb.sz - s.shared) >= 0.5
+),
+lsh AS (
+  SELECT doc_a AS lo, doc_b AS hi FROM ({{mh}})
+  WHERE doc_a < 100 OR doc_b < 100
+),
+hit AS (SELECT t.lo, t.hi FROM truth t
+        JOIN lsh l ON t.lo = l.lo AND t.hi = l.hi)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+             ELSE CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM truth) END, 6) AS recall,
+       CAST(0.5 AS DOUBLE) AS recall_floor
+""".format(mh=_MINHASH_PAIRS_SQL),
+)
+def minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall contract for the MinHash-LSH dedup pipeline —
+    the dedup twin of ``ann_mllib_lsh_recall``: exact shingle-Jaccard
+    >= 0.5 ground truth over a fixed 100-doc query cohort (inverted-index
+    join, never the N^2 pair space) vs the full banded/capped/est-filtered
+    ``minhash_lsh_pairs`` path as a curation run uses it
+    (``dedup.minhash_recall_eval``)."""
+    from vectolite_spark.operators.dedup import minhash_recall_eval
+
+    return minhash_recall_eval(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -11332,6 +11385,7 @@ _DRIVER_WINDOW = [
     "maintenance_loop_capstone",  # full maintenance cycle composed
     "snapshot_shallow_clone",     # zero-copy clone divergence
     "bitext_margin_mine",         # margin-kNN parallel-pair mining
+    "minhash_recall_contract",    # dedup-LSH recall vs exact Jaccard
     # code touched in r8 — prior green rows are stale
     "semdedup_prune",             # capped-cluster audit column
     "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
@@ -11375,12 +11429,12 @@ _DRIVER_WINDOW = [
     "ann_ivf_built_topk",
     "ann_quantized_topk",
     "dup_graph_degree",
-    "dup_span_coverage",
 ]
 
 # ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
-# r3-green tail — fuzzy_doc_pairs (displaced from the r8 window by the
-# late bitext_margin_mine addition), bigram_lm_nll, boilerplate_ngram_score,
+# r3-green tail — fuzzy_doc_pairs and dup_span_coverage (displaced from
+# the r8 window by the late bitext_margin_mine / minhash_recall_contract
+# additions), bigram_lm_nll, boilerplate_ngram_score,
 # mixture_weights, bpe_merge_candidates, curriculum_stages,
 # decontaminate_eval_overlap, pii_redaction, repetition_stats,
 # sequence_packing, streaming_windowed_counts, training_shards,
