@@ -792,3 +792,38 @@ def test_dsir_importance_weights_degenerate_inputs_raise(spark):
         dsir_importance_weights(docs, target_sources=["nope"]).collect()
     with pytest.raises(ValueError, match="no raw pool"):
         dsir_importance_weights(docs, target_sources=["t1", "raw"]).collect()
+
+
+def test_ccnet_perplexity_buckets_closed_form(spark):
+    # per-language terciles: each lang buckets independently into near-
+    # equal thirds; docs too short for bigrams are excluded; bucket 1
+    # (head) holds the lowest NLLs, bucket means are non-decreasing.
+    from vectolite_spark.operators.textstats import ccnet_perplexity_buckets
+
+    rows = []
+    # lang "en": 9 docs — 3 highly repetitive (low NLL), 3 mixed, 3 with
+    # unique transitions (high NLL); repeated bigrams get high P(w2|w1)
+    for i in range(3):
+        rows.append((i, "aa bb aa bb aa bb aa bb", "en"))
+    for i in range(3, 6):
+        rows.append((i, f"aa bb cc{i} dd{i} aa bb", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"uq{i}a uq{i}b uq{i}c uq{i}d uq{i}e", "en"))
+    # lang "de": 3 docs, its own independent tercile cut
+    for i in range(9, 12):
+        rows.append((i, f"xx yy xx yy zz{i} xx", "de"))
+    rows.append((99, "short", "en"))  # 1 token -> no bigrams -> excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    en = sorted(by_lang["en"], key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in en] == [1, 2, 3]
+    assert sum(r["n_docs"] for r in en) == 9  # the 1-token doc is excluded
+    assert all(r["n_docs"] == 3 for r in en)  # ntile: equal thirds
+    # head bucket NLL <= middle <= tail
+    assert en[0]["mean_nll"] <= en[1]["mean_nll"] <= en[2]["mean_nll"]
+    assert en[0]["max_nll"] <= en[1]["min_nll"] or en[0]["max_nll"] <= en[1]["max_nll"]
+    de = by_lang["de"]
+    assert sum(r["n_docs"] for r in de) == 3  # independent per-lang cut

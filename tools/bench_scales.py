@@ -89,6 +89,7 @@ HEADLINE = [
     "snapshot_shallow_clone",
     "bitext_margin_mine",
     "minhash_recall_contract",
+    "ccnet_perplexity_buckets",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 

@@ -303,7 +303,7 @@ def minhash_recall_eval(
     )
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n")).alias("t")
     n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n")).alias("h")
-    return n_true.crossJoin(n_hit).select(
+    return n_true.crossJoin(F.broadcast(n_hit)).select(
         F.col("t.n").alias("n_true"),
         F.col("h.n").alias("n_hit"),
         F.round(

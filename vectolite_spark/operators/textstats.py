@@ -296,6 +296,58 @@ def bigram_lm_scores(
     )
 
 
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per LANGUAGE,
+    rank documents by LM perplexity and cut into ``n_buckets`` equal-size
+    buckets — head (lowest perplexity, cleanest) through tail. CCNet keeps
+    head+middle for LM pretraining; the per-language cut is the point
+    (a global threshold would drop entire low-resource languages whose
+    absolute perplexities run higher).
+
+    The scorer is the corpus-trained bigram LM (``bigram_lm_scores``);
+    docs too short to have bigrams (avg_nll NULL) are excluded, like
+    CCNet's length floor. Bucketing is ``ntile`` over the TOTAL order
+    (avg_nll asc, doc_id asc) — deterministic across engines since
+    avg_nll is already 4dp-rounded. Returns one row per (lang, bucket):
+    n_docs, mean_nll (DECIMAL-folded, order-free), min_nll, max_nll.
+
+    At 100 TB: the LM train+score shuffles carry md5 keys (see
+    ``bigram_lm_scores``); the ntile is one shuffle on lang with
+    per-language sorted partitions — languages are few and the window
+    carries only (doc_id, avg_nll) pairs. A true 100 TB run would swap
+    ntile for approx-quantile cutpoints; the exact tercile is the
+    driver-verifiable contract of that plan."""
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores(df, text_col, id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    s = scores.join(langs, id_col).filter(F.col("avg_nll").isNotNull())
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("avg_nll"), F.asc(id_col)
+    )
+    b = s.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_nll").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_nll"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def char_pair_counts(
     df: DataFrame, text_col: str = "text", top_n: int = 50
 ) -> DataFrame:

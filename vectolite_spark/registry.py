@@ -11360,6 +11360,53 @@ def minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_recall_eval(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, md5(t[i]) AS w1_h, md5(t[i] || ' ' || t[i+1]) AS bg_h
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (SELECT bg_h, COUNT(*) AS cb FROM big GROUP BY bg_h),
+cl AS (SELECT w1_h, COUNT(*) AS cl FROM big GROUP BY w1_h),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(CAST(SUM(CAST(-ln(cb.cb::DOUBLE / cl.cl) AS DECIMAL(30,10)))
+                    AS DOUBLE) / COUNT(*), 4) AS avg_nll
+  FROM big b JOIN cb USING (bg_h) JOIN cl USING (w1_h)
+  GROUP BY b.doc_id
+),
+lb AS (
+  SELECT d.lang, s.avg_nll,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_nll, s.doc_id) AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.avg_nll IS NOT NULL
+)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_nll,
+       MIN(avg_nll) AS min_nll,
+       MAX(avg_nll) AS max_nll
+FROM lb GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+)
+def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-language head/middle/tail perplexity split (Wenzek et
+    al. 2020): rank docs by corpus-trained bigram-LM NLL within each
+    language, cut into terciles — the per-language cut keeps low-resource
+    languages a global threshold would drop
+    (``textstats.ccnet_perplexity_buckets``)."""
+    from vectolite_spark.operators.textstats import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -11386,6 +11433,7 @@ _DRIVER_WINDOW = [
     "snapshot_shallow_clone",     # zero-copy clone divergence
     "bitext_margin_mine",         # margin-kNN parallel-pair mining
     "minhash_recall_contract",    # dedup-LSH recall vs exact Jaccard
+    "ccnet_perplexity_buckets",   # per-lang head/middle/tail LM split
     # code touched in r8 — prior green rows are stale
     "semdedup_prune",             # capped-cluster audit column
     "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
@@ -11428,12 +11476,12 @@ _DRIVER_WINDOW = [
     "ann_batch_lsh",
     "ann_ivf_built_topk",
     "ann_quantized_topk",
-    "dup_graph_degree",
 ]
 
 # ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
-# r3-green tail — fuzzy_doc_pairs and dup_span_coverage (displaced from
-# the r8 window by the late bitext_margin_mine / minhash_recall_contract
+# r3-green tail — fuzzy_doc_pairs, dup_span_coverage, and dup_graph_degree
+# (displaced from the r8 window by the late bitext_margin_mine /
+# minhash_recall_contract / ccnet_perplexity_buckets
 # additions), bigram_lm_nll, boilerplate_ngram_score,
 # mixture_weights, bpe_merge_candidates, curriculum_stages,
 # decontaminate_eval_overlap, pii_redaction, repetition_stats,
