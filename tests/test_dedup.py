@@ -1007,3 +1007,20 @@ def test_semdedup_prune_surfaces_capped_clusters(spark):
     small = out[1]
     assert small["capped"] == 0
     assert small["n_pruned"] == 1 and small["kept_id_sum"] == 10
+
+
+def test_curation_pipeline_capstone_funnel_invariants(spark):
+    # the composed funnel must be monotone per language, keep ~2/3 of
+    # scored near-dedup survivors (ntile head+middle), and count kept
+    # tokens over exactly the kept docs.
+    from vectolite_spark.registry import curation_pipeline_capstone
+
+    rows = curation_pipeline_capstone(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2  # multiple languages present in the fixture
+    for r in rows:
+        assert r["n_input"] >= r["n_exact"] >= r["n_near"] >= r["n_kept"]
+        assert r["n_kept"] >= 1
+        assert r["tokens_kept"] >= r["n_kept"]  # every kept doc has >=1 token
+        # head+middle of a tercile over scored survivors: the no-bigram
+        # exclusion can only shrink the scored set, so kept <= ceil(2/3 n)
+        assert r["n_kept"] <= -(-2 * r["n_near"] // 3)

@@ -90,6 +90,7 @@ HEADLINE = [
     "bitext_margin_mine",
     "minhash_recall_contract",
     "ccnet_perplexity_buckets",
+    "curation_pipeline_capstone",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 

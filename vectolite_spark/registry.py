@@ -11407,6 +11407,138 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "curation_pipeline_capstone",
+    f"""
+WITH keep1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+near_drop AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({{mh}})
+),
+surv2 AS (
+  SELECT k.doc_id FROM keep1 k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
+),
+toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+big AS (
+  SELECT doc_id, md5(t[i]) AS w1_h, md5(t[i] || ' ' || t[i+1]) AS bg_h
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (SELECT bg_h, COUNT(*) AS cb FROM big GROUP BY bg_h),
+cl AS (SELECT w1_h, COUNT(*) AS cl FROM big GROUP BY w1_h),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(CAST(SUM(CAST(-ln(cb.cb::DOUBLE / cl.cl) AS DECIMAL(30,10)))
+                    AS DOUBLE) / COUNT(*), 4) AS avg_nll
+  FROM big b JOIN cb USING (bg_h) JOIN cl USING (w1_h)
+  GROUP BY b.doc_id
+),
+ranked AS (
+  SELECT s2.doc_id, d.lang,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY sc.avg_nll, s2.doc_id) AS bucket
+  FROM surv2 s2
+  JOIN documents d USING (doc_id)
+  JOIN scored sc USING (doc_id)
+),
+kept AS (SELECT doc_id FROM ranked WHERE bucket <= 2),
+ntok AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN k1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(SUM(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near,
+       CAST(SUM(CASE WHEN kp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN kp.doc_id IS NOT NULL THEN nt.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM documents d
+LEFT JOIN keep1 k1 ON k1.doc_id = d.doc_id
+LEFT JOIN surv2 s2 ON s2.doc_id = d.doc_id
+LEFT JOIN kept kp ON kp.doc_id = d.doc_id
+LEFT JOIN ntok nt ON nt.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+""".format(mh=_MINHASH_PAIRS_SQL),
+)
+def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation funnel in ONE driver-verified
+    job — the Lee-et-al.-plus-CCNet recipe every LLM data pipeline runs:
+    exact dedup (keep min id per text) -> MinHash-LSH near-dedup (drop
+    the greater id of each surviving pair) -> per-language CCNet
+    head+middle keep (tercile of corpus-trained bigram-LM NLL over the
+    SURVIVOR set). One per-language funnel row: n_input -> n_exact ->
+    n_near -> n_kept + tokens_kept, the yield report a curation run
+    ships. Every stage is the already-oracled operator (exact_dedup,
+    minhash_lsh_pairs, bigram_lm_scores + ntile), composed; stage
+    shuffles stay key-width (text hash, band keys, md5 bigrams, lang) —
+    no stage touches a pair space or moves document bodies."""
+    from pyspark.sql import Window
+
+    from vectolite_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        norm_tokens,
+    )
+    from vectolite_spark.operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep1 = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    near_drop = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv2 = keep1.join(near_drop, "doc_id", "left_anti")
+    scores = bigram_lm_scores(docs).filter(F.col("avg_nll").isNotNull())
+    ranked = (
+        surv2.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(scores.select("doc_id", "avg_nll"), "doc_id")
+        .withColumn(
+            "bucket",
+            F.ntile(3).over(
+                Window.partitionBy("lang").orderBy(
+                    F.asc("avg_nll"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    kept = ranked.filter(F.col("bucket") <= 2).select("doc_id")
+    ntok = docs.select(
+        "doc_id", F.size(norm_tokens("text")).alias("n_tokens")
+    )
+    base = (
+        docs.select("doc_id", "lang")
+        .join(keep1.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(surv2.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .join(kept.withColumn("_k", F.lit(1)), "doc_id", "left")
+        .join(ntok, "doc_id", "left")
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input"),
+            F.sum(F.coalesce(F.col("_e"), F.lit(0)))
+            .cast("long")
+            .alias("n_exact"),
+            F.sum(F.coalesce(F.col("_n"), F.lit(0)))
+            .cast("long")
+            .alias("n_near"),
+            F.sum(F.coalesce(F.col("_k"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("_k") == 1, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver verification-window ordering (VERDICT r2 item 1)
 # --------------------------------------------------------------------------
@@ -11434,6 +11566,7 @@ _DRIVER_WINDOW = [
     "bitext_margin_mine",         # margin-kNN parallel-pair mining
     "minhash_recall_contract",    # dedup-LSH recall vs exact Jaccard
     "ccnet_perplexity_buckets",   # per-lang head/middle/tail LM split
+    "curation_pipeline_capstone", # full dedup->near-dedup->LM-keep funnel
     # code touched in r8 — prior green rows are stale
     "semdedup_prune",             # capped-cluster audit column
     "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
@@ -11475,14 +11608,13 @@ _DRIVER_WINDOW = [
     "dedup_clusters_bigstar",
     "ann_batch_lsh",
     "ann_ivf_built_topk",
-    "ann_quantized_topk",
 ]
 
 # ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
-# r3-green tail — fuzzy_doc_pairs, dup_span_coverage, and dup_graph_degree
-# (displaced from the r8 window by the late bitext_margin_mine /
-# minhash_recall_contract / ccnet_perplexity_buckets
-# additions), bigram_lm_nll, boilerplate_ngram_score,
+# r3-green tail — fuzzy_doc_pairs, dup_span_coverage, dup_graph_degree,
+# and ann_quantized_topk (displaced from the r8 window by the late
+# bitext_margin_mine / minhash_recall_contract / ccnet_perplexity_buckets /
+# curation_pipeline_capstone additions), bigram_lm_nll, boilerplate_ngram_score,
 # mixture_weights, bpe_merge_candidates, curriculum_stages,
 # decontaminate_eval_overlap, pii_redaction, repetition_stats,
 # sequence_packing, streaming_windowed_counts, training_shards,
