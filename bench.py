@@ -37,9 +37,15 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # registration order (cheap reference-parity queries warm the session
 # before the heavy dedup/ANN plans).
 def _registry_bench() -> list[str]:
+    # SORTED, not registry order: queries() is reordered every round for
+    # the driver verification window, so sweeping in dict order changes
+    # each query's NEIGHBORS (and their GC/page-cache residue) every
+    # round — r8 measured dedup_minhash_pairs 1.37 s warm in the scale
+    # sweep but 2.18 s in the rotated bench sweep on identical code.
+    # Alphabetical order decouples round-over-round diffs from rotation.
     from vectolite_spark import registry
 
-    return list(registry.QUERIES)
+    return sorted(registry.QUERIES)
 
 
 def _bench_reference(qvecs: list[list[float]], n_vecs: int) -> dict[str, float]:
