@@ -4219,7 +4219,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qvec = _query_vector(spark, sf_dir)
     codes_path = index_cache_path("pq_v1_m8k16", sf_dir)
-    cached = _PQ_CODEBOOK_CACHE.get(codes_path)
+    # the resident codes DataFrame is bound to its SparkSession — key by
+    # session too, so a later session in the same process rebuilds its
+    # own handle instead of touching a (possibly stopped) one
+    key = (codes_path, id(spark))
+    cached = _PQ_CODEBOOK_CACHE.get(key)
     if cached is None or not os.path.exists(
         os.path.join(codes_path, "_SUCCESS")
     ):
@@ -4233,7 +4237,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # serving system holds the (tiny, immutable) code table in
         # memory, exactly like IVFPQIndex holds its centroids
         codes = spark.read.parquet(codes_path).cache()
-        _PQ_CODEBOOK_CACHE[codes_path] = (codebook, codes)
+        _PQ_CODEBOOK_CACHE[key] = (codebook, codes)
     else:
         codebook, codes = cached
     return pq_topk(codes, codebook, qvec, k=10, m=8)
