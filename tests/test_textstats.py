@@ -827,3 +827,32 @@ def test_ccnet_perplexity_buckets_closed_form(spark):
     assert en[0]["max_nll"] <= en[1]["min_nll"] or en[0]["max_nll"] <= en[1]["max_nll"]
     de = by_lang["de"]
     assert sum(r["n_docs"] for r in de) == 3  # independent per-lang cut
+
+
+def test_ccnet_lang_cutpoints_match_numpy_quantiles(spark):
+    # exact rank-linear percentiles: the cutpoints must equal numpy's
+    # linear-interpolation quantiles of the per-doc NLLs, per language.
+    import numpy as np
+
+    from vectolite_spark.operators.textstats import (
+        bigram_lm_scores,
+        ccnet_lang_cutpoints,
+    )
+
+    rows = []
+    for i in range(9):
+        rows.append((i, f"aa bb cc{i % 4} dd{i % 3} aa bb ee{i}", "en"))
+    for i in range(9, 14):
+        rows.append((i, f"xx yy zz{i % 2} xx yy ww{i}", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    nll = {
+        r["doc_id"]: r["avg_nll"]
+        for r in bigram_lm_scores(docs).collect()
+        if r["avg_nll"] is not None
+    }
+    got = {r["lang"]: r for r in ccnet_lang_cutpoints(docs).collect()}
+    for lang, ids in (("en", range(9)), ("de", range(9, 14))):
+        vals = np.array([nll[i] for i in ids])
+        assert got[lang]["n_scored"] == len(vals)
+        assert got[lang]["p33"] == round(float(np.quantile(vals, 1.0 / 3)), 6)
+        assert got[lang]["p66"] == round(float(np.quantile(vals, 2.0 / 3)), 6)

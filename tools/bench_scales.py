@@ -91,6 +91,7 @@ HEADLINE = [
     "minhash_recall_contract",
     "ccnet_perplexity_buckets",
     "curation_pipeline_capstone",
+    "ccnet_lang_cutpoints",
 ]
 SCALES = ["0.001", "0.01", "0.1"]
 

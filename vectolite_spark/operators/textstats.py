@@ -348,6 +348,39 @@ def ccnet_perplexity_buckets(
     )
 
 
+def ccnet_lang_cutpoints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The 100 TB form of the CCNet split: per-language perplexity
+    CUTPOINTS (exact 1/3 and 2/3 percentiles of the bigram-LM NLL)
+    instead of a global ntile window. At scale the split runs in two
+    cheap passes — compute cutpoints (this aggregate; swap in
+    approx_percentile when exactness isn't contractually needed), then
+    bucket each doc with two comparisons in the scan — rather than
+    sorting every language partition. Exact `percentile` here is
+    engine-portable (rank = p*(n-1) linear interpolation, the same
+    definition as DuckDB's quantile_cont), so the driver verifies the
+    cutpoint math the approximate production pass approximates.
+    One aggregate row per language: (lang, n_scored, p33, p66)."""
+    scores = bigram_lm_scores(df, text_col, id_col).filter(
+        F.col("avg_nll").isNotNull()
+    )
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    return (
+        scores.join(langs, id_col)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(F.percentile("avg_nll", F.lit(1.0 / 3)), 6).alias("p33"),
+            F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("p66"),
+        )
+        .orderBy("lang")
+    )
+
+
 def char_pair_counts(
     df: DataFrame, text_col: str = "text", top_n: int = 50
 ) -> DataFrame:

@@ -11417,6 +11417,42 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_lang_cutpoints",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+big AS (
+  SELECT doc_id, md5(t[i]) AS w1_h, md5(t[i] || ' ' || t[i+1]) AS bg_h
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (SELECT bg_h, COUNT(*) AS cb FROM big GROUP BY bg_h),
+cl AS (SELECT w1_h, COUNT(*) AS cl FROM big GROUP BY w1_h),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(CAST(SUM(CAST(-ln(cb.cb::DOUBLE / cl.cl) AS DECIMAL(30,10)))
+                    AS DOUBLE) / COUNT(*), 4) AS avg_nll
+  FROM big b JOIN cb USING (bg_h) JOIN cl USING (w1_h)
+  GROUP BY b.doc_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(quantile_cont(s.avg_nll, 1.0/3), 6) AS p33,
+       ROUND(quantile_cont(s.avg_nll, 2.0/3), 6) AS p66
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""",
+)
+def ccnet_lang_cutpoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CCNet cutpoints — the scale form of the tercile
+    split: exact 1/3 and 2/3 NLL percentiles per language (rank-linear
+    interpolation, identical definition on both engines), the contract
+    the approx_percentile production pass approximates at 100 TB
+    (``textstats.ccnet_lang_cutpoints``)."""
+    from vectolite_spark.operators.textstats import ccnet_lang_cutpoints
+
+    return ccnet_lang_cutpoints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_pipeline_capstone",
     f"""
 WITH keep1 AS (
@@ -11576,6 +11612,7 @@ _DRIVER_WINDOW = [
     "minhash_recall_contract",    # dedup-LSH recall vs exact Jaccard
     "ccnet_perplexity_buckets",   # per-lang head/middle/tail LM split
     "curation_pipeline_capstone", # full dedup->near-dedup->LM-keep funnel
+    "ccnet_lang_cutpoints",       # exact per-lang percentile cutpoints
     # code touched in r8 — prior green rows are stale
     "semdedup_prune",             # capped-cluster audit column
     "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
@@ -11616,14 +11653,14 @@ _DRIVER_WINDOW = [
     "dedup_embedding_srp",
     "dedup_clusters_bigstar",
     "ann_batch_lsh",
-    "ann_ivf_built_topk",
 ]
 
 # ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
 # r3-green tail — fuzzy_doc_pairs, dup_span_coverage, dup_graph_degree,
-# and ann_quantized_topk (displaced from the r8 window by the late
-# bitext_margin_mine / minhash_recall_contract / ccnet_perplexity_buckets /
-# curation_pipeline_capstone additions), bigram_lm_nll, boilerplate_ngram_score,
+# ann_quantized_topk, and ann_ivf_built_topk (displaced from the r8 window
+# by the late bitext_margin_mine / minhash_recall_contract /
+# ccnet_perplexity_buckets / curation_pipeline_capstone /
+# ccnet_lang_cutpoints additions), bigram_lm_nll, boilerplate_ngram_score,
 # mixture_weights, bpe_merge_candidates, curriculum_stages,
 # decontaminate_eval_overlap, pii_redaction, repetition_stats,
 # sequence_packing, streaming_windowed_counts, training_shards,
