@@ -33,9 +33,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Every registered query gets benched: the list derives from the registry at
 # run time, so a new operator lands in BENCH_r{N}.json the moment it is
-# registered — no drift between coverage and measurement. Order is the
-# registration order (cheap reference-parity queries warm the session
-# before the heavy dedup/ANN plans).
+# registered — no drift between coverage and measurement.
 def _registry_bench() -> list[str]:
     # SORTED, not registry order: queries() is reordered every round for
     # the driver verification window, so sweeping in dict order changes

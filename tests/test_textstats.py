@@ -824,7 +824,7 @@ def test_ccnet_perplexity_buckets_closed_form(spark):
     assert all(r["n_docs"] == 3 for r in en)  # ntile: equal thirds
     # head bucket NLL <= middle <= tail
     assert en[0]["mean_nll"] <= en[1]["mean_nll"] <= en[2]["mean_nll"]
-    assert en[0]["max_nll"] <= en[1]["min_nll"] or en[0]["max_nll"] <= en[1]["max_nll"]
+    assert en[0]["max_nll"] <= en[1]["min_nll"]  # buckets partition the order
     de = by_lang["de"]
     assert sum(r["n_docs"] for r in de) == 3  # independent per-lang cut
 

@@ -253,27 +253,25 @@ def minhash_recall_eval(
     post = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     qp = post.filter(F.col("doc_id") < query_max_id)
+    # both-in-cohort pairs would otherwise join in both orientations;
+    # requiring a<b inside the cohort counts each pair exactly once
+    # (outside the cohort, b >= query_max_id > a already implies a<b)
     shared = (
         qp.alias("a")
         .join(
             post.alias("b"),
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                (F.col("a.doc_id") < F.col("b.doc_id"))
+                | (F.col("b.doc_id") >= query_max_id)
+            ),
         )
         .groupBy(
             F.least("a.doc_id", "b.doc_id").alias("lo"),
             F.greatest("a.doc_id", "b.doc_id").alias("hi"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    # pairs with BOTH endpoints in the cohort aggregate their shared
-    # count twice (once per direction); halve exactly those
-    shared = shared.withColumn(
-        "shared",
-        F.when(
-            (F.col("lo") < query_max_id) & (F.col("hi") < query_max_id),
-            F.col("shared") / 2,
-        ).otherwise(F.col("shared")),
     )
     truth = (
         shared.join(
@@ -1027,8 +1025,13 @@ def bitext_margin_mine(
         .join(degy, "tgt_id")
         .withColumn(
             "margin",
+            # non-positive neighborhood mean => no meaningful ratio: a
+            # negative denominator would SIGN-FLIP the ordering and rank
+            # the most anti-similar target first
             F.round(
-                F.when(F.col("deg_x") + F.col("deg_y") == 0, F.lit(0.0)).otherwise(
+                F.when(
+                    F.col("deg_x") + F.col("deg_y") <= 0, F.lit(0.0)
+                ).otherwise(
                     F.col("score")
                     / ((F.col("deg_x") + F.col("deg_y")) / F.lit(2.0))
                 ),

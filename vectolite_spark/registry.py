@@ -4227,6 +4227,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None or not os.path.exists(
         os.path.join(codes_path, "_SUCCESS")
     ):
+        # evict every stale entry for this path (other sessions, or a
+        # rebuilt index) and unpersist its cached relation — mirrors the
+        # _managed_cache discipline; a stopped session's unpersist may
+        # raise, which just means its blocks are already gone
+        for k in [k for k in _PQ_CODEBOOK_CACHE if k[0] == codes_path]:
+            try:
+                _PQ_CODEBOOK_CACHE.pop(k)[1].unpersist(blocking=False)
+            except Exception:
+                pass
         embs = load_table(spark, sf_dir, "embeddings")
         codes_src, codebook = build_pq(embs, m=8, k=16)
         if not os.path.exists(os.path.join(codes_path, "_SUCCESS")):
@@ -11284,7 +11293,7 @@ degy AS (
 ),
 margins AS (
   SELECT f.src_id, f.tgt_id, f.score,
-         ROUND(CASE WHEN (x.deg_x + y.deg_y) = 0 THEN 0.0
+         ROUND(CASE WHEN (x.deg_x + y.deg_y) <= 0 THEN 0.0
                ELSE f.score / ((x.deg_x + y.deg_y) / 2.0) END, 6) AS margin
   FROM fwdk f
   JOIN degx x ON x.src_id = f.src_id
@@ -11324,18 +11333,15 @@ WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shingles
 post AS (SELECT doc_id, s FROM sh, UNNEST(shingles) AS t(s)),
 sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
 qp AS (SELECT doc_id, s FROM post WHERE doc_id < 100),
-shared0 AS (
+shared AS (
+  -- a<b inside the cohort counts each both-in-cohort pair exactly once;
+  -- outside it b >= 100 > a already implies a<b
   SELECT LEAST(a.doc_id, b.doc_id) AS lo, GREATEST(a.doc_id, b.doc_id) AS hi,
          COUNT(*) AS shared
-  FROM qp a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+  FROM qp a JOIN post b
+    ON a.s = b.s AND a.doc_id <> b.doc_id
+   AND (a.doc_id < b.doc_id OR b.doc_id >= 100)
   GROUP BY 1, 2
-),
-shared AS (
-  -- both-in-cohort pairs joined in both orientations: halve exactly those
-  SELECT lo, hi,
-         CASE WHEN lo < 100 AND hi < 100 THEN shared / 2 ELSE shared END
-           AS shared
-  FROM shared0
 ),
 truth AS (
   SELECT DISTINCT s.lo, s.hi FROM shared s
