@@ -120,6 +120,13 @@ def test_sync_srp_and_ivfpq_consume_exactly_the_delta(
     pq_rows = spark.read.parquet(f"{ivfpq}/cells").collect()
     assert sorted(r["vec_id"] for r in pq_rows) == list(range(30))
     assert all(len(r["codes"]) == 4 for r in pq_rows)
+    # appending with a mismatched m must refuse, not mix code lengths
+    import pytest
+
+    from vectolite_spark.operators.ann import ivfpq_index_append
+
+    with pytest.raises(ValueError, match="stores 4-code"):
+        ivfpq_index_append(spark, ivfpq, _vecs8(range(30, 32)), m=8)
 
 
 def test_sync_bm25_matches_rebuild(store, spark, tmp_path):

@@ -265,9 +265,14 @@ def test_audio_fallback_seam():
     from vectolite_spark import multimodal as mm
 
     flac_ish = b"fLaC\x00\x00\x00\x22" + bytes(64)
-    assert mm._resolve_audio_fallback() is None  # no codec libs here
-    with pytest.raises(NotImplementedError, match="set_audio_fallback"):
-        mm.decode_real("audio", flac_ish)
+    # the no-codec branch only exists where no codec lib is importable —
+    # don't FAIL on an environment that happens to have soundfile/
+    # torchaudio (there the auto fallback resolving is the correct
+    # behavior); the explicit-fallback and stdlib-WAV contracts below
+    # hold either way
+    if mm._resolve_audio_fallback() is None:
+        with pytest.raises(NotImplementedError, match="set_audio_fallback"):
+            mm.decode_real("audio", flac_ish)
     try:
         mm.set_audio_fallback(
             lambda data: {

@@ -744,6 +744,22 @@ def ivfpq_index_append(
     from vectolite_spark._pandas_udfs import make_pq_encode_mapper
 
     idx = IVFPQIndex(spark, index_path, m=m)
+    # m is an encode-time parameter the (k, d) codebook cannot recover;
+    # the stored codes arrays CAN — appending with a mismatched m would
+    # mix code lengths in one layout and silently corrupt every later
+    # probe's reshape (the SRP meta guard's corruption class)
+    existing = (
+        spark.read.parquet(f"{index_path}/cells")
+        .select(F.size("codes").alias("m"))
+        .limit(1)
+        .collect()
+    )
+    if existing and int(existing[0]["m"]) != int(m):
+        raise ValueError(
+            f"IVF-PQ index at {index_path} stores {existing[0]['m']}-code "
+            f"vectors; got m={m} — appending mismatched subspace counts "
+            "silently corrupts the codes layout"
+        )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), "embedding"
     )
@@ -824,11 +840,24 @@ def _srp_resolve(spark, index_path, n_tables, n_planes) -> tuple[int, int]:
         nt = 16 if n_tables is None else int(n_tables)
         npl = 6 if n_planes is None else int(n_planes)
         try:
+            # write-then-RENAME: a crash mid-write must not leave a
+            # half-written {index_path}/meta that turns every later
+            # probe's meta read into a hard failure — the tmp dir is
+            # invisible to _srp_meta until the atomic rename lands, and
+            # a stray tmp from a dead writer is harmlessly overwritten
+            from vectolite_spark.store import _HadoopFS
+
+            import os as _os
+
+            tmp = f"{index_path}/meta_tmp_{_os.getpid()}"
             spark.createDataFrame(
                 [(nt, npl)], "n_tables int, n_planes int"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{index_path}/meta"
-            )
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            fs = _HadoopFS(spark, index_path)
+            if not fs.exists(f"{index_path}/meta"):  # lost race: keep theirs
+                fs.rename(tmp, f"{index_path}/meta")
+            else:
+                fs.delete(tmp)
         except Exception:
             pass  # unwritable index dir: stay caller-asserted
         return nt, npl

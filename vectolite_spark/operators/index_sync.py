@@ -71,9 +71,16 @@ def _sync(store, index_path: str, append_fn) -> dict:
     if v_to <= v_from:
         return {"v_from": v_from, "v_to": v_from, "n_rows": 0}
     delta = store.read_changes(v_from, v_to)  # raises on rewrite windows
-    n = int(delta.count())
-    if n:
-        append_fn(delta)
+    # cache: the count job below and the append job would otherwise EACH
+    # re-read every delta dir — doubling the "delta bytes only" IO this
+    # module exists to provide
+    delta = delta.cache()
+    try:
+        n = int(delta.count())
+        if n:
+            append_fn(delta)
+    finally:
+        delta.unpersist(blocking=False)
     set_index_watermark(spark, index_path, v_to)
     return {"v_from": v_from, "v_to": v_to, "n_rows": n}
 
@@ -111,10 +118,14 @@ def rebuild_and_fast_forward(store, index_path: str, build_fn) -> dict:
     commit already implies — the watermark loop keeps every OTHER cycle
     at delta cost. Returns {"version": v, "n_rows": n}."""
     v = store.current_version()
-    df = store.read(v)
-    build_fn(df, index_path)
+    df = store.read(v).cache()  # build scan + report count: ONE table read
+    try:
+        build_fn(df, index_path)
+        n = int(df.count())
+    finally:
+        df.unpersist(blocking=False)
     set_index_watermark(store.spark, index_path, v)
-    return {"version": v, "n_rows": int(df.count())}
+    return {"version": v, "n_rows": n}
 
 
 def sync_srp_index(store, index_path: str, id_col: str = "vec_id") -> dict:

@@ -187,12 +187,14 @@ def build_bm25_index(
     n_buckets: int = 32,
 ) -> None:
     """Build and PERSIST the inverted index for BM25 — the lexical
-    analogue of ``ann.build_ivf_index``'s build/probe split. Layout:
+    analogue of ``ann.build_ivf_index``'s build/probe split. Layout (v2):
 
-        {path}/postings   (term, doc_id, tf, dl, df) partitioned by
+        {path}/postings   (term, doc_id, tf, dl) partitioned by
                           bucket = md5(term) % n_buckets
-        {path}/stats      one row: n_docs, avgdl (exact-DECIMAL mean),
-                          n_buckets
+        {path}/termstats  vocabulary-sized (term, df)
+        {path}/doclen     (doc_id, dl) — replay guard + exact avgdl
+        {path}/stats      one row: n_docs, total_dl (integer; avgdl is
+                          derived at handle construction), n_buckets
 
     ``bm25_scores`` re-scans and re-tokenizes the corpus per query — right
     when term stats ride an existing scan, wrong amortization for a query
@@ -308,19 +310,27 @@ def append_bm25_index(
         .parquet(f"{index_path}/postings")
     )
     dl.write.mode("append").parquet(f"{index_path}/doclen")
-    # overwrite-while-reading hazard: materialize the merged termstats on
-    # the driver first (vocabulary-bounded), then write fresh
+    # overwrite-while-reading hazard (Spark cannot overwrite a dir its
+    # own plan is reading): write the DISTRIBUTED merge to a tmp dir,
+    # then swap via two metadata-only FS ops — a web-scale vocabulary
+    # (1e8+ terms of typos/ids/urls) is not driver-sized, so collecting
+    # it was the wrong shape. The delete->rename crash window leaves a
+    # missing (not corrupt) termstats dir, owned by the same batch
+    # marker as the postings-written/doclen-missing window above.
+    from vectolite_spark.store import _HadoopFS
+
     merged = (
         spark.read.parquet(f"{index_path}/termstats")
         .unionByName(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
         .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .collect()
+        .agg(F.sum("df").cast("long").alias("df"))
     )
+    tmp = f"{index_path}/termstats_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     toks.unpersist()
-    spark.createDataFrame(merged, "term string, df bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{index_path}/termstats")
+    fs = _HadoopFS(spark, index_path)
+    fs.delete(f"{index_path}/termstats")
+    fs.rename(tmp, f"{index_path}/termstats")
     spark.createDataFrame(
         [
             (

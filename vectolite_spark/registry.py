@@ -135,9 +135,13 @@ def _bm25_handle(spark, sf_dir: str):
     from vectolite_spark.operators.retrieval import BM25Index
 
     path = _ensure_bm25_index(spark, sf_dir)
-    h = _BM25_HANDLE_CACHE.get(path)
+    # handles hold the session they were opened with — key by session so
+    # a restarted session rebuilds its own handle instead of calling
+    # methods on a stopped SparkContext (same fix as the PQ codes memo)
+    key = (path, id(spark))
+    h = _BM25_HANDLE_CACHE.get(key)
     if h is None:
-        h = _BM25_HANDLE_CACHE[path] = BM25Index(spark, path)
+        h = _BM25_HANDLE_CACHE[key] = BM25Index(spark, path)
     return h
 
 
@@ -157,7 +161,7 @@ def _table_count(spark, sf_dir: str, table: str) -> int:
 
 
 def _ivfpq_handle(spark, index_path: str, m: int = 8):
-    key = (index_path, m)
+    key = (index_path, m, id(spark))  # session-keyed, like _bm25_handle
     h = _IVFPQ_HANDLE_CACHE.get(key)
     if h is None:
         from vectolite_spark.operators.ann import IVFPQIndex
@@ -4224,14 +4228,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own handle instead of touching a (possibly stopped) one
     key = (codes_path, id(spark))
     cached = _PQ_CODEBOOK_CACHE.get(key)
-    if cached is None or not os.path.exists(
-        os.path.join(codes_path, "_SUCCESS")
-    ):
-        # evict every stale entry for this path (other sessions, or a
-        # rebuilt index) and unpersist its cached relation — mirrors the
-        # _managed_cache discipline; a stopped session's unpersist may
-        # raise, which just means its blocks are already gone
-        for k in [k for k in _PQ_CODEBOOK_CACHE if k[0] == codes_path]:
+    index_gone = not os.path.exists(os.path.join(codes_path, "_SUCCESS"))
+    if cached is None or index_gone:
+        # evict only what is actually stale: this session's own entry on
+        # a rebuild, plus OTHER sessions' entries only when the on-disk
+        # index is gone (evicting live sessions on a plain per-session
+        # miss would thrash two coexisting sessions into rebuilding the
+        # k-means per call). Unpersist mirrors the _managed_cache
+        # discipline; a stopped session's unpersist may raise, which
+        # just means its blocks are already gone.
+        stale = [k for k in _PQ_CODEBOOK_CACHE
+                 if k == key or (index_gone and k[0] == codes_path)]
+        for k in stale:
             try:
                 _PQ_CODEBOOK_CACHE.pop(k)[1].unpersist(blocking=False)
             except Exception:

@@ -618,11 +618,15 @@ class SparkVectolite:
                         f"got {type(value).__name__} for key {key!r}"
                     )
                 fcmp[key] = value if isinstance(value, str) else json.dumps(value)
+        # read the cfg ONCE: a concurrent disable_batched_serving() between
+        # the None-check and the subscript would otherwise raise TypeError
+        # instead of falling back to the exact path
+        serving_cfg = self._serving_cfg
         if (
-            self._serving_cfg is not None
+            serving_cfg is not None
             and not ann
             and diversify is None
-            and top_k <= self._serving_cfg["top_k"]
+            and top_k <= serving_cfg["top_k"]
         ):
             # batched-serving facade: coalesce with concurrent callers
             # into one Spark job; same ordering contract, so top_k is a
