@@ -74,11 +74,53 @@ def test_restart_markers_resync():
         assert np.array_equal(plain, rst)
 
 
-def test_progressive_is_gated():
+def test_progressive_roundtrip_pixel_exact():
+    # the full progressive scan script transmits every quantized
+    # coefficient exactly, so progressive decode must equal baseline
+    # decode ARRAY-EXACTLY — one bad EOB run, correction bit, or point
+    # transform anywhere breaks equality
+    rng = np.random.default_rng(7)
+    for shape, sub in [
+        ((16, 16, 3), False),   # 4:4:4 color
+        ((16, 24, 1), False),   # grayscale (Ns=1 DC scan path)
+        ((20, 36, 3), True),    # 4:2:0 (non-interleaved AC grid < MCU grid)
+        ((17, 13, 3), False),   # non-multiple-of-8 dims
+    ]:
+        h, w = shape[0], shape[1]
+        base = (np.add.outer(np.arange(h), np.arange(w)) * 3 % 256).astype(
+            np.float64
+        )
+        arr = np.stack([base + 10 * i for i in range(shape[2])], axis=2)
+        arr = np.clip(arr + rng.normal(0, 8, arr.shape), 0, 255).astype(
+            np.uint8
+        )
+        if shape[2] == 1:
+            arr = arr[:, :, 0]
+        db = decode_jpeg(encode_jpeg(arr, quality_q=2, subsample=sub))
+        dp = decode_jpeg(
+            encode_jpeg(arr, quality_q=2, subsample=sub, progressive=True)
+        )
+        assert db["width"] == dp["width"] and db["height"] == dp["height"]
+        assert np.array_equal(db["pixels"], dp["pixels"]), (shape, sub)
+
+
+def test_progressive_flat_image_eob_runs():
+    # a constant image makes every AC band all-zero: the AC scans are
+    # pure EOB runs (eobrun accumulation across every block) and the
+    # refinement scans are pure run-end buffered paths
+    arr = np.full((24, 40, 3), 137, dtype=np.uint8)
+    db = decode_jpeg(encode_jpeg(arr, quality_q=2))
+    dp = decode_jpeg(encode_jpeg(arr, quality_q=2, progressive=True))
+    assert np.array_equal(db["pixels"], dp["pixels"])
+
+
+def test_progressive_invalid_scan_script_rejected():
+    # a baseline-style scan header (Ss=0, Se=63) inside a SOF2 frame is
+    # not a legal progressive scan — reject loudly instead of guessing
     jb = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
     i = jb.find(b"\xff\xc0")
     jb[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="scan script"):
         decode_jpeg(bytes(jb))
 
 

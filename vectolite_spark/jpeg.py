@@ -1,19 +1,27 @@
-"""Baseline JPEG codec — stdlib + numpy only.
+"""JPEG codec — stdlib + numpy only.
 
 The dominant real-corpus image format (VERDICT r4 item 5) gets a
 correctness-grade decoder with zero native dependencies: baseline
-sequential DCT (SOF0), canonical Huffman entropy coding (DHT), 8-bit
-quantization tables (DQT), grayscale and YCbCr with any (h,v) chroma
-subsampling in {1,2} x {1,2} (4:4:4 / 4:2:2 / 4:2:0), and restart
-markers (DRI / RSTn). Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise ``NotImplementedError`` — on a production cluster
-libjpeg-turbo/Pillow slots behind the same ``multimodal.decode_real``
-seam; this module proves the decode path end-to-end in this container.
+sequential DCT (SOF0/1), PROGRESSIVE DCT (SOF2 — spectral selection,
+successive approximation, EOB runs, refinement correction bits; r8,
+closing VERDICT r7 honest-gap 2), canonical Huffman entropy coding
+(DHT), 8-bit quantization tables (DQT), grayscale and YCbCr with any
+(h,v) chroma subsampling in {1,2} x {1,2} (4:4:4 / 4:2:2 / 4:2:0), and
+restart markers (DRI / RSTn). Arithmetic coding, lossless/hierarchical
+modes, and 12-bit precision raise ``NotImplementedError`` — on a
+production cluster libjpeg-turbo/Pillow slots behind the same
+``multimodal.decode_real`` seam; this module proves the decode path
+end-to-end in this container.
 
 A minimal ENCODER rides along so tests can round-trip without any image
-library present: flat quantization table, per-image fixed-length Huffman
-tables (valid canonical JPEG tables, just not entropy-optimal), optional
-2x2 chroma subsampling to exercise the decoder's upsampling path.
+library present: flat quantization table, per-image (baseline) or
+per-scan (progressive) fixed-length Huffman tables (valid canonical
+JPEG tables, just not entropy-optimal), optional 2x2 chroma subsampling
+to exercise the decoder's upsampling path, and a progressive scan
+script covering every SOF2 decode path. The full progressive script
+transmits every quantized coefficient exactly, so progressive decode is
+pixel-identical to baseline decode of the same input — the roundtrip
+tests assert array equality, not approximate closeness.
 
 Everything here derives from the public JPEG spec (ITU-T T.81 / RFC
 2035 era documents): zigzag scan, EXTEND sign decoding (F.12), MCU
@@ -158,9 +166,9 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Decode a baseline sequential JPEG into
-    {width, height, channels, pixels} with ``pixels`` an (h, w, c) uint8
-    array (c = 1 grayscale, 3 RGB)."""
+    """Decode a baseline sequential (SOF0/1) or progressive (SOF2) JPEG
+    into {width, height, channels, pixels} with ``pixels`` an (h, w, c)
+    uint8 array (c = 1 grayscale, 3 RGB)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -168,6 +176,8 @@ def decode_jpeg(data: bytes) -> dict:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    progressive = False
+    coef: dict[int, np.ndarray] = {}
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -200,7 +210,7 @@ def decode_jpeg(data: bytes) -> dict:
                 vals = seg[p + 17 : p + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -211,9 +221,22 @@ def decode_jpeg(data: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coef = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG unsupported (baseline SOF0 only)"
+                "lossless/arithmetic/hierarchical JPEG unsupported "
+                "(baseline SOF0/1 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -228,18 +251,36 @@ def decode_jpeg(data: bytes) -> dict:
                 scan.append(
                     {"comp": comp, "dc": tdta >> 4, "ac": tdta & 0xF}
                 )
-            pixels = _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+            if not progressive:
+                pixels = _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                ch = len(frame["comps"])
+                return {
+                    "width": frame["w"],
+                    "height": frame["h"],
+                    "channels": 3 if ch == 3 else 1,
+                    "pixels": pixels,
+                }
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _decode_prog_scan(
+                data, pos + seglen, frame, scan, ss, se,
+                ahal >> 4, ahal & 0xF, huff_dc, huff_ac, coef,
                 restart_interval,
             )
-            ch = len(frame["comps"])
-            return {
-                "width": frame["w"],
-                "height": frame["h"],
-                "channels": 3 if ch == 3 else 1,
-                "pixels": pixels,
-            }
+            pos = _next_marker(data, pos + seglen)
+            continue
         pos += seglen
+    if progressive and frame is not None:
+        ch = len(frame["comps"])
+        return {
+            "width": frame["w"],
+            "height": frame["h"],
+            "channels": 3 if ch == 3 else 1,
+            "pixels": _prog_reconstruct(frame, coef, qt),
+        }
     raise ValueError("no SOS marker / no image data found")
 
 
@@ -292,7 +333,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             n_mcu += 1
-    # upsample each component to full resolution (sample replication) + crop
+    return _finish_planes(frame, planes, hmax, vmax)
+
+
+def _finish_planes(frame, planes, hmax, vmax):
+    """Upsample each component plane to full resolution (sample
+    replication), crop to the frame, and color-convert."""
+    w, h = frame["w"], frame["h"]
     full = []
     for c in frame["comps"]:
         p = planes[c["id"]]
@@ -310,9 +357,228 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
 
 
 # ---------------------------------------------------------------------------
+# Progressive mode (SOF2): spectral selection + successive approximation.
+# Coefficients accumulate across scans into per-component (by, bx, 64)
+# zigzag arrays; reconstruction happens once, after EOI. The refinement
+# algorithms are ports of the public T.81 Annex G flowcharts (the same
+# logic libjpeg's jdphuff.c/jcphuff.c implement).
+# ---------------------------------------------------------------------------
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First non-RST marker position at/after ``pos``: skips entropy
+    bytes, stuffed 0xFF00, and RSTn."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF:
+            b = data[pos + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _ac_first(reader, tbl, blk, ss, se, al, eobrun):
+    """Progressive AC scan, first pass (Ah=0): T.81 G.1.2.2 — baseline
+    runlength coding plus EOBn end-of-band runs; decoded values carry
+    the point transform (<< Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = tbl.decode(reader)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, tbl, blk, ss, se, al, eobrun):
+    """Progressive AC scan, refinement pass (Ah>0): T.81 G.1.2.3 —
+    newly-significant coefficients arrive as runlength+sign, while every
+    already-nonzero coefficient passed emits one correction bit."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = tbl.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                s = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                blk[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _noninterleaved_blocks(frame, comp) -> tuple[int, int]:
+    """(blocks_y, blocks_x) a NON-interleaved scan covers for ``comp``:
+    the component's own sample grid, NOT the MCU-padded grid (A.2.2)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    chh = -(-frame["h"] * comp["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(
+    data, pos, frame, scans, ss, se, ah, al, huff_dc, huff_ac, coef,
+    restart_interval,
+):
+    """Decode ONE progressive scan into the coefficient store. DC scans
+    (Ss=0) are MCU-interleaved over the scan's components; AC scans are
+    single-component, raster order over that component's block grid."""
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("invalid progressive scan script (DC with Se>0)")
+        pred = {sc["comp"]["id"]: 0 for sc in scans}
+
+        def dc_block(sc, yb, xb):
+            comp = sc["comp"]
+            c = coef[comp["id"]]
+            if ah == 0:
+                t = huff_dc[sc["dc"]].decode(reader)
+                pred[comp["id"]] += _extend(reader.receive(t), t)
+                c[yb, xb, 0] = pred[comp["id"]] << al
+            elif reader.read_bit():
+                c[yb, xb, 0] |= 1 << al
+
+        if len(scans) == 1:
+            # Ns=1 scans are NON-interleaved (T.81 A.2.2): raster over
+            # the component's own block grid, no MCU padding
+            comp = scans[0]["comp"]
+            by_n, bx_n = _noninterleaved_blocks(frame, comp)
+            n_blk = 0
+            for yb in range(by_n):
+                for xb in range(bx_n):
+                    if (
+                        restart_interval
+                        and n_blk
+                        and n_blk % restart_interval == 0
+                    ):
+                        reader.restart()
+                        pred = {scans[0]["comp"]["id"]: 0}
+                    dc_block(scans[0], yb, xb)
+                    n_blk += 1
+            return
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    reader.restart()
+                    pred = {sc["comp"]["id"]: 0 for sc in scans}
+                for sc in scans:
+                    comp = sc["comp"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            dc_block(
+                                sc, my * comp["v"] + by, mx * comp["h"] + bx
+                            )
+                n_mcu += 1
+        return
+    if len(scans) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    comp = scans[0]["comp"]
+    tbl = huff_ac[scans[0]["ac"]]
+    c = coef[comp["id"]]
+    by_n, bx_n = _noninterleaved_blocks(frame, comp)
+    eobrun = 0
+    n_blk = 0
+    for yb in range(by_n):
+        for xb in range(bx_n):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            if ah == 0:
+                eobrun = _ac_first(reader, tbl, c[yb, xb], ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, tbl, c[yb, xb], ss, se, al, eobrun)
+            n_blk += 1
+
+
+def _prog_reconstruct(frame, coef, qt):
+    """Dequantize + IDCT the accumulated coefficient store — the final
+    step after every progressive scan has landed."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    planes = {}
+    for comp in frame["comps"]:
+        c = coef[comp["id"]]
+        by_n, bx_n = c.shape[0], c.shape[1]
+        q = qt[comp["tq"]]
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        dq = np.zeros((8, 8), dtype=np.float64)
+        for yb in range(by_n):
+            for xb in range(bx_n):
+                blk = c[yb, xb]
+                dq[:, :] = 0.0
+                for i, (r, cc) in enumerate(_ZIGZAG):
+                    if blk[i]:
+                        dq[r, cc] = float(blk[i]) * q[r, cc]
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _C.T @ dq @ _C + 128.0
+                )
+        planes[comp["id"]] = plane
+    return _finish_planes(frame, planes, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
 # Minimal encoder (test support): flat quant table, per-image fixed-length
 # canonical Huffman tables, optional 2x2 chroma subsampling.
 # ---------------------------------------------------------------------------
+
+
+def _mag(v: int):
+    """(category, appended-bits) magnitude coding (T.81 F.1.2.1.2/F.12):
+    the Huffman symbol's SSSS size class plus the extra bits."""
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << t) - 1
+    return t, bits
 
 
 def _block_symbols(qcoef: np.ndarray, prev_dc: int):
@@ -320,15 +586,7 @@ def _block_symbols(qcoef: np.ndarray, prev_dc: int):
     zigzag-ordered block."""
     zz = np.array([qcoef[r, c] for r, c in _ZIGZAG], dtype=np.int64)
     diff = int(zz[0]) - prev_dc
-
-    def mag(v: int):
-        t = 0
-        a = abs(v)
-        while a:
-            t += 1
-            a >>= 1
-        bits = v if v >= 0 else v + (1 << t) - 1
-        return t, bits
+    mag = _mag
 
     t, bits = mag(diff)
     out_dc = (t, bits, t)
@@ -398,16 +656,27 @@ def _fixed_length_table(symbols: set[int]):
 
 def encode_jpeg(
     pixels, quality_q: int = 8, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
-    """Encode an (h, w) or (h, w, 1|3) uint8 array as a baseline JPEG.
+    """Encode an (h, w) or (h, w, 1|3) uint8 array as a baseline JPEG —
+    or, with ``progressive=True``, as a progressive (SOF2) JPEG using a
+    libjpeg-style scan script (DC first at Al=1, per-component AC first
+    scans with a split luma spectral band, per-component AC refinement,
+    DC refinement) that exercises every progressive decode path:
+    spectral selection, successive approximation, EOB runs, and
+    refinement correction bits. The full script transmits every
+    quantized coefficient exactly, so progressive decode is
+    pixel-identical to the baseline encoding of the same input.
 
     ``quality_q`` is the flat quantization step (lower = higher quality).
     ``subsample=True`` emits 4:2:0 (Y at 2x2, box-averaged chroma) to
     exercise a decoder's upsampling path; default is 4:4:4.
     ``restart_interval=N`` emits DRI + an RSTn marker every N MCUs
-    (predictors reset, stream byte-aligned) — the decoder resync path.
+    (predictors reset, stream byte-aligned) — the decoder resync path;
+    baseline only.
     """
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is a baseline-encoder option")
     arr = np.asarray(pixels, dtype=np.float64)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -446,6 +715,26 @@ def encode_jpeg(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
         planes.append(p)
+
+    if progressive:
+        # quantized zigzag blocks per component on the MCU grid — the
+        # scan script re-reads them once per scan
+        qblocks = []
+        for i in range(ch):
+            sh, sv = sampling[i]
+            qb = np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+            for ybi in range(mcuy * sv):
+                for xbi in range(mcux * sh):
+                    blk = (
+                        planes[i][ybi * 8 : ybi * 8 + 8, xbi * 8 : xbi * 8 + 8]
+                        - 128.0
+                    )
+                    qc = np.round((_C @ blk @ _C.T) / q).astype(np.int64)
+                    qb[ybi, xbi] = [qc[r, c] for r, c in _ZIGZAG]
+            qblocks.append(qb)
+        return _encode_progressive(
+            h, w, ch, sampling, q, qblocks, mcux, mcuy
+        )
 
     # pass 1: quantized blocks + symbol stats, MCU-interleaved
     dc_syms: list[set[int]] = [set(), set()]
@@ -529,5 +818,244 @@ def encode_jpeg(
             bw.write(bits_v, s)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _prog_noninterleaved_dims(h, w, sampling, i):
+    """Encoder twin of ``_noninterleaved_blocks``: (by_n, bx_n) for
+    component ``i`` of an (h, w) frame under ``sampling``."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    sh, sv = sampling[i]
+    cw = -(-w * sh // hmax)
+    chh = -(-h * sv // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _prog_dc_events(kind, comps_i, al, sampling, qblocks, mcux, mcuy, h, w):
+    """DC scan events: ("sym", cls, size)+bits on the first pass,
+    raw refinement bits afterwards. Traversal matches the decoder:
+    MCU-interleaved for Ns>1, component-raster for Ns=1."""
+    events = []
+    pred = {i: 0 for i in comps_i}
+
+    def one(i, yb, xb):
+        dc = int(qblocks[i][yb, xb, 0])
+        if kind == "dc_first":
+            t = dc >> al
+            diff = t - pred[i]
+            pred[i] = t
+            s, bits = _mag(diff)
+            events.append(("sym", 0 if i == 0 else 1, s))
+            if s:
+                events.append(("bits", bits, s))
+        else:
+            events.append(("bits", (dc >> al) & 1, 1))
+
+    if len(comps_i) == 1:
+        i = comps_i[0]
+        by_n, bx_n = _prog_noninterleaved_dims(h, w, sampling, i)
+        for yb in range(by_n):
+            for xb in range(bx_n):
+                one(i, yb, xb)
+        return events
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i in comps_i:
+                sh, sv = sampling[i]
+                for by in range(sv):
+                    for bx in range(sh):
+                        one(i, my * sv + by, mx * sh + bx)
+    return events
+
+
+def _prog_ac_first_events(i, ss, se, al, sampling, qblocks, h, w):
+    """AC first-pass events (T.81 G.1.2.2): point-transformed runlength
+    coding with accumulated EOB runs."""
+    events = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            events.append(("sym", 0, rr << 4))
+            if rr:
+                events.append(("bits", eobrun - (1 << rr), rr))
+            eobrun = 0
+
+    by_n, bx_n = _prog_noninterleaved_dims(h, w, sampling, i)
+    for yb in range(by_n):
+        for xb in range(bx_n):
+            zz = qblocks[i][yb, xb]
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                a = abs(v) >> al
+                vals.append(a if v >= 0 else -a)
+            last_nz = -1
+            for j, t in enumerate(vals):
+                if t:
+                    last_nz = j
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for j in range(last_nz + 1):
+                t = vals[j]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    events.append(("sym", 0, 0xF0))
+                    run -= 16
+                s, bits = _mag(t)
+                events.append(("sym", 0, (run << 4) | s))
+                events.append(("bits", bits, s))
+                run = 0
+            if last_nz < len(vals) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return events
+
+
+def _prog_ac_refine_events(i, ss, se, al, sampling, qblocks, h, w):
+    """AC refinement events (T.81 G.1.2.3, the jcphuff.c shape):
+    newly-significant coefficients as runlength+sign; one buffered
+    correction bit per already-nonzero coefficient passed, emitted after
+    the symbol (or EOBn) that closes its run."""
+    events = []
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            events.append(("sym", 0, rr << 4))
+            if rr:
+                events.append(("bits", eobrun - (1 << rr), rr))
+            for b in pending:
+                events.append(("bits", b, 1))
+            pending = []
+            eobrun = 0
+
+    by_n, bx_n = _prog_noninterleaved_dims(h, w, sampling, i)
+    for yb in range(by_n):
+        for xb in range(bx_n):
+            zz = qblocks[i][yb, xb]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_idx = -1
+            for j, a in enumerate(absv):
+                if a == 1:  # newly significant (history = a >> 1 = 0)
+                    eob_idx = j
+            br: list[int] = []
+            r = 0
+            for j, temp in enumerate(absv):
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eob_idx:
+                    flush_eob()
+                    events.append(("sym", 0, 0xF0))
+                    for b in br:
+                        events.append(("bits", b, 1))
+                    br = []
+                    r -= 16
+                if temp > 1:  # already nonzero: buffer a correction bit
+                    br.append(temp & 1)
+                    continue
+                flush_eob()
+                events.append(("sym", 0, (r << 4) | 1))
+                events.append(("bits", 1 if int(zz[ss + j]) > 0 else 0, 1))
+                for b in br:
+                    events.append(("bits", b, 1))
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return events
+
+
+def _encode_progressive(h, w, ch, sampling, q, qblocks, mcux, mcuy) -> bytes:
+    """SOF2 emitter: per-scan fixed-length Huffman tables (DHT precedes
+    each SOS, redefinition between scans is legal per T.81), scan script
+    in the docstring of ``encode_jpeg``."""
+    out = bytearray(JPEG_SOI)
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    segment(0xDB, bytes([0x00]) + zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for i in range(ch):
+        sh, sv = sampling[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    segment(0xC2, sof)
+
+    all_comps = list(range(ch))
+    script: list[tuple] = [("dc_first", all_comps, 0, 0, 0, 1)]
+    script.append(("ac_first", [0], 1, 5, 0, 1))   # split luma band
+    script.append(("ac_first", [0], 6, 63, 0, 1))
+    for i in range(1, ch):
+        script.append(("ac_first", [i], 1, 63, 0, 1))
+    for i in range(ch):
+        script.append(("ac_refine", [i], 1, 63, 1, 0))
+    script.append(("dc_refine", all_comps, 0, 0, 1, 0))
+
+    for kind, comps_i, ss, se, ah, al in script:
+        if kind in ("dc_first", "dc_refine"):
+            events = _prog_dc_events(
+                kind, comps_i, al, sampling, qblocks, mcux, mcuy, h, w
+            )
+        elif kind == "ac_first":
+            events = _prog_ac_first_events(
+                comps_i[0], ss, se, al, sampling, qblocks, h, w
+            )
+        else:
+            events = _prog_ac_refine_events(
+                comps_i[0], ss, se, al, sampling, qblocks, h, w
+            )
+        # per-scan tables (fixed-length canonical, like the baseline)
+        tables: dict[int, dict] = {}
+        if kind == "dc_first":
+            for cls in sorted({e[1] for e in events if e[0] == "sym"}):
+                syms = {e[2] for e in events if e[0] == "sym" and e[1] == cls}
+                bits, vals, codes = _fixed_length_table(syms or {0})
+                segment(0xC4, bytes([cls]) + bytes(bits) + vals)
+                tables[cls] = codes
+        elif kind in ("ac_first", "ac_refine"):
+            syms = {e[2] for e in events if e[0] == "sym"}
+            bits, vals, codes = _fixed_length_table(syms or {0})
+            segment(0xC4, bytes([0x10]) + bytes(bits) + vals)
+            tables[0] = codes
+        sos = bytes([len(comps_i)])
+        for i in comps_i:
+            td = (0 if i == 0 else 1) if kind == "dc_first" else 0
+            sos += bytes([i + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, sos)
+        bw = _BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                code, length = tables[ev[1]][ev[2]]
+                bw.write(code, length)
+            else:
+                bw.write(ev[1], ev[2])
+        bw.flush()
+        out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -4,14 +4,15 @@ Design (north-star extension): media travels as ``binary`` columns with a
 ``kind`` discriminator and JSON metadata — the schema, partitioning and UDF
 plumbing are real and tested. ``decode_real`` REALLY decodes the formats
 this container can parse — PNG images (zlib inflate + scanline
-unfiltering), baseline JPEG (``vectolite_spark.jpeg``: Huffman decode,
+unfiltering), baseline AND progressive JPEG (``vectolite_spark.jpeg``:
+Huffman decode, SOF2 spectral-selection/successive-approximation scans,
 dequant + IDCT, 4:2:0/4:2:2 chroma upsampling, restart markers), PCM
 WAV audio (``wave``), and MJPEG-AVI video (``vectolite_spark.avi``:
 RIFF walk + per-frame JPEG decode, see ``sample_frames_real``) —
 including a real nearest-neighbor image resize; formats that still need
-external libraries (progressive JPEG, MP3 pixel/sample decode, H.264+
-video codecs) raise NotImplementedError until Pillow/torchaudio/decord
-are importable. ``decode_fake`` remains the deterministic byte-level
+external libraries (MP3 pixel/sample decode, H.264+ video codecs,
+arithmetic-coded JPEG) raise NotImplementedError until
+Pillow/torchaudio/decord are importable. ``decode_fake`` remains the deterministic byte-level
 stand-in so oracle-gated pipelines run on any payload.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` — one Arrow
@@ -151,13 +152,14 @@ def _resolve_audio_fallback():
 def decode_real(kind: str, data: bytes) -> dict:
     """REAL decoder for the formats this container can actually parse:
     PNG images (zlib inflate + scanline unfiltering, below), baseline
-    JPEG (``vectolite_spark.jpeg`` — Huffman + IDCT + chroma upsampling,
-    stdlib+numpy), and PCM WAV audio (``wave``). Returns the same
-    metadata shape as ``decode_fake`` but with TRUE width/height/
-    duration from the container. Formats that still need external
-    libraries (progressive JPEG, MP3, any video codec) raise
-    NotImplementedError — wire Pillow / soundfile / decord here when the
-    runtime has them; the Spark-side plumbing does not change."""
+    and progressive JPEG (``vectolite_spark.jpeg`` — Huffman + SOF2
+    scans + IDCT + chroma upsampling, stdlib+numpy), and PCM WAV audio
+    (``wave``). Returns the same metadata shape as ``decode_fake`` but
+    with TRUE width/height/duration from the container. Formats that
+    still need external libraries (MP3, any video codec,
+    arithmetic-coded JPEG) raise NotImplementedError — wire Pillow /
+    soundfile / decord here when the runtime has them; the Spark-side
+    plumbing does not change."""
     from vectolite_spark.jpeg import JPEG_SOI, decode_jpeg
 
     n = len(data)
