@@ -27,14 +27,15 @@ def test_media_schema_and_kinds(media):
 
 
 def test_decode_real_gates_unsupported_formats():
-    # images beyond PNG/baseline-JPEG (GIF etc.), audio beyond WAV/MP3,
+    # images beyond PNG/JPEG (GIF etc.), audio beyond WAV/FLAC/MP3,
     # and video beyond MP4-container metadata need external libs ->
-    # gated; JPEG is REAL (tests/test_jpeg.py), MP3/MP4 metadata is REAL
+    # gated; JPEG incl. progressive is REAL (tests/test_jpeg.py), FLAC
+    # is REAL (tests/test_flac.py), MP3/MP4 metadata is REAL
     # (tests/test_media_meta.py)
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_real("image", b"GIF89a not really")
     with pytest.raises(NotImplementedError, match="soundfile"):
-        decode_real("audio", b"fLaC\x00\x00\x00\x22 not parseable")
+        decode_real("audio", b"OggS\x00\x02 not parseable")
     with pytest.raises(NotImplementedError, match="media libraries"):
         decode_real("video", b"\x1a\x45\xdf\xa3 webm-ish")
 
@@ -264,7 +265,9 @@ def test_audio_fallback_seam():
 
     from vectolite_spark import multimodal as mm
 
-    flac_ish = b"fLaC\x00\x00\x00\x22" + bytes(64)
+    # FLAC is own-code decoded since r8, so the unknown-format probe is
+    # OGG-shaped now
+    ogg_ish = b"OggS\x00\x02" + bytes(64)
     # the no-codec branch only exists where no codec lib is importable —
     # don't FAIL on an environment that happens to have soundfile/
     # torchaudio (there the auto fallback resolving is the correct
@@ -272,7 +275,7 @@ def test_audio_fallback_seam():
     # hold either way
     if mm._resolve_audio_fallback() is None:
         with pytest.raises(NotImplementedError, match="set_audio_fallback"):
-            mm.decode_real("audio", flac_ish)
+            mm.decode_real("audio", ogg_ish)
     try:
         mm.set_audio_fallback(
             lambda data: {
@@ -283,9 +286,9 @@ def test_audio_fallback_seam():
                 "rms": 0.1,
             }
         )
-        out = mm.decode_real("audio", flac_ish)
+        out = mm.decode_real("audio", ogg_ish)
         assert out["duration_s"] == 0.5
-        assert out["n_bytes"] == len(flac_ish)
+        assert out["n_bytes"] == len(ogg_ish)
     finally:
         mm.set_audio_fallback("auto")
     # stdlib WAV never consults the fallback

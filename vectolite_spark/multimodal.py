@@ -7,12 +7,14 @@ this container can parse — PNG images (zlib inflate + scanline
 unfiltering), baseline AND progressive JPEG (``vectolite_spark.jpeg``:
 Huffman decode, SOF2 spectral-selection/successive-approximation scans,
 dequant + IDCT, 4:2:0/4:2:2 chroma upsampling, restart markers), PCM
-WAV audio (``wave``), and MJPEG-AVI video (``vectolite_spark.avi``:
-RIFF walk + per-frame JPEG decode, see ``sample_frames_real``) —
-including a real nearest-neighbor image resize; formats that still need
-external libraries (MP3 pixel/sample decode, H.264+ video codecs,
-arithmetic-coded JPEG) raise NotImplementedError until
-Pillow/torchaudio/decord are importable. ``decode_fake`` remains the deterministic byte-level
+WAV audio (``wave``), FLAC audio (``vectolite_spark.flac``: full
+lossless PCM reconstruction — Rice residuals, fixed+LPC predictors,
+stereo decorrelation, CRC verification), and MJPEG-AVI video
+(``vectolite_spark.avi``: RIFF walk + per-frame JPEG decode, see
+``sample_frames_real``) — including a real nearest-neighbor image
+resize; formats that still need external libraries (MP3 sample decode,
+H.264+ video codecs, arithmetic-coded JPEG) raise NotImplementedError
+until Pillow/torchaudio/decord are importable. ``decode_fake`` remains the deterministic byte-level
 stand-in so oracle-gated pipelines run on any payload.
 
 Scale notes: decode/feature-extract run via ``mapInPandas`` — one Arrow
@@ -188,10 +190,15 @@ def decode_real(kind: str, data: bytes) -> dict:
         base["width"], base["height"] = img["width"], img["height"]
         return base
     if kind == "audio":
+        from vectolite_spark.flac import decode_flac, is_flac
         from vectolite_spark.media_meta import decode_mp3_meta, is_mp3
 
         if data[:4] == b"RIFF":
             base["duration_s"] = decode_wav(data)["duration_s"]
+        elif is_flac(data):
+            # own-code lossless decode (r8): full PCM reconstruction,
+            # not just container metadata — vectolite_spark.flac
+            base["duration_s"] = decode_flac(data)["duration_s"]
         elif is_mp3(data):
             # own-code header scan gives the true duration; a wired
             # fallback (soundfile/torchaudio) would add PCM samples but
@@ -201,10 +208,10 @@ def decode_real(kind: str, data: bytes) -> dict:
             fb = _resolve_audio_fallback()
             if fb is None:
                 raise NotImplementedError(
-                    "real audio decoding beyond PCM-WAV/MP3 requires "
-                    "soundfile/torchaudio, neither present in this "
-                    "environment; wire one via set_audio_fallback or "
-                    "use decode_fake"
+                    "real audio decoding beyond PCM-WAV/FLAC/MP3 "
+                    "requires soundfile/torchaudio, neither present in "
+                    "this environment; wire one via set_audio_fallback "
+                    "or use decode_fake"
                 )
             base["duration_s"] = fb(data)["duration_s"]
         return base
