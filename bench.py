@@ -372,6 +372,17 @@ def main() -> None:
     timings["multimodal_audio_wav_rows_per_sec"] = _rate(
         lambda b: decode_real("audio", b), sample=_wb
     )
+    # own-code FLAC decode rate (r8): same 0.5 s mono clip, losslessly
+    # compressed — pins SCALING's audio cost-model row with a number
+    from vectolite_spark.flac import encode_flac
+
+    _fb_clip = encode_flac(
+        (_np.sin(_np.arange(4000) * 0.1) * 12000).astype(_np.int16),
+        sample_rate=8000,
+    )
+    timings["multimodal_audio_flac_rows_per_sec"] = _rate(
+        lambda b: decode_real("audio", b), sample=_fb_clip
+    )
     _afb = _resolve_audio_fallback()
     timings["multimodal_audio_fallback_present"] = 1.0 if _afb else 0.0
     if _afb is not None:

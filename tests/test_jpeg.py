@@ -193,3 +193,12 @@ def test_jpeg_roundtrip_property():
         # a decoder FAULT (wrong filter, desynced Huffman) shows 100+
         limit = 16 if sub else 4
         assert err.max() <= limit, (trial, h, w, ch, sub, ri, err.max())
+
+
+def test_16bit_quant_table_roundtrip():
+    # pq=1 DQT entries are 16-bit big-endian; same flat values, so the
+    # decode must equal the 8-bit-table encoding of the same input
+    arr = _smooth_rgb(16, 24)
+    d8 = decode_jpeg(encode_jpeg(arr, quality_q=2))
+    d16 = decode_jpeg(encode_jpeg(arr, quality_q=2, quant_16bit=True))
+    assert np.array_equal(d8["pixels"], d16["pixels"])

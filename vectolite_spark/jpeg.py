@@ -5,7 +5,7 @@ correctness-grade decoder with zero native dependencies: baseline
 sequential DCT (SOF0/1), PROGRESSIVE DCT (SOF2 — spectral selection,
 successive approximation, EOB runs, refinement correction bits; r8,
 closing VERDICT r7 honest-gap 2), canonical Huffman entropy coding
-(DHT), 8-bit quantization tables (DQT), grayscale and YCbCr with any
+(DHT), 8- and 16-bit quantization tables (DQT), grayscale and YCbCr with any
 (h,v) chroma subsampling in {1,2} x {1,2} (4:4:4 / 4:2:2 / 4:2:0), and
 restart markers (DRI / RSTn). Arithmetic coding, lossless/hierarchical
 modes, and 12-bit precision raise ``NotImplementedError`` — on a
@@ -194,13 +194,17 @@ def decode_jpeg(data: bytes) -> dict:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError("invalid quant table precision flag")
+                step = 2 if pq else 1  # pq=1: 16-bit big-endian entries
                 tbl = np.zeros((8, 8), dtype=np.int32)
                 for i, (r, c) in enumerate(_ZIGZAG):
-                    tbl[r, c] = seg[p + 1 + i]
+                    off = p + 1 + i * step
+                    tbl[r, c] = (
+                        (seg[off] << 8) | seg[off + 1] if pq else seg[off]
+                    )
                 qt[tq] = tbl
-                p += 65
+                p += 1 + 64 * step
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -657,6 +661,7 @@ def _fixed_length_table(symbols: set[int]):
 def encode_jpeg(
     pixels, quality_q: int = 8, subsample: bool = False,
     restart_interval: int = 0, progressive: bool = False,
+    quant_16bit: bool = False,
 ) -> bytes:
     """Encode an (h, w) or (h, w, 1|3) uint8 array as a baseline JPEG —
     or, with ``progressive=True``, as a progressive (SOF2) JPEG using a
@@ -773,8 +778,14 @@ def encode_jpeg(
         out.extend(struct.pack(">H", len(payload) + 2))
         out.extend(payload)
 
-    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
-    segment(0xDB, bytes([0x00]) + zz_q)  # one shared quant table
+    if quant_16bit:  # pq=1: 16-bit big-endian entries (decoder coverage)
+        zz_q = b"".join(
+            struct.pack(">H", int(q[r, c])) for r, c in _ZIGZAG
+        )
+        segment(0xDB, bytes([0x10]) + zz_q)
+    else:
+        zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+        segment(0xDB, bytes([0x00]) + zz_q)  # one shared quant table
     sof = struct.pack(">BHHB", 8, h, w, ch)
     for i in range(ch):
         sh, sv = sampling[i]
