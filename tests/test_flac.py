@@ -91,3 +91,36 @@ def test_decode_real_audio_flac_duration():
     sig = _tone(n=8000, rate=16000)
     meta = decode_real("audio", encode_flac(sig, sample_rate=16000))
     assert meta["duration_s"] == pytest.approx(0.5)
+
+
+def test_stream_info_matches_full_decode():
+    from vectolite_spark.flac import flac_stream_info
+
+    sig = _tone()
+    fb = encode_flac(sig, sample_rate=16000)
+    info = flac_stream_info(fb)
+    full = decode_flac(fb)
+    assert info["sample_rate"] == full["sample_rate"]
+    assert info["n_channels"] == full["n_channels"]
+    assert info["n_frames"] == full["n_frames"]
+    assert info["duration_s"] == full["duration_s"]
+
+
+def test_fill_byte_before_marker_progressive_jpeg():
+    # T.81 B.1.1.2 allows 0xFF fill bytes before any marker; the
+    # inter-scan marker walk must skip them, not misparse marker 0xFF
+    import numpy as np
+
+    from vectolite_spark.jpeg import decode_jpeg, encode_jpeg
+
+    arr = (np.add.outer(np.arange(16), np.arange(16)) * 5 % 256).astype(
+        np.uint8
+    )
+    jp = bytearray(encode_jpeg(arr, quality_q=2, progressive=True))
+    # insert a fill byte before the SECOND DHT (first inter-scan marker)
+    i = jp.find(b"\xff\xc4", jp.find(b"\xff\xc4") + 2)
+    assert i > 0
+    padded = bytes(jp[:i]) + b"\xff" + bytes(jp[i:])
+    assert np.array_equal(
+        decode_jpeg(padded)["pixels"], decode_jpeg(bytes(jp))["pixels"]
+    )

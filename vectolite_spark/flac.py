@@ -56,6 +56,41 @@ def is_flac(data: bytes) -> bool:
     return data[:4] == FLAC_MAGIC
 
 
+def flac_stream_info(data: bytes) -> dict:
+    """O(1) STREAMINFO reader: {sample_rate, n_channels, bps, n_frames,
+    duration_s} WITHOUT decoding any audio frame — the metadata-only
+    path ``decode_real`` wants (a 3-minute track costs microseconds here
+    vs seconds of pure-Python PCM decode). ``n_frames`` is 0 when the
+    encoder left total-samples unset; callers needing the true duration
+    then fall back to ``decode_flac``."""
+    if not is_flac(data):
+        raise ValueError("not a FLAC stream (bad magic)")
+    pos = 4
+    while True:
+        hdr = data[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        if btype == 0:
+            bits = _Bits(data[pos + 4 : pos + 4 + ln])
+            for _ in range(4):  # min/max blocksize, min/max framesize
+                bits.read(16 if _ < 2 else 24)
+            rate = bits.read(20)
+            ch = bits.read(3) + 1
+            bps = bits.read(5) + 1
+            total = bits.read(36)
+            return {
+                "sample_rate": rate,
+                "n_channels": ch,
+                "bps": bps,
+                "n_frames": total,
+                "duration_s": round(total / rate, 6) if rate else 0.0,
+            }
+        pos += 4 + ln
+        if last:
+            raise ValueError("missing STREAMINFO")
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
     for b in data:
@@ -265,9 +300,14 @@ def decode_flac(data: bytes) -> dict:
             bits.read(16)
         else:
             raise ValueError("invalid sample rate code")
-        bps = (
-            streaminfo["bps"] if ss_code == 0 else _SAMPLE_SIZES[ss_code]
-        )
+        if ss_code == 0:
+            bps = streaminfo["bps"]
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        elif ss_code == 7:  # 32-bit (RFC 9639 extension)
+            raise NotImplementedError("32-bit FLAC sample size unsupported")
+        else:
+            raise ValueError("reserved sample size code")
         # CRC-8 covers the header bytes up to (not incl.) the CRC byte
         if bits.n:
             raise ValueError("frame header not byte-aligned before CRC-8")
@@ -377,8 +417,9 @@ def _write_utf8_number(bw: _BitW, v: int) -> None:
 def _rice_param(residual: list[int]) -> int:
     if not residual:
         return 0
+    # same zigzag map as _write_residual below
     mean_u = sum(
-        (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1 for r in residual
+        (r << 1) if r >= 0 else ((-r) << 1) - 1 for r in residual
     ) / len(residual)
     p = 0
     while (1 << (p + 1)) < mean_u + 1 and p < 14:

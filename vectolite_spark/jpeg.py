@@ -371,12 +371,17 @@ def _finish_planes(frame, planes, hmax, vmax):
 
 def _next_marker(data: bytes, pos: int) -> int:
     """First non-RST marker position at/after ``pos``: skips entropy
-    bytes, stuffed 0xFF00, and RSTn."""
+    bytes, stuffed 0xFF00, RSTn, and 0xFF fill bytes (B.1.1.2 allows any
+    number of fill 0xFFs before a marker code — return the position of
+    the LAST one so the caller reads a real marker code)."""
     while pos < len(data) - 1:
         if data[pos] == 0xFF:
             b = data[pos + 1]
             if b == 0x00 or 0xD0 <= b <= 0xD7:
                 pos += 2
+                continue
+            if b == 0xFF:  # fill byte
+                pos += 1
                 continue
             return pos
         pos += 1
@@ -396,6 +401,8 @@ def _ac_first(reader, tbl, blk, ss, se, al, eobrun):
         if s == 0:
             if r == 15:  # ZRL
                 k += 16
+                if k > se + 1:
+                    raise ValueError("AC run past band end")
                 continue
             eobrun = 1 << r
             if r:
@@ -451,14 +458,24 @@ def _ac_refine(reader, tbl, blk, ss, se, al, eobrun):
     return eobrun
 
 
+def _noninterleaved_dims(
+    h: int, w: int, sh: int, sv: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(blocks_y, blocks_x) a NON-interleaved scan covers: the
+    component's own sample grid, NOT the MCU-padded grid (T.81 A.2.2).
+    ONE formula shared by decoder and encoder so their grids cannot
+    desynchronize."""
+    cw = -(-w * sh // hmax)
+    chh = -(-h * sv // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
 def _noninterleaved_blocks(frame, comp) -> tuple[int, int]:
-    """(blocks_y, blocks_x) a NON-interleaved scan covers for ``comp``:
-    the component's own sample grid, NOT the MCU-padded grid (A.2.2)."""
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    cw = -(-frame["w"] * comp["h"] // hmax)
-    chh = -(-frame["h"] * comp["v"] // vmax)
-    return -(-chh // 8), -(-cw // 8)
+    return _noninterleaved_dims(
+        frame["h"], frame["w"], comp["h"], comp["v"], hmax, vmax
+    )
 
 
 def _decode_prog_scan(
@@ -590,9 +607,8 @@ def _block_symbols(qcoef: np.ndarray, prev_dc: int):
     zigzag-ordered block."""
     zz = np.array([qcoef[r, c] for r, c in _ZIGZAG], dtype=np.int64)
     diff = int(zz[0]) - prev_dc
-    mag = _mag
 
-    t, bits = mag(diff)
+    t, bits = _mag(diff)
     out_dc = (t, bits, t)
     acs = []
     run = 0
@@ -608,7 +624,7 @@ def _block_symbols(qcoef: np.ndarray, prev_dc: int):
         while run > 15:
             acs.append((0xF0, 0, 0))  # ZRL
             run -= 16
-        s, bits_v = mag(v)
+        s, bits_v = _mag(v)
         acs.append(((run << 4) | s, bits_v, s))
         run = 0
     if last_nz < 63:
@@ -790,7 +806,9 @@ def encode_jpeg(
     for i in range(ch):
         sh, sv = sampling[i]
         sof += bytes([i + 1, (sh << 4) | sv, 0])
-    segment(0xC0, sof)
+    # Pq=1 quant tables are illegal in BASELINE frames (T.81 B.2.4.1):
+    # emit extended sequential (SOF1), where 16-bit tables are legal
+    segment(0xC1 if quant_16bit else 0xC0, sof)
     for cls in range(n_classes):
         bits, vals, _ = dc_tables[cls]
         segment(0xC4, bytes([cls]) + bytes(bits) + vals)
@@ -834,14 +852,12 @@ def encode_jpeg(
 
 
 def _prog_noninterleaved_dims(h, w, sampling, i):
-    """Encoder twin of ``_noninterleaved_blocks``: (by_n, bx_n) for
-    component ``i`` of an (h, w) frame under ``sampling``."""
+    """Encoder entry to the SHARED non-interleaved grid formula
+    (``_noninterleaved_dims``): (by_n, bx_n) for component ``i``."""
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     sh, sv = sampling[i]
-    cw = -(-w * sh // hmax)
-    chh = -(-h * sv // vmax)
-    return -(-chh // 8), -(-cw // 8)
+    return _noninterleaved_dims(h, w, sh, sv, hmax, vmax)
 
 
 def _prog_dc_events(kind, comps_i, al, sampling, qblocks, mcux, mcuy, h, w):

@@ -190,15 +190,21 @@ def decode_real(kind: str, data: bytes) -> dict:
         base["width"], base["height"] = img["width"], img["height"]
         return base
     if kind == "audio":
-        from vectolite_spark.flac import decode_flac, is_flac
+        from vectolite_spark.flac import decode_flac, flac_stream_info, is_flac
         from vectolite_spark.media_meta import decode_mp3_meta, is_mp3
 
         if data[:4] == b"RIFF":
             base["duration_s"] = decode_wav(data)["duration_s"]
         elif is_flac(data):
-            # own-code lossless decode (r8): full PCM reconstruction,
-            # not just container metadata — vectolite_spark.flac
-            base["duration_s"] = decode_flac(data)["duration_s"]
+            # O(1) STREAMINFO read on the feature hot path; the full
+            # own-code PCM decode (vectolite_spark.flac) runs only when
+            # the encoder left total-samples unset
+            info = flac_stream_info(data)
+            base["duration_s"] = (
+                info["duration_s"]
+                if info["n_frames"]
+                else decode_flac(data)["duration_s"]
+            )
         elif is_mp3(data):
             # own-code header scan gives the true duration; a wired
             # fallback (soundfile/torchaudio) would add PCM samples but
