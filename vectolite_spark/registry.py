@@ -11493,15 +11493,20 @@ scored AS (
   FROM big b JOIN cb USING (bg_h) JOIN cl USING (w1_h)
   GROUP BY b.doc_id
 ),
-ranked AS (
-  SELECT s2.doc_id, d.lang,
-         NTILE(3) OVER (PARTITION BY d.lang
-                        ORDER BY sc.avg_nll, s2.doc_id) AS bucket
+survscore AS (
+  SELECT s2.doc_id, d.lang, sc.avg_nll
   FROM surv2 s2
   JOIN documents d USING (doc_id)
   JOIN scored sc USING (doc_id)
 ),
-kept AS (SELECT doc_id FROM ranked WHERE bucket <= 2),
+cut AS (
+  SELECT lang, ROUND(quantile_cont(avg_nll, 2.0/3), 6) AS p66
+  FROM survscore GROUP BY lang
+),
+kept AS (
+  SELECT ss.doc_id FROM survscore ss JOIN cut c USING (lang)
+  WHERE ss.avg_nll <= c.p66
+),
 ntok AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
 SELECT d.lang,
        CAST(COUNT(*) AS BIGINT) AS n_input,
@@ -11527,15 +11532,21 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     job — the Lee-et-al.-plus-CCNet recipe every LLM data pipeline runs:
     exact dedup (keep min id per text) -> MinHash-LSH near-dedup (drop
     the greater id of each surviving pair) -> per-language CCNet
-    head+middle keep (tercile of corpus-trained bigram-LM NLL over the
-    SURVIVOR set). One per-language funnel row: n_input -> n_exact ->
+    head+middle keep. One per-language funnel row: n_input -> n_exact ->
     n_near -> n_kept + tokens_kept, the yield report a curation run
-    ships. Every stage is the already-oracled operator (exact_dedup,
-    minhash_lsh_pairs, bigram_lm_scores + ntile), composed; stage
-    shuffles stay key-width (text hash, band keys, md5 bigrams, lang) —
-    no stage touches a pair space or moves document bodies."""
-    from pyspark.sql import Window
-
+    ships. The CCNet stage is the CUTPOINT plan (VERDICT r8 item 3):
+    per-language p66 of the survivor NLLs (exact percentile, the
+    ``ccnet_lang_cutpoints`` contract; swap in approx_percentile when
+    exactness isn't needed) broadcast back, keep = one comparison in the
+    scan — no per-language sort window anywhere in the funnel, the shape
+    that survives 100 TB. Tie semantics pinned: docs whose 4dp-rounded
+    avg_nll equals the 6dp-rounded cutpoint are KEPT on both engines
+    (cutpoints off the lattice sit >=3.3e-5 from any data value, so the
+    comparison is never decided by float noise). Every stage is the
+    already-oracled operator (exact_dedup, minhash_lsh_pairs,
+    bigram_lm_scores + ccnet_lang_cutpoints), composed; stage shuffles
+    stay key-width (text hash, band keys, md5 bigrams, lang) — no stage
+    touches a pair space or moves document bodies."""
     from vectolite_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_pairs,
@@ -11552,19 +11563,17 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv2 = keep1.join(near_drop, "doc_id", "left_anti")
     scores = bigram_lm_scores(docs).filter(F.col("avg_nll").isNotNull())
-    ranked = (
-        surv2.join(docs.select("doc_id", "lang"), "doc_id")
-        .join(scores.select("doc_id", "avg_nll"), "doc_id")
-        .withColumn(
-            "bucket",
-            F.ntile(3).over(
-                Window.partitionBy("lang").orderBy(
-                    F.asc("avg_nll"), F.asc("doc_id")
-                )
-            ),
-        )
+    survscore = surv2.join(docs.select("doc_id", "lang"), "doc_id").join(
+        scores.select("doc_id", "avg_nll"), "doc_id"
     )
-    kept = ranked.filter(F.col("bucket") <= 2).select("doc_id")
+    cut = survscore.groupBy("lang").agg(
+        F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("p66")
+    )
+    kept = (
+        survscore.join(F.broadcast(cut), "lang")
+        .filter(F.col("avg_nll") <= F.col("p66"))
+        .select("doc_id")
+    )
     ntok = docs.select(
         "doc_id", F.size(norm_tokens("text")).alias("n_tokens")
     )
@@ -11610,81 +11619,84 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # -- r8 window ---------------------------------------------------------
-    # core parity anchor (re-verified every round)
-    "flagship_topk",
-    # NEW in r8 — first driver rows
-    "cdf_incremental_semdedup",   # incremental SemDeDup over the CDF
-    "cdf_synced_ivf_topk",        # watermark-synced IVF serve
-    "cdf_synced_trigram_search",  # watermark-synced trigram serve
-    "cdf_synced_bm25_topk",       # watermark-synced BM25 v2 serve
-    "cdf_synced_srp_topk",        # watermark-synced SRP serve
-    "cdf_synced_ivfpq_topk",      # watermark-synced IVF-PQ serve
-    "maintenance_loop_capstone",  # full maintenance cycle composed
-    "snapshot_shallow_clone",     # zero-copy clone divergence
-    "bitext_margin_mine",         # margin-kNN parallel-pair mining
-    "minhash_recall_contract",    # dedup-LSH recall vs exact Jaccard
-    "ccnet_perplexity_buckets",   # per-lang head/middle/tail LM split
-    "curation_pipeline_capstone", # full dedup->near-dedup->LM-keep funnel
-    "ccnet_lang_cutpoints",       # exact per-lang percentile cutpoints
-    # code touched in r8 — prior green rows are stale
-    "semdedup_prune",             # capped-cluster audit column
-    "gdpr_erasure_audit",         # pre-vacuum audit + checksum oracle
-    "ann_mllib_lsh_recall",       # recall_floor cast-align
-    "trigram_batch_substring_search",  # query_id cast-align
-    "bm25_indexed_topk",          # BM25 v2 layout (termstats join)
-    "bm25_batch_indexed_topk",
-    "hybrid_indexed_topk",
-    "hybrid_batch_indexed_topk",
-    "zonemap_pruned_scan",        # zorder_value_multi refactor
-    "snapshot_zorder_pruned_scan",
-    "ann_lsh_indexed_topk",       # _srp_resolve meta self-heal
-    "ann_batch_lsh_indexed",
-    # refresh the oldest union evidence (VERDICT r7 item 1): the last
-    # r2-green entries + the r3 cohort, oldest-first; the 11 r3 names
-    # left over (see ROTATE note below) fill r9's slots
-    "frequent_tokens",
-    "q19_disjunctive_revenue",
-    "q4_priority_exists",
-    "sample_per_source",
-    "tfidf_top_terms",
-    "topk_filtered",
-    "point_lookup",
-    "pagination",
-    "projection_truncate",
-    "delete_as_filter",
-    "count_documents",
-    "json_access",
-    "chunk_documents",
-    "profile_documents",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_r1",
-    "dedup_embedding_cosine",
-    "dedup_embedding_srp",
-    "dedup_clusters_bigstar",
-    "ann_batch_lsh",
+    # -- r9 window ---------------------------------------------------------
+    # VERDICT r8 item 1: drain the driver-evidence backlog. Slots = the
+    # full r3-green tail (18 names, the oldest evidence in the union) +
+    # the r4-green cohort + the one entry whose plan changes this round
+    # (curation_pipeline_capstone, cutpoint-CCNet swap; same oracle).
+    # The r4 cohort is 34 names and 52 candidates > 50 slots, so the 3
+    # lowest-churn r4 entries are deferred to r10 (see ROTATE note below);
+    # all 3 stay covered by the full local tools/check_oracle.py sweep.
+    #
+    # code changed in r9 -- driver row must re-prove the new plan
+    "curation_pipeline_capstone",  # CCNet stage now cutpoint-bucketed
+    # r3-green tail (latest driver evidence = round 3)
+    "boilerplate_ngram_score",
+    "pii_redaction",
+    "repetition_stats",
+    "ann_quantized_topk",
+    "ann_ivf_built_topk",
+    "decontaminate_eval_overlap",
+    "sequence_packing",
+    "training_shards",
+    "dup_span_coverage",
+    "dup_graph_degree",
+    "fuzzy_doc_pairs",
+    "bigram_lm_nll",
+    "bpe_merge_candidates",
+    "mixture_weights",
+    "vocab_coverage",
+    "zipf_slope",
+    "curriculum_stages",
+    "streaming_windowed_counts",
+    # r4-green cohort (latest driver evidence = round 4)
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_dormant_balances",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "rerank_topk",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "funnel_conversion",
+    "skew_safe_distinct",
+    "weighted_sample_aes",
+    "cohort_retention",
+    "incremental_agg_merge",
+    "embedding_cluster_stats",
+    "resample_ffill",
+    "clean_corpus_summary",
+    "char_entropy",
+    "top_quality_per_source",
+    "event_zscore_anomalies",
+    "token_budget_sample",
+    "embedding_dim_variance",
+    "equi_depth_histogram",
+    "ann_recall_eval",
+    "salted_segment_revenue",
+    "winsorized_stats",
+    "ann_ivf_batch_topk",
 ]
 
-# ROTATE IN FOR r9: the oldest union evidence after r8 is the remaining
-# r3-green tail — fuzzy_doc_pairs, dup_span_coverage, dup_graph_degree,
-# ann_quantized_topk, and ann_ivf_built_topk (displaced from the r8 window
-# by the late bitext_margin_mine / minhash_recall_contract /
-# ccnet_perplexity_buckets / curation_pipeline_capstone /
-# ccnet_lang_cutpoints additions), bigram_lm_nll, boilerplate_ngram_score,
-# mixture_weights, bpe_merge_candidates, curriculum_stages,
-# decontaminate_eval_overlap, pii_redaction, repetition_stats,
-# sequence_packing, streaming_windowed_counts, training_shards,
-# vocab_coverage, zipf_slope — then the r4 cohort (recompute from the
-# CORRECTNESS_r0*.json union, latest-green-round per entry). Fill
-# non-(new/touched) slots oldest-first, keep the flagship anchor, and
-# put anything whose code changes in r9 back in the window.
+# ROTATE IN FOR r10: after r9 the oldest union evidence is the 3 r4-green
+# entries deferred from this window for space -- token_len_histogram,
+# minhash_estimation_error, corpus_checksum -- then the r5-green cohort
+# (40 names: diversity_sample, stratified_split, encoding_quality,
+# cms_token_estimates, kmv_distinct_tokens, embedding_quantize_int8,
+# hard_negative_mining, ann_lsh_topk, epoch_shuffle,
+# matryoshka_recall_eval, ... recompute the full list from the
+# CORRECTNESS_r0*.json union, latest-green-round per entry, oldest
+# first). Fill non-(new/touched) slots oldest-first and put anything
+# whose code changes in r10 back in the window. Steady state from r10
+# on: window capacity (50) > per-round growth, so the backlog shrinks.
 
-# driver-green in r6 (see CORRECTNESS_r06.json) — the freshest evidence
-# in the registry, safe to re-verify last
+# driver-green in r6+ (see CORRECTNESS_r06.json; the r7/r8 cohorts sit in
+# the unordered middle) — fresh evidence, safe to re-verify last
 _DEMOTED_STABLE = [
     "embedding_covariance",
     "aqp_join_universe_sample",
