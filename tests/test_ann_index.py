@@ -719,3 +719,88 @@ def test_srp_meta_absent_vs_unreadable(spark, sf_dir, tmp_path):
         f.write("this is not parquet")
     with pytest.raises(Exception):
         _srp_resolve(spark, path, None, None)
+
+
+def test_srp_resolve_lost_race_keeps_theirs(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r8 TOCTOU: if a concurrent first-resolver lands meta between
+    _srp_resolve's exists check and its rename, Hadoop rename moves the tmp
+    dir INTO the existing meta dir (meta/meta_tmp_<pid>) — a nested
+    non-partition dir that breaks every later parquet read of meta. The fix
+    detects the nested outcome post-rename and deletes it (keep-theirs)."""
+    import os
+    import shutil
+
+    from vectolite_spark.operators.ann import _srp_resolve, build_srp_index
+    from vectolite_spark.store import _HadoopFS
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "srp_race")
+    build_srp_index(embs, path, n_tables=4, n_planes=3)
+    meta_path = f"{path}/meta"
+    assert os.path.exists(meta_path)
+
+    # simulate the race: exists() lies "absent" for the meta dir (the
+    # stale pre-check) while the concurrent winner's meta is really there
+    orig = _HadoopFS.exists
+
+    def lying_exists(self, p):
+        if p == meta_path:
+            return False
+        return orig(self, p)
+
+    monkeypatch.setattr(_HadoopFS, "exists", lying_exists)
+    # pre-meta branch runs: trusts the caller THIS call, rename nests
+    assert _srp_resolve(spark, path, 9, 5) == (9, 5)
+    monkeypatch.setattr(_HadoopFS, "exists", orig)
+
+    # the nested tmp must be gone and the WINNER's meta must still read
+    assert not any(n.startswith("meta_tmp_") for n in os.listdir(meta_path))
+    assert _srp_resolve(spark, path, None, None) == (4, 3)
+    shutil.rmtree(path)
+
+
+def test_handle_cache_session_object_keys():
+    """ADVICE r8: handle caches key by the SESSION OBJECT, not id(spark)
+    (id reuse after GC could hand a new session a dead session's handle);
+    _purge_dead_sessions drops entries bound to stopped sessions."""
+    from vectolite_spark import registry
+
+    class _Ctx:
+        def __init__(self, jsc):
+            self._jsc = jsc
+
+    class _Sess:
+        def __init__(self, jsc):
+            self.sparkContext = _Ctx(jsc)
+
+    dead, live = _Sess(None), _Sess(object())
+    assert registry._session_stopped(dead) is True
+    assert registry._session_stopped(live) is False
+    assert registry._session_stopped(object()) is True  # no context at all
+    cache = {("p", dead): "h_dead", ("q", live): "h_live"}
+    registry._purge_dead_sessions(cache)
+    assert cache == {("q", live): "h_live"}
+
+
+def test_ivfpq_append_onto_missing_cells_layout(spark, sf_dir, tmp_path):
+    """ADVICE r8: the append m-guard must not raise a raw AnalysisException
+    on a partially built index (centroids+codebook present, cells absent)
+    — the guard is skipped and the append becomes the first fill."""
+    import shutil
+
+    from vectolite_spark.operators.ann import (
+        IVFPQIndex,
+        build_ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_partial")
+    build_ivfpq_index(embs, path, n_cells=4, m=8, pq_k=16, pq_iters=0)
+    shutil.rmtree(f"{path}/cells")
+    later = embs.filter(F.col("vec_id") % 7 == 0)
+    ivfpq_index_append(spark, path, later, m=8)  # no raw AnalysisException
+    idx = IVFPQIndex(spark, path, m=8)
+    qvec = [float(x) for x in later.first()["embedding"]]
+    got = idx.topk(qvec, k=5, n_probe=4, refine=10_000).collect()
+    assert len(got) == 5  # serves from the appended fill

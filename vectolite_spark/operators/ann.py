@@ -747,13 +747,23 @@ def ivfpq_index_append(
     # m is an encode-time parameter the (k, d) codebook cannot recover;
     # the stored codes arrays CAN — appending with a mismatched m would
     # mix code lengths in one layout and silently corrupt every later
-    # probe's reshape (the SRP meta guard's corruption class)
-    existing = (
-        spark.read.parquet(f"{index_path}/cells")
-        .select(F.size("codes").alias("m"))
-        .limit(1)
-        .collect()
-    )
+    # probe's reshape (the SRP meta guard's corruption class). Guarded
+    # behind a cheap layout probe (ADVICE r8): on a missing/parquet-less
+    # cells dir, skip the guard and let IVFPQIndex raise its own clearer
+    # error instead of a raw AnalysisException from this read.
+    from vectolite_spark.store import _HadoopFS
+
+    existing = []
+    if _HadoopFS(spark, index_path).exists(f"{index_path}/cells"):
+        try:
+            existing = (
+                spark.read.parquet(f"{index_path}/cells")
+                .select(F.size("codes").alias("m"))
+                .limit(1)
+                .collect()
+            )
+        except Exception:
+            existing = []  # parquet-less dir: let IVFPQIndex raise its own
     if existing and int(existing[0]["m"]) != int(m):
         raise ValueError(
             f"IVF-PQ index at {index_path} stores {existing[0]['m']}-code "
@@ -856,6 +866,15 @@ def _srp_resolve(spark, index_path, n_tables, n_planes) -> tuple[int, int]:
             fs = _HadoopFS(spark, index_path)
             if not fs.exists(f"{index_path}/meta"):  # lost race: keep theirs
                 fs.rename(tmp, f"{index_path}/meta")
+                # TOCTOU (ADVICE r8): a concurrent first-resolver can land
+                # meta between the exists check and the rename — Hadoop
+                # rename then moves tmp INTO the existing dir as
+                # meta/meta_tmp_<pid>, and the nested non-partition dir
+                # breaks every later parquet read of meta. Detect the
+                # nested outcome and fall back to keep-theirs.
+                nested = f"{index_path}/meta/meta_tmp_{_os.getpid()}"
+                if fs.exists(nested):
+                    fs.delete(nested)
             else:
                 fs.delete(tmp)
         except Exception:

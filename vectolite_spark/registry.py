@@ -131,16 +131,36 @@ _IVFPQ_HANDLE_CACHE: dict = {}
 _BM25_HANDLE_CACHE: dict = {}
 
 
+def _session_stopped(spark) -> bool:
+    """True when a cached SparkSession's context is gone — used to purge
+    handle-cache entries bound to dead sessions (ADVICE r8: keying by
+    id(spark) risked CPython id reuse handing a new session a dead
+    session's handle; keys now hold the SESSION OBJECT, which both pins
+    its id while the entry lives and makes identity checks exact, and
+    this purge keeps dead entries from accumulating)."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _purge_dead_sessions(cache: dict) -> None:
+    for k in [k for k in cache if _session_stopped(k[1])]:
+        cache.pop(k, None)
+
+
 def _bm25_handle(spark, sf_dir: str):
     from vectolite_spark.operators.retrieval import BM25Index
 
     path = _ensure_bm25_index(spark, sf_dir)
-    # handles hold the session they were opened with — key by session so
-    # a restarted session rebuilds its own handle instead of calling
-    # methods on a stopped SparkContext (same fix as the PQ codes memo)
-    key = (path, id(spark))
+    # handles hold the session they were opened with — key by the session
+    # OBJECT (not id(spark): id reuse after GC could hand a new session a
+    # dead session's handle) so a restarted session rebuilds its own
+    # handle instead of calling methods on a stopped SparkContext
+    key = (path, spark)
     h = _BM25_HANDLE_CACHE.get(key)
     if h is None:
+        _purge_dead_sessions(_BM25_HANDLE_CACHE)
         h = _BM25_HANDLE_CACHE[key] = BM25Index(spark, path)
     return h
 
@@ -161,11 +181,12 @@ def _table_count(spark, sf_dir: str, table: str) -> int:
 
 
 def _ivfpq_handle(spark, index_path: str, m: int = 8):
-    key = (index_path, m, id(spark))  # session-keyed, like _bm25_handle
+    key = ((index_path, m), spark)  # session-object-keyed, like _bm25_handle
     h = _IVFPQ_HANDLE_CACHE.get(key)
     if h is None:
         from vectolite_spark.operators.ann import IVFPQIndex
 
+        _purge_dead_sessions(_IVFPQ_HANDLE_CACHE)
         h = IVFPQIndex(spark, index_path, m=m)
         _IVFPQ_HANDLE_CACHE[key] = h
     return h
@@ -4224,9 +4245,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = _query_vector(spark, sf_dir)
     codes_path = index_cache_path("pq_v1_m8k16", sf_dir)
     # the resident codes DataFrame is bound to its SparkSession — key by
-    # session too, so a later session in the same process rebuilds its
-    # own handle instead of touching a (possibly stopped) one
-    key = (codes_path, id(spark))
+    # the session OBJECT too (not id(spark); see _session_stopped), so a
+    # later session in the same process rebuilds its own handle instead
+    # of touching a (possibly stopped) one
+    key = (codes_path, spark)
     cached = _PQ_CODEBOOK_CACHE.get(key)
     index_gone = not os.path.exists(os.path.join(codes_path, "_SUCCESS"))
     if cached is None or index_gone:
@@ -4238,7 +4260,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # discipline; a stopped session's unpersist may raise, which
         # just means its blocks are already gone.
         stale = [k for k in _PQ_CODEBOOK_CACHE
-                 if k == key or (index_gone and k[0] == codes_path)]
+                 if k == key or (index_gone and k[0] == codes_path)
+                 or _session_stopped(k[1])]
         for k in stale:
             try:
                 _PQ_CODEBOOK_CACHE.pop(k)[1].unpersist(blocking=False)
