@@ -320,3 +320,70 @@ def test_batched_serving_on_versioned_store(spark, tmp_path):
     got = store.query("a versioned probe text", top_k=1)
     assert got[0]["id"] == new_id and got[0]["score"] == 1.0
     store.disable_batched_serving()
+
+
+def test_store_ann_queries_ride_the_facade(spark, tmp_path):
+    """VERDICT r8 item 4: query(ann=True) routes through the ANN-mode
+    MicroBatcher — N concurrent ANN callers coalesce into FEWER union
+    SRP-probe jobs, every caller gets exactly the per-job ANN path's
+    answer, mutations tear the ANN batcher down, and ann+metadata_filter
+    is still rejected loudly."""
+    import pytest
+
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "anndb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many(
+        [f"ann facade doc number {i}" for i in range(40)],
+        [{"k": i} for i in range(40)],
+    )
+    texts = [f"ann facade doc number {i}" for i in range(5)]
+    # per-job ANN path (serving disabled) is the parity target
+    want = {t: store.query(t, top_k=3, ann=True) for t in texts}
+
+    store.enable_batched_serving(top_k=5, max_wait_ms=40)
+    batcher = store._ensure_ann_serving_batcher()
+    cycles: list[int] = []
+    orig = batcher._run_batch
+
+    def counting(qvecs, ks=None):
+        cycles.append(len(qvecs))
+        return orig(qvecs, ks)
+
+    batcher._run_batch = counting
+
+    got: dict[int, list] = {}
+    errs: list[Exception] = []
+
+    def client(i: int) -> None:
+        try:
+            got[i] = store.query(texts[i % 5], top_k=3, ann=True)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sum(cycles) == 8, "every ANN query went through the facade"
+    assert len(cycles) < 8, "concurrent ANN callers coalesced into fewer jobs"
+    for i, res in got.items():
+        assert res == want[texts[i % 5]]
+    # the exact-mode batcher was never built by ANN traffic
+    assert store._serving is None
+    # ann+filter keeps its loud rejection (never silently batched)
+    with pytest.raises(VectoliteError, match="metadata_filter"):
+        store.query(texts[0], top_k=3, ann=True, metadata_filter={"k": 1})
+    # a mutation tears the ANN batcher down; the next ANN query rebuilds
+    # over fresh state and sees the new document
+    store.insert("ann facade doc number 999", {"k": 999})
+    assert store._serving_ann is None
+    fresh = store.query("ann facade doc number 999", top_k=3, ann=True)
+    assert any(r["text"] == "ann facade doc number 999" for r in fresh)
+    store.disable_batched_serving()

@@ -334,6 +334,102 @@ def make_srp_bucket_mapper(n_tables, n_planes):
     return mapper
 
 
+_SRP_PLANES_MEMO: dict = {}
+
+
+def _srp_planes(n_tables, n_planes, d):
+    """Deterministic md5-Rademacher hyperplanes, memoized per
+    (n_tables, n_planes, d) — the SAME formula as
+    ``make_srp_bucket_mapper`` / ``ann.srp_query_blocks``, so every
+    consumer (index build, index probe, in-mapper serving) derives
+    identical planes from pure arithmetic."""
+    import hashlib
+
+    key = (int(n_tables), int(n_planes), int(d))
+    P = _SRP_PLANES_MEMO.get(key)
+    if P is None:
+        total = n_tables * n_planes
+        P = np.empty((total, d), dtype=np.float64)
+        for g in range(total):
+            for j in range(d):
+                nib = int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[0], 16)
+                P[g, j] = 1.0 if nib >= 8 else -1.0
+        _SRP_PLANES_MEMO[key] = P
+    return P
+
+
+def make_srp_serving_mapper(
+    qids, qvecs, k, n_tables=16, n_planes=6, payload_cols=()
+):
+    """mapInPandas mapper for the store's ANN serving facade: the whole
+    SRP probe for a micro-batch of queries in ONE task over the cached
+    single-partition working set — no index scan, no join, no shuffle
+    (the exact facade's rank_mode discipline, applied to the ANN mode).
+
+    Correctness contract: the md5-Rademacher planes are a pure function
+    of (n_tables, n_planes, d), so in-mapper bucketing reproduces the
+    PERSISTED index's blocks exactly — candidates (rows sharing >= 1
+    table bucket with the query), rescored cosine (round-half-up 6dp)
+    and (score desc, vec_id asc) ordering all match
+    ``ann.srp_index_topk`` row for row. Only correct on a
+    single-partition input (the caller coalesces); the serving cache
+    regime already bounds that partition to one task's worth.
+
+    Emits (query_id, vec_id, score, rn, *payload_cols), rn 1-based."""
+    qarr = np.asarray(qvecs, dtype=np.float64)  # Q x d
+    qn = np.sqrt((qarr * qarr).sum(axis=1))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    pcols = list(payload_cols)
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def _buckets(mat, P):
+        bits = (mat @ P.T >= 0).astype(np.int64)  # N x (T*b)
+        return np.stack(
+            [
+                (bits[:, t * n_planes : (t + 1) * n_planes] << shifts).sum(axis=1)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )  # N x T
+
+    def mapper(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        out = {"query_id": [], "vec_id": [], "score": [], "rn": []}
+        for c in pcols:
+            out[c] = []
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            ids = pdf["vec_id"].to_numpy()
+            P = _srp_planes(n_tables, n_planes, mat.shape[1])
+            row_b = _buckets(mat, P)  # N x T
+            q_b = _buckets(qarr, P)  # Q x T
+            dn = np.sqrt((mat * mat).sum(axis=1))
+            payload = {c: pdf[c].to_numpy() for c in pcols}
+            for qi in range(len(qid_arr)):
+                cand = (row_b == q_b[qi]).any(axis=1)
+                if not cand.any():
+                    continue
+                sub = mat[cand]
+                denom = dn[cand] * qn[qi]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sc = np.where(denom == 0.0, 0.0, sub @ qarr[qi] / denom)
+                sc = round_half_up(sc, 6)
+                cids = ids[cand]
+                order = np.lexsort((cids, -sc))[:k]
+                out["query_id"].extend([int(qid_arr[qi])] * len(order))
+                out["vec_id"].extend(int(x) for x in cids[order])
+                out["score"].extend(float(x) for x in sc[order])
+                out["rn"].extend(range(1, len(order) + 1))
+                for c in pcols:
+                    out[c].extend(payload[c][cand][order])
+        yield pd.DataFrame(out)
+
+    return mapper
+
+
 def make_fingerprint_udf(gram=8):
     """Winnowing fingerprint (min md5 over character n-gram shingles) in one
     Arrow pass.  The pure-expression form builds one interpreted md5 call

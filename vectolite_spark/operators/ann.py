@@ -1008,11 +1008,6 @@ def srp_index_topk_batch(
     rounding) — the oracle is shared. The query table is collected
     driver-side (small-Q serving shape, like ``topk_batch``); for big-Q
     use ``topk_batch_lsh``, which buckets both sides distributively."""
-    import os
-
-    from pyspark.sql import Window
-
-    from vectolite_spark._pandas_udfs import make_pair_cosine_udf
     from vectolite_spark.operators.topk import (
         MAX_DRIVER_QUERY_ROWS,
         collect_query_working_set,
@@ -1025,18 +1020,68 @@ def srp_index_topk_batch(
         MAX_DRIVER_QUERY_ROWS if max_driver_rows is None else max_driver_rows,
         "operators.ann.topk_batch_lsh",
     )
+    return srp_index_topk_vecs(
+        spark,
+        index_path,
+        [int(r[qid_col]) for r in qrows],
+        [[float(x) for x in r[qvec_col]] for r in qrows],
+        k,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        qid_col=qid_col,
+    )
+
+
+def srp_index_topk_vecs(
+    spark,
+    index_path: str,
+    qids,
+    qvecs_in,
+    k: int = 10,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    qid_col: str = "query_id",
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """``srp_index_topk_batch``'s core for a DRIVER-RESIDENT query
+    working set (the ``topk_batch_vecs`` twin): ids + vectors as plain
+    lists, skipping the createDataFrame -> collect round trip — the
+    store's ANN serving facade calls this on every micro-batch dispatch
+    cycle, where that round trip was one extra Spark job of pure
+    latency per cycle.
+
+    ``cells`` (optional): a pre-opened (vec_id, embedding, block)
+    relation for the index — typically CACHED by a serving caller, so
+    each dispatch cycle prunes with a ``block isin`` filter over
+    in-memory columnar batches (batch-stat skipping) instead of
+    re-listing and re-reading the block directories from storage. When
+    ``cells`` is given WITH explicit ``n_tables``/``n_planes``, the
+    per-call meta read (one Spark job) is skipped too — the serving
+    facade validates against the persisted meta once at batcher build."""
+    import os
+
+    from pyspark.sql import Window
+
+    from vectolite_spark._pandas_udfs import make_pair_cosine_udf
+
+    if cells is None or n_tables is None or n_planes is None:
+        n_tables, n_planes = _srp_resolve(spark, index_path, n_tables, n_planes)
     pairs = []
     qvecs = []
-    for r in qrows:
-        vec = [float(x) for x in r[qvec_col]]
-        qvecs.append((int(r[qid_col]), vec))
+    for qid, vec_in in zip(qids, qvecs_in):
+        vec = [float(x) for x in vec_in]
+        qvecs.append((int(qid), vec))
         for b in srp_query_blocks(vec, n_tables, n_planes):
-            pairs.append((int(r[qid_col]), b))
+            pairs.append((int(qid), b))
+    if cells is not None:
+        cells = cells.filter(
+            F.col("block").isin(sorted({b for _, b in pairs}))
+        )
     # same remote-store discipline as the single-query probe above: an
     # os.path.exists probe is local-FS only, so on hdfs:// / s3a:// it
     # is ALWAYS false — read the full layout and let the partition
     # filter prune instead of silently returning an empty result set
-    if "://" not in index_path:
+    elif "://" not in index_path:
         dirs = sorted(
             {
                 p

