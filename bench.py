@@ -103,6 +103,13 @@ def main() -> None:
     spark = get_spark("vectolite-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
+    # bound the build-if-absent index cache before mass-building into it
+    # (VERDICT r8 item 7): superseded recipe versions + stale datasets out
+    from vectolite_spark import registry
+
+    evicted = registry.vacuum_index_cache()
+    if evicted:
+        print(f"index-cache vacuum evicted {len(evicted)} entries", file=sys.stderr)
 
     timings: dict[str, float] = {}
 
@@ -267,6 +274,28 @@ def main() -> None:
         timings["serving_facade_filtered_qps"] = round(
             f_threads * f_per / (time.time() - t0), 1
         )
+
+        # ANN-facade QPS (VERDICT r8 item 4): query(ann=True) rides its
+        # own MicroBatcher whose kernel is the UNION SRP index probe —
+        # one pruned-scan job per dispatch cycle. Before r9 this
+        # workload paid the ~30 q/s job-per-query scheduling floor.
+        def _serve_ann(tid: int) -> None:
+            for i in range(f_per):
+                fstore.query(fq[(tid + i) % len(fq)], top_k=5, ann=True)
+
+        _serve_ann(0)  # warm: builds the SRP index + ANN batcher
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=_serve_ann, args=(t,))
+            for t in range(f_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        timings["serving_facade_ann_qps"] = round(
+            f_threads * f_per / (time.time() - t0), 1
+        )
         fstore.disable_batched_serving()
     finally:
         _sh.rmtree(facade_dir, ignore_errors=True)
@@ -385,6 +414,9 @@ def main() -> None:
     )
     _afb = _resolve_audio_fallback()
     timings["multimodal_audio_fallback_present"] = 1.0 if _afb else 0.0
+    # MP3 PCM is fallback-only BY DESIGN (decode_mp3_pcm docstring):
+    # record whether this deployment's MP3 path is live every round
+    timings["multimodal_audio_mp3_seam_present"] = 1.0 if _afb else 0.0
     if _afb is not None:
         timings["multimodal_audio_fallback_rows_per_sec"] = _rate(
             _afb, sample=_wb

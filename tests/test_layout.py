@@ -149,3 +149,60 @@ def test_zorder_value_interleaves_bits(spark):
 
     for (a, b), z in got.items():
         assert z == morton(a, b), (a, b, z)
+
+
+def test_index_cache_vacuum_policy(tmp_path):
+    """VERDICT r8 item 7: the build-if-absent .cache layout is bounded —
+    superseded recipe versions evicted (keep-latest-per-recipe), stale
+    entries evicted by max-age, and oldest-first eviction to a byte
+    budget; the policy never crosses dataset fingerprints."""
+    import os
+    import time
+
+    from vectolite_spark.registry import vacuum_index_cache
+
+    def mk(name, age_days, nbytes=10):
+        p = tmp_path / name
+        p.mkdir()
+        (p / "part.parquet").write_bytes(b"x" * nbytes)
+        t = time.time() - age_days * 86400
+        os.utime(p, (t, t))
+
+    mk("bm25_v1_b32_sfX-aaaa", 100)   # superseded by v2 -> evicted
+    mk("bm25_v2_b32_sfX-aaaa", 1)     # latest of its (family, dataset)
+    mk("bm25_v2_b32_sfY-bbbb", 100)   # other DATASET: not superseded, but aged
+    mk("ivf_v1_sfX-aaaa", 5)          # kept
+    evicted = vacuum_index_cache(max_age_days=30, cache_root=str(tmp_path))
+    assert sorted(evicted) == ["bm25_v1_b32_sfX-aaaa", "bm25_v2_b32_sfY-bbbb"]
+    assert sorted(os.listdir(tmp_path)) == [
+        "bm25_v2_b32_sfX-aaaa", "ivf_v1_sfX-aaaa"
+    ]
+
+    # byte budget: oldest survivor goes first
+    mk("srp_v1_sfX-aaaa", 20, nbytes=500)
+    mk("pq_v1_m8k16_sfX-aaaa", 2, nbytes=500)
+    evicted = vacuum_index_cache(
+        max_age_days=30, max_bytes=600, cache_root=str(tmp_path)
+    )
+    assert "srp_v1_sfX-aaaa" in evicted  # oldest big entry dropped first
+    assert "pq_v1_m8k16_sfX-aaaa" not in evicted
+
+    # empty/missing root is a no-op
+    assert vacuum_index_cache(cache_root=str(tmp_path / "nope")) == []
+
+
+def test_index_cache_rebuild_on_miss(spark):
+    """Eviction is always safe: every .cache consumer is build-if-absent,
+    so a vacuumed index is rebuilt on the next ensure call."""
+    import os
+    import shutil
+
+    from vectolite_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    path = registry._ensure_ivf_index(spark, sf)
+    assert os.path.exists(os.path.join(path, "cells", "_SUCCESS"))
+    shutil.rmtree(path)
+    path2 = registry._ensure_ivf_index(spark, sf)
+    assert path2 == path
+    assert os.path.exists(os.path.join(path, "cells", "_SUCCESS"))

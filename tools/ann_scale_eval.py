@@ -1,0 +1,153 @@
+"""Scale-credible ANN validation (VERDICT r8 item 2).
+
+Generates a deterministic 1M x 64 clustered corpus (synthdata), builds
+IVF-PQ and SRP indexes ONCE, and measures recall@10 vs exact brute
+force over >= 100 held-out queries plus build/probe wall-times. Results
+go into SCALING.md section 9; the seeded pytest floor lives in
+tests/test_ann_scale.py (smaller N, same recipe).
+
+Reference baseline for context: an O(N*d) scan at 1M x 64 is ~10 s per
+query single-core (BASELINE.md regime); Spark brute force at local[32]
+is measured below by the exact-truth pass itself.
+
+Usage: python tools/ann_scale_eval.py [N] [workdir]
+       (defaults: 1_000_000, /root/repo/.cache/ann_scale)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    work = sys.argv[2] if len(sys.argv) > 2 else f"{REPO}/.cache/ann_scale"
+    n_queries, k = 128, 10
+
+    from vectolite_spark.operators.ann import (
+        IVFPQIndex,
+        build_ivfpq_index,
+        build_srp_index,
+        srp_index_topk_batch,
+    )
+    from vectolite_spark.operators.topk import topk_batch
+    from vectolite_spark.session import get_spark
+    from vectolite_spark.synthdata import synthetic_clustered_vectors
+
+    spark = get_spark()
+    corpus_path = f"{work}/corpus_n{n}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        t0 = time.time()
+        synthetic_clustered_vectors(spark, n).write.mode("overwrite").parquet(
+            corpus_path
+        )
+        print(f"corpus gen: {time.time() - t0:.1f}s -> {corpus_path}")
+    embs = spark.read.parquet(corpus_path)
+
+    queries = (
+        synthetic_clustered_vectors(spark, n_queries, start_id=n, partitions=1)
+        .select(
+            (F.col("vec_id") - n).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .cache()
+    )
+    queries.count()
+
+    # exact truth: one batch brute-force job (also the honest "what does
+    # a full scan cost on this box" number)
+    t0 = time.time()
+    truth_rows = topk_batch(queries, embs, k=k).collect()
+    t_exact = time.time() - t0
+    truth: dict[int, set] = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    print(f"exact batch truth: {t_exact:.1f}s total, "
+          f"{t_exact / n_queries * 1000:.0f} ms/query amortized")
+
+    results: dict[str, dict] = {
+        "n": n, "dim": 64, "n_queries": n_queries, "k": k,
+        "exact_batch_total_s": round(t_exact, 2),
+        "exact_ms_per_query": round(t_exact / n_queries * 1000, 1),
+    }
+
+    # ---- IVF-PQ ----------------------------------------------------------
+    ivfpq_path = f"{work}/ivfpq_n{n}"
+    n_cells, m, pq_k = 1024, 8, 256
+    if not os.path.exists(f"{ivfpq_path}/cells/_SUCCESS"):
+        shutil.rmtree(ivfpq_path, ignore_errors=True)
+        t0 = time.time()
+        build_ivfpq_index(
+            embs, ivfpq_path, n_cells=n_cells, m=m, pq_k=pq_k,
+            pq_iters=1, ivf_iters=2,
+        )
+        results["ivfpq_build_s"] = round(time.time() - t0, 1)
+        print(f"ivfpq build (cells={n_cells}, m={m}, pq_k={pq_k}): "
+              f"{results['ivfpq_build_s']}s")
+    idx = IVFPQIndex(spark, ivfpq_path, m=m)
+    qrows = queries.collect()
+    for n_probe in (8, 32, 64):
+        hits = tot = 0
+        t0 = time.time()
+        for r in qrows:
+            got = {
+                x["vec_id"]
+                for x in idx.topk(
+                    [float(v) for v in r["query_vec"]],
+                    k=k, n_probe=n_probe, refine=max(100, 4 * k),
+                ).collect()
+            }
+            want = truth[r["query_id"]]
+            hits += len(got & want)
+            tot += len(want)
+        dt = time.time() - t0
+        key = f"ivfpq_probe{n_probe}"
+        results[key] = {
+            "recall@10": round(hits / tot, 4),
+            "ms_per_query": round(dt / len(qrows) * 1000, 1),
+        }
+        print(key, results[key])
+
+    # ---- SRP-LSH ---------------------------------------------------------
+    srp_path = f"{work}/srp_n{n}"
+    n_tables, n_planes = 8, 10
+    if not os.path.exists(f"{srp_path}/cells/_SUCCESS"):
+        shutil.rmtree(srp_path, ignore_errors=True)
+        t0 = time.time()
+        build_srp_index(embs, srp_path, n_tables=n_tables, n_planes=n_planes)
+        results["srp_build_s"] = round(time.time() - t0, 1)
+        print(f"srp build (T={n_tables}, b={n_planes}): "
+              f"{results['srp_build_s']}s")
+    t0 = time.time()
+    srp_rows = srp_index_topk_batch(
+        spark, srp_path, queries, k=k,
+        n_tables=n_tables, n_planes=n_planes, max_driver_rows=n_queries,
+    ).collect()
+    dt = time.time() - t0
+    got_map: dict[int, set] = {}
+    for r in srp_rows:
+        got_map.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got_map.get(q, set()) & truth[q]) for q in truth)
+    tot = sum(len(v) for v in truth.values())
+    results["srp_batch"] = {
+        "recall@10": round(hits / tot, 4),
+        "ms_per_query": round(dt / n_queries * 1000, 1),
+        "batch_total_s": round(dt, 1),
+    }
+    print("srp_batch", results["srp_batch"])
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

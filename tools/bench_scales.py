@@ -99,6 +99,7 @@ SCALES = ["0.001", "0.01", "0.1"]
 def main() -> None:
     spark = get_spark("bench-scales")
     spark.sparkContext.setLogLevel("ERROR")
+    registry.vacuum_index_cache()  # bound .cache before mass-building
     rows = []
     for name in HEADLINE:
         fn = registry.QUERIES[name]

@@ -66,6 +66,92 @@ def index_cache_path(recipe: str, sf_dir: str) -> str:
     )
 
 
+def vacuum_index_cache(
+    max_age_days: float = 30.0,
+    max_bytes: int = 2 * 1024**3,
+    cache_root: str | None = None,
+) -> list[str]:
+    """Retention for the build-if-absent ``.cache`` index layout
+    (VERDICT r8 item 7): recipes accumulate forever as version tags and
+    dataset fingerprints change, with no vacuum. Policy, in order:
+
+    1. keep-latest-per-recipe: entries are ``{recipe}_{dataset}-{fp}``
+       where the recipe carries a ``_vN`` version tag (and often
+       parameter suffixes). Group by (family-before-_vN, dataset-fp);
+       within each group keep only the newest-mtime entry — older
+       versions can never be read again (build-if-absent keys on the
+       CURRENT recipe string), so they are pure garbage.
+    2. max_age_days: drop survivors whose mtime is older — safe by
+       construction, every consumer rebuilds on miss.
+    3. max_bytes: if the total still exceeds, drop oldest-mtime first
+       until under budget.
+
+    Returns the evicted directory names. Invoked from bench.py /
+    tools/bench_scales.py setup so the cache is bounded wherever
+    indexes are mass-built."""
+    import os
+    import re
+    import shutil
+    import time
+
+    root = cache_root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"
+    )
+    if not os.path.isdir(root):
+        return []
+    entries = []  # (name, group_key, mtime, bytes)
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if not os.path.isdir(p):
+            continue
+        m = re.match(r"(?P<fam>.+?)_v\d+", name)
+        fam = m.group("fam") if m else name
+        ds = name.rsplit("-", 1)[-1]  # dataset path fingerprint
+        size = 0
+        for dirpath, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    size += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        entries.append((name, (fam, ds), os.path.getmtime(p), size))
+
+    evicted: list[str] = []
+
+    def _drop(name: str) -> None:
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        evicted.append(name)
+
+    # 1. keep-latest-per-recipe
+    newest: dict[tuple, tuple] = {}
+    for e in entries:
+        cur = newest.get(e[1])
+        if cur is None or e[2] > cur[2]:
+            newest[e[1]] = e
+    survivors = []
+    for e in entries:
+        if newest[e[1]][0] != e[0]:
+            _drop(e[0])
+        else:
+            survivors.append(e)
+    # 2. max-age
+    cutoff = time.time() - max_age_days * 86400.0
+    aged = []
+    for e in survivors:
+        if e[2] < cutoff:
+            _drop(e[0])
+        else:
+            aged.append(e)
+    # 3. max-bytes, oldest first
+    total = sum(e[3] for e in aged)
+    for e in sorted(aged, key=lambda e: e[2]):
+        if total <= max_bytes:
+            break
+        _drop(e[0])
+        total -= e[3]
+    return evicted
+
+
 def _ensure_ivfpq_index(spark, sf_dir: str, embs: DataFrame | None = None) -> str:
     """Build-if-absent IVF-PQ index (recipe ivfpq_v2: Lloyd-refined
     routing, 16 cells, m=8, k=16); returns its path. Shared by every
