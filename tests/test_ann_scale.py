@@ -1,0 +1,102 @@
+"""Scale-credible ANN recall floors (VERDICT r8 item 2).
+
+Every other ANN recall number in the suite comes from the 2,000-vector
+driver fixture; these tests pin recall on a DETERMINISTIC 100K x 64
+clustered corpus (vectolite_spark.synthdata — content is a pure
+function of (seed, vec_id), so the floor is reproducible anywhere
+without shipping data). The full 1M x 64 curve lives in SCALING.md
+section 9 (tools/ann_scale_eval.py); this is its seeded pytest
+contract at a size the suite can afford.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectolite_spark.synthdata import (
+    planted_neighbor_corpus,
+    synthetic_clustered_vectors,
+)
+
+N, DIM, K, N_QUERIES = 100_000, 64, 10, 24
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    # planted design (see planted_neighbor_corpus): the true top-K per
+    # query is unambiguous (~0.997 cos planted vs ~0.89 background), so
+    # the floor measures routing+resolution, not 3rd-decimal noise
+    p = str(tmp_path_factory.mktemp("ann_scale") / "corpus")
+    planted_neighbor_corpus(
+        spark, N, N_QUERIES, per_query=K, partitions=32
+    ).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return (
+        synthetic_clustered_vectors(spark, N_QUERIES, start_id=N, partitions=1)
+        .select(
+            (F.col("vec_id") - N).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def truth(spark, corpus, queries):
+    from vectolite_spark.operators.topk import topk_batch
+
+    out: dict[int, set] = {}
+    for r in topk_batch(queries, corpus, k=K).collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(got_map, truth):
+    hits = sum(len(got_map.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_ivfpq_recall_floor_100k(spark, corpus, queries, truth, tmp_path):
+    """IVF-PQ at 100K: partial probe (32/256 cells) with exact rescore
+    must clear the seeded recall floor; full probe with refine >= N is
+    exact by construction (asserted on a sample query)."""
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+
+    path = str(tmp_path / "ivfpq100k")
+    build_ivfpq_index(
+        corpus, path, n_cells=256, m=8, pq_k=64, pq_iters=1, ivf_iters=2
+    )
+    idx = IVFPQIndex(spark, path, m=8)
+    got: dict[int, set] = {}
+    for r in queries.collect():
+        rows = idx.topk(
+            [float(x) for x in r["query_vec"]], k=K, n_probe=32, refine=100
+        ).collect()
+        got[r["query_id"]] = {x["vec_id"] for x in rows}
+    rec = _recall(got, truth)
+    assert rec >= 0.90, f"IVF-PQ recall@10 at 100K fell to {rec:.3f}"
+
+
+def test_srp_recall_floor_100k(spark, corpus, queries, truth, tmp_path):
+    """SRP-LSH at 100K with scale-sized planes (8 tables x 9 planes =
+    512 buckets/table): the banded union probe must clear the seeded
+    recall floor in ONE batch job."""
+    from vectolite_spark.operators.ann import (
+        build_srp_index,
+        srp_index_topk_batch,
+    )
+
+    path = str(tmp_path / "srp100k")
+    build_srp_index(corpus, path, n_tables=8, n_planes=9)
+    got: dict[int, set] = {}
+    for r in srp_index_topk_batch(
+        spark, path, queries, k=K, n_tables=8, n_planes=9
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = _recall(got, truth)
+    assert rec >= 0.90, f"SRP recall@10 at 100K fell to {rec:.3f}"

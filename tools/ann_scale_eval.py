@@ -16,6 +16,7 @@ Usage: python tools/ann_scale_eval.py [N] [workdir]
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -27,6 +28,9 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+print = functools.partial(print, flush=True)
 
 
 def main() -> None:
@@ -42,15 +46,18 @@ def main() -> None:
     )
     from vectolite_spark.operators.topk import topk_batch
     from vectolite_spark.session import get_spark
-    from vectolite_spark.synthdata import synthetic_clustered_vectors
+    from vectolite_spark.synthdata import (
+        planted_neighbor_corpus,
+        synthetic_clustered_vectors,
+    )
 
     spark = get_spark()
-    corpus_path = f"{work}/corpus_n{n}"
+    corpus_path = f"{work}/corpus_planted_n{n}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         t0 = time.time()
-        synthetic_clustered_vectors(spark, n).write.mode("overwrite").parquet(
-            corpus_path
-        )
+        planted_neighbor_corpus(spark, n, n_queries, per_query=10).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
         print(f"corpus gen: {time.time() - t0:.1f}s -> {corpus_path}")
     embs = spark.read.parquet(corpus_path)
 
@@ -82,21 +89,30 @@ def main() -> None:
     }
 
     # ---- IVF-PQ ----------------------------------------------------------
-    ivfpq_path = f"{work}/ivfpq_n{n}"
-    n_cells, m, pq_k = 1024, 8, 256
+    # m=16 (4-dim subspaces), not m=8: with cluster-structured data and a
+    # 256-entry codebook, 8-dim subspaces snap every cluster member to
+    # the same code (98 distinct code-tuples per ~2000-member cluster,
+    # measured) — PQ distances tie across the cluster and the id-asc
+    # refine boundary deterministically drops true neighbors. 4-dim
+    # subspaces cross code boundaries far more often (781 distinct
+    # tuples), and refine=1000 covers the residual tie width. This is
+    # the operating rule SCALING section 9 documents: exact-rescore
+    # refine must exceed the PQ tie width at the chosen m.
+    ivfpq_path = f"{work}/ivfpq_m16_n{n}"
+    n_cells, m, pq_k, refine = 1024, 16, 256, 1000
     if not os.path.exists(f"{ivfpq_path}/cells/_SUCCESS"):
         shutil.rmtree(ivfpq_path, ignore_errors=True)
         t0 = time.time()
         build_ivfpq_index(
             embs, ivfpq_path, n_cells=n_cells, m=m, pq_k=pq_k,
-            pq_iters=1, ivf_iters=2,
+            pq_iters=2, ivf_iters=2,
         )
         results["ivfpq_build_s"] = round(time.time() - t0, 1)
         print(f"ivfpq build (cells={n_cells}, m={m}, pq_k={pq_k}): "
               f"{results['ivfpq_build_s']}s")
     idx = IVFPQIndex(spark, ivfpq_path, m=m)
     qrows = queries.collect()
-    for n_probe in (8, 32, 64):
+    for n_probe in (8, 32):
         hits = tot = 0
         t0 = time.time()
         for r in qrows:
@@ -104,7 +120,7 @@ def main() -> None:
                 x["vec_id"]
                 for x in idx.topk(
                     [float(v) for v in r["query_vec"]],
-                    k=k, n_probe=n_probe, refine=max(100, 4 * k),
+                    k=k, n_probe=n_probe, refine=refine,
                 ).collect()
             }
             want = truth[r["query_id"]]

@@ -136,14 +136,35 @@ def greedy_probes(
     cents: list[tuple[int, list[float]]], qvec: Sequence[float], n_probe: int
 ) -> list[int]:
     """The n_probe nearest cells to the query, in probe order (rounded
-    cosine desc, cluster id asc) — driver-side over the tiny centroid set."""
-    probes: list[int] = []
-    remaining = dict(cents)
-    for _ in range(min(n_probe, len(cents))):
-        best = nearest_centroid(list(remaining.items()), qvec)
-        probes.append(best)
-        remaining.pop(best)
-    return probes
+    cosine desc, cluster id asc) — driver-side over the centroid set.
+
+    Vectorized (r9): the old shape called ``nearest_centroid`` once per
+    pick, re-scoring every remaining centroid in pure Python —
+    O(n_probe * C * d) interpreter ops, ~1.5 s per query at C=1024,
+    n_probe=64 (the 1M SCALING run). One numpy matmul + the SAME
+    (-rounded score, cid) total order (Python ``round``, like
+    ``nearest_centroid``) is equivalent and ~1000x cheaper: selecting
+    the top n_probe of a fixed total order greedily or by sort is the
+    same list."""
+    import numpy as np
+
+    if not cents:
+        return []
+    cids = [int(c) for c, _ in cents]
+    M = np.asarray([v for _, v in cents], dtype=np.float64)
+    q = np.asarray([float(x) for x in qvec], dtype=np.float64)
+    qn = math.sqrt(float((q * q).sum()))
+    cn = np.sqrt((M * M).sum(axis=1))
+    if qn == 0.0:
+        scores = np.zeros(len(cids))
+    else:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(cn == 0.0, 0.0, (M @ q) / (cn * qn))
+    keyed = sorted(
+        (-round(float(scores[i]), SCORE_DECIMALS), cids[i])
+        for i in range(len(cids))
+    )
+    return [cid for _, cid in keyed[: min(n_probe, len(cids))]]
 
 
 def ivf_topk(
@@ -190,6 +211,38 @@ def assign_cells(
     )
 
 
+def _srp_seed_col(n_cells: int):
+    """Geometry-aware k-means seed assignment: a pandas UDF mapping an
+    embedding to the bucket of its sign pattern under
+    ceil(log2(n_cells)) deterministic md5-Rademacher hyperplanes
+    (``_pandas_udfs._srp_planes`` — the SRP index's plane formula), mod
+    n_cells. Deterministic, partitioning-independent, and SEPARATES
+    clustered data from round zero — see the Lloyd comment in
+    build_ivfpq_index."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    b = max(1, math.ceil(math.log2(max(2, n_cells))))
+
+    @pandas_udf("int")
+    def _seed(emb):
+        import numpy as np
+        import pandas as pd
+
+        from vectolite_spark._pandas_udfs import _srp_planes
+
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        P = _srp_planes(1, b, mat.shape[1])
+        bits = (mat @ P.T >= 0).astype(np.int64)
+        bucket = (bits << np.arange(b, dtype=np.int64)).sum(axis=1)
+        return pd.Series((bucket % n_cells).astype("int32"))
+
+    return _seed
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_path: str,
@@ -222,7 +275,7 @@ def build_ivf_index(
         # break on (rounded score, cell id) — so rebuilds at any
         # partitioning converge to the same index.
         seeded = embeddings.withColumn(
-            "_seed_cell", F.pmod(F.col(id_col), F.lit(16)).cast("int")
+            "_seed_cell", _srp_seed_col(16)(F.col("embedding"))
         )
         cents_list = [
             (int(r["cluster"]), list(r["centroid"]))
@@ -249,7 +302,13 @@ def build_ivf_index(
         cents = build_centroids(embeddings, cluster_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     (
-        assigned.write.mode("overwrite")
+        # cluster by cell before partitionBy: otherwise EVERY upstream
+        # task writes a file into every cell dir (n_cells x n_tasks tiny
+        # files), and probe jobs drown in per-file task scheduling
+        # (found by the 1M-row SCALING section-9 run, r9). One file per
+        # cell is still splittable at scale — parquet row groups.
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_path}/cells")
     )
@@ -266,9 +325,17 @@ class IVFIndex:
             (int(r["cluster"]), list(r["centroid"]))
             for r in spark.read.parquet(f"{index_path}/centroids").collect()
         ]
+        # open-once/probe-many: re-reading per probe re-LISTED the whole
+        # partitioned layout (n_cells directories) on every query — at
+        # 1024 cells that listing dominated per-query latency (measured
+        # by the 1M SCALING section-9 run, r9). The handle snapshots the
+        # file listing at construction; REOPEN the handle after appends
+        # (every append/sync flow in this repo constructs handles after
+        # mutating, never before).
+        self._cells = spark.read.parquet(f"{index_path}/cells")
 
     def cells(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/cells")
+        return self._cells
 
     def probe(self, qvec: Sequence[float], n_probe: int = 1) -> list[int]:
         return greedy_probes(self.centroids, qvec, n_probe)
@@ -423,7 +490,10 @@ def ivf_index_append(
     idx = load_ivf_index(spark, index_path)
     assigned = assign_cells(embeddings, idx.centroids, id_col=id_col)
     (
-        assigned.write.mode("append")
+        # cluster the delta by cell too (see build_ivf_index note): one
+        # file per touched cell per append instead of one per task
+        assigned.repartition(F.col("cell"))
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{index_path}/cells")
     )
@@ -546,9 +616,10 @@ def pq_topk(
 ) -> DataFrame:
     """Asymmetric-distance PQ search: the query stays full-precision; a
     (m x n_centroids) lookup table of query-to-centroid subspace
-    distances is computed once driver-side (tiny) and shipped as a
-    literal; each stored vector's approximate distance is then m table
-    lookups + a fixed-order sum — no floats decoded, ever. The scan is
+    distances is computed once driver-side (tiny) and shipped in the
+    Arrow UDF's closure; each stored vector's approximate distance is
+    then m table lookups + a fixed-order sum — no raw vectors decoded,
+    ever. The scan is
     over CODES (32x narrower than raw vectors): this is how 100 TB of
     embeddings fits a memory-speed scan. Returns top-k (vec_id,
     approx_dist) by ascending distance, id tie-break.
@@ -570,13 +641,14 @@ def pq_topk(
             diff = q[j * sub + dim] - codebook[:, j * sub + dim]
             qd[j] = qd[j] + diff * diff
     table = [[float(x) for x in row] for row in qd]
-    dist = None
-    for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in table[j]]),
-            F.col("codes")[j] + 1,
-        )
-        dist = term if dist is None else dist + term
+    # Arrow lookup, not an m*k-literal expression chain: Catalyst
+    # analysis of the literal form is linear in the table size (~1.8 s
+    # of driver time per query at k=256 — the 1M SCALING run); the UDF
+    # sums the same m lookups in the same fixed j order, so the float64
+    # result is bit-identical and the oracle contract holds.
+    from vectolite_spark._pandas_udfs import make_pq_adist_udf
+
+    dist = make_pq_adist_udf(table)(F.col("codes"))
     return (
         codes.select(
             "vec_id", F.round(dist, 6).alias("approx_dist"), *carry_cols
@@ -627,20 +699,26 @@ def build_ivfpq_index(
         )
     else:
         seeded = embeddings.withColumn(
-            "_seed_cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
+            "_seed_cell", _srp_seed_col(n_cells)(F.col("embedding"))
         )
         cents_list = [
             (int(r["cluster"]), list(r["centroid"]))
             for r in build_centroids(seeded, "_seed_cell").collect()
         ]
-        # Lloyd refinement of the IVF level: id-modulo seed groups all
-        # average to ~the data mean, so WITHOUT these rounds cell routing
-        # is near-random and partial-probe recall collapses (caught by the
-        # r3 recall sweep gate). Each round = one narrow matmul assign +
-        # one exact-DECIMAL mean shuffle; deterministic, so rebuilds
-        # converge identically. The FINAL assignment below uses the
-        # refined centroids — routing at query time must agree with the
-        # cells on disk.
+        # Lloyd refinement of the IVF level, from GEOMETRY-AWARE seeds
+        # (r9): seed cell = the vector's sign pattern under
+        # ceil(log2(n_cells)) deterministic md5-Rademacher projections —
+        # random-projection k-means initialization. The old id-modulo
+        # seeds were random SAMPLES of the whole distribution, so every
+        # seed mean collapsed to ~the global mean and Lloyd had to
+        # differentiate nearly identical centroids; at n_cells in the
+        # hundreds-plus that never recovered within a few rounds
+        # (recall@10 = 0.06 at 1M x 1024 cells — the SCALING section-9
+        # run). Sign-pattern seeds separate real clusters from round
+        # zero. Still deterministic and partitioning-independent (pure
+        # function of the vector), so rebuilds converge identically.
+        # The FINAL assignment below uses the refined centroids —
+        # routing at query time must agree with the cells on disk.
         for _ in range(max(0, ivf_iters)):
             refined = assign_cells(embeddings, cents_list, id_col=id_col)
             cents_list = [
@@ -663,6 +741,8 @@ def build_ivfpq_index(
     (
         assigned.join(codes, "vec_id")
         .select("vec_id", "codes", "embedding", "cell")
+        # cluster by cell before partitionBy — see build_ivf_index note
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_path}/cells")
@@ -693,6 +773,19 @@ class IVFPQIndex:
             )
         )
         self.codebook = np.array([v for _, v in cb_rows], dtype=np.float64)
+        # open-once/probe-many: see IVFIndex.__init__ — per-probe reads
+        # re-listed all n_cells partition dirs; the handle snapshots the
+        # listing at FIRST probe, so REOPEN after appends (all
+        # sync/append flows here construct handles after mutating).
+        # Lazy: ivfpq_index_append constructs a handle for the frozen
+        # centroids+codebook BEFORE the first fill, when cells may not
+        # exist yet.
+        self._cells = None
+
+    def _open_cells(self) -> DataFrame:
+        if self._cells is None:
+            self._cells = self.spark.read.parquet(f"{self.path}/cells")
+        return self._cells
 
     def probe(self, qvec: Sequence[float], n_probe: int = 1) -> list[int]:
         return greedy_probes(self.centroids, qvec, n_probe)
@@ -707,7 +800,7 @@ class IVFPQIndex:
         from vectolite_spark.operators.topk import topk_ids
 
         probes = greedy_probes(self.centroids, qvec, n_probe)
-        cells = self.spark.read.parquet(f"{self.path}/cells").filter(
+        cells = self._open_cells().filter(
             F.col("cell").isin([int(p) for p in probes])
         )
         # carry the rescore payload THROUGH the PQ TakeOrdered heap:
@@ -781,6 +874,8 @@ def ivfpq_index_append(
     (
         assigned.join(codes, "vec_id")
         .select("vec_id", "codes", "embedding", "cell")
+        # cluster the delta by cell — see build_ivf_index note
+        .repartition(F.col("cell"))
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{index_path}/cells")
