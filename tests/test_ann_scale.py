@@ -67,15 +67,19 @@ def test_ivfpq_recall_floor_100k(spark, corpus, queries, truth, tmp_path):
     exact by construction (asserted on a sample query)."""
     from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
 
+    # m=16 + refine=400: exact-rescore refine must exceed the PQ tie
+    # width at the chosen m (SCALING section 9's operating rule — 8-dim
+    # subspaces snap whole clusters to one code tuple and the id-asc
+    # refine boundary then drops true neighbors deterministically)
     path = str(tmp_path / "ivfpq100k")
     build_ivfpq_index(
-        corpus, path, n_cells=256, m=8, pq_k=64, pq_iters=1, ivf_iters=2
+        corpus, path, n_cells=256, m=16, pq_k=64, pq_iters=1, ivf_iters=2
     )
-    idx = IVFPQIndex(spark, path, m=8)
+    idx = IVFPQIndex(spark, path, m=16)
     got: dict[int, set] = {}
     for r in queries.collect():
         rows = idx.topk(
-            [float(x) for x in r["query_vec"]], k=K, n_probe=32, refine=100
+            [float(x) for x in r["query_vec"]], k=K, n_probe=32, refine=400
         ).collect()
         got[r["query_id"]] = {x["vec_id"] for x in rows}
     rec = _recall(got, truth)
