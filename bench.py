@@ -426,7 +426,14 @@ def main() -> None:
     # run the ACTUAL reference engine (sqlite-backed, CLI deps stubbed the
     # same way tests/test_reference_parity.py does) on the same corpus
     # shape — n_vecs vectors of the same dim — so bench_vs_baseline is a
-    # measured ratio, not an estimate
+    # measured ratio, not an estimate.
+    # Serialize behind a sync + settle first (r9): the reference's ingest
+    # is one fsync'd SQLite commit per insert, and the preceding Spark
+    # phases leave a deep dirty-page queue — measured 687 -> 78 docs/s
+    # (8.8x) purely from its fsyncs stalling behind that flush, which
+    # then misreads as "reference got slower" in the calibration rows.
+    os.sync()
+    time.sleep(2.0)
     ref = _bench_reference(qvecs, n_vecs)
     timings.update(ref)
 

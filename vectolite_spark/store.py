@@ -326,8 +326,11 @@ class SparkVectolite:
         answered batched. Only queries too selective for the prefix
         fall back to the exact filtered job, so selective-tenant
         workloads pay the job floor per miss, not per query.
-        ``ann`` / ``diversify`` calls fall through to their dedicated
-        paths.
+        ``ann=True`` queries ride their own mode-keyed batcher whose
+        kernel is the in-mapper SRP probe (r9; see
+        ``_ensure_ann_serving_batcher``) — results match the per-job
+        ANN path row for row. ``diversify`` (and ann+filter, which is
+        rejected) fall through to their dedicated paths.
 
         Lazy + mutation-safe: the batcher (and its cached working set,
         when ``cache=True``) is built on first eligible query and torn
