@@ -296,6 +296,22 @@ def main() -> None:
         timings["serving_facade_ann_qps"] = round(
             f_threads * f_per / (time.time() - t0), 1
         )
+
+        # driver-resident tier (r9): the sub-ms single-query answer to
+        # the one weak row (cached 1q latency vs the reference's
+        # in-process scan) — same architecture as the reference (the
+        # working set lives in the serving process), same results as
+        # the exact job (parity pytest), torn down by any mutation.
+        fstore.enable_resident_serving()
+        fstore.query(fq[0], top_k=5)  # warm: one collect
+        t0 = time.time()
+        n_res = 400
+        for i in range(n_res):
+            fstore.query(fq[i % len(fq)], top_k=5)
+        dt = time.time() - t0
+        timings["serving_resident_1q_ms"] = round(dt / n_res * 1000, 3)
+        timings["serving_resident_qps"] = round(n_res / dt, 1)
+        fstore.disable_resident_serving()
         fstore.disable_batched_serving()
     finally:
         _sh.rmtree(facade_dir, ignore_errors=True)

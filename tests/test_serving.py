@@ -387,3 +387,53 @@ def test_store_ann_queries_ride_the_facade(spark, tmp_path):
     fresh = store.query("ann facade doc number 999", top_k=3, ann=True)
     assert any(r["text"] == "ann facade doc number 999" for r in fresh)
     store.disable_batched_serving()
+
+
+def test_resident_serving_matches_exact(spark, tmp_path):
+    """Driver-resident serving (r9, the sub-ms single-query tier):
+    identical results to the exact Spark path — scores, order, filters,
+    zero-norm semantics — plus mutation teardown and the max_bytes
+    refusal tripwire."""
+    import pytest
+
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "rdb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many(
+        [f"resident doc number {i}" for i in range(40)],
+        [{"tenant": f"t{i % 3}", "k": i} for i in range(40)],
+    )
+    texts = [f"resident doc number {i}" for i in range(6)]
+    want_plain = {t: store.query(t, top_k=5) for t in texts}
+    want_filtered = {
+        t: store.query(t, top_k=5, metadata_filter={"tenant": "t1"})
+        for t in texts
+    }
+
+    store.enable_resident_serving()
+    for t in texts:
+        assert store.query(t, top_k=5) == want_plain[t]
+        assert (
+            store.query(t, top_k=5, metadata_filter={"tenant": "t1"})
+            == want_filtered[t]
+        )
+    # selective filter with zero hits
+    assert store.query(texts[0], top_k=5, metadata_filter={"tenant": "zz"}) == []
+    # ann still takes its own path (resident is exact-only)
+    assert store.query(texts[0], top_k=3, ann=True)
+
+    # mutation tears the resident set down; next query sees fresh rows
+    store.insert("resident doc number 999", {"tenant": "t1"})
+    fresh = store.query("resident doc number 999", top_k=3)
+    assert any(r["text"] == "resident doc number 999" for r in fresh)
+
+    # the refusal tripwire: a tiny budget refuses instead of collecting
+    store.enable_resident_serving(max_bytes=1)
+    with pytest.raises(VectoliteError, match="resident serving refused"):
+        store.query(texts[0], top_k=3)
+    store.disable_resident_serving()
+    assert store.query(texts[0], top_k=5) == store.query(texts[0], top_k=5)

@@ -135,6 +135,8 @@ class SparkVectolite:
         self._serving_base = None
         self._serving_ann = None          # ANN-mode batcher (SRP kernel)
         self._serving_ann_payload = None  # its cached payload relation
+        self._resident_cfg = None         # driver-resident serving config
+        self._resident = None             # (ids, E, norms, texts, metas)
         self._serving_lock = threading.Lock()
         if versioned:
             from vectolite_spark.snapshots import SnapshotStore
@@ -356,6 +358,80 @@ class SparkVectolite:
             self._serving_cfg = None
         self._invalidate_serving()
 
+    # -- driver-resident serving (extension; the sub-ms single-query path) --
+
+    def enable_resident_serving(self, max_bytes: int = 256 * 1024 * 1024) -> None:
+        """Serve eligible ``query()`` calls from a DRIVER-RESIDENT numpy
+        working set — the architecture every local vector store
+        (including the reference's in-process SQLite scan) uses, offered
+        here as the answer to the one regime where a distributed engine
+        structurally loses: single-query latency on a corpus that fits
+        one machine. A lone ``query()`` pays Spark's per-job scheduling
+        floor (~0.2-0.4 s on this box at ANY data size); the resident
+        path answers in microseconds-to-ms with IDENTICAL results
+        (same rounded-cosine scores, same (score desc, id asc) order,
+        same metadata-filter normalization — parity pytest-pinned).
+
+        Scope and honesty: the working set is collected ONCE from the
+        authoritative Spark table (and torn down by ANY mutation, like
+        the batched facade, so it can never serve stale rows), and the
+        collect REFUSES above ``max_bytes`` (estimated) — beyond that,
+        single queries belong to the batched facade or the ANN index
+        paths; this path is explicitly the corpus-fits-in-memory
+        serving tier, not a replacement for the engine.
+
+        Eligible = cosine search, with or without ``metadata_filter``
+        (exact driver-side filtering — no over-fetch proof needed, the
+        FULL ranking is resident); ``ann``/``diversify`` keep their
+        dedicated paths. Composes with ``enable_batched_serving``: the
+        resident path wins when both are on."""
+        if max_bytes <= 0:
+            raise VectoliteError("max_bytes must be positive")
+        with self._serving_lock:
+            self._resident_cfg = {"max_bytes": int(max_bytes)}
+            self._resident = None
+
+    def disable_resident_serving(self) -> None:
+        with self._serving_lock:
+            self._resident_cfg = None
+            self._resident = None
+
+    def _ensure_resident(self):
+        import numpy as np
+
+        with self._serving_lock:
+            if self._resident is not None:
+                return self._resident
+            cfg = self._resident_cfg
+            if cfg is None:
+                return None
+            dim = self._dim()
+            n = self.count_documents()
+            if dim is not None:
+                est = n * (dim * 4 + 256)  # vectors + payload slack
+                if est > cfg["max_bytes"]:
+                    raise VectoliteError(
+                        f"resident serving refused: ~{est >> 20} MB estimated "
+                        f"working set exceeds max_bytes={cfg['max_bytes'] >> 20} MB"
+                        " — use the batched facade or the ANN index paths"
+                    )
+            rows = self.df().select(
+                "id", "embedding", "text", "metadata"
+            ).collect()
+            if not rows:
+                self._resident = ([], None, None, [], [])
+                return self._resident
+            ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+            E = np.asarray(
+                [[float(x) for x in r["embedding"]] for r in rows],
+                dtype=np.float64,
+            )
+            norms = np.sqrt((E * E).sum(axis=1))
+            texts = [r["text"] for r in rows]
+            metas = [r["metadata"] for r in rows]
+            self._resident = (ids, E, norms, texts, metas)
+            return self._resident
+
     def _invalidate_serving(self) -> None:
         """Mutation hook: the live batcher holds a snapshot of the table
         state at build time — close it (waking any parked waiters) and
@@ -366,6 +442,7 @@ class SparkVectolite:
             ann_payload = self._serving_ann_payload
             self._serving, self._serving_base = None, None
             self._serving_ann, self._serving_ann_payload = None, None
+            self._resident = None  # cfg survives; next query re-collects
         for b in (batcher, ann_batcher):
             if b is not None:
                 b.close()
@@ -505,6 +582,46 @@ class SparkVectolite:
             "batched serving unavailable (repeated concurrent "
             "invalidation); retry or disable_batched_serving()"
         )
+
+    def _resident_query(self, rs, qvec, top_k: int, fcmp) -> list[dict]:
+        """Rank the resident working set: same rounded-cosine scores
+        (round-half-up 6dp, zero-norm -> 0.0 on either side), same
+        (score desc, id asc) order, same ``_match_filter`` predicate
+        normalization as the exact Spark path — pinned by
+        tests/test_serving.py::test_resident_serving_matches_exact."""
+        import numpy as np
+
+        from vectolite_spark._pandas_udfs import round_half_up
+
+        ids, E, norms, texts, metas = rs
+        if len(ids) == 0:
+            return []
+        mask = np.ones(len(ids), dtype=bool)
+        if fcmp:
+            mask = np.asarray(
+                [self._match_filter(m, fcmp) for m in metas], dtype=bool
+            )
+            if not mask.any():
+                return []
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum()))
+        sub = E[mask]
+        denom = norms[mask] * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sc = np.where(denom == 0.0, 0.0, sub @ q / denom)
+        sc = round_half_up(sc, 6)
+        sids = ids[mask]
+        order = np.lexsort((sids, -sc))[:top_k]
+        midx = np.nonzero(mask)[0][order]
+        return [
+            {
+                "id": int(sids[o]),
+                "score": float(sc[o]),
+                "text": texts[i],
+                "metadata": json.loads(metas[i] or "{}"),
+            }
+            for o, i in zip(order, midx)
+        ]
 
     @staticmethod
     def _match_filter(meta_json: str | None, fcmp: dict) -> bool:
@@ -721,6 +838,13 @@ class SparkVectolite:
         # read the cfg ONCE: a concurrent disable_batched_serving() between
         # the None-check and the subscript would otherwise raise TypeError
         # instead of falling back to the exact path
+        if self._resident_cfg is not None and not ann and diversify is None:
+            # driver-resident fast path (enable_resident_serving): full
+            # ranking in numpy, identical results to the exact job
+            rs = self._ensure_resident()
+            if rs is not None:
+                return self._resident_query(rs, qvec, top_k, fcmp)
+            # disabled concurrently -> distributed paths below
         serving_cfg = self._serving_cfg
         if (
             serving_cfg is not None
