@@ -437,3 +437,98 @@ def test_resident_serving_matches_exact(spark, tmp_path):
         store.query(texts[0], top_k=3)
     store.disable_resident_serving()
     assert store.query(texts[0], top_k=5) == store.query(texts[0], top_k=5)
+
+
+def test_ann_rebuild_invalidates_ann_batcher(spark, tmp_path):
+    """ADVICE r9: build_ann_index() must drop the ANN-mode batcher —
+    it resolved (n_tables, n_planes) and its precomputed bucket column
+    from the PREVIOUS index state, so a custom-plane rebuild while
+    batched serving is live would silently diverge from the per-job
+    query(ann=True) path. The exact batcher and resident set survive
+    (the data didn't change)."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "rebuilddb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many([f"rebuild doc number {i}" for i in range(30)])
+    store.enable_batched_serving(top_k=5, max_wait_ms=5)
+    q = "rebuild doc number 3"
+    store.query(q, top_k=3)             # builds the exact batcher
+    store.query(q, top_k=3, ann=True)   # builds the ANN batcher (default planes)
+    exact_batcher = store._serving
+    assert store._serving_ann is not None
+    store.build_ann_index(n_tables=4, n_planes=3)  # custom planes
+    assert store._serving_ann is None, "ANN batcher dropped on index rebuild"
+    assert store._serving is exact_batcher, "exact batcher untouched"
+    # the rebuilt facade mirrors the per-job path under the NEW planes
+    got = store.query(q, top_k=3, ann=True)
+    store.disable_batched_serving()
+    want = store.query(q, top_k=3, ann=True)
+    assert got == want
+
+
+def test_ann_facade_size_gate(spark, tmp_path):
+    """ADVICE r9: the ANN facade's in-mapper probe scans the working
+    set per dispatch cycle — corpora above ann_facade_max_rows must
+    keep the per-job persisted-index path instead of regressing to a
+    per-cycle full scan. The gate is sticky until a mutation."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "gatedb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many([f"gate doc number {i}" for i in range(20)])
+    store.enable_batched_serving(top_k=5, max_wait_ms=5, ann_facade_max_rows=10)
+    q = "gate doc number 3"
+    res = store.query(q, top_k=3, ann=True)  # falls to the per-job path
+    assert store._serving_ann is None and store._serving_ann_oversize
+    store.disable_batched_serving()
+    assert res == store.query(q, top_k=3, ann=True)
+    # under the cap the batcher builds (and carries the bucket column)
+    store.enable_batched_serving(top_k=5, max_wait_ms=5, ann_facade_max_rows=50)
+    store.query(q, top_k=3, ann=True)
+    assert store._serving_ann is not None
+    assert not store._serving_ann_oversize
+    store.disable_batched_serving()
+
+
+def test_resident_guard_measures_payload(spark, tmp_path):
+    """VERDICT r9 item 4: the resident tripwire measures the real
+    text/metadata payload — KB-scale texts that the old per-row slack
+    formula waved through must refuse; compact rows under the same
+    budget must build. Also covers the cold-dim-cache path: the
+    aggregate measures dim itself, so a non-empty store is never
+    unguarded."""
+    import pytest
+
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.store import SparkVectolite
+
+    dim = 8
+    store = SparkVectolite(
+        spark, str(tmp_path / "measdb"), embed_fn=stub_embedder(dim=dim)
+    )
+    n = 32
+    store.insert_many(["resident payload " + "x" * 4000 for _ in range(n)])
+    # old formula: n*(dim*4+256) = 9216 bytes -> would have passed this
+    # budget; measured: >= 2*4000*n chars alone blows it
+    budget = 64 * 1024
+    assert n * (dim * 4 + 256) < budget
+    store._dim_cache = None  # cold dim cache must not skip the guard
+    store.enable_resident_serving(max_bytes=budget)
+    with pytest.raises(VectoliteError, match="resident serving refused"):
+        store.query("resident payload", top_k=3)
+    store.disable_resident_serving()
+    # same row count, compact payload: passes the same budget and serves
+    store2 = SparkVectolite(
+        spark, str(tmp_path / "measdb2"), embed_fn=stub_embedder(dim=dim)
+    )
+    store2.insert_many([f"compact doc number {i}" for i in range(n)])
+    want = store2.query("compact doc number 3", top_k=3)
+    store2.enable_resident_serving(max_bytes=budget)
+    assert store2.query("compact doc number 3", top_k=3) == want
+    store2.disable_resident_serving()

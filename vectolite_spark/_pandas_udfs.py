@@ -358,8 +358,36 @@ def _srp_planes(n_tables, n_planes, d):
     return P
 
 
+def make_srp_bucket_codes_udf(n_tables=16, n_planes=6):
+    """pandas UDF: embedding -> the row's ``n_tables`` SRP bucket codes
+    (``array<long>``, one per table), from the SAME memoized
+    md5-Rademacher planes as every other SRP consumer. The store's ANN
+    serving facade precomputes this ONCE onto its cached working set
+    (ADVICE r9): dispatch cycles then skip the per-cycle N x (T*b)
+    matmul and touch full embeddings only for candidate rows."""
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _codes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        P = _srp_planes(n_tables, n_planes, mat.shape[1])
+        bits = (mat @ P.T >= 0).astype(np.int64)
+        codes = np.stack(
+            [
+                (bits[:, t * n_planes : (t + 1) * n_planes] << shifts).sum(axis=1)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(codes))
+
+    return _codes
+
+
 def make_srp_serving_mapper(
-    qids, qvecs, k, n_tables=16, n_planes=6, payload_cols=()
+    qids, qvecs, k, n_tables=16, n_planes=6, payload_cols=(), bucket_col=None
 ):
     """mapInPandas mapper for the store's ANN serving facade: the whole
     SRP probe for a micro-batch of queries in ONE task over the cached
@@ -374,6 +402,14 @@ def make_srp_serving_mapper(
     ``ann.srp_index_topk`` row for row. Only correct on a
     single-partition input (the caller coalesces); the serving cache
     regime already bounds that partition to one task's worth.
+
+    ``bucket_col`` (ADVICE r9): name of a precomputed
+    ``make_srp_bucket_codes_udf`` column on the input. When present,
+    the per-cycle bucketing matmul over the WHOLE working set is
+    skipped, and embeddings are stacked only for the cycle's candidate
+    union — the steady-state dispatch cost becomes O(candidates), not
+    O(corpus). Candidate selection and scoring are bit-identical to
+    the recompute path (same planes, same float64 dot).
 
     Emits (query_id, vec_id, score, rn, *payload_cols), rn 1-based."""
     qarr = np.asarray(qvecs, dtype=np.float64)  # Q x d
@@ -399,32 +435,48 @@ def make_srp_serving_mapper(
             out[c] = []
         if frames:
             pdf = pd.concat(frames, ignore_index=True)
-            mat = np.stack(pdf["embedding"].to_numpy()).astype(
-                np.float64, copy=False
-            )
-            ids = pdf["vec_id"].to_numpy()
-            P = _srp_planes(n_tables, n_planes, mat.shape[1])
-            row_b = _buckets(mat, P)  # N x T
+            emb_np = pdf["embedding"].to_numpy()
+            P = _srp_planes(n_tables, n_planes, qarr.shape[1])
             q_b = _buckets(qarr, P)  # Q x T
-            dn = np.sqrt((mat * mat).sum(axis=1))
-            payload = {c: pdf[c].to_numpy() for c in pcols}
-            for qi in range(len(qid_arr)):
-                cand = (row_b == q_b[qi]).any(axis=1)
-                if not cand.any():
-                    continue
-                sub = mat[cand]
-                denom = dn[cand] * qn[qi]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sc = np.where(denom == 0.0, 0.0, sub @ qarr[qi] / denom)
-                sc = round_half_up(sc, 6)
-                cids = ids[cand]
-                order = np.lexsort((cids, -sc))[:k]
-                out["query_id"].extend([int(qid_arr[qi])] * len(order))
-                out["vec_id"].extend(int(x) for x in cids[order])
-                out["score"].extend(float(x) for x in sc[order])
-                out["rn"].extend(range(1, len(order) + 1))
-                for c in pcols:
-                    out[c].extend(payload[c][cand][order])
+            if bucket_col is not None and bucket_col in pdf.columns:
+                row_b = np.stack(pdf[bucket_col].to_numpy()).astype(
+                    np.int64, copy=False
+                )  # N x T, precomputed at batcher build
+            else:
+                full = np.stack(emb_np).astype(np.float64, copy=False)
+                row_b = _buckets(full, P)
+            ids = pdf["vec_id"].to_numpy()
+            cand_masks = [
+                (row_b == q_b[qi]).any(axis=1) for qi in range(len(qid_arr))
+            ]
+            union = np.zeros(len(pdf), dtype=bool)
+            for m in cand_masks:
+                union |= m
+            if union.any():
+                uidx = np.nonzero(union)[0]
+                umat = np.stack(emb_np[uidx]).astype(np.float64, copy=False)
+                udn = np.sqrt((umat * umat).sum(axis=1))
+                pos = np.full(len(pdf), -1, dtype=np.int64)
+                pos[uidx] = np.arange(len(uidx))
+                payload = {c: pdf[c].to_numpy() for c in pcols}
+                for qi in range(len(qid_arr)):
+                    cand = cand_masks[qi]
+                    if not cand.any():
+                        continue
+                    ci = pos[np.nonzero(cand)[0]]
+                    sub = umat[ci]
+                    denom = udn[ci] * qn[qi]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sc = np.where(denom == 0.0, 0.0, sub @ qarr[qi] / denom)
+                    sc = round_half_up(sc, 6)
+                    cids = ids[cand]
+                    order = np.lexsort((cids, -sc))[:k]
+                    out["query_id"].extend([int(qid_arr[qi])] * len(order))
+                    out["vec_id"].extend(int(x) for x in cids[order])
+                    out["score"].extend(float(x) for x in sc[order])
+                    out["rn"].extend(range(1, len(order) + 1))
+                    for c in pcols:
+                        out[c].extend(payload[c][cand][order])
         yield pd.DataFrame(out)
 
     return mapper

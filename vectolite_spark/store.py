@@ -135,8 +135,10 @@ class SparkVectolite:
         self._serving_base = None
         self._serving_ann = None          # ANN-mode batcher (SRP kernel)
         self._serving_ann_payload = None  # its cached payload relation
+        self._serving_ann_oversize = False  # size-gated: per-job path wins
         self._resident_cfg = None         # driver-resident serving config
         self._resident = None             # (ids, E, norms, texts, metas)
+        self._serving_gen = 0             # bumped by every invalidation
         self._serving_lock = threading.Lock()
         if versioned:
             from vectolite_spark.snapshots import SnapshotStore
@@ -272,6 +274,13 @@ class SparkVectolite:
             n_tables=n_tables,
             n_planes=n_planes,
         )
+        # the ANN serving batcher resolved its plane parameters (and its
+        # precomputed bucket column) from the PREVIOUS index state — a
+        # rebuild with custom planes would leave the facade probing with
+        # stale parameters, silently diverging from the per-job path
+        # (ADVICE r9). Data didn't change, so the exact batcher and the
+        # resident working set stay; only the ANN batcher is dropped.
+        self._invalidate_ann_serving()
 
     # -- text-index acceleration (extension; mirrors the ANN lifecycle) -----
 
@@ -306,6 +315,7 @@ class SparkVectolite:
         max_wait_ms: float = 8.0,
         cache: bool = True,
         filter_overfetch: int = 4,
+        ann_facade_max_rows: int = 200_000,
     ) -> None:
         """Route eligible ``query()`` calls through a shared
         ``serving.MicroBatcher``: concurrent callers (the threaded UI,
@@ -331,8 +341,11 @@ class SparkVectolite:
         ``ann=True`` queries ride their own mode-keyed batcher whose
         kernel is the in-mapper SRP probe (r9; see
         ``_ensure_ann_serving_batcher``) — results match the per-job
-        ANN path row for row. ``diversify`` (and ann+filter, which is
-        rejected) fall through to their dedicated paths.
+        ANN path row for row, and corpora above ``ann_facade_max_rows``
+        keep the per-job persisted-index path instead (the in-mapper
+        probe scans the working set per cycle; block-directory pruning
+        is the big-corpus answer). ``diversify`` (and ann+filter, which
+        is rejected) fall through to their dedicated paths.
 
         Lazy + mutation-safe: the batcher (and its cached working set,
         when ``cache=True``) is built on first eligible query and torn
@@ -343,6 +356,8 @@ class SparkVectolite:
             raise VectoliteError("top_k must be positive")
         if filter_overfetch < 1:
             raise VectoliteError("filter_overfetch must be >= 1")
+        if ann_facade_max_rows < 1:
+            raise VectoliteError("ann_facade_max_rows must be >= 1")
         self._invalidate_serving()
         with self._serving_lock:  # cfg writes pair with _ensure's read
             self._serving_cfg = {
@@ -351,6 +366,7 @@ class SparkVectolite:
                 "max_wait_ms": float(max_wait_ms),
                 "cache": bool(cache),
                 "overfetch": int(filter_overfetch),
+                "ann_max_rows": int(ann_facade_max_rows),
             }
 
     def disable_batched_serving(self) -> None:
@@ -397,6 +413,26 @@ class SparkVectolite:
             self._resident = None
 
     def _ensure_resident(self):
+        """Build (or return) the driver-resident working set.
+
+        The ``max_bytes`` tripwire MEASURES the payload instead of
+        assuming it (VERDICT r9 item 4): one aggregate over the real
+        table — row count, embedding dim, total text+metadata chars —
+        feeds the estimate ``n*(dim*8 + 144) + 2*chars``: float64
+        vectors (the resident matrix is float64, not the stored
+        float32), ~144 B/row of numpy+list+object slack, and 2 B/char
+        for Python str storage (1-4 B/char internally; 2 is the honest
+        middle for mostly-ASCII corpora with headroom). The old
+        ``n*(dim*4+256)`` form let a KB-texts corpus several times the
+        budget through; it also skipped the check entirely when the
+        dim cache was cold — the aggregate measures dim itself, so
+        there is no unguarded path for a non-empty store.
+
+        The collect runs OUTSIDE ``_serving_lock`` (ADVICE r9: holding
+        it blocked every mutation and serving query for the build);
+        ``_serving_gen`` fences publication — if any invalidation
+        landed mid-collect, the stale rows are dropped and the caller
+        falls back to the exact path for this query."""
         import numpy as np
 
         with self._serving_lock:
@@ -405,31 +441,44 @@ class SparkVectolite:
             cfg = self._resident_cfg
             if cfg is None:
                 return None
-            dim = self._dim()
-            n = self.count_documents()
-            if dim is not None:
-                est = n * (dim * 4 + 256)  # vectors + payload slack
-                if est > cfg["max_bytes"]:
-                    raise VectoliteError(
-                        f"resident serving refused: ~{est >> 20} MB estimated "
-                        f"working set exceeds max_bytes={cfg['max_bytes'] >> 20} MB"
-                        " — use the batched facade or the ANN index paths"
-                    )
-            rows = self.df().select(
-                "id", "embedding", "text", "metadata"
-            ).collect()
-            if not rows:
-                self._resident = ([], None, None, [], [])
-                return self._resident
+            gen = self._serving_gen
+        stats = self.df().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("embedding")).alias("dim"),
+            (
+                F.coalesce(F.sum(F.length("text")), F.lit(0))
+                + F.coalesce(F.sum(F.length("metadata")), F.lit(0))
+            ).alias("chars"),
+        ).collect()[0]
+        n, dim, chars = stats["n"], stats["dim"] or 0, stats["chars"] or 0
+        est = n * (dim * 8 + 144) + 2 * chars
+        if est > cfg["max_bytes"]:
+            raise VectoliteError(
+                f"resident serving refused: ~{est >> 20} MB measured "
+                f"working set exceeds max_bytes={cfg['max_bytes'] >> 20} MB"
+                " — use the batched facade or the ANN index paths"
+            )
+        rows = self.df().select(
+            "id", "embedding", "text", "metadata"
+        ).collect()
+        if rows:
             ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
             E = np.asarray(
                 [[float(x) for x in r["embedding"]] for r in rows],
                 dtype=np.float64,
             )
             norms = np.sqrt((E * E).sum(axis=1))
-            texts = [r["text"] for r in rows]
-            metas = [r["metadata"] for r in rows]
-            self._resident = (ids, E, norms, texts, metas)
+            built = (
+                ids, E, norms,
+                [r["text"] for r in rows],
+                [r["metadata"] for r in rows],
+            )
+        else:
+            built = ([], None, None, [], [])
+        with self._serving_lock:
+            if self._resident_cfg is not cfg or self._serving_gen != gen:
+                return None  # invalidated mid-collect; caller goes exact
+            self._resident = built
             return self._resident
 
     def _invalidate_serving(self) -> None:
@@ -442,7 +491,9 @@ class SparkVectolite:
             ann_payload = self._serving_ann_payload
             self._serving, self._serving_base = None, None
             self._serving_ann, self._serving_ann_payload = None, None
+            self._serving_ann_oversize = False  # re-measure on fresh state
             self._resident = None  # cfg survives; next query re-collects
+            self._serving_gen += 1  # fences in-flight resident collects
         for b in (batcher, ann_batcher):
             if b is not None:
                 b.close()
@@ -455,6 +506,30 @@ class SparkVectolite:
                     c.unpersist(blocking=False)
                 except Exception:
                     pass  # session teardown races are benign here
+
+    def _invalidate_ann_serving(self) -> None:
+        """Narrow teardown for ``build_ann_index``: only the ANN-mode
+        batcher depends on the persisted index's plane parameters — the
+        exact batcher and the resident working set see the same table
+        state and survive an index rebuild untouched."""
+        with self._serving_lock:
+            ann_batcher = self._serving_ann
+            ann_payload = self._serving_ann_payload
+            self._serving_ann, self._serving_ann_payload = None, None
+            # _serving_ann_oversize survives: an index rebuild doesn't
+            # change the corpus size, and the per-job fallback path
+            # itself calls build_ann_index — resetting here would make
+            # every gated query re-run the count job
+        if ann_batcher is not None:
+            ann_batcher.close()
+        ann_cached = ann_payload if isinstance(ann_payload, list) else (
+            [ann_payload] if ann_payload is not None else []
+        )
+        for c in ann_cached:
+            try:
+                c.unpersist(blocking=False)
+            except Exception:
+                pass  # session teardown races are benign here
 
     def _ensure_serving_batcher(self):
         from vectolite_spark.serving import MicroBatcher
@@ -508,9 +583,20 @@ class SparkVectolite:
         callers coalesce into one no-shuffle job per cycle instead of
         paying the ~30 q/s job-per-query scheduling floor. Same
         lifecycle: lazy build, torn down by any mutation alongside the
-        exact batcher. Plane parameters mirror the persisted index's
-        meta when one exists (a custom-plane ``build_ann_index`` stays
-        authoritative); otherwise the build defaults."""
+        exact batcher (and by ``build_ann_index``, whose custom planes
+        it must mirror). Plane parameters come from the persisted
+        index's meta when one exists; otherwise the build defaults.
+
+        Size-gated (ADVICE r9): the in-mapper probe scans the whole
+        single-partition working set per dispatch cycle, which is the
+        right trade only in the facade's small/medium-corpus regime —
+        above ``ann_facade_max_rows`` this returns None and ANN queries
+        keep the per-job persisted-index path, whose block-directory
+        pruning is the actual big-corpus answer. The working set also
+        carries a PRECOMPUTED SRP bucket-code column
+        (``make_srp_bucket_codes_udf``), so steady-state cycles skip
+        the corpus-wide bucketing matmul and stack embeddings only for
+        candidate rows."""
         from vectolite_spark.serving import MicroBatcher
 
         with self._serving_lock:
@@ -519,22 +605,37 @@ class SparkVectolite:
             cfg = self._serving_cfg
             if cfg is None:
                 return None  # disabled concurrently -> exact path
+            if self._serving_ann_oversize:
+                return None  # measured too big for the in-mapper probe
+            n = self.df().count()
+            if n > cfg.get("ann_max_rows", 200_000):
+                self._serving_ann_oversize = True  # sticky until mutation
+                return None
             nt, npl = 16, 6  # build_ann_index defaults
             if self._fs.exists(self._ann_path() + "/cells/_SUCCESS"):
                 from vectolite_spark.operators.ann import _srp_resolve
 
                 nt, npl = _srp_resolve(self.spark, self._ann_path(), None, None)
+            from vectolite_spark._pandas_udfs import make_srp_bucket_codes_udf
+
             # share the exact facade's working set when it exists (same
-            # projection); otherwise build our own single-partition copy
+            # projection, reads from its cache); either way the ANN
+            # batcher layers the precomputed bucket codes on top and
+            # caches THAT relation, so the one-time bucketing job is
+            # paid at build, never per cycle
             base = self._serving_base
             if base is None:
                 base = self.df().select(
                     F.col("id").alias("vec_id"), "embedding", "text", "metadata"
                 ).coalesce(1)
-                if cfg["cache"]:
-                    base = base.cache()
-                    base.count()
-                    self._serving_ann_payload = [base]
+            base = base.withColumn(
+                "srp_buckets",
+                make_srp_bucket_codes_udf(nt, npl)(F.col("embedding")),
+            )
+            if cfg["cache"]:
+                base = base.cache()
+                base.count()
+                self._serving_ann_payload = [base]
             top_k, (ntf, nplf) = cfg["top_k"], (nt, npl)
 
             def kernel(qids, qvecs, kmax):
@@ -545,6 +646,7 @@ class SparkVectolite:
                         qids, qvecs, kmax,
                         n_tables=ntf, n_planes=nplf,
                         payload_cols=("text", "metadata"),
+                        bucket_col="srp_buckets",
                     ),
                     schema=(
                         "query_id long, vec_id long, score double, "
