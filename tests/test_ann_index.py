@@ -808,3 +808,38 @@ def test_ivfpq_append_onto_missing_cells_layout(spark, sf_dir, tmp_path):
     qvec = [float(x) for x in later.first()["embedding"]]
     got = idx.topk(qvec, k=5, n_probe=4, refine=10_000).collect()
     assert len(got) == 5  # serves from the appended fill
+
+
+def test_seed_topup_fills_empty_cells(spark, tmp_path):
+    """ADVICE r9: sign-pattern seeding can leave cells empty on skewed
+    geometry (every vector sharing one sign pattern lands in one seed
+    bucket) — the build must top up the missing cells by splitting the
+    largest seed groups instead of silently producing fewer centroids.
+    Deterministic: two builds over the same data yield identical
+    centroid sets."""
+    import numpy as np
+
+    from vectolite_spark.operators.ann import build_ivfpq_index
+
+    rng = np.random.RandomState(7)
+    # one tight positive-orthant blob: every vector has the same sign
+    # pattern under any plane set, so all 16 seed cells but one are empty
+    base = np.abs(rng.randn(8)) + 5.0
+    rows = [
+        (i, [float(x) for x in base + 0.05 * rng.randn(8)]) for i in range(64)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "topup")
+    build_ivfpq_index(embs, path, n_cells=16, m=4, pq_k=4, ivf_iters=1)
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    assert len(cents) == 16, f"realized {len(cents)} centroids, wanted 16"
+    assert len({r["cluster"] for r in cents}) == 16
+    # determinism: a rebuild produces the identical centroid set
+    path2 = str(tmp_path / "topup2")
+    build_ivfpq_index(embs, path2, n_cells=16, m=4, pq_k=4, ivf_iters=1)
+    a = sorted((r["cluster"], tuple(r["centroid"])) for r in cents)
+    b = sorted(
+        (r["cluster"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path2}/centroids").collect()
+    )
+    assert a == b

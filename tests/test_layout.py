@@ -152,10 +152,12 @@ def test_zorder_value_interleaves_bits(spark):
 
 
 def test_index_cache_vacuum_policy(tmp_path):
-    """VERDICT r8 item 7: the build-if-absent .cache layout is bounded —
-    superseded recipe versions evicted (keep-latest-per-recipe), stale
-    entries evicted by max-age, and oldest-first eviction to a byte
-    budget; the policy never crosses dataset fingerprints."""
+    """VERDICT r8 item 7 / ADVICE r9 keying fix: the build-if-absent
+    .cache layout is bounded — superseded ``_vN`` versions evicted,
+    LIVE parameter variants at the same version both kept, stale
+    entries evicted by max-age, oldest-first eviction to a byte budget;
+    the policy never crosses dataset fingerprints, zonemap sidecars
+    ride with their parent, and non-index workdirs are left alone."""
     import os
     import time
 
@@ -168,24 +170,43 @@ def test_index_cache_vacuum_policy(tmp_path):
         t = time.time() - age_days * 86400
         os.utime(p, (t, t))
 
-    mk("bm25_v1_b32_sfX-aaaa", 100)   # superseded by v2 -> evicted
-    mk("bm25_v2_b32_sfX-aaaa", 1)     # latest of its (family, dataset)
-    mk("bm25_v2_b32_sfY-bbbb", 100)   # other DATASET: not superseded, but aged
-    mk("ivf_v1_sfX-aaaa", 5)          # kept
+    mk("bm25_v1_b32_sfX-aaaaaaaa", 100)  # superseded by v2 -> evicted
+    mk("bm25_v2_b32_sfX-aaaaaaaa", 1)    # live
+    mk("bm25_v2_b64_sfX-aaaaaaaa", 2)    # SAME version, other params: live
+    mk("bm25_v2_b32_sfY-bbbbbbbb", 100)  # other DATASET: aged out, not superseded
+    mk("ivf_v1_sfX-aaaaaaaa", 5)         # kept
+    mk("ann_scale", 400, nbytes=900)     # non-index workdir: never touched
     evicted = vacuum_index_cache(max_age_days=30, cache_root=str(tmp_path))
-    assert sorted(evicted) == ["bm25_v1_b32_sfX-aaaa", "bm25_v2_b32_sfY-bbbb"]
-    assert sorted(os.listdir(tmp_path)) == [
-        "bm25_v2_b32_sfX-aaaa", "ivf_v1_sfX-aaaa"
+    assert sorted(evicted) == [
+        "bm25_v1_b32_sfX-aaaaaaaa", "bm25_v2_b32_sfY-bbbbbbbb"
     ]
+    assert sorted(os.listdir(tmp_path)) == [
+        "ann_scale",
+        "bm25_v2_b32_sfX-aaaaaaaa",
+        "bm25_v2_b64_sfX-aaaaaaaa",
+        "ivf_v1_sfX-aaaaaaaa",
+    ]
+    # idempotent: a second vacuum of live variants evicts nothing
+    # (the old family-truncated keying churned one per pass)
+    assert vacuum_index_cache(max_age_days=30, cache_root=str(tmp_path)) == []
 
-    # byte budget: oldest survivor goes first
-    mk("srp_v1_sfX-aaaa", 20, nbytes=500)
-    mk("pq_v1_m8k16_sfX-aaaa", 2, nbytes=500)
+    # byte budget: oldest survivor goes first; its zonemap sidecar is
+    # budgeted and evicted WITH it
+    mk("zorder_v1_sfX-aaaaaaaa", 20, nbytes=400)
+    mk("zorder_v1_sfX-aaaaaaaa.zonemap", 20, nbytes=100)
+    mk("pq_v1_m8k16_sfX-aaaaaaaa", 2, nbytes=500)
     evicted = vacuum_index_cache(
         max_age_days=30, max_bytes=600, cache_root=str(tmp_path)
     )
-    assert "srp_v1_sfX-aaaa" in evicted  # oldest big entry dropped first
-    assert "pq_v1_m8k16_sfX-aaaa" not in evicted
+    assert "zorder_v1_sfX-aaaaaaaa" in evicted
+    assert "zorder_v1_sfX-aaaaaaaa.zonemap" in evicted
+    assert "pq_v1_m8k16_sfX-aaaaaaaa" not in evicted
+    assert "ann_scale" not in evicted
+
+    # orphan zonemap (parent already gone) is swept
+    mk("zorder_v1_sfZ-cccccccc.zonemap", 1)
+    evicted = vacuum_index_cache(max_age_days=30, cache_root=str(tmp_path))
+    assert evicted == ["zorder_v1_sfZ-cccccccc.zonemap"]
 
     # empty/missing root is a no-op
     assert vacuum_index_cache(cache_root=str(tmp_path / "nope")) == []

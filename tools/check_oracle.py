@@ -92,6 +92,13 @@ def main():
         )
 
     spark = get_spark("oracle-check")
+    # bound the build-if-absent index cache before the sweep mass-builds
+    # into it (VERDICT r9 item 7) — same setup bench.py does
+    from vectolite_spark.registry import vacuum_index_cache
+
+    evicted = vacuum_index_cache()
+    if evicted:
+        print(f"index-cache vacuum evicted {len(evicted)} entries")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     from vectolite_spark.operators.dedup import clear_managed_caches

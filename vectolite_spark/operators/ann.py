@@ -243,6 +243,80 @@ def _srp_seed_col(n_cells: int):
     return _seed
 
 
+def _topup_seed_centroids(
+    seeded: DataFrame,
+    cents_list: list[tuple[int, list[float]]],
+    n_cells: int,
+    seed_col: str = "_seed_cell",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Fill empty seed cells before the Lloyd rounds (ADVICE r9):
+    ``_srp_seed_col`` maps ceil(log2(n_cells)) sign-pattern buckets mod
+    n_cells, so a skewed sign distribution (or non-power-of-two
+    n_cells) can leave cells empty — the build would then silently
+    produce fewer centroids than requested, degrading partial-probe
+    recall granularity. The top-up splits the LARGEST seed groups: for
+    each missing cell id, the member FARTHEST (L2) from its own group's
+    seed mean becomes a new seed centroid, chosen round-robin over
+    groups by (split-rank asc, group size desc, cell asc) with vec_id
+    tie-breaks — deterministic and partitioning-independent, so
+    rebuilds still converge identically. One extra skinny job, paid
+    only on the degenerate path (deficit == 0 returns immediately).
+    If the corpus has fewer rows than n_cells the realized count stays
+    short — there is nothing left to split."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    deficit = n_cells - len(cents_list)
+    if deficit <= 0:
+        return cents_list
+    have = {c for c, _ in cents_list}
+    missing = sorted(c for c in range(n_cells) if c not in have)[:deficit]
+    cmap = {int(c): [float(x) for x in v] for c, v in cents_list}
+
+    @pandas_udf("double")
+    def _gap(cell, emb):
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(cell), dtype=np.float64)
+        for i, (c, e) in enumerate(zip(cell.to_numpy(), emb.to_numpy())):
+            mu = cmap.get(int(c))
+            if mu is not None:
+                d = np.asarray(e, dtype=np.float64) - np.asarray(mu)
+                out[i] = float(np.sqrt((d * d).sum()))
+        return pd.Series(out)
+
+    rounds = math.ceil(deficit / max(1, len(cents_list)))
+    ranked = (
+        seeded.select(
+            F.col(seed_col).alias("_cell"),
+            F.col(id_col).alias("_vid"),
+            "embedding",
+            _gap(F.col(seed_col), F.col("embedding")).alias("_gap"),
+        )
+        .withColumn("_gsize", F.count(F.lit(1)).over(Window.partitionBy("_cell")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_cell").orderBy(
+                    F.desc("_gap"), F.asc("_vid")
+                )
+            ),
+        )
+        .filter((F.col("_rk") <= rounds) & (F.col("_gsize") > 1))
+        .orderBy(F.asc("_rk"), F.desc("_gsize"), F.asc("_cell"))
+        .limit(deficit)
+        .collect()
+    )
+    topped = list(cents_list)
+    for new_cell, r in zip(missing, ranked):
+        topped.append((int(new_cell), [float(x) for x in r["embedding"]]))
+    return topped
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_path: str,
@@ -281,6 +355,7 @@ def build_ivf_index(
             (int(r["cluster"]), list(r["centroid"]))
             for r in build_centroids(seeded, "_seed_cell").collect()
         ]
+        cents_list = _topup_seed_centroids(seeded, cents_list, 16, id_col=id_col)
         assigned = None
         for _ in range(max(1, n_iters)):
             assigned = assign_cells(embeddings, cents_list, id_col=id_col)
@@ -705,6 +780,9 @@ def build_ivfpq_index(
             (int(r["cluster"]), list(r["centroid"]))
             for r in build_centroids(seeded, "_seed_cell").collect()
         ]
+        cents_list = _topup_seed_centroids(
+            seeded, cents_list, n_cells, id_col=id_col
+        )
         # Lloyd refinement of the IVF level, from GEOMETRY-AWARE seeds
         # (r9): seed cell = the vector's sign pattern under
         # ceil(log2(n_cells)) deterministic md5-Rademacher projections —

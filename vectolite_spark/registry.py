@@ -72,23 +72,32 @@ def vacuum_index_cache(
     cache_root: str | None = None,
 ) -> list[str]:
     """Retention for the build-if-absent ``.cache`` index layout
-    (VERDICT r8 item 7): recipes accumulate forever as version tags and
-    dataset fingerprints change, with no vacuum. Policy, in order:
+    (VERDICT r8 item 7; keying fixed per ADVICE r9). Managed entries are
+    the ``{recipe}_{dataset}-{fp}`` dirs (fp = the 8-hex dataset-path
+    fingerprint from ``index_cache_path``); anything else under
+    ``.cache`` — e.g. the multi-GB ``ann_scale`` eval workdir — is NOT
+    an index-cache entry and is left alone. A ``X.zonemap`` sidecar is
+    paired with its parent ``X``: evicted together, budgeted together,
+    never considered on its own (orphans are dropped). Policy, in order:
 
-    1. keep-latest-per-recipe: entries are ``{recipe}_{dataset}-{fp}``
-       where the recipe carries a ``_vN`` version tag (and often
-       parameter suffixes). Group by (family-before-_vN, dataset-fp);
-       within each group keep only the newest-mtime entry — older
-       versions can never be read again (build-if-absent keys on the
-       CURRENT recipe string), so they are pure garbage.
+    1. superseded-version GC: a recipe's ``_vN`` tag is this repo's
+       supersession marker (parameter variants of the SAME live layout
+       share the tag, e.g. a future ``bm25_v2_b64`` next to
+       ``bm25_v2_b32``). Within each (family-before-_vN, dataset-fp)
+       group, entries with a LOWER version than the group max can never
+       be read again (build-if-absent keys on the current recipe
+       string) and are dropped; ALL entries at the max version survive
+       — keying on the truncated family alone evicted live parameter
+       variants on every vacuum (ADVICE r9). Unversioned recipes skip
+       this rule.
     2. max_age_days: drop survivors whose mtime is older — safe by
        construction, every consumer rebuilds on miss.
     3. max_bytes: if the total still exceeds, drop oldest-mtime first
        until under budget.
 
     Returns the evicted directory names. Invoked from bench.py /
-    tools/bench_scales.py setup so the cache is bounded wherever
-    indexes are mass-built."""
+    tools/bench_scales.py / tools/check_oracle.py setup so the cache is
+    bounded wherever indexes are mass-built."""
     import os
     import re
     import shutil
@@ -99,56 +108,84 @@ def vacuum_index_cache(
     )
     if not os.path.isdir(root):
         return []
-    entries = []  # (name, group_key, mtime, bytes)
-    for name in os.listdir(root):
-        p = os.path.join(root, name)
-        if not os.path.isdir(p):
-            continue
-        m = re.match(r"(?P<fam>.+?)_v\d+", name)
-        fam = m.group("fam") if m else name
-        ds = name.rsplit("-", 1)[-1]  # dataset path fingerprint
+    managed = re.compile(r"-[0-9a-f]{8}$")
+    ver_re = re.compile(r"^(?P<fam>.+?)_v(?P<ver>\d+)(?=[_-])")
+    names = set(os.listdir(root))
+
+    def _du(name: str) -> int:
         size = 0
-        for dirpath, _dirs, files in os.walk(p):
+        for dirpath, _dirs, files in os.walk(os.path.join(root, name)):
             for f in files:
                 try:
                     size += os.path.getsize(os.path.join(dirpath, f))
                 except OSError:
                     pass
-        entries.append((name, (fam, ds), os.path.getmtime(p), size))
+        return size
+
+    entries = []  # (name, fam_or_None, ver, ds, mtime, bytes incl. sidecar)
+    for name in sorted(names):
+        p = os.path.join(root, name)
+        if not os.path.isdir(p) or not managed.search(name):
+            continue  # non-index workdirs (ann_scale, ...) are not ours
+        size = _du(name)
+        if name + ".zonemap" in names:
+            size += _du(name + ".zonemap")
+        m = ver_re.match(name)
+        fam = m.group("fam") if m else None
+        ver = int(m.group("ver")) if m else 0
+        ds = name.rsplit("-", 1)[-1]
+        entries.append((name, fam, ver, ds, os.path.getmtime(p), size))
 
     evicted: list[str] = []
 
     def _drop(name: str) -> None:
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         evicted.append(name)
+        if name + ".zonemap" in names:
+            shutil.rmtree(
+                os.path.join(root, name + ".zonemap"), ignore_errors=True
+            )
+            evicted.append(name + ".zonemap")
 
-    # 1. keep-latest-per-recipe
-    newest: dict[tuple, tuple] = {}
-    for e in entries:
-        cur = newest.get(e[1])
-        if cur is None or e[2] > cur[2]:
-            newest[e[1]] = e
+    # orphan zonemap sidecars (parent already gone)
+    for name in sorted(names):
+        if (
+            name.endswith(".zonemap")
+            and os.path.isdir(os.path.join(root, name))
+            and managed.search(name[: -len(".zonemap")])
+            and name[: -len(".zonemap")] not in names
+        ):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            evicted.append(name)
+
+    # 1. superseded-version GC
+    max_ver: dict[tuple, int] = {}
+    for _name, fam, ver, ds, _mt, _sz in entries:
+        if fam is not None:
+            key = (fam, ds)
+            max_ver[key] = max(max_ver.get(key, 0), ver)
     survivors = []
     for e in entries:
-        if newest[e[1]][0] != e[0]:
-            _drop(e[0])
+        name, fam, ver, ds = e[0], e[1], e[2], e[3]
+        if fam is not None and ver < max_ver[(fam, ds)]:
+            _drop(name)
         else:
             survivors.append(e)
     # 2. max-age
     cutoff = time.time() - max_age_days * 86400.0
     aged = []
     for e in survivors:
-        if e[2] < cutoff:
+        if e[4] < cutoff:
             _drop(e[0])
         else:
             aged.append(e)
     # 3. max-bytes, oldest first
-    total = sum(e[3] for e in aged)
-    for e in sorted(aged, key=lambda e: e[2]):
+    total = sum(e[5] for e in aged)
+    for e in sorted(aged, key=lambda e: e[4]):
         if total <= max_bytes:
             break
         _drop(e[0])
-        total -= e[3]
+        total -= e[5]
     return evicted
 
 
