@@ -10,8 +10,11 @@ Reference baseline for context: an O(N*d) scan at 1M x 64 is ~10 s per
 query single-core (BASELINE.md regime); Spark brute force at local[32]
 is measured below by the exact-truth pass itself.
 
-Usage: python tools/ann_scale_eval.py [N] [workdir]
-       (defaults: 1_000_000, /root/repo/.cache/ann_scale)
+Usage: python tools/ann_scale_eval.py [N] [workdir] [geometry]
+       (defaults: 1_000_000, /root/repo/.cache/ann_scale, clustered)
+       geometry: clustered | aniso (synthdata.GEOMETRIES — aniso is the
+       realistic-geometry stressor VERDICT r9 item 3 asked for: rotated
+       per-cluster anisotropy, heteroscedastic radii, Zipf-skewed cells)
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ print = functools.partial(print, flush=True)
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     work = sys.argv[2] if len(sys.argv) > 2 else f"{REPO}/.cache/ann_scale"
+    geometry = sys.argv[3] if len(sys.argv) > 3 else "clustered"
+    gtag = "" if geometry == "clustered" else f"_{geometry}"
     n_queries, k = 128, 10
 
     from vectolite_spark.operators.ann import (
@@ -52,17 +57,21 @@ def main() -> None:
     )
 
     spark = get_spark()
-    corpus_path = f"{work}/corpus_planted_n{n}"
+    corpus_path = f"{work}/corpus_planted{gtag}_n{n}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         t0 = time.time()
-        planted_neighbor_corpus(spark, n, n_queries, per_query=10).write.mode(
+        planted_neighbor_corpus(
+            spark, n, n_queries, per_query=10, geometry=geometry
+        ).write.mode(
             "overwrite"
         ).parquet(corpus_path)
         print(f"corpus gen: {time.time() - t0:.1f}s -> {corpus_path}")
     embs = spark.read.parquet(corpus_path)
 
     queries = (
-        synthetic_clustered_vectors(spark, n_queries, start_id=n, partitions=1)
+        synthetic_clustered_vectors(
+            spark, n_queries, start_id=n, partitions=1, geometry=geometry
+        )
         .select(
             (F.col("vec_id") - n).alias("query_id"),
             F.col("embedding").alias("query_vec"),
@@ -84,6 +93,7 @@ def main() -> None:
 
     results: dict[str, dict] = {
         "n": n, "dim": 64, "n_queries": n_queries, "k": k,
+        "geometry": geometry,
         "exact_batch_total_s": round(t_exact, 2),
         "exact_ms_per_query": round(t_exact / n_queries * 1000, 1),
     }
@@ -98,7 +108,7 @@ def main() -> None:
     # tuples), and refine=1000 covers the residual tie width. This is
     # the operating rule SCALING section 9 documents: exact-rescore
     # refine must exceed the PQ tie width at the chosen m.
-    ivfpq_path = f"{work}/ivfpq_m16_n{n}"
+    ivfpq_path = f"{work}/ivfpq_m16{gtag}_n{n}"
     n_cells, m, pq_k, refine = 1024, 16, 256, 1000
     if not os.path.exists(f"{ivfpq_path}/cells/_SUCCESS"):
         shutil.rmtree(ivfpq_path, ignore_errors=True)
@@ -135,7 +145,7 @@ def main() -> None:
         print(key, results[key])
 
     # ---- SRP-LSH ---------------------------------------------------------
-    srp_path = f"{work}/srp_n{n}"
+    srp_path = f"{work}/srp{gtag}_n{n}"
     n_tables, n_planes = 8, 10
     if not os.path.exists(f"{srp_path}/cells/_SUCCESS"):
         shutil.rmtree(srp_path, ignore_errors=True)
