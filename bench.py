@@ -144,65 +144,71 @@ def main() -> None:
     # one so r6->r7 continuity holds).
     timings["flagship_topk_cached_1q_p8"] = round(single_q, 4)
 
-    # -- sustained concurrent serving throughput ---------------------------
-    # The single-query number above is the Spark job-scheduling floor
-    # (~0.2s regardless of data size) — the honest serving metric for a
-    # deployment is queries/second under PARALLEL clients, where the
-    # scheduler overlaps the per-job overhead across cores. 16 threads,
-    # 8 queries each, over the same warmed cache.
+    # -- serving throughput protocol (VERDICT r9 item 2) --------------------
+    # Serving QPS on this box swings 2-6x within minutes on IDENTICAL code
+    # (judge-measured 24 -> 142 q/s same-code repeats, r9), so single-shot
+    # serving keys are host noise and round-over-round diffs on them read
+    # as regressions a same-hour control then disproves. Protocol: every
+    # serving measurement below is a closure; after one unrecorded warm
+    # pass the harness runs the FULL set 3x INTERLEAVED (host drift hits
+    # all keys alike, the way the judge's A/B interleaves code versions),
+    # reports the per-key MEDIAN, and records the observed
+    # (min, max, spread) band in BENCH_DETAIL["noise"] + a compact
+    # serving_noise_band map on stdout — tools/bench_diff.py widens its
+    # gates by the recorded band before flagging.
     import threading
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    n_threads, per_thread = 16, 8
 
-    def _serve(tid: int) -> None:
-        for i in range(per_thread):
-            topk_ids(embs, qvecs[(tid + i) % len(qvecs)], 10).collect()
+    def _threaded(n_threads, per_thread, call) -> float:
+        """Run n_threads x per_thread calls; return sustained QPS."""
 
-    _serve(0)  # warm the concurrent path
-    t0 = time.time()
-    threads = [
-        threading.Thread(target=_serve, args=(t,)) for t in range(n_threads)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    qps = n_threads * per_thread / (time.time() - t0)
-    timings["serving_concurrent_qps"] = round(qps, 1)
+        def worker(tid: int) -> None:
+            for i in range(per_thread):
+                call(tid, i)
 
-    # -- dynamic micro-batching (the deployment serving architecture) ------
-    # Naive job-per-query concurrency caps at the DAGScheduler admission
-    # rate (~30 q/s above). The MicroBatcher coalesces concurrent
-    # requests into one topk_batch job per dispatch cycle, approaching
-    # the batch path's ms-level per-query cost while each caller still
-    # sees request/response semantics.
+        worker(0)  # per-rep warm: JIT + caches for THIS shape
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=worker, args=(t,))
+            for t in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return round(n_threads * per_thread / (time.time() - t0), 1)
+
+    # job-per-query concurrency: the DAGScheduler admission floor — the
+    # honest serving metric for naive deployments is q/s under PARALLEL
+    # clients, where the scheduler overlaps per-job overhead across cores
+    def meter_concurrent() -> float:
+        return _threaded(
+            16, 8,
+            lambda tid, i: topk_ids(
+                embs, qvecs[(tid + i) % len(qvecs)], 10
+            ).collect(),
+        )
+
+    # dynamic micro-batching (the deployment serving architecture): the
+    # MicroBatcher coalesces concurrent requests into one topk_batch job
+    # per dispatch cycle, approaching the batch path's ms-level per-query
+    # cost while each caller keeps request/response semantics
     from vectolite_spark.serving import MicroBatcher
 
     mb = MicroBatcher(embs, k=10, max_batch=64, max_wait_ms=8)
-    mb_threads, mb_per = 32, 8
 
-    def _serve_mb(tid: int) -> None:
-        for i in range(mb_per):
-            mb.query(qvecs[(tid + i) % len(qvecs)])
+    def meter_microbatch() -> float:
+        return _threaded(
+            32, 8, lambda tid, i: mb.query(qvecs[(tid + i) % len(qvecs)])
+        )
 
-    _serve_mb(0)  # warm
-    t0 = time.time()
-    threads = [
-        threading.Thread(target=_serve_mb, args=(t,)) for t in range(mb_threads)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    timings["serving_microbatch_qps"] = round(
-        mb_threads * mb_per / (time.time() - t0), 1
-    )
-
-    # -- end-to-end facade QPS: store.query() -> MicroBatcher ---------------
-    # The USER-FACING serving number (VERDICT r6 item 2): text in, scored
-    # documents with payload out, through the store's batched-serving
-    # facade — embed, dispatch, batch job with the payload join, slice.
+    # end-to-end facade QPS (VERDICT r6 item 2): text in, scored documents
+    # with payload out, through the store's batched-serving facade —
+    # embed, dispatch, batch job with the payload join, slice. 64
+    # concurrent clients: the dispatch-cycle job floor on this box is
+    # ~0.2s regardless of batch size, so sustained QPS scales with
+    # queries per cycle — the load level IS part of the metric.
     import shutil as _sh
     import tempfile as _tf
 
@@ -226,93 +232,90 @@ def main() -> None:
         )
         fstore.enable_batched_serving(top_k=10, max_batch=128, max_wait_ms=8)
         fq = ftexts[:12]
-        # 64 concurrent clients: the dispatch-cycle job floor on this box
-        # is ~0.2s regardless of batch size, so sustained QPS scales with
-        # queries per cycle — the load level IS part of the metric
         f_threads, f_per = 64, 6
 
-        def _serve_facade(tid: int) -> None:
-            for i in range(f_per):
-                fstore.query(fq[(tid + i) % len(fq)], top_k=5)
+        def meter_facade() -> float:
+            return _threaded(
+                f_threads, f_per,
+                lambda tid, i: fstore.query(fq[(tid + i) % len(fq)], top_k=5),
+            )
 
-        _serve_facade(0)  # warm: builds the batcher + serving cache
-        t0 = time.time()
-        threads = [
-            threading.Thread(target=_serve_facade, args=(t,))
-            for t in range(f_threads)
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        timings["serving_facade_qps"] = round(
-            f_threads * f_per / (time.time() - t0), 1
-        )
-
-        # filtered-facade QPS (VERDICT r7 item 7): tenant-filtered
-        # queries ride the same batcher via recall-safe over-fetch —
-        # a 1/3-selectivity filter over top_k*4 fetched rows answers
-        # batched; before r8 this workload paid one job per query
-        def _serve_filtered(tid: int) -> None:
-            for i in range(f_per):
-                fstore.query(
+        # filtered-facade QPS (VERDICT r7 item 7): tenant-filtered queries
+        # ride the same batcher via recall-safe over-fetch — a
+        # 1/3-selectivity filter over top_k*4 fetched rows answers batched
+        def meter_filtered() -> float:
+            return _threaded(
+                f_threads, f_per,
+                lambda tid, i: fstore.query(
                     fq[(tid + i) % len(fq)],
                     top_k=5,
                     metadata_filter={"tenant": f"t{tid % 3}"},
-                )
+                ),
+            )
 
-        _serve_filtered(0)  # warm
-        t0 = time.time()
-        threads = [
-            threading.Thread(target=_serve_filtered, args=(t,))
-            for t in range(f_threads)
+        # ANN-facade QPS (VERDICT r8 item 4): query(ann=True) rides its own
+        # MicroBatcher whose kernel is the in-mapper SRP probe over the
+        # cached working set (precomputed bucket column, r10) — one
+        # no-shuffle job per dispatch cycle instead of the ~30 q/s
+        # job-per-query scheduling floor
+        def meter_ann() -> float:
+            return _threaded(
+                f_threads, f_per,
+                lambda tid, i: fstore.query(
+                    fq[(tid + i) % len(fq)], top_k=5, ann=True
+                ),
+            )
+
+        # driver-resident tier (r9): the sub-ms single-query answer to the
+        # one weak row (cached 1q latency vs the reference's in-process
+        # scan) — same architecture as the reference (working set in the
+        # serving process), same results as the exact job (parity pytest),
+        # torn down by any mutation. Enable/measure/disable per rep so the
+        # collect cost stays out of the measured loop but the lifecycle is
+        # exercised every rep.
+        def meter_resident() -> dict:
+            fstore.enable_resident_serving()
+            fstore.query(fq[0], top_k=5)  # warm: the one-time collect
+            n_res = 400
+            t0 = time.time()
+            for i in range(n_res):
+                fstore.query(fq[i % len(fq)], top_k=5)
+            dt = time.time() - t0
+            fstore.disable_resident_serving()
+            return {
+                "serving_resident_1q_ms": round(dt / n_res * 1000, 3),
+                "serving_resident_qps": round(n_res / dt, 1),
+            }
+
+        meters = [
+            ("serving_concurrent_qps", meter_concurrent),
+            ("serving_microbatch_qps", meter_microbatch),
+            ("serving_facade_qps", meter_facade),
+            ("serving_facade_filtered_qps", meter_filtered),
+            ("serving_facade_ann_qps", meter_ann),
+            ("serving_resident", meter_resident),
         ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        timings["serving_facade_filtered_qps"] = round(
-            f_threads * f_per / (time.time() - t0), 1
-        )
-
-        # ANN-facade QPS (VERDICT r8 item 4): query(ann=True) rides its
-        # own MicroBatcher whose kernel is the UNION SRP index probe —
-        # one pruned-scan job per dispatch cycle. Before r9 this
-        # workload paid the ~30 q/s job-per-query scheduling floor.
-        def _serve_ann(tid: int) -> None:
-            for i in range(f_per):
-                fstore.query(fq[(tid + i) % len(fq)], top_k=5, ann=True)
-
-        _serve_ann(0)  # warm: builds the SRP index + ANN batcher
-        t0 = time.time()
-        threads = [
-            threading.Thread(target=_serve_ann, args=(t,))
-            for t in range(f_threads)
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        timings["serving_facade_ann_qps"] = round(
-            f_threads * f_per / (time.time() - t0), 1
-        )
-
-        # driver-resident tier (r9): the sub-ms single-query answer to
-        # the one weak row (cached 1q latency vs the reference's
-        # in-process scan) — same architecture as the reference (the
-        # working set lives in the serving process), same results as
-        # the exact job (parity pytest), torn down by any mutation.
-        fstore.enable_resident_serving()
-        fstore.query(fq[0], top_k=5)  # warm: one collect
-        t0 = time.time()
-        n_res = 400
-        for i in range(n_res):
-            fstore.query(fq[i % len(fq)], top_k=5)
-        dt = time.time() - t0
-        timings["serving_resident_1q_ms"] = round(dt / n_res * 1000, 3)
-        timings["serving_resident_qps"] = round(n_res / dt, 1)
-        fstore.disable_resident_serving()
-        fstore.disable_batched_serving()
+        for _key, fn in meters:
+            fn()  # unrecorded warm pass: batchers, caches, plans, JIT
+        serving_samples: dict[str, list[float]] = {}
+        for _rep in range(3):
+            for key, fn in meters:
+                out = fn()
+                pairs = out.items() if isinstance(out, dict) else [(key, out)]
+                for k, v in pairs:
+                    serving_samples.setdefault(k, []).append(v)
+        serving_noise: dict[str, dict] = {}
+        for k, vals in serving_samples.items():
+            vs = sorted(vals)
+            med = vs[len(vs) // 2]
+            timings[k] = med
+            serving_noise[k] = {
+                "median": med,
+                "min": vs[0],
+                "max": vs[-1],
+                "spread": round((vs[-1] - vs[0]) / med, 3) if med else 0.0,
+                "n": len(vs),
+            }
     finally:
         _sh.rmtree(facade_dir, ignore_errors=True)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -433,6 +436,15 @@ def main() -> None:
     # MP3 PCM is fallback-only BY DESIGN (decode_mp3_pcm docstring):
     # record whether this deployment's MP3 path is live every round
     timings["multimodal_audio_mp3_seam_present"] = 1.0 if _afb else 0.0
+    # extended JPEG (arithmetic/12-bit/lossless) and compressed video
+    # (H.264+) are by-design fallback seams like MP3's (VERDICT r9
+    # item 5): per-round presence keys show whether each path is live
+    from vectolite_spark.multimodal import _resolve_video_fallback
+
+    timings["multimodal_jpeg_extended_seam_present"] = 1.0 if _fb else 0.0
+    timings["multimodal_video_h264_seam_present"] = (
+        1.0 if _resolve_video_fallback() else 0.0
+    )
     if _afb is not None:
         timings["multimodal_audio_fallback_rows_per_sec"] = _rate(
             _afb, sample=_wb
@@ -550,21 +562,34 @@ def main() -> None:
     # enough to swamp real plan changes in round-over-round diffs. The min
     # still includes the full scan+shuffle work every run; it only strips
     # the nondeterministic overhead. N is env-tunable for quick iteration.
-    bench_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    bench_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     from vectolite_spark.operators.dedup import clear_managed_caches
 
+    dispersion: dict[str, dict] = {}
     for name in _registry_bench():
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        best = None
+        runs = []
         for _ in range(bench_runs):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 4)
+            runs.append(time.time() - t0)
+        runs.sort()
+        # headline stays min-of-N (continuity with every prior round's
+        # artifact); (median, spread) land in BENCH_DETAIL["dispersion"]
+        # so significance is readable straight from the artifact
+        # (VERDICT r9 item 6)
+        timings[name] = round(runs[0], 4)
+        dispersion[name] = {
+            "median": round(runs[len(runs) // 2], 4),
+            "min": round(runs[0], 4),
+            "spread": round(
+                (runs[-1] - runs[0]) / runs[len(runs) // 2], 3
+            ) if runs[len(runs) // 2] > 0 else 0.0,
+            "n": len(runs),
+        }
         # isolate queries from each other: a dozen lingering operator
         # caches (simhash sigs, PPJoin tokens, triplet candidates, ...)
         # measurably slowed UNRELATED late-sweep queries (ann_pq_topk
@@ -581,6 +606,8 @@ def main() -> None:
         "cpus": int(CPUS),
         "queries": timings,
         "registry_runs_per_query": bench_runs,
+        "dispersion": dispersion,
+        "noise": serving_noise,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -622,6 +649,12 @@ def main() -> None:
         "queries": {k: timings[k] for k in headline_keys if k in timings},
         "n_registry_queries": sum(1 for n in _registry_bench() if n in timings),
         "detail_file": "BENCH_DETAIL.json",
+        # observed same-run serving noise band (median-of-3 interleaved
+        # repeats): a round-over-round delta inside ~2x this spread is
+        # host drift, not code — see tools/bench_diff.py gating
+        "serving_noise_band": {
+            k: v["spread"] for k, v in sorted(serving_noise.items())
+        },
         "sf": detail["sf"],
         "n_vectors": n_vecs,
         "cpus": int(CPUS),

