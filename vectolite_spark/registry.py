@@ -11765,18 +11765,85 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # -- r9 window ---------------------------------------------------------
-    # VERDICT r8 item 1: drain the driver-evidence backlog. Slots = the
-    # full r3-green tail (18 names, the oldest evidence in the union) +
-    # the r4-green cohort + the one entry whose plan changes this round
-    # (curation_pipeline_capstone, cutpoint-CCNet swap; same oracle).
-    # The r4 cohort is 34 names and 52 candidates > 50 slots, so the 3
-    # lowest-churn r4 entries are deferred to r10 (see ROTATE note below);
-    # all 3 stay covered by the full local tools/check_oracle.py sweep.
-    #
-    # code changed in r9 -- driver row must re-prove the new plan
-    "curation_pipeline_capstone",  # CCNet stage now cutpoint-bucketed
-    # r3-green tail (latest driver evidence = round 3)
+    # -- r10 window --------------------------------------------------------
+    # VERDICT r9 items 1 + 8: finish the evidence drain. Slots = the 3
+    # r4-green names deferred from the r9 window, the FULL r5-green
+    # cohort (40 names — after this round no entry's latest driver
+    # evidence is older than r6), the capstone trio (r9's cutpoint-
+    # shaped curation plan re-proved same-round at driver scale with its
+    # feeders), and 4 entries whose subsystems changed in r10 (IVF seed
+    # top-up -> ann_ivf_topk; video/JPEG seam closure ->
+    # multimodal_features; index-cache vacuum keying -> the two
+    # trgm-index consumers).
+    # r4-green (deferred from r9 for space)
+    "token_len_histogram",
+    "minhash_estimation_error",
+    "corpus_checksum",
+    # r5-green cohort (latest driver evidence = round 5) — all 40
+    "diversity_sample",
+    "stratified_split",
+    "encoding_quality",
+    "cms_token_estimates",
+    "kmv_distinct_tokens",
+    "embedding_quantize_int8",
+    "hard_negative_mining",
+    "ann_lsh_topk",
+    "epoch_shuffle",
+    "matryoshka_recall_eval",
+    "dup_cross_source_stats",
+    "dup_graph_triangles",
+    "quality_rank_normalized",
+    "vocab_drift",
+    "ngram_novelty",
+    "streaming_user_totals",
+    "streaming_topk_maintenance",
+    "bucketed_join_revenue",
+    "cdc_chunk_dedup",
+    "jaccard_prefix_join",
+    "streaming_dedup_counts",
+    "dup_graph_pagerank",
+    "bpe_train",
+    "bpe_apply",
+    "cdc_span_decontamination",
+    "cdc_indexed_decontamination",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q16_supplier_variety",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_supplier",
+    "matryoshka_two_stage_topk",
+    "bloom_vocab_membership",
+    "mmr_rerank_topk",
+    "passage_highlight",
+    "bigram_pmi_collocations",
+    "aqp_sampled_revenue",
+    "trigram_substring_search",
+    "trigram_similarity_topk",
+    # capstone trio (VERDICT r9 item 8: same-round evidence for the
+    # cutpoint-shaped plan at the scale SCALING claims)
+    "curation_pipeline_capstone",
+    "ccnet_lang_cutpoints",
+    "bigram_lm_nll",
+    # r10-touched subsystems
+    "ann_ivf_topk",
+    "multimodal_features",
+    "regex_trigram_search",
+    "trigram_incremental_search",
+]
+
+# ROTATE IN FOR r11: after r10 the oldest union evidence is the r6-green
+# remainder (37 names: embedding_covariance, aqp_join_universe_sample,
+# constraint_audit, pareto_front_parts, copurchase_pairs, ... — recompute
+# from the CORRECTNESS_r0*.json union, latest-green-round per entry,
+# oldest first), then the r7 cohort (42 names). Fill non-(new/touched)
+# slots oldest-first and put anything whose code changes in r11 back in
+# the window. Steady state holds: window capacity (50) > per-round
+# growth, so no entry's evidence should ever age past ~4 rounds again.
+
+# driver-green in r8/r9 (see CORRECTNESS_r08/09.json; the r6/r7 cohorts
+# sit in the unordered middle) — freshest evidence, safe to re-verify last
+_DEMOTED_STABLE = [
     "boilerplate_ngram_score",
     "pii_redaction",
     "repetition_stats",
@@ -11788,14 +11855,12 @@ _DRIVER_WINDOW = [
     "dup_span_coverage",
     "dup_graph_degree",
     "fuzzy_doc_pairs",
-    "bigram_lm_nll",
     "bpe_merge_candidates",
     "mixture_weights",
     "vocab_coverage",
     "zipf_slope",
     "curriculum_stages",
     "streaming_windowed_counts",
-    # r4-green cohort (latest driver evidence = round 4)
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q8_market_share",
@@ -11827,67 +11892,54 @@ _DRIVER_WINDOW = [
     "salted_segment_revenue",
     "winsorized_stats",
     "ann_ivf_batch_topk",
-]
-
-# ROTATE IN FOR r10: after r9 the oldest union evidence is the 3 r4-green
-# entries deferred from this window for space -- token_len_histogram,
-# minhash_estimation_error, corpus_checksum -- then the r5-green cohort
-# (40 names: diversity_sample, stratified_split, encoding_quality,
-# cms_token_estimates, kmv_distinct_tokens, embedding_quantize_int8,
-# hard_negative_mining, ann_lsh_topk, epoch_shuffle,
-# matryoshka_recall_eval, ... recompute the full list from the
-# CORRECTNESS_r0*.json union, latest-green-round per entry, oldest
-# first). Fill non-(new/touched) slots oldest-first and put anything
-# whose code changes in r10 back in the window. Steady state from r10
-# on: window capacity (50) > per-round growth, so the backlog shrinks.
-
-# driver-green in r6+ (see CORRECTNESS_r06.json; the r7/r8 cohorts sit in
-# the unordered middle) — fresh evidence, safe to re-verify last
-_DEMOTED_STABLE = [
-    "embedding_covariance",
-    "aqp_join_universe_sample",
-    "constraint_audit",
-    "pareto_front_parts",
-    "copurchase_pairs",
-    "association_rules",
-    "event_transitions",
-    "session_paths",
-    "robust_anomalies",
-    "transition_entropy",
-    "session_duration_stats",
-    "item_recommendations",
-    "gram_partials_covariance",
-    "approx_distinct_tokens",
-    "ann_mllib_lsh_topk",
-    "regex_trigram_search",
-    "trigram_incremental_search",
-    "streaming_trigram_maintenance",
-    "ann_ivf_topk",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "agg_pricing_summary",
-    "asia_customer_orders",
-    "asof_last_click",
-    "big_ticket_orders",
-    "click_and_purchase_users",
-    "contrastive_triplets",
-    "resample_interpolate",
-    "schema_drift_audit",
-    "embedding_drift",
-    "key_skew_report",
-    "cdc_containment_pairs",
-    "sliding_wau",
-    "embedding_outliers",
-    "span_corruption_pairs",
-    "leakage_safe_split",
-    "tokenizer_fertility",
-    "seasonal_decomposition",
-    "k_anonymity_audit",
-    "multimodal_features",
-    "dedup_clusters_distributed",
+    "flagship_topk",
+    "topk_filtered",
+    "count_documents",
+    "point_lookup",
+    "pagination",
+    "projection_truncate",
+    "delete_as_filter",
+    "chunk_documents",
+    "profile_documents",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_pairs",
+    "frequent_tokens",
+    "sample_per_source",
+    "q4_priority_exists",
+    "q19_disjunctive_revenue",
+    "tfidf_top_terms",
+    "dedup_simhash_r1",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "semdedup_prune",
+    "dedup_embedding_srp",
+    "ann_batch_lsh",
+    "ann_batch_lsh_indexed",
+    "ann_lsh_indexed_topk",
+    "ann_mllib_lsh_recall",
+    "json_access",
+    "dedup_clusters_bigstar",
+    "dedup_incremental",
+    "bm25_indexed_topk",
+    "bm25_batch_indexed_topk",
+    "hybrid_indexed_topk",
+    "hybrid_batch_indexed_topk",
+    "zonemap_pruned_scan",
+    "snapshot_zorder_pruned_scan",
+    "gdpr_erasure_audit",
+    "cdf_incremental_semdedup",
+    "cdf_synced_ivf_topk",
+    "cdf_synced_trigram_search",
+    "cdf_synced_bm25_topk",
+    "snapshot_shallow_clone",
+    "cdf_synced_srp_topk",
+    "cdf_synced_ivfpq_topk",
+    "maintenance_loop_capstone",
+    "trigram_batch_substring_search",
+    "bitext_margin_mine",
+    "minhash_recall_contract",
+    "ccnet_perplexity_buckets",
 ]
 
 
