@@ -532,3 +532,90 @@ def test_resident_guard_measures_payload(spark, tmp_path):
     store2.enable_resident_serving(max_bytes=budget)
     assert store2.query("compact doc number 3", top_k=3) == want
     store2.disable_resident_serving()
+
+
+def test_resident_collect_generation_fence(spark, tmp_path):
+    """ADVICE r9: the resident working set is collected OUTSIDE the
+    serving lock — a mutation landing mid-collect must prevent the
+    stale snapshot from being published. The fence is the serving
+    generation counter: simulate the race by invalidating between the
+    measuring aggregate and the collect, and assert the build returns
+    None (caller falls back to the exact path) without publishing."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "fencedb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many([f"fence doc number {i}" for i in range(10)])
+    store.enable_resident_serving()
+
+    orig_df = store.df
+    fired = {"n": 0}
+
+    def racing_df():
+        df = orig_df()
+        fired["n"] += 1
+        if fired["n"] == 2:  # the collect's select, after the size agg
+            store._invalidate_serving()  # concurrent mutation lands here
+        return df
+
+    store.df = racing_df
+    try:
+        assert store._ensure_resident() is None
+        assert store._resident is None, "stale snapshot must not publish"
+    finally:
+        store.df = orig_df
+    # next query rebuilds cleanly over fresh state and serves resident
+    want = store.query("fence doc number 3", top_k=3)
+    assert store._resident is not None
+    assert store.query("fence doc number 3", top_k=3) == want
+    store.disable_resident_serving()
+
+
+def test_srp_serving_mapper_bucket_col_parity():
+    """The precomputed-bucket fast path (ADVICE r9) must be
+    row-identical to the recompute path: same candidates, same scores,
+    same order — pure pandas-level check, no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    from vectolite_spark._pandas_udfs import (
+        _srp_planes,
+        make_srp_serving_mapper,
+    )
+
+    rng = np.random.RandomState(3)
+    n, d, nt, npl = 200, 16, 4, 5
+    mat = rng.randn(n, d)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [mat[i].astype(np.float64) for i in range(n)],
+            "text": [f"t{i}" for i in range(n)],
+            "metadata": ["{}"] * n,
+        }
+    )
+    # precompute bucket codes exactly as make_srp_bucket_codes_udf does
+    P = _srp_planes(nt, npl, d)
+    bits = (mat @ P.T >= 0).astype(np.int64)
+    shifts = np.arange(npl, dtype=np.int64)
+    codes = np.stack(
+        [(bits[:, t * npl : (t + 1) * npl] << shifts).sum(axis=1) for t in range(nt)],
+        axis=1,
+    )
+    with_codes = pdf.assign(srp_buckets=[codes[i] for i in range(n)])
+
+    qids = [0, 1, 2]
+    qvecs = [mat[7], mat[50], rng.randn(d)]
+    kwargs = dict(n_tables=nt, n_planes=npl, payload_cols=("text", "metadata"))
+    plain = next(
+        make_srp_serving_mapper(qids, qvecs, 5, **kwargs)(iter([pdf]))
+    )
+    fast = next(
+        make_srp_serving_mapper(qids, qvecs, 5, bucket_col="srp_buckets", **kwargs)(
+            iter([with_codes])
+        )
+    )
+    assert plain.to_dict("records") == fast.to_dict("records")
+    assert len(plain), "probe produced candidates"
