@@ -290,11 +290,14 @@ def _topup_seed_centroids(
         return pd.Series(out)
 
     rounds = math.ceil(deficit / max(1, len(cents_list)))
+    # rank on a SKINNY relation: the per-cell window shuffles only
+    # (cell, vid, gap) — embeddings would multiply the shuffle by d and
+    # are fetched afterwards for just the <= deficit winners via a
+    # pushed-down id filter
     ranked = (
         seeded.select(
             F.col(seed_col).alias("_cell"),
             F.col(id_col).alias("_vid"),
-            "embedding",
             _gap(F.col(seed_col), F.col("embedding")).alias("_gap"),
         )
         .withColumn("_gsize", F.count(F.lit(1)).over(Window.partitionBy("_cell")))
@@ -311,9 +314,16 @@ def _topup_seed_centroids(
         .limit(deficit)
         .collect()
     )
+    win_ids = [r["_vid"] for r in ranked]
+    emb_map = {
+        r[id_col]: [float(x) for x in r["embedding"]]
+        for r in seeded.select(id_col, "embedding")
+        .filter(F.col(id_col).isin(win_ids))
+        .collect()
+    }
     topped = list(cents_list)
     for new_cell, r in zip(missing, ranked):
-        topped.append((int(new_cell), [float(x) for x in r["embedding"]]))
+        topped.append((int(new_cell), emb_map[r["_vid"]]))
     return topped
 
 
