@@ -316,6 +316,13 @@ def main() -> None:
                 "spread": round((vs[-1] - vs[0]) / med, 3) if med else 0.0,
                 "n": len(vs),
             }
+        # teardown BEFORE the dir is deleted and before the registry
+        # sweep: closes both batchers and unpersists the working-set
+        # caches — lingering caches measurably slowed unrelated
+        # late-sweep queries (see clear_managed_caches note below), and
+        # a cached partition evicted after rmtree would recompute
+        # against a deleted path (r10 review)
+        fstore.disable_batched_serving()
     finally:
         _sh.rmtree(facade_dir, ignore_errors=True)
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -843,3 +843,46 @@ def test_seed_topup_fills_empty_cells(spark, tmp_path):
         for r in spark.read.parquet(f"{path2}/centroids").collect()
     )
     assert a == b
+
+
+def test_seed_topup_never_empties_donor_groups(spark):
+    """r10 review: the top-up caps splits at group_size - 1 so a donor
+    seed cell always keeps at least one member — promoting BOTH members
+    of a 2-vector group would recreate the very shortfall the top-up
+    exists to fix. Unit-level: explicit seed cells, no hashing."""
+    import numpy as np
+
+    from vectolite_spark.operators.ann import (
+        _topup_seed_centroids,
+        build_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(6)], 0) for i in range(15)]
+    rows += [(100 + i, [float(x) for x in rng.randn(6)], 1) for i in range(2)]
+    seeded = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, _seed_cell int"
+    )
+    cents = [
+        (int(r["cluster"]), list(r["centroid"]))
+        for r in build_centroids(seeded, "_seed_cell").collect()
+    ]
+    topped = _topup_seed_centroids(seeded, cents, 16)
+    # deficit=14, rounds=ceil(14/2)=7: cell 0 may donate up to 7, cell 1
+    # at most ONE (size 2 -> cap 1) -> 2 originals + 8 new
+    assert len(topped) == 10
+    new_cells = {c for c, _ in topped} - {0, 1}
+    assert len(new_cells) == 8 and all(2 <= c < 16 for c in new_cells)
+    # determinism
+    topped2 = _topup_seed_centroids(seeded, cents, 16)
+    assert [(c, tuple(v)) for c, v in topped] == [
+        (c, tuple(v)) for c, v in topped2
+    ]
+    # donor-side invariant: the promoted vectors include at most 1 from
+    # the 2-member group (its members are ids 100/101)
+    promoted_vecs = [tuple(v) for c, v in topped if c not in (0, 1)]
+    small_group = {
+        tuple(float(x) for x in r["embedding"])
+        for r in seeded.filter("_seed_cell = 1").collect()
+    }
+    assert sum(1 for v in promoted_vecs if v in small_group) <= 1

@@ -619,3 +619,73 @@ def test_srp_serving_mapper_bucket_col_parity():
     )
     assert plain.to_dict("records") == fast.to_dict("records")
     assert len(plain), "probe produced candidates"
+
+
+def test_resident_build_single_flight(spark, tmp_path):
+    """r10 review: moving the resident collect outside the serving lock
+    must not let N concurrent first queries each run their own
+    full-corpus collect — builds are single-flight, so the table is
+    read exactly once (one measuring aggregate + one collect)."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "sfdb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many([f"singleflight doc {i}" for i in range(20)])
+    store.enable_resident_serving()
+    store.query("singleflight doc 0", top_k=3)  # warm dim cache + build
+    store._invalidate_serving()  # drop the resident set, keep dim cache
+    orig_df = store.df
+    calls = {"n": 0}
+
+    def counting_df():
+        calls["n"] += 1
+        return orig_df()
+
+    store.df = counting_df
+    try:
+        errs: list[Exception] = []
+
+        def client(i):
+            try:
+                store.query(f"singleflight doc {i % 5}", top_k=3)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        assert calls["n"] == 2, (
+            f"expected ONE build (agg + collect = 2 df() reads), saw {calls['n']}"
+        )
+    finally:
+        store.df = orig_df
+        store.disable_resident_serving()
+
+
+def test_ann_batcher_shares_exact_cache(spark, tmp_path):
+    """r10 review: when the exact facade's cached working set exists
+    (same plane parameters), the ANN batcher must ride it instead of
+    persisting a second full copy — and still match the per-job path."""
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.store import SparkVectolite
+
+    store = SparkVectolite(
+        spark, str(tmp_path / "sharedb"), embed_fn=stub_embedder(dim=8)
+    )
+    store.insert_many([f"share doc number {i}" for i in range(30)])
+    store.enable_batched_serving(top_k=5, max_wait_ms=5)
+    q = "share doc number 3"
+    store.query(q, top_k=3)  # builds the exact batcher + shared base
+    assert store._serving_base is not None
+    assert store._serving_base_planes == (16, 6)
+    assert "srp_buckets" in store._serving_base.columns
+    got = store.query(q, top_k=3, ann=True)  # builds the ANN batcher
+    assert store._serving_ann is not None
+    assert store._serving_ann_payload is None, "no second cached copy"
+    store.disable_batched_serving()
+    assert got == store.query(q, top_k=3, ann=True)

@@ -15,12 +15,14 @@ regressed past its soft gate — the ANN serving probes drifted
 ~1.2x/round for two rounds under the generic gate (VERDICT r6 item 3),
 so they get the tight one.
 
-Gates are NOISE-AWARE (VERDICT r9 item 2): when either artifact records
+Gates are NOISE-AWARE (VERDICT r9 item 2): when the NEW artifact records
 an observed same-run spread for a key (bench.py's interleaved
 median-of-3 serving protocol / per-query dispersion), the static
 1.25x/1.5x gates widen to 1 + 2*spread — serving QPS on this host
 swings 2-6x on identical code within minutes (judge-measured r9), and a
-delta inside the measured band is host drift, not code.
+delta inside the band the current run itself measured is host drift,
+not code. The OLD side's spread is deliberately ignored so one noisy
+historical round can't permanently weaken a key's tripwire.
 """
 
 from __future__ import annotations
@@ -105,11 +107,14 @@ def main() -> int:
         if (name.endswith("_per_sec") or name.endswith("_qps")) and ratio > 0:
             ratio = 1 / ratio  # throughput keys: higher is better
         # noise-aware gating (VERDICT r9 item 2): widen the static gate
-        # by the artifact-recorded band — a delta within 2x the observed
-        # same-run spread of EITHER side is host drift by measurement,
-        # not a code regression. Keys with no recorded band keep the
-        # static gates unchanged.
-        band = max(old_spread.get(name, 0.0), new_spread.get(name, 0.0))
+        # by the NEW artifact's recorded band — a delta within 2x the
+        # spread the current host showed on this very run is host drift
+        # by measurement, not a code regression. Deliberately NOT the
+        # old side's spread: one noisy historical round must not
+        # permanently weaken the tripwire for a key (a stable new run
+        # with a real regression keeps the static gates). Keys with no
+        # recorded band keep the static gates unchanged.
+        band = new_spread.get(name, 0.0)
         soft_gate = max(1.25, 1.0 + 2.0 * band)
         fail_gate = max(1.5, 1.0 + 2.0 * band)
         flag = ""

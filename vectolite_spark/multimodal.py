@@ -201,6 +201,15 @@ def _resolve_video_fallback():
 
             def _pyav(data: bytes) -> dict:
                 with av.open(io.BytesIO(data)) as container:
+                    if not container.streams.video:
+                        # audio-only container: same seam contract as
+                        # every other unsupported payload — a
+                        # rationale-carrying NotImplementedError, not an
+                        # IndexError out of the mapInPandas task
+                        raise NotImplementedError(
+                            "container has no video stream; decode it "
+                            "as kind='audio' or use decode_fake"
+                        )
                     stream = container.streams.video[0]
                     dur = (
                         float(stream.duration * stream.time_base)
@@ -358,9 +367,12 @@ def decode_real(kind: str, data: bytes) -> dict:
             return base
         fb = _resolve_video_fallback()
         if fb is not None:
+            # direct indexing (not .get): a fallback missing the
+            # contract keys must fail loudly, not publish None
+            # width/height feature rows (r10 review)
             v = fb(data)
-            base["duration_s"] = v.get("duration_s")
-            base["width"], base["height"] = v.get("width"), v.get("height")
+            base["duration_s"] = v["duration_s"]
+            base["width"], base["height"] = v["width"], v["height"]
             return base
         raise NotImplementedError(
             "compressed-video decode (H.264+) is a fallback-only seam BY "

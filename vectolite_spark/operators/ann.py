@@ -309,7 +309,13 @@ def _topup_seed_centroids(
                 )
             ),
         )
-        .filter((F.col("_rk") <= rounds) & (F.col("_gsize") > 1))
+        # cap splits at _gsize - 1: promoting EVERY member of a small
+        # group would leave the donor cell empty after the next assign
+        # pass — the exact shortfall the top-up exists to fix (r10
+        # review)
+        .filter(
+            (F.col("_rk") <= rounds) & (F.col("_rk") <= F.col("_gsize") - 1)
+        )
         .orderBy(F.asc("_rk"), F.desc("_gsize"), F.asc("_cell"))
         .limit(deficit)
         .collect()
@@ -358,14 +364,17 @@ def build_ivf_index(
         # id-derived, means are order-independent, ties in assignment
         # break on (rounded score, cell id) — so rebuilds at any
         # partitioning converge to the same index.
+        n_seed_cells = 16
         seeded = embeddings.withColumn(
-            "_seed_cell", _srp_seed_col(16)(F.col("embedding"))
+            "_seed_cell", _srp_seed_col(n_seed_cells)(F.col("embedding"))
         )
         cents_list = [
             (int(r["cluster"]), list(r["centroid"]))
             for r in build_centroids(seeded, "_seed_cell").collect()
         ]
-        cents_list = _topup_seed_centroids(seeded, cents_list, 16, id_col=id_col)
+        cents_list = _topup_seed_centroids(
+            seeded, cents_list, n_seed_cells, id_col=id_col
+        )
         assigned = None
         for _ in range(max(1, n_iters)):
             assigned = assign_cells(embeddings, cents_list, id_col=id_col)

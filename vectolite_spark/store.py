@@ -134,12 +134,18 @@ class SparkVectolite:
         self._serving = None
         self._serving_base = None
         self._serving_ann = None          # ANN-mode batcher (SRP kernel)
-        self._serving_ann_payload = None  # its cached payload relation
+        self._serving_ann_payload = None  # its OWN cache (None when shared)
         self._serving_ann_oversize = False  # size-gated: per-job path wins
+        self._serving_base_planes = None  # (n_tables, n_planes) on the base
         self._resident_cfg = None         # driver-resident serving config
         self._resident = None             # (ids, E, norms, texts, metas)
         self._serving_gen = 0             # bumped by every invalidation
         self._serving_lock = threading.Lock()
+        # serializes working-set BUILDS (batcher bases, resident collect)
+        # so exactly one runs at a time, WITHOUT holding _serving_lock
+        # across Spark jobs — mutations and already-built serving paths
+        # never stall behind a build (ADVICE r9 / r10 review)
+        self._serving_build_lock = threading.Lock()
         if versioned:
             from vectolite_spark.snapshots import SnapshotStore
 
@@ -432,7 +438,11 @@ class SparkVectolite:
         it blocked every mutation and serving query for the build);
         ``_serving_gen`` fences publication — if any invalidation
         landed mid-collect, the stale rows are dropped and the caller
-        falls back to the exact path for this query."""
+        falls back to the exact path for this query. Builds are
+        SINGLE-FLIGHT (``_serving_build_lock``): without it, N
+        concurrent first queries would each run their own full-corpus
+        collect and hold N working sets on the driver at once — the
+        max_bytes tripwire bounds ONE build, not N."""
         import numpy as np
 
         with self._serving_lock:
@@ -441,6 +451,15 @@ class SparkVectolite:
             cfg = self._resident_cfg
             if cfg is None:
                 return None
+        with self._serving_build_lock:
+            return self._build_resident(cfg, np)
+
+    def _build_resident(self, cfg, np):
+        with self._serving_lock:
+            if self._resident is not None:
+                return self._resident  # a prior builder published
+            if self._resident_cfg is not cfg:
+                return None  # disabled/reconfigured while we waited
             gen = self._serving_gen
         stats = self.df().agg(
             F.count(F.lit(1)).alias("n"),
@@ -492,8 +511,9 @@ class SparkVectolite:
             self._serving, self._serving_base = None, None
             self._serving_ann, self._serving_ann_payload = None, None
             self._serving_ann_oversize = False  # re-measure on fresh state
+            self._serving_base_planes = None
             self._resident = None  # cfg survives; next query re-collects
-            self._serving_gen += 1  # fences in-flight resident collects
+            self._serving_gen += 1  # fences in-flight working-set builds
         for b in (batcher, ann_batcher):
             if b is not None:
                 b.close()
@@ -531,7 +551,29 @@ class SparkVectolite:
             except Exception:
                 pass  # session teardown races are benign here
 
+    def _serving_planes(self) -> tuple[int, int]:
+        """(n_tables, n_planes) the serving working set's bucket codes
+        are derived from: the persisted index's meta when one exists (a
+        custom-plane ``build_ann_index`` stays authoritative), else the
+        build defaults."""
+        if self._fs.exists(self._ann_path() + "/cells/_SUCCESS"):
+            from vectolite_spark.operators.ann import _srp_resolve
+
+            return _srp_resolve(self.spark, self._ann_path(), None, None)
+        return 16, 6
+
     def _ensure_serving_batcher(self):
+        """Build (or return) the exact-mode batcher. Spark jobs (cache
+        materialization) run under ``_serving_build_lock``, NOT
+        ``_serving_lock`` — concurrent queries on already-built paths
+        and mutations never stall behind a build; publication is fenced
+        by cfg identity + ``_serving_gen`` like the resident tier.
+
+        The cached base carries the SRP bucket-code column
+        (``make_srp_bucket_codes_udf``) so the ANN batcher shares ONE
+        cached working set instead of persisting a second full copy
+        (r10 review): the exact kernel column-prunes it away (16 longs/
+        row in cache either way — noise next to text payloads)."""
         from vectolite_spark.serving import MicroBatcher
 
         with self._serving_lock:
@@ -544,8 +586,21 @@ class SparkVectolite:
                 # tell the caller to fall back to the exact path instead
                 # of dereferencing a None cfg
                 return None
+        with self._serving_build_lock:
+            with self._serving_lock:
+                if self._serving is not None:
+                    return self._serving  # a prior builder published
+                if self._serving_cfg is not cfg:
+                    return None  # reconfigured while we waited
+                gen = self._serving_gen
+            from vectolite_spark._pandas_udfs import make_srp_bucket_codes_udf
+
+            nt, npl = self._serving_planes()
             base = self.df().select(
                 F.col("id").alias("vec_id"), "embedding", "text", "metadata"
+            ).withColumn(
+                "srp_buckets",
+                make_srp_bucket_codes_udf(nt, npl)(F.col("embedding")),
             )
             if cfg["cache"]:
                 # serving working set as ONE cached partition: the batch
@@ -558,18 +613,33 @@ class SparkVectolite:
                 # (query(ann=True) / topk_batch_lsh), not a bigger cache.
                 base = base.coalesce(1).cache()
                 base.count()
-            self._serving_base = base if cfg["cache"] else None
             # k covers the filtered-path over-fetch: plain queries slice
             # the prefix, filtered queries post-filter it (the heap is
             # k*overfetch instead of k — noise next to the job floor)
-            self._serving = MicroBatcher(
+            batcher = MicroBatcher(
                 base,
                 k=cfg["top_k"] * cfg.get("overfetch", 1),
                 max_batch=cfg["max_batch"],
                 max_wait_ms=cfg["max_wait_ms"],
                 payload_cols=("text", "metadata"),
             )
-            return self._serving
+            with self._serving_lock:
+                if self._serving_cfg is not cfg or self._serving_gen != gen:
+                    stale = True  # invalidated mid-build: don't publish
+                else:
+                    stale = False
+                    self._serving = batcher
+                    self._serving_base = base if cfg["cache"] else None
+                    self._serving_base_planes = (nt, npl)
+            if stale:
+                batcher.close()
+                if cfg["cache"]:
+                    try:
+                        base.unpersist(blocking=False)
+                    except Exception:
+                        pass
+                return None
+            return batcher
 
     def _ensure_ann_serving_batcher(self):
         """The ANN-mode twin of ``_ensure_serving_batcher`` (VERDICT r8
@@ -592,11 +662,12 @@ class SparkVectolite:
         right trade only in the facade's small/medium-corpus regime —
         above ``ann_facade_max_rows`` this returns None and ANN queries
         keep the per-job persisted-index path, whose block-directory
-        pruning is the actual big-corpus answer. The working set also
-        carries a PRECOMPUTED SRP bucket-code column
-        (``make_srp_bucket_codes_udf``), so steady-state cycles skip
-        the corpus-wide bucketing matmul and stack embeddings only for
-        candidate rows."""
+        pruning is the actual big-corpus answer. The working set
+        carries the PRECOMPUTED SRP bucket-code column, SHARED with the
+        exact batcher's cache when its planes match (one cached copy,
+        not two); steady-state cycles skip the corpus-wide bucketing
+        matmul and stack embeddings only for candidate rows. Builds run
+        under the build lock like every other working-set build."""
         from vectolite_spark.serving import MicroBatcher
 
         with self._serving_lock:
@@ -607,35 +678,45 @@ class SparkVectolite:
                 return None  # disabled concurrently -> exact path
             if self._serving_ann_oversize:
                 return None  # measured too big for the in-mapper probe
+        with self._serving_build_lock:
+            with self._serving_lock:
+                if self._serving_ann is not None:
+                    return self._serving_ann
+                if self._serving_cfg is not cfg:
+                    return None
+                if self._serving_ann_oversize:
+                    return None
+                gen = self._serving_gen
             n = self.df().count()
             if n > cfg.get("ann_max_rows", 200_000):
-                self._serving_ann_oversize = True  # sticky until mutation
+                with self._serving_lock:
+                    if self._serving_cfg is cfg and self._serving_gen == gen:
+                        self._serving_ann_oversize = True  # sticky
                 return None
-            nt, npl = 16, 6  # build_ann_index defaults
-            if self._fs.exists(self._ann_path() + "/cells/_SUCCESS"):
-                from vectolite_spark.operators.ann import _srp_resolve
-
-                nt, npl = _srp_resolve(self.spark, self._ann_path(), None, None)
             from vectolite_spark._pandas_udfs import make_srp_bucket_codes_udf
 
-            # share the exact facade's working set when it exists (same
-            # projection, reads from its cache); either way the ANN
-            # batcher layers the precomputed bucket codes on top and
-            # caches THAT relation, so the one-time bucketing job is
-            # paid at build, never per cycle
-            base = self._serving_base
-            if base is None:
+            nt, npl = self._serving_planes()
+            with self._serving_lock:
+                shared = (
+                    self._serving_base
+                    if self._serving_base is not None
+                    and self._serving_base_planes == (nt, npl)
+                    else None
+                )
+            own_cache = None
+            if shared is not None:
+                base = shared  # ONE cached working set for both modes
+            else:
                 base = self.df().select(
                     F.col("id").alias("vec_id"), "embedding", "text", "metadata"
-                ).coalesce(1)
-            base = base.withColumn(
-                "srp_buckets",
-                make_srp_bucket_codes_udf(nt, npl)(F.col("embedding")),
-            )
-            if cfg["cache"]:
-                base = base.cache()
-                base.count()
-                self._serving_ann_payload = [base]
+                ).coalesce(1).withColumn(
+                    "srp_buckets",
+                    make_srp_bucket_codes_udf(nt, npl)(F.col("embedding")),
+                )
+                if cfg["cache"]:
+                    base = base.cache()
+                    base.count()
+                    own_cache = [base]
             top_k, (ntf, nplf) = cfg["top_k"], (nt, npl)
 
             def kernel(qids, qvecs, kmax):
@@ -654,7 +735,7 @@ class SparkVectolite:
                     ),
                 )
 
-            self._serving_ann = MicroBatcher(
+            batcher = MicroBatcher(
                 None,
                 k=top_k,
                 max_batch=cfg["max_batch"],
@@ -662,7 +743,22 @@ class SparkVectolite:
                 payload_cols=("text", "metadata"),
                 kernel=kernel,
             )
-            return self._serving_ann
+            with self._serving_lock:
+                if self._serving_cfg is not cfg or self._serving_gen != gen:
+                    stale = True
+                else:
+                    stale = False
+                    self._serving_ann = batcher
+                    self._serving_ann_payload = own_cache
+            if stale:
+                batcher.close()
+                for c in own_cache or []:
+                    try:
+                        c.unpersist(blocking=False)
+                    except Exception:
+                        pass
+                return None
+            return batcher
 
     def _batched_query(self, ensure, qvec, k=None):
         """Retry-wrapped dispatch through a serving batcher: a concurrent
