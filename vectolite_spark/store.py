@@ -208,14 +208,20 @@ class SparkVectolite:
         runs on EVERY query() — an uncached probe is one extra Spark job
         per query, which alone reinstates the ~30 q/s job-admission
         ceiling the batched-serving facade exists to break (measured:
-        facade QPS 15 -> >100 from this cache alone)."""
+        facade QPS 15 -> >100 from this cache alone). The cold probe is
+        single-flight under the build lock: after a mutation, N
+        concurrent queries would otherwise each launch an identical
+        probe job (a stampede of N jobs on a real cluster)."""
         if self._dim_cache is not None:
             return self._dim_cache
-        if not self._exists():
-            return None
-        row = self.df().select(F.size("embedding").alias("d")).first()
-        self._dim_cache = None if row is None else int(row["d"])
-        return self._dim_cache
+        with self._serving_build_lock:
+            if self._dim_cache is not None:
+                return self._dim_cache  # a concurrent prober filled it
+            if not self._exists():
+                return None
+            row = self.df().select(F.size("embedding").alias("d")).first()
+            self._dim_cache = None if row is None else int(row["d"])
+            return self._dim_cache
 
     def _rewrite(self, df: DataFrame) -> None:
         """Immutable rewrite for delete/compact: write-new + double-rename.
