@@ -534,6 +534,49 @@ def test_resident_guard_measures_payload(spark, tmp_path):
     store2.disable_resident_serving()
 
 
+def test_resident_guard_measures_char_width(spark, tmp_path):
+    """VERDICT r10 item 6: the byte estimate must be width-aware — the
+    old flat 2 B/char term modeled mostly-ASCII text, but CPython
+    stores BMP CJK at 2 B/char (PEP 393) while each such char is 3
+    UTF-8 octets, so a CJK-heavy corpus could pass the tripwire at ~2x
+    the budget. The fix charges ``chars + octets`` (octet_length is a
+    per-char upper bound on PEP-393 width): a CJK corpus that the old
+    formula waved through must refuse, while a Latin corpus with the
+    SAME character count under the same budget still builds."""
+    import pytest
+
+    from vectolite_spark.embed import stub_embedder
+    from vectolite_spark.errors import VectoliteError
+    from vectolite_spark.store import SparkVectolite
+
+    dim, n, text_chars = 8, 32, 2000
+    base = n * (dim * 8 + 144)
+    chars = n * text_chars
+    # budget between the old estimate (base + 2*chars — CJK slips
+    # through) and the new one (base + chars + 3*chars for 3-octet CJK)
+    budget = base + 3 * chars
+    assert base + 2 * chars < budget < base + 4 * chars
+
+    cjk = SparkVectolite(
+        spark, str(tmp_path / "cjkdb"), embed_fn=stub_embedder(dim=dim)
+    )
+    cjk.insert_many(["数据" * (text_chars // 2) for _ in range(n)])
+    cjk.enable_resident_serving(max_bytes=budget)
+    with pytest.raises(VectoliteError, match="resident serving refused"):
+        cjk.query("数据", top_k=3)
+    cjk.disable_resident_serving()
+
+    latin = SparkVectolite(
+        spark, str(tmp_path / "latindb"), embed_fn=stub_embedder(dim=dim)
+    )
+    latin.insert_many(["da" * (text_chars // 2) for _ in range(n)])
+    want = latin.query("da", top_k=3)
+    latin.enable_resident_serving(max_bytes=budget)
+    assert latin.query("da", top_k=3) == want
+    assert latin._resident is not None  # served resident, not fallback
+    latin.disable_resident_serving()
+
+
 def test_resident_collect_generation_fence(spark, tmp_path):
     """ADVICE r9: the resident working set is collected OUTSIDE the
     serving lock — a mutation landing mid-collect must prevent the

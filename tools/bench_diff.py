@@ -66,9 +66,13 @@ def _queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
         for k, v in (data.get(src) or {}).items():
             if isinstance(v, dict) and isinstance(v.get("spread"), (int, float)):
                 spread[k] = float(v["spread"])
-    for k, v in (data.get("serving_noise_band") or {}).items():
-        if isinstance(v, (int, float)):
-            spread.setdefault(k, float(v))
+    # compact per-key band maps in the stdout/round artifacts:
+    # serving_noise_band (r10+, serving keys) and noise_band (r11+,
+    # every stdout key incl. builds and registry queries)
+    for src in ("serving_noise_band", "noise_band"):
+        for k, v in (data.get(src) or {}).items():
+            if isinstance(v, (int, float)):
+                spread.setdefault(k, float(v))
     vals = {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
     return vals, spread
 

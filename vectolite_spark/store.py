@@ -429,14 +429,21 @@ class SparkVectolite:
 
         The ``max_bytes`` tripwire MEASURES the payload instead of
         assuming it (VERDICT r9 item 4): one aggregate over the real
-        table — row count, embedding dim, total text+metadata chars —
-        feeds the estimate ``n*(dim*8 + 144) + 2*chars``: float64
-        vectors (the resident matrix is float64, not the stored
-        float32), ~144 B/row of numpy+list+object slack, and 2 B/char
-        for Python str storage (1-4 B/char internally; 2 is the honest
-        middle for mostly-ASCII corpora with headroom). The old
-        ``n*(dim*4+256)`` form let a KB-texts corpus several times the
-        budget through; it also skipped the check entirely when the
+        table — row count, embedding dim, total text+metadata chars
+        AND UTF-8 octets — feeds the estimate
+        ``n*(dim*8 + 144) + chars + octets``: float64 vectors (the
+        resident matrix is float64, not the stored float32), ~144 B/row
+        of numpy+list+object slack, and a WIDTH-MEASURED string term
+        (VERDICT r10 item 6 — the old flat ``2*chars`` assumed
+        mostly-ASCII and let CJK/astral corpora through at ~2x the
+        budget). ``octet_length`` is a provable upper bound on CPython's
+        PEP-393 payload per character (ASCII: 1 utf8 = width 1; U+0080–
+        U+07FF: 2 utf8 >= width 1-2; U+0800–U+FFFF: 3 utf8 >= width 2;
+        astral: 4 utf8 = width 4), so ``chars + octets`` never
+        underestimates while keeping the same ~2x headroom the old
+        formula gave ASCII text (latin: chars+octets == 2*chars). The
+        old ``n*(dim*4+256)`` form let a KB-texts corpus several times
+        the budget through; it also skipped the check entirely when the
         dim cache was cold — the aggregate measures dim itself, so
         there is no unguarded path for a non-empty store.
 
@@ -474,9 +481,14 @@ class SparkVectolite:
                 F.coalesce(F.sum(F.length("text")), F.lit(0))
                 + F.coalesce(F.sum(F.length("metadata")), F.lit(0))
             ).alias("chars"),
+            (
+                F.coalesce(F.sum(F.octet_length("text")), F.lit(0))
+                + F.coalesce(F.sum(F.octet_length("metadata")), F.lit(0))
+            ).alias("octets"),
         ).collect()[0]
-        n, dim, chars = stats["n"], stats["dim"] or 0, stats["chars"] or 0
-        est = n * (dim * 8 + 144) + 2 * chars
+        n, dim = stats["n"], stats["dim"] or 0
+        chars, octets = stats["chars"] or 0, stats["octets"] or 0
+        est = n * (dim * 8 + 144) + chars + octets
         if est > cfg["max_bytes"]:
             raise VectoliteError(
                 f"resident serving refused: ~{est >> 20} MB measured "
