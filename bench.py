@@ -46,6 +46,77 @@ def _registry_bench() -> list[str]:
     return sorted(registry.QUERIES)
 
 
+def _bench_aniso_recall_floor(spark) -> float:
+    """Per-round canary for the §9b aniso operating point (VERDICT r10
+    item 8): recall@10 of IVF-PQ **m=32, n_probe=8, refine=200** on the
+    seeded 100K x 64 anisotropic planted-neighbor fixture — the
+    rebuild-side fix SCALING §9b measured (0.988 at 1M, 0.979 at 100K)
+    and recommends for quantization-bound geometry. The deterministic
+    corpus and its exact truth are cached under .cache (pure functions
+    of the seed — data, not code under test); the m=32 INDEX IS REBUILT
+    EVERY RUN so a PQ build/encode change can never hide behind a
+    cached layout. Value is a recall in [0,1], not seconds; its pytest
+    floor lives in tests/test_ann_scale.py."""
+    import shutil
+    import tempfile
+
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+    from vectolite_spark.operators.topk import topk_batch
+    from vectolite_spark.synthdata import (
+        planted_neighbor_corpus,
+        synthetic_clustered_vectors,
+    )
+
+    n, k, nq = 100_000, 10, 24
+    cache = os.path.join(REPO, ".cache", "aniso100k_fixture_v1")
+    cp, tp = os.path.join(cache, "corpus"), os.path.join(cache, "truth")
+    if not os.path.exists(os.path.join(cp, "_SUCCESS")):
+        planted_neighbor_corpus(
+            spark, n, nq, per_query=k, partitions=32, geometry="aniso"
+        ).write.mode("overwrite").parquet(cp)
+    corpus = spark.read.parquet(cp)
+    queries = (
+        synthetic_clustered_vectors(
+            spark, nq, start_id=n, partitions=1, geometry="aniso"
+        )
+        .select(
+            (F.col("vec_id") - n).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .cache()
+    )
+    if not os.path.exists(os.path.join(tp, "_SUCCESS")):
+        topk_batch(queries, corpus, k=k).select(
+            "query_id", "vec_id"
+        ).write.mode("overwrite").parquet(tp)
+    truth: dict[int, set] = {}
+    for r in spark.read.parquet(tp).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    idxdir = tempfile.mkdtemp(prefix="aniso_m32_")
+    try:
+        path = os.path.join(idxdir, "idx")
+        build_ivfpq_index(
+            corpus, path, n_cells=256, m=32, pq_k=64, pq_iters=1, ivf_iters=2
+        )
+        idx = IVFPQIndex(spark, path, m=32)
+        hits = 0
+        for r in queries.collect():
+            got = {
+                x["vec_id"]
+                for x in idx.topk(
+                    [float(v) for v in r["query_vec"]],
+                    k=k,
+                    n_probe=8,
+                    refine=200,
+                ).collect()
+            }
+            hits += len(got & truth[r["query_id"]])
+        return round(hits / sum(len(t) for t in truth.values()), 4)
+    finally:
+        queries.unpersist()
+        shutil.rmtree(idxdir, ignore_errors=True)
+
+
 def _bench_reference(qvecs: list[list[float]], n_vecs: int) -> dict[str, float]:
     """Execute the reference engine (/root/reference/vectolite.py) on a
     same-shape corpus: ``n_vecs`` deterministic vectors of the same dim,
@@ -594,6 +665,10 @@ def main() -> None:
         "n": len(probe_runs),
     }
 
+    # -- §9b aniso operating-point canary (VERDICT r10 item 8) -------------
+    timings["ann_aniso_recall_floor"] = _bench_aniso_recall_floor(spark)
+    _gc.collect()
+
     # -- registry queries (parquet scans included) -------------------------
     # min of N runs (default 2): single cold runs showed +-30-70% run-to-
     # run variance on this box (JIT warmup, page cache, neighbor load) —
@@ -680,6 +755,7 @@ def main() -> None:
         "dedup_keep_list",
         "snapshot_pruned_delete",
         "streaming_windowed_counts",
+        "ann_aniso_recall_floor",
     ]
     result = {
         "metric": "flagship_topk_cached_1q_p8_sec",

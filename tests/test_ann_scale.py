@@ -175,6 +175,51 @@ def test_ivfpq_recall_floor_100k_aniso(
     assert rec >= 0.85, f"IVF-PQ recall@10 at 100K aniso fell to {rec:.3f}"
 
 
+def test_diagnose_operating_point_aniso(
+    spark, aniso_corpus, aniso_queries, aniso_truth, tmp_path
+):
+    """VERDICT r10 item 4: the §9b production rule as a function call.
+    On the 100K aniso fixture the diagnostic must reproduce §9b's
+    conclusion end to end: recall FLAT in n_probe (measured identical
+    at 8 and 32 for every refine — quantization-bound), refine-widening
+    recovers recall at query time, and the m-doubled rebuild (m=32)
+    clears the 0.95 target at the ORIGINAL refine — the steady-state
+    fix the recommendation must prefer. Operating point refine=200:
+    the 100K twin of §9b's 1M refine=1000 (~0.2% of corpus), where the
+    m=16 deficit is visible (measured 0.858) and m=32 recovers
+    (measured 0.979)."""
+    from vectolite_spark.operators.ann import (
+        build_ivfpq_index,
+        diagnose_operating_point,
+    )
+
+    path = str(tmp_path / "diag16")
+    build_ivfpq_index(
+        aniso_corpus, path, n_cells=256, m=16, pq_k=64, pq_iters=1, ivf_iters=2
+    )
+    out = diagnose_operating_point(
+        spark,
+        path,
+        aniso_queries,
+        m=16,
+        k=K,
+        n_probes=(8, 32),
+        refine=200,
+        refine_widen=5,
+        truth=aniso_truth,
+        rebuild_dir=str(tmp_path / "diag32"),
+    )
+    assert out["classification"] == "quantization-bound"
+    assert out["n_probe_climb"] <= 0.05
+    assert out["base_recall"] < 0.95  # the m=16 deficit is visible
+    assert out["refine_widened"]["recall"] >= 0.97  # query-time fix works
+    assert out["m_doubled"]["m"] == 32
+    assert out["m_doubled"]["recall"] >= 0.95  # §9b's rebuild-side fix
+    # the recommendation must surface the rebuild as the preferred
+    # steady-state fix (measured >= target at the original refine)
+    assert any("prefer it over refine-widening" in r for r in out["recommendation"])
+
+
 def test_srp_recall_floor_100k_aniso(
     spark, aniso_corpus, aniso_queries, aniso_truth, tmp_path
 ):

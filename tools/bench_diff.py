@@ -108,8 +108,12 @@ def main() -> int:
     for name in common:
         o, n = old[name], new[name]
         ratio = n / o if o > 0 else float("inf")
-        if (name.endswith("_per_sec") or name.endswith("_qps")) and ratio > 0:
-            ratio = 1 / ratio  # throughput keys: higher is better
+        if (
+            name.endswith("_per_sec")
+            or name.endswith("_qps")
+            or "recall" in name
+        ) and ratio > 0:
+            ratio = 1 / ratio  # throughput/recall keys: higher is better
         # noise-aware gating (VERDICT r9 item 2): widen the static gate
         # by the NEW artifact's recorded band — a delta within 2x the
         # spread the current host showed on this very run is host drift

@@ -3168,6 +3168,101 @@ def ann_ivf_built_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_seed_topup_cells",
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings
+),
+planes AS (
+  SELECT g, CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || ':0'), 1, 1)
+                      AS INTEGER) >= 8
+         THEN 1.0 ELSE -1.0 END AS p
+  FROM range(0, 5) t(g)
+),
+seeds AS (
+  SELECT e.vec_id, e.x,
+         CAST(SUM(CASE WHEN e.x * pl.p >= 0 THEN 1 ELSE 0 END * (1 << pl.g))
+              % 24 AS BIGINT) AS cell
+  FROM e, planes pl GROUP BY e.vec_id, e.x
+),
+grp AS (
+  SELECT cell, COUNT(*) AS gsize,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM seeds GROUP BY cell
+),
+meta AS (
+  SELECT COUNT(*) AS ncents, 24 - COUNT(*) AS deficit FROM grp
+),
+ranked AS (
+  SELECT s.vec_id, s.cell, s.x, g.gsize,
+         SQRT((s.x - g.mu) * (s.x - g.mu)) AS gap,
+         ROW_NUMBER() OVER (PARTITION BY s.cell
+                            ORDER BY SQRT((s.x - g.mu) * (s.x - g.mu)) DESC,
+                                     s.vec_id ASC) AS rk
+  FROM seeds s JOIN grp g USING (cell)
+),
+winners AS (
+  SELECT r.x,
+         ROW_NUMBER() OVER (ORDER BY r.rk ASC, r.gsize DESC, r.cell ASC) AS ord
+  FROM ranked r CROSS JOIN meta m
+  WHERE r.rk <= CAST(CEIL(CAST(m.deficit AS DOUBLE) / m.ncents) AS BIGINT)
+    AND r.rk <= r.gsize - 1
+  QUALIFY ord <= m.deficit
+),
+missing AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC) AS ord
+  FROM range(0, 24) t(c)
+  WHERE c NOT IN (SELECT cell FROM grp)
+  QUALIFY ord <= (SELECT deficit FROM meta)
+)
+SELECT CAST(mi.c AS BIGINT) AS cell, w.x AS c0
+FROM missing mi JOIN winners w USING (ord)
+ORDER BY cell
+""",
+)
+def ivf_seed_topup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the IVF seed-cell TOP-UP path (VERDICT r10
+    item 7 — the one new r10 compute path that had only pytest
+    coverage). Sign-skew is PLANTED by slicing embeddings to their
+    first component: under the b=ceil(log2(24))=5 deterministic
+    md5-Rademacher planes for d=1 (signs [-1,+1,+1,+1,+1]), every
+    vector's sign pattern collapses to one of three buckets (x>0 ->
+    cell 6, x<0 -> cell 1, x==0 -> cell 7), so a non-power-of-two
+    n_cells=24 build starts ~21-22 seed cells short — exactly the
+    degenerate regime ``ann._topup_seed_centroids`` exists for. The
+    entry runs the REAL production helpers (``_srp_seed_col`` ->
+    ``build_centroids`` -> ``_topup_seed_centroids``) and returns the
+    topped-up (cell, first-component) pairs; the oracle replays the
+    whole deterministic selection in SQL — seed buckets from the same
+    md5 planes, exact-DECIMAL group means, farthest-member gap ranks
+    with vec_id tie-breaks, the per-group split cap (rk <= gsize-1),
+    the round-robin (rk asc, gsize desc, cell asc) order, and the
+    missing-cell zip. Scale: the rank shuffle carries only
+    (cell, vec_id, gap) — never embeddings (r10 review)."""
+    from vectolite_spark.operators.ann import (
+        _srp_seed_col,
+        _topup_seed_centroids,
+        build_centroids,
+    )
+
+    n_cells = 24
+    embs = load_table(spark, sf_dir, "embeddings")
+    seeded = embs.select(
+        "vec_id", F.slice("embedding", 1, 1).alias("embedding")
+    ).withColumn("_seed_cell", _srp_seed_col(n_cells)(F.col("embedding")))
+    cents = [
+        (int(r["cluster"]), list(r["centroid"]))
+        for r in build_centroids(seeded, "_seed_cell").collect()
+    ]
+    topped = _topup_seed_centroids(seeded, cents, n_cells)
+    added = topped[len(cents):]
+    return spark.createDataFrame(
+        [(int(c), float(v[0])) for c, v in added],
+        "cell bigint, c0 double",
+    ).orderBy("cell")
+
+
+@register(
     "ann_batch_lsh",
     f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -11765,81 +11860,76 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # -- r10 window --------------------------------------------------------
-    # VERDICT r9 items 1 + 8: finish the evidence drain. Slots = the 3
-    # r4-green names deferred from the r9 window, the FULL r5-green
-    # cohort (40 names — after this round no entry's latest driver
-    # evidence is older than r6), the capstone trio (r9's cutpoint-
-    # shaped curation plan re-proved same-round at driver scale with its
-    # feeders), and 4 entries whose subsystems changed in r10 (IVF seed
-    # top-up -> ann_ivf_topk; video/JPEG seam closure ->
-    # multimodal_features; index-cache vacuum keying -> the two
-    # trgm-index consumers).
-    # r4-green (deferred from r9 for space)
-    "token_len_histogram",
-    "minhash_estimation_error",
-    "corpus_checksum",
-    # r5-green cohort (latest driver evidence = round 5) — all 40
-    "diversity_sample",
-    "stratified_split",
-    "encoding_quality",
-    "cms_token_estimates",
-    "kmv_distinct_tokens",
-    "embedding_quantize_int8",
-    "hard_negative_mining",
-    "ann_lsh_topk",
-    "epoch_shuffle",
-    "matryoshka_recall_eval",
-    "dup_cross_source_stats",
-    "dup_graph_triangles",
-    "quality_rank_normalized",
-    "vocab_drift",
-    "ngram_novelty",
-    "streaming_user_totals",
-    "streaming_topk_maintenance",
-    "bucketed_join_revenue",
-    "cdc_chunk_dedup",
-    "jaccard_prefix_join",
-    "streaming_dedup_counts",
-    "dup_graph_pagerank",
-    "bpe_train",
-    "bpe_apply",
-    "cdc_span_decontamination",
-    "cdc_indexed_decontamination",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q16_supplier_variety",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_supplier",
-    "matryoshka_two_stage_topk",
-    "bloom_vocab_membership",
-    "mmr_rerank_topk",
-    "passage_highlight",
-    "bigram_pmi_collocations",
-    "aqp_sampled_revenue",
-    "trigram_substring_search",
-    "trigram_similarity_topk",
-    # capstone trio (VERDICT r9 item 8: same-round evidence for the
-    # cutpoint-shaped plan at the scale SCALING claims)
-    "curation_pipeline_capstone",
-    "ccnet_lang_cutpoints",
-    "bigram_lm_nll",
-    # r10-touched subsystems
-    "ann_ivf_topk",
-    "multimodal_features",
-    "regex_trigram_search",
-    "trigram_incremental_search",
+    # -- r11 window --------------------------------------------------------
+    # VERDICT r10 item 3 (hold the evidence steady state) + item 7:
+    # the one NEW entry (ivf_seed_topup_cells — the r10 seed top-up
+    # path's first driver row), then the full r6-green cohort (37
+    # names — after this round no entry's latest driver evidence is
+    # older than r7), then the first 12 of the r7 cohort
+    # (alphabetical; the remaining 30 r7 names rotate in r12).
+    # new in r11 (no evidence yet)
+    "ivf_seed_topup_cells",
+    # r6-green cohort (latest driver evidence = round 6) — all 37
+    "agg_pricing_summary",
+    "aqp_join_universe_sample",
+    "asia_customer_orders",
+    "asof_last_click",
+    "association_rules",
+    "big_ticket_orders",
+    "cdc_containment_pairs",
+    "click_and_purchase_users",
+    "constraint_audit",
+    "contrastive_triplets",
+    "copurchase_pairs",
+    "dedup_clusters_distributed",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "embedding_covariance",
+    "embedding_drift",
+    "embedding_outliers",
+    "event_transitions",
+    "item_recommendations",
+    "k_anonymity_audit",
+    "key_skew_report",
+    "lang_id",
+    "leakage_safe_split",
+    "pareto_front_parts",
+    "resample_interpolate",
+    "robust_anomalies",
+    "schema_drift_audit",
+    "seasonal_decomposition",
+    "session_duration_stats",
+    "session_paths",
+    "sliding_wau",
+    "span_corruption_pairs",
+    "streaming_trigram_maintenance",
+    "text_quality",
+    "token_count",
+    "tokenizer_fertility",
+    "transition_entropy",
+    # r7 cohort, first 12 (latest driver evidence = round 7)
+    "ann_ivfpq_exact_rescore",
+    "ann_ivfpq_partial_probe",
+    "ann_ivfpq_probe_prebuilt",
+    "ann_pq_topk",
+    "batch_topk",
+    "cdf_incremental_dedup",
+    "centroid_classify_confusion",
+    "corpus_curation",
+    "cube_order_counts",
+    "customers_without_orders",
+    "dataset_split_counts",
+    "dsir_gumbel_sample",
 ]
 
-# ROTATE IN FOR r11: after r10 the oldest union evidence is the r6-green
-# remainder (37 names: embedding_covariance, aqp_join_universe_sample,
-# constraint_audit, pareto_front_parts, copurchase_pairs, ... — recompute
-# from the CORRECTNESS_r0*.json union, latest-green-round per entry,
-# oldest first), then the r7 cohort (42 names). Fill non-(new/touched)
-# slots oldest-first and put anything whose code changes in r11 back in
-# the window. Steady state holds: window capacity (50) > per-round
-# growth, so no entry's evidence should ever age past ~4 rounds again.
+# ROTATE IN FOR r12: after r11 the oldest union evidence is the 30-name
+# r7 remainder (dsir_importance_sample, embedding_norm_stats,
+# events_window_agg, ... — recompute from the CORRECTNESS_r0*.json
+# union, latest-green-round per entry, oldest first), then the r8
+# cohort (48 names). Fill non-(new/touched) slots oldest-first and put
+# anything whose code changes in r12 back in the window. Steady state
+# holds: window capacity (50) > per-round growth, so no entry's
+# evidence should age past ~4 rounds.
 
 # driver-green in r8/r9 (see CORRECTNESS_r08/09.json; the r6/r7 cohorts
 # sit in the unordered middle) — freshest evidence, safe to re-verify last
