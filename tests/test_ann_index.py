@@ -261,6 +261,58 @@ def test_quantize_int8_properties(spark):
     check()
 
 
+def test_fused_assign_encode_matches_composition():
+    """The fused build mapper (one corpus pass, no vec_id shuffle join)
+    must be byte-identical to the composition of the two mappers it
+    replaced — cell from ``make_cell_assign_mapper``, codes from
+    ``make_pq_encode_mapper`` — including the zero-norm and rounded-tie
+    edge cases those mappers pin. Pure-Python (no Spark): the mappers
+    are plain batch generators."""
+    import numpy as np
+    import pandas as pd
+
+    from vectolite_spark._pandas_udfs import (
+        make_assign_encode_mapper,
+        make_cell_assign_mapper,
+        make_pq_encode_mapper,
+    )
+
+    rng = np.random.RandomState(7)
+    d, m, k, n = 16, 4, 5, 64
+    vecs = rng.randn(n, d).astype(np.float32)
+    vecs[3] = 0.0  # zero-norm -> lowest cluster id
+    vecs[9] = vecs[10]  # exact duplicate -> identical cell+codes
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+    )
+    # deliberately unsorted cluster ids: the tie-break is LOWEST id, not
+    # first-listed
+    cids = [5, 0, 3]
+    cvecs = rng.randn(len(cids), d).astype(np.float64).tolist()
+    codebook = rng.randn(k, d).astype(np.float64)
+
+    fused = pd.concat(
+        make_assign_encode_mapper(cids, cvecs, codebook, m)([pdf.copy()])
+    )
+    cells = pd.concat(make_cell_assign_mapper(cids, cvecs)([pdf.copy()]))
+    codes = pd.concat(make_pq_encode_mapper(codebook, m)([pdf.copy()]))
+    assert list(fused["cell"]) == list(cells["cell"])
+    assert [list(c) for c in fused["codes"]] == [list(c) for c in codes["codes"]]
+    assert list(fused["vec_id"]) == list(pdf["vec_id"])
+    assert int(fused["cell"][3]) == min(cids)  # zero-norm scores 0.0 everywhere
+
+    # cluster_ids=None: the input's precomputed cell column passes through
+    pdf2 = pdf.copy()
+    pdf2["cell"] = np.arange(n, dtype=np.int64) % 3
+    passthrough = pd.concat(
+        make_assign_encode_mapper(None, None, codebook, m)([pdf2])
+    )
+    assert list(passthrough["cell"]) == list(pdf2["cell"])
+    assert [list(c) for c in passthrough["codes"]] == [
+        list(c) for c in codes["codes"]
+    ]
+
+
 def test_pq_encode_search_properties(spark, sf_dir):
     import numpy as np
 

@@ -651,32 +651,104 @@ def make_pq_adist_udf(table):
     return _adist
 
 
-def make_pq_encode_mapper(codebook, m):
-    """mapInPandas encoder for product quantization: per batch, one
-    (N, k) distance matrix per subspace built dim-at-a-time (explicit
-    left-assoc float64 accumulation — see ann.build_pq's determinism
-    contract), then argmin (first-min = lowest centroid id on ties,
-    matching the oracle's ROW_NUMBER tie-break)."""
+def _pq_encode_batch(vecs, cb, m):
+    """(N, d) float64 -> (N, m) int32 PQ codes: one (N, k) distance
+    matrix per subspace built dim-at-a-time (explicit left-assoc
+    float64 accumulation — see ann.build_pq's determinism contract),
+    then argmin (first-min = lowest centroid id on ties, matching the
+    oracle's ROW_NUMBER tie-break)."""
+    import numpy as np
+
+    k, d = cb.shape
+    sub = d // m
+    codes = np.empty((len(vecs), m), dtype=np.int32)
+    for j in range(m):
+        acc = np.zeros((len(vecs), k), dtype=np.float64)
+        for dim in range(sub):
+            diff = vecs[:, j * sub + dim, None] - cb[None, :, j * sub + dim]
+            acc = acc + diff * diff
+        codes[:, j] = np.argmin(acc, axis=1)
+    return codes
+
+
+def make_pq_encode_mapper(codebook, m, with_embedding=False):
+    """mapInPandas encoder for product quantization (``_pq_encode_batch``
+    per Arrow batch). ``with_embedding=True`` carries the input
+    embedding column through — ``build_pq``'s Lloyd rounds need
+    (embedding, codes) pairs, and carrying the column through the SAME
+    narrow pass replaces the old base-join-encode shuffle join (a full
+    corpus-wide exchange per round) with zero exchanges."""
     import numpy as np
 
     cb = np.asarray(codebook, dtype=np.float64)
-    k, d = cb.shape
-    sub = d // m
 
     def mapper(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             vecs = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                acc = np.zeros((len(pdf), k), dtype=np.float64)
-                for dim in range(sub):
-                    diff = vecs[:, j * sub + dim, None] - cb[None, :, j * sub + dim]
-                    acc = acc + diff * diff
-                codes[:, j] = np.argmin(acc, axis=1)
+            codes = _pq_encode_batch(vecs, cb, m)
+            out = {"vec_id": pdf["vec_id"].values, "codes": list(codes.tolist())}
+            if with_embedding:
+                out["embedding"] = pdf["embedding"].values
+            yield pd.DataFrame(out)
+
+    return mapper
+
+
+def make_assign_encode_mapper(cluster_ids, centroid_vecs, codebook, m):
+    """Fused IVF-assign + PQ-encode pass for index builds: both outputs
+    are pure per-row functions of the embedding, so computing them in
+    ONE mapInPandas pass replaces the old assign-pass + encode-pass +
+    ``join("vec_id")`` shape — at corpus scale that join was a full
+    shuffle of the d-wide embedding bytes on BOTH sides before the
+    ``repartition(cell)`` exchange even started. Yields
+    (vec_id, codes, embedding, cell).
+
+    Math is byte-identical to ``make_cell_assign_mapper`` +
+    ``make_pq_encode_mapper`` (pinned by
+    tests/test_ann_index.py::test_fused_assign_encode_matches_composition):
+    cell = argmax of HALF_UP-6dp cosine with lowest-cluster-id ties,
+    zero-norm -> lowest cluster id; codes = dim-at-a-time left-assoc
+    argmin. ``cluster_ids=None`` passes an existing input ``cell``
+    column through instead (the precomputed-cluster routing branch)."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    if cluster_ids is not None:
+        cmat = np.asarray(centroid_vecs, dtype=np.float64)  # C x d
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        # order columns by cluster id ascending so argmax's first-wins
+        # tie-break IS the lowest-cluster-id tie-break (same as
+        # make_cell_assign_mapper)
+        order = np.argsort(np.asarray(cluster_ids, dtype=np.int64), kind="stable")
+        cmat, cn = cmat[order], cn[order]
+        cids = np.asarray(cluster_ids, dtype=np.int64)[order]
+
+    def mapper(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            if cluster_ids is not None:
+                dn = np.sqrt((mat * mat).sum(axis=1))
+                scores = mat @ cmat.T  # N x C
+                denom = np.outer(dn, cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom == 0.0, 0.0, scores / denom)
+                cell = cids[np.argmax(round_half_up(scores, 6), axis=1)]
+            else:
+                cell = pdf["cell"].values
+            codes = _pq_encode_batch(mat, cb, m)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "codes": list(codes.tolist())}
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "codes": list(codes.tolist()),
+                    "embedding": pdf["embedding"].values,
+                    "cell": cell,
+                }
             )
 
     return mapper

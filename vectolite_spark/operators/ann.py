@@ -654,6 +654,40 @@ def build_pq(
     pairwise summation would produce different ULPs than SQL's
     sequential fold and flip argmin ties.
     """
+    from vectolite_spark._pandas_udfs import make_pq_encode_mapper
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    codebook = train_pq_codebook(
+        embeddings, m=m, k=k, id_col=id_col, emb_col=emb_col, n_iters=n_iters
+    )
+    return (
+        base.mapInPandas(
+            make_pq_encode_mapper(codebook, m),
+            schema="vec_id long, codes array<int>",
+        ),
+        codebook,
+    )
+
+
+def train_pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_iters: int = 0,
+):
+    """The training half of ``build_pq`` (codebook only, no codes scan) —
+    split out so ``build_ivfpq_index`` can train first and then produce
+    codes in the SAME pass that assigns IVF cells (one corpus scan, no
+    vec_id shuffle join). Semantics identical to ``build_pq``'s
+    docstring: seed = first ``k`` vectors by id; each Lloyd round is one
+    encode pass + one narrow (subspace, code) mean aggregation — the
+    encode pass carries the embedding through its own mapper
+    (``with_embedding=True``), so the round does ZERO exchanges where
+    the old shape shuffle-joined the full corpus back onto its codes."""
     import numpy as np
 
     from vectolite_spark._pandas_udfs import make_pq_encode_mapper
@@ -671,14 +705,11 @@ def build_pq(
     d = codebook.shape[1]
     sub = d // m
 
-    def encode(cb):
-        mapper = make_pq_encode_mapper(cb, m)
-        return base.mapInPandas(mapper, schema="vec_id long, codes array<int>")
-
     for _ in range(n_iters):
-        assigned = base.join(encode(codebook), "vec_id").select(
-            "embedding", F.posexplode("codes").alias("j", "code")
-        )
+        assigned = base.mapInPandas(
+            make_pq_encode_mapper(codebook, m, with_embedding=True),
+            schema="vec_id long, codes array<int>, embedding array<float>",
+        ).select("embedding", F.posexplode("codes").alias("j", "code"))
         means = (
             assigned.groupBy("j", "code")
             .agg(
@@ -697,7 +728,7 @@ def build_pq(
             for di in range(sub):
                 new_cb[r["code"], r["j"] * sub + di] = r[f"d{di}"]
         codebook = new_cb
-    return encode(codebook), codebook
+    return codebook
 
 
 def pq_topk(
@@ -780,13 +811,24 @@ def build_ivfpq_index(
     ``cluster_col``: route cells by an existing cluster column (centroids
     = exact-DECIMAL per-cluster means) instead of Lloyd-refined k-means —
     the oracle-replicable routing the registry's partial-probe recall
-    entry uses."""
+    entry uses.
+
+    Cell assignment and PQ codes are both pure per-row functions of the
+    embedding, so the cells write computes them in ONE fused mapInPandas
+    pass (``make_assign_encode_mapper``) — the old assign-pass +
+    encode-pass + ``join("vec_id")`` shape paid a full corpus-wide
+    shuffle of the embedding bytes on both join sides before the
+    ``repartition(cell)`` exchange; the fused plan's only exchange IS
+    the cell clustering."""
+    from vectolite_spark._pandas_udfs import make_assign_encode_mapper
+
+    fused_schema = "vec_id long, codes array<int>, embedding array<float>, cell long"
     if cluster_col is not None:
         cents_list = [
             (int(r["cluster"]), list(r["centroid"]))
             for r in build_centroids(embeddings, cluster_col).collect()
         ]
-        assigned = embeddings.select(
+        fused_in = embeddings.select(
             F.col(id_col).alias("vec_id"),
             "embedding",
             F.col(cluster_col).cast("long").alias("cell"),
@@ -824,9 +866,10 @@ def build_ivfpq_index(
                     refined.withColumnRenamed("cell", "_cell"), "_cell"
                 ).collect()
             ]
-        assigned = assign_cells(embeddings, cents_list, id_col=id_col)
-    codes, codebook = build_pq(embeddings, m=m, k=pq_k, id_col=id_col,
-                               n_iters=pq_iters)
+        fused_in = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+    codebook = train_pq_codebook(
+        embeddings, m=m, k=pq_k, id_col=id_col, n_iters=pq_iters
+    )
     spark = embeddings.sparkSession
     spark.createDataFrame(
         [(c, v) for c, v in cents_list], "cluster bigint, centroid array<double>"
@@ -835,9 +878,14 @@ def build_ivfpq_index(
         [(i, [float(x) for x in codebook[i]]) for i in range(codebook.shape[0])],
         "code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebook")
+    mapper = make_assign_encode_mapper(
+        None if cluster_col is not None else [c for c, _ in cents_list],
+        None if cluster_col is not None else [v for _, v in cents_list],
+        codebook,
+        m,
+    )
     (
-        assigned.join(codes, "vec_id")
-        .select("vec_id", "codes", "embedding", "cell")
+        fused_in.mapInPandas(mapper, schema=fused_schema)
         # cluster by cell before partitionBy — see build_ivf_index note
         .repartition(F.col("cell"))
         .write.mode("overwrite")
@@ -931,8 +979,6 @@ def ivfpq_index_append(
     after heavy distribution drift, rebuild with ``build_ivfpq_index``
     (quantization error of appended vectors grows with drift; the
     exact-rescore refine step keeps returned SCORES true either way)."""
-    from vectolite_spark._pandas_udfs import make_pq_encode_mapper
-
     idx = IVFPQIndex(spark, index_path, m=m)
     # m is an encode-time parameter the (k, d) codebook cannot recover;
     # the stored codes arrays CAN — appending with a mismatched m would
@@ -963,14 +1009,21 @@ def ivfpq_index_append(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), "embedding"
     )
-    assigned = assign_cells(base, idx.centroids, id_col="vec_id")
-    codes = base.mapInPandas(
-        make_pq_encode_mapper(idx.codebook, m),
-        schema="vec_id long, codes array<int>",
+    # fused route+encode pass — see build_ivfpq_index: one delta scan,
+    # no vec_id shuffle join
+    from vectolite_spark._pandas_udfs import make_assign_encode_mapper
+
+    mapper = make_assign_encode_mapper(
+        [c for c, _ in idx.centroids],
+        [v for _, v in idx.centroids],
+        idx.codebook,
+        m,
     )
     (
-        assigned.join(codes, "vec_id")
-        .select("vec_id", "codes", "embedding", "cell")
+        base.mapInPandas(
+            mapper,
+            schema="vec_id long, codes array<int>, embedding array<float>, cell long",
+        )
         # cluster the delta by cell — see build_ivf_index note
         .repartition(F.col("cell"))
         .write.mode("append")
