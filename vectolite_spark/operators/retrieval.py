@@ -213,31 +213,45 @@ def build_bm25_index(
     ``total_dl`` so avgdl is derived identically to the scan path's
     DECIMAL-sum formula at any append depth. Probes broadcast-join the
     query's handful of termstats rows — no second big-table lookup."""
+    # One tokenize pass feeds postings, one feeds doclen; termstats and
+    # stats derive from the WRITTEN narrow tables instead of
+    # re-tokenizing the corpus (the old shape tokenized four times and
+    # shuffle-joined the token-level tf relation back onto dl — dl is
+    # functionally dependent on doc_id, so grouping by (doc_id, term,
+    # dl) yields the identical rows with the join gone; at corpus scale
+    # that join was a second full exchange of the biggest relation in
+    # the build).
+    spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
     )
     dl = toks.select("doc_id", F.size("t").alias("dl"))
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
         .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     (
-        tf.join(dl, "doc_id")
-        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+        tf.withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
         .select("bucket", "term", "doc_id", "tf", "dl")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
     dl.write.mode("overwrite").parquet(f"{index_path}/doclen")
-    df_tbl.coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/termstats"
+    # df = posting rows per term — counted off the written postings
+    # (column-pruned term scan), not a third tokenize of the corpus
+    (
+        spark.read.parquet(f"{index_path}/postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/termstats")
     )
     # stats LAST: its _SUCCESS is the build-complete marker
-    dl.agg(
+    spark.read.parquet(f"{index_path}/doclen").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
     ).withColumn("n_buckets", F.lit(n_buckets)).coalesce(1).write.mode(
@@ -291,10 +305,14 @@ def append_bm25_index(
         F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
     ).cache()
     dl = toks.select("doc_id", F.size("t").alias("dl"))
+    # dl carried through the groupBy (functionally dependent on doc_id)
+    # — same join-free shape as build_bm25_index
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
+        toks.select(
+            "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+        )
         .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     delta_tot = dl.agg(
@@ -302,8 +320,7 @@ def append_bm25_index(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
     ).first()
     (
-        tf.join(dl, "doc_id")
-        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+        tf.withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
         .select("bucket", "term", "doc_id", "tf", "dl")
         .write.mode("append")
         .partitionBy("bucket")
