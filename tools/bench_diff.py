@@ -81,7 +81,19 @@ def main() -> int:
     if len(sys.argv) >= 3:
         old_path, new_path = sys.argv[1], sys.argv[2]
     else:
-        rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        # STRICT round artifacts only: the bare glob also matched the
+        # A/B-control and cross-host sidecar files (BENCH_r11_ab_control
+        # sorts AFTER BENCH_r11), so bench.py's embedded self-diff
+        # silently compared against a control file with no queries map
+        # and reported exit 2 / nothing flagged — the exact blind spot
+        # the embedded verdict exists to close.
+        import re
+
+        rounds = sorted(
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        )
         if not rounds:
             print("no BENCH_r*.json found")
             return 2
