@@ -313,6 +313,64 @@ def test_fused_assign_encode_matches_composition():
     ]
 
 
+def test_fused_assign_encode_matches_composition_fuzzed():
+    """Hypothesis sweep of the same equivalence over random dims,
+    cluster counts, subspace counts, and adversarial values (exact
+    duplicates of centroids, near-tie magnitudes) — the deterministic
+    test above pins the known edge cases; this guards the ones nobody
+    predicted."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectolite_spark._pandas_udfs import (
+        make_assign_encode_mapper,
+        make_cell_assign_mapper,
+        make_pq_encode_mapper,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        m=st.sampled_from([1, 2, 4]),
+        sub=st.integers(1, 4),
+        n_clusters=st.integers(1, 6),
+        k=st.integers(1, 8),
+        n=st.integers(1, 40),
+    )
+    def check(seed, m, sub, n_clusters, k, n):
+        rng = np.random.RandomState(seed)
+        d = m * sub
+        vecs = (rng.randn(n, d) * rng.choice([1e-6, 1.0, 1e6], size=(n, 1))
+                ).astype(np.float32)
+        if n >= 2:
+            vecs[1] = 0.0
+        cids = rng.permutation(100)[:n_clusters].tolist()
+        cvecs = rng.randn(n_clusters, d).astype(np.float64)
+        if n >= 3:
+            vecs[2] = cvecs[0].astype(np.float32)  # exact centroid dup
+        codebook = rng.randn(k, d).astype(np.float64)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+        )
+        fused = pd.concat(
+            make_assign_encode_mapper(cids, cvecs.tolist(), codebook, m)(
+                [pdf.copy()]
+            )
+        )
+        cells = pd.concat(
+            make_cell_assign_mapper(cids, cvecs.tolist())([pdf.copy()])
+        )
+        codes = pd.concat(make_pq_encode_mapper(codebook, m)([pdf.copy()]))
+        assert list(fused["cell"]) == list(cells["cell"])
+        assert [list(c) for c in fused["codes"]] == [
+            list(c) for c in codes["codes"]
+        ]
+
+    check()
+
+
 def test_pq_encode_search_properties(spark, sf_dir):
     import numpy as np
 

@@ -48,6 +48,11 @@ BUILD_KEYS = {
     "ivf_index_build": ("ivf_v1", "_ensure_ivf_index"),
     "ivfpq_index_build": ("ivfpq_v2_c16m8k16", "_ensure_ivfpq_index"),
     "trgm_index_build": ("trgm_v2_b16", "_ensure_trigram_index"),
+    # lifecycle builds (build+append / streamed-up): their _ensure fns
+    # gate on completion markers inside the recipe dir, so the rmtree
+    # before each inner run forces a genuine rebuild
+    "trgm_incremental_build": ("trgm_inc_v1_b8", "_ensure_trgm_inc_index"),
+    "trgm_streaming_build": ("trgm_stream_v1_b8", "_ensure_trgm_stream_index"),
 }
 
 # query keys that probe a prebuilt index: ensure it exists (untimed)
