@@ -434,6 +434,36 @@ def test_pq_lloyd_rounds_reduce_distortion(spark, sf_dir):
     assert np.array_equal(cb2, cb2b)
 
 
+def test_ivfpq_batch_topk_matches_single_probes(spark, sf_dir, tmp_path):
+    """IVFPQIndex.batch_topk must return, for every query, exactly what
+    Q independent single-query ``topk`` calls return — at a PARTIAL
+    probe setting (the case the registry's full-probe oracle cannot
+    distinguish from brute force): same routing, same rounded
+    distances, same tie order, same refine cut."""
+    from vectolite_spark.operators.ann import IVFPQIndex, build_ivfpq_index
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_batch")
+    build_ivfpq_index(embs, path, n_cells=8, m=8, pq_k=16, pq_iters=0)
+    idx = IVFPQIndex(spark, path, m=8)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embs.filter(F.col("vec_id") % 17 == 3).limit(4).collect()
+    ]
+    assert len(queries) >= 2
+    batch = idx.batch_topk(queries, k=5, n_probe=2, refine=30).collect()
+    got = {}
+    for r in sorted(batch, key=lambda r: (r["query_id"], r["rn"])):
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid, vec in queries:
+        single = [
+            (r["vec_id"], r["score"])
+            for r in idx.topk(vec, k=5, n_probe=2, refine=30).collect()
+        ]
+        assert got.get(qid, []) == single, f"query {qid} diverged"
+
+
 def test_ivfpq_build_query_and_pruning(spark, sf_dir, tmp_path):
     import numpy as np
 

@@ -651,6 +651,40 @@ def make_pq_adist_udf(table):
     return _adist
 
 
+def make_pq_adist_multi_udf(tables):
+    """Batch-probe variant of ``make_pq_adist_udf``: ``tables`` maps
+    query_id -> (m x k) distance table, and the UDF scores
+    (codes, query_id) PAIR rows — the shape ``IVFPQIndex.batch_topk``
+    produces by broadcast-joining the (query_id, cell) routing relation
+    onto the probed-cell union. Per-row math is the SAME fixed-j-order
+    left-assoc float64 sum as the single-query UDF (grouping rows by
+    query and reusing its m-lookup adds), so a batch probe's distances
+    are bit-identical to Q single probes."""
+
+    T = {
+        int(qid): [np.asarray(t, dtype=np.float64) for t in tab]
+        for qid, tab in tables.items()
+    }
+
+    @pandas_udf("double")
+    def _adist(codes: pd.Series, qids: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack(codes.to_numpy()).astype(np.int64, copy=False)
+        q = qids.to_numpy()
+        out = np.empty(len(C), dtype=np.float64)
+        for qid in np.unique(q):
+            sel = q == qid
+            Tq = T[int(qid)]
+            acc = Tq[0][C[sel, 0]]
+            for j in range(1, len(Tq)):
+                acc = acc + Tq[j][C[sel, j]]
+            out[sel] = acc
+        return pd.Series(out)
+
+    return _adist
+
+
 def _pq_encode_batch(vecs, cb, m):
     """(N, d) float64 -> (N, m) int32 PQ codes: one (N, k) distance
     matrix per subspace built dim-at-a-time (explicit left-assoc

@@ -731,6 +731,25 @@ def train_pq_codebook(
     return codebook
 
 
+def pq_query_table(codebook, qvec, m: int) -> list[list[float]]:
+    """The (m x n_centroids) query-to-centroid subspace distance table
+    PQ asymmetric search ships in its UDF closure — float64 with
+    EXPLICIT left-assoc dim-at-a-time accumulation (the determinism
+    contract in ``build_pq``); shared by the single-query and batch
+    probe paths so both produce bit-identical distances."""
+    import numpy as np
+
+    q = np.asarray(list(qvec), dtype=np.float64)
+    d = codebook.shape[1]
+    sub = d // m
+    qd = np.zeros((m, codebook.shape[0]), dtype=np.float64)
+    for j in range(m):
+        for dim in range(sub):
+            diff = q[j * sub + dim] - codebook[:, j * sub + dim]
+            qd[j] = qd[j] + diff * diff
+    return [[float(x) for x in row] for row in qd]
+
+
 def pq_topk(
     codes: DataFrame,
     codebook,
@@ -754,18 +773,7 @@ def pq_topk(
     rescores WITHOUT a join back to the base table (r7: the old
     survivors-broadcast-join materialized an extra job per probe; only
     k rows ever carry the payload, so the heap stays cheap)."""
-    import numpy as np
-
-    q = np.asarray(list(qvec), dtype=np.float64)
-    d = codebook.shape[1]
-    sub = d // m
-    # left-assoc accumulation, dim at a time (determinism contract above)
-    qd = np.zeros((m, codebook.shape[0]), dtype=np.float64)
-    for j in range(m):
-        for dim in range(sub):
-            diff = q[j * sub + dim] - codebook[:, j * sub + dim]
-            qd[j] = qd[j] + diff * diff
-    table = [[float(x) for x in row] for row in qd]
+    table = pq_query_table(codebook, qvec, m)
     # Arrow lookup, not an m*k-literal expression chain: Catalyst
     # analysis of the literal form is linear in the table size (~1.8 s
     # of driver time per query at k=256 — the 1M SCALING run); the UDF
@@ -963,6 +971,101 @@ class IVFPQIndex:
             carry_cols=("embedding",),
         )
         return topk_ids(survivors.select("vec_id", "embedding"), qvec, k)
+
+    def batch_topk(
+        self,
+        queries: Sequence[tuple[int, Sequence[float]]],
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 100,
+    ) -> DataFrame:
+        """Serve MANY queries from ONE scan of the probed-cell union —
+        the compressed-index analogue of ``IVFIndex.batch_topk`` and the
+        high-QPS offline shape (eval sweeps, hard-negative mining,
+        recall audits). Probe selection runs driver-side per query
+        (centroids are tiny); per-query (m x k) distance tables are
+        precomputed driver-side and shipped in ONE Arrow closure; a
+        broadcast (query_id, cell) relation pairs each stored row with
+        exactly the queries that probed its cell. Stage shape:
+
+          1. codes scan of the probed-cell union (partition pruning;
+             embedding column NEVER read here — column pruning) ->
+             pair adist -> per-query top-``refine`` window on SKINNY
+             (query_id, vec_id, approx_dist) rows;
+          2. survivors (<= Q*refine rows — broadcastable by
+             construction) broadcast-join back onto the pruned union to
+             fetch embeddings for ONLY those pairs -> exact pair-cosine
+             rescore -> per-query top-k window.
+
+        Both shuffles carry skinny rows; the d-wide embedding bytes ride
+        only on Q*refine survivor pairs. Distances are bit-identical to
+        Q single ``topk`` calls (shared ``pq_query_table`` + same
+        fixed-j-order UDF math), same tie order (rounded 6dp, vec_id
+        asc) — with every cell probed and ``refine`` >= the union size
+        the result is REQUIRED to equal brute-force per-query cosine
+        top-k, which is how the registry oracle checks this path.
+        Returns (query_id, vec_id, score, rn)."""
+        from pyspark.sql import Window
+
+        from vectolite_spark._pandas_udfs import (
+            make_pair_cosine_udf,
+            make_pq_adist_multi_udf,
+        )
+
+        qlist = [
+            (int(qid), [float(x) for x in vec]) for qid, vec in queries
+        ]
+        spark = self.spark
+        qcells = [
+            (qid, int(c))
+            for qid, vec in qlist
+            for c in self.probe(vec, n_probe)
+        ]
+        route = spark.createDataFrame(qcells, "query_id long, cell long")
+        cells = self._open_cells().filter(
+            F.col("cell").isin(sorted({c for _, c in qcells}))
+        )
+        tables = {
+            qid: pq_query_table(self.codebook, vec, self.m)
+            for qid, vec in qlist
+        }
+        adist = make_pq_adist_multi_udf(tables)(
+            F.col("codes"), F.col("query_id")
+        )
+        w_refine = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_dist"), F.asc("vec_id")
+        )
+        survivors = (
+            cells.select("cell", "vec_id", "codes")
+            .join(F.broadcast(route), "cell")
+            .select(
+                "query_id", "vec_id", F.round(adist, 6).alias("approx_dist")
+            )
+            .withColumn("rn", F.row_number().over(w_refine))
+            .filter(F.col("rn") <= refine)
+            .select("query_id", "vec_id")
+        )
+        qv_df = spark.createDataFrame(
+            qlist, "query_id long, qv array<float>"
+        )
+        cos = make_pair_cosine_udf()
+        w_k = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            cells.select("vec_id", "embedding")
+            .join(F.broadcast(survivors), "vec_id")
+            .join(F.broadcast(qv_df), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cos(F.col("embedding"), F.col("qv")), 6).alias(
+                    "score"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w_k).cast("long"))
+            .filter(F.col("rn") <= k)
+        )
 
 
 def ivfpq_index_append(

@@ -7252,6 +7252,61 @@ def ann_ivfpq_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_batch_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 200 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) = 0
+                  OR list_dot_product(q.qv, q.qv) = 0
+                THEN 0.0
+                ELSE list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv)))
+           END, 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, score, rn FROM ranked WHERE rn <= 5
+""",
+)
+def ann_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ probe against the prebuilt index (r11):
+    ``IVFPQIndex.batch_topk`` serves MANY queries from ONE scan of the
+    probed-cell union — driver-side routing, one Arrow closure carrying
+    every query's (m x k) distance table, skinny per-query refine
+    windows, broadcast survivor rescore. Full probe + refine >= N keeps
+    the exact-rescore guarantee, so the batch result is REQUIRED to
+    equal brute-force per-query cosine top-k — the same oracle shape as
+    ``batch_topk``, replayed here against the compressed index's own
+    cells. Partial-probe recall for this index family is gated
+    separately by ``ann_ivfpq_partial_probe`` and the §9/§9b floors."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embs.filter(F.col("vec_id") % 200 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    n = _table_count(spark, sf_dir, "embeddings")
+    idx = _ivfpq_handle(spark, _ensure_ivfpq_index(spark, sf_dir, embs), m=8)
+    return idx.batch_topk(queries, k=5, n_probe=16, refine=n).select(
+        "query_id", "vec_id", "score", "rn"
+    )
+
+
+@register(
     "snapshot_version_diff",
     """
 SELECT 'added' AS change,
@@ -11862,13 +11917,16 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = [
     # -- r11 window --------------------------------------------------------
     # VERDICT r10 item 3 (hold the evidence steady state) + item 7:
-    # the one NEW entry (ivf_seed_topup_cells — the r10 seed top-up
-    # path's first driver row), then the full r6-green cohort (37
-    # names — after this round no entry's latest driver evidence is
-    # older than r7), then the first 12 of the r7 cohort
-    # (alphabetical; the remaining 30 r7 names rotate in r12).
+    # the two NEW entries (ivf_seed_topup_cells — the r10 seed top-up
+    # path's first driver row; ann_ivfpq_batch_topk — the r11 batch
+    # probe), then the full r6-green cohort (37 names — after this
+    # round no entry's latest driver evidence is older than r7), then
+    # the first 11 of the r7 cohort (alphabetical; the remaining 31 r7
+    # names — dsir_gumbel_sample yielded its slot to the new entry —
+    # rotate in r12).
     # new in r11 (no evidence yet)
     "ivf_seed_topup_cells",
+    "ann_ivfpq_batch_topk",
     # r6-green cohort (latest driver evidence = round 6) — all 37
     "agg_pricing_summary",
     "aqp_join_universe_sample",
@@ -11919,11 +11977,10 @@ _DRIVER_WINDOW = [
     "cube_order_counts",
     "customers_without_orders",
     "dataset_split_counts",
-    "dsir_gumbel_sample",
 ]
 
-# ROTATE IN FOR r12: after r11 the oldest union evidence is the 30-name
-# r7 remainder (dsir_importance_sample, embedding_norm_stats,
+# ROTATE IN FOR r12: after r11 the oldest union evidence is the 31-name
+# r7 remainder (dsir_gumbel_sample, dsir_importance_sample, embedding_norm_stats,
 # events_window_agg, ... — recompute from the CORRECTNESS_r0*.json
 # union, latest-green-round per entry, oldest first), then the r8
 # cohort (48 names). Fill non-(new/touched) slots oldest-first and put
