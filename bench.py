@@ -822,6 +822,27 @@ def main() -> None:
             "exit": proc.returncode,
             "flagged": flagged,
         }
+        if proc.returncode != 0 and flagged:
+            # SCALING §8g standing rule: a red diff without a matching
+            # same-hour A/B control artifact is a ROUND-CLOSING defect.
+            # Embed the exact adjudication command so the protocol step
+            # is mechanical (r11 shipped a visible-but-unadjudicated
+            # flag; the command removes the last excuse).
+            prev_commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=REPO,
+            ).stdout.strip()
+            ab_cmd = (
+                f"python tools/ab_bench.py --old <prev-round-commit> "
+                f"--keys {','.join(flagged)} --reps 5 --inner 3 "
+                f"--out BENCH_rN_ab_control.json"
+            )
+            result["bench_diff_vs_prev"]["adjudicate_with"] = ab_cmd
+            print(
+                f"bench_diff flagged {flagged} (measured at {prev_commit})"
+                f" — REQUIRED before the round closes:\n  {ab_cmd}",
+                file=sys.stderr,
+            )
     except Exception as exc:  # never let the diff break the artifact
         result["bench_diff_vs_prev"] = {"exit": -1, "error": str(exc)[:200]}
     print(json.dumps(result))

@@ -449,7 +449,10 @@ def test_ivfpq_batch_topk_matches_single_probes(spark, sf_dir, tmp_path):
     idx = IVFPQIndex(spark, path, m=8)
     queries = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in embs.filter(F.col("vec_id") % 17 == 3).limit(4).collect()
+        for r in embs.filter(F.col("vec_id") % 17 == 3)
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
     ]
     assert len(queries) >= 2
     batch = idx.batch_topk(queries, k=5, n_probe=2, refine=30).collect()
@@ -462,6 +465,13 @@ def test_ivfpq_batch_topk_matches_single_probes(spark, sf_dir, tmp_path):
             for r in idx.topk(vec, k=5, n_probe=2, refine=30).collect()
         ]
         assert got.get(qid, []) == single, f"query {qid} diverged"
+
+    # duplicate query ids would key two distance tables onto one dict
+    # slot while the routing relation kept both — refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        idx.batch_topk([queries[0], queries[0]], k=5)
 
 
 def test_ivfpq_build_query_and_pruning(spark, sf_dir, tmp_path):
@@ -1026,3 +1036,58 @@ def test_seed_topup_never_empties_donor_groups(spark):
         for r in seeded.filter("_seed_cell = 1").collect()
     }
     assert sum(1 for v in promoted_vecs if v in small_group) <= 1
+
+
+def test_srp_batch_plan_matches_ivfpq_batch_contract(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 6 audit, pinned: ``srp_index_topk_batch`` must
+    follow the r11 batch-serving plan contract that
+    ``IVFPQIndex.batch_topk`` set — ONE pruned read of the block-dir
+    union, broadcast-only joins (the (query, block) routing table and
+    the query-vector table are both driver-small by construction), and
+    NO exchange carrying the d-wide embedding or query-vector bytes:
+    scoring runs map-side on the pruned scan, so the only shuffles are
+    the skinny (query_id, vec_id, score) distinct + top-k window.
+    Audit finding: the shape already complied — unlike IVF-PQ there is
+    no approximate pre-filter, every LSH candidate IS a rescore
+    survivor, so 'broadcast rescore' degenerates to scoring the pruned
+    scan in place; this test keeps it that way."""
+    import re
+
+    from vectolite_spark.operators.ann import (
+        build_srp_index,
+        srp_index_topk_batch,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "srp_batch_plan")
+    build_srp_index(embs, path)
+    queries = (
+        embs.filter(F.col("vec_id") % 23 == 1)
+        .orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    df = srp_index_topk_batch(spark, path, queries, k=5)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one pruned scan of the index layout: exactly one parquet scan of
+    # the cells dirs (routing + query vectors arrive as local relations)
+    n_scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+    assert n_scans == 1, plan
+    # no exchange moves wide rows: in the formatted plan every Exchange
+    # block's Input/Output attribute lists must exclude the embedding
+    # and query-vector columns
+    fmt = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        qe, "formatted"
+    )
+    blocks = re.split(r"\n\n", fmt)
+    exch = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
+    assert exch, fmt  # the distinct/window shuffles exist
+    for b in exch:
+        assert "embedding" not in b and "qv#" not in b, b

@@ -55,6 +55,11 @@ BUILD_KEYS = {
     "trgm_streaming_build": ("trgm_stream_v1_b8", "_ensure_trgm_stream_index"),
 }
 
+# serving QPS keys: measured with bench.py's meter shapes (same thread
+# counts, same warm pass, AQE off, 8-partition cached working set);
+# median over --inner reps, reported in q/s (higher = better)
+SERVING_KEYS = ("serving_concurrent_qps", "serving_microbatch_qps")
+
 # query keys that probe a prebuilt index: ensure it exists (untimed)
 # before timing, matching bench.py's build-then-sweep ordering
 PREBUILT_DEPS = {
@@ -63,6 +68,73 @@ PREBUILT_DEPS = {
     "bm25_indexed_topk": "_ensure_bm25_index",
     "ann_ivf_built_topk": "_ensure_ivf_index",
 }
+
+
+def _measure_serving(spark, sf_dir: str, keys: list[str], inner: int) -> dict:
+    """bench.py's serving meters, verbatim shapes: job-per-query under 16
+    parallel clients (concurrent) and the MicroBatcher dispatch loop
+    under 32 clients (microbatch). One unrecorded warm pass, then the
+    requested keys interleaved ``inner`` times; per-key MEDIAN q/s."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.topk import topk_ids
+    from vectolite_spark.schema import load_table
+    from vectolite_spark.serving import MicroBatcher
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    embs = load_table(spark, sf_dir, "embeddings").coalesce(8).cache()
+    embs.count()
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.filter(F.col("vec_id") % 199 == 7).limit(12).collect()
+    ]
+
+    def _threaded(n_threads, per_thread, call) -> float:
+        def worker(tid: int) -> None:
+            for i in range(per_thread):
+                call(tid, i)
+
+        worker(0)  # per-rep warm: JIT + caches for THIS shape
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=worker, args=(t,))
+            for t in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return round(n_threads * per_thread / (time.time() - t0), 1)
+
+    mb = MicroBatcher(embs, k=10, max_batch=64, max_wait_ms=8)
+    meters = {
+        "serving_concurrent_qps": lambda: _threaded(
+            16, 8,
+            lambda tid, i: topk_ids(
+                embs, qvecs[(tid + i) % len(qvecs)], 10
+            ).collect(),
+        ),
+        "serving_microbatch_qps": lambda: _threaded(
+            32, 8, lambda tid, i: mb.query(qvecs[(tid + i) % len(qvecs)])
+        ),
+    }
+    for name in keys:
+        meters[name]()  # unrecorded warm pass
+    samples: dict[str, list[float]] = {n: [] for n in keys}
+    for _ in range(inner):
+        for name in keys:
+            samples[name].append(meters[name]())
+    try:
+        mb.close()
+    except AttributeError:  # older refs: no close()
+        pass
+    embs.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return {
+        n: sorted(v)[len(v) // 2] for n, v in samples.items()
+    }
 
 
 def measure(keys: list[str], inner: int) -> dict[str, float]:
@@ -80,7 +152,14 @@ def measure(keys: list[str], inner: int) -> dict[str, float]:
         if name not in BUILD_KEYS:
             continue
         recipe, fn_name = BUILD_KEYS[name]
-        fn = getattr(registry, fn_name)
+        # older --old refs predate some lifecycle builds (e.g. the
+        # trgm_inc/trgm_stream _ensure fns landed r10/r11) — emit NaN
+        # instead of crashing the measurement subprocess, mirroring the
+        # clear_managed_caches ImportError fallback below
+        fn = getattr(registry, fn_name, None)
+        if fn is None:
+            out[name] = float("nan")
+            continue
         best = None
         for _ in range(inner):
             shutil.rmtree(
@@ -94,13 +173,18 @@ def measure(keys: list[str], inner: int) -> dict[str, float]:
     for name in keys:
         dep = PREBUILT_DEPS.get(name)
         if dep is not None:
-            getattr(registry, dep)(spark, sf_dir)
+            dep_fn = getattr(registry, dep, None)
+            if dep_fn is not None:
+                dep_fn(spark, sf_dir)
     try:
         from vectolite_spark.operators.dedup import clear_managed_caches
     except ImportError:  # pragma: no cover - very old refs
         clear_managed_caches = lambda: None  # noqa: E731
+    serving_wanted = [n for n in keys if n in SERVING_KEYS]
+    if serving_wanted:
+        out.update(_measure_serving(spark, sf_dir, serving_wanted, inner))
     for name in keys:
-        if name in BUILD_KEYS:
+        if name in BUILD_KEYS or name in SERVING_KEYS:
             continue
         fn = registry.QUERIES.get(name)
         if fn is None:

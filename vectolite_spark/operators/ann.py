@@ -998,12 +998,19 @@ class IVFPQIndex:
              rescore -> per-query top-k window.
 
         Both shuffles carry skinny rows; the d-wide embedding bytes ride
-        only on Q*refine survivor pairs. Distances are bit-identical to
-        Q single ``topk`` calls (shared ``pq_query_table`` + same
-        fixed-j-order UDF math), same tie order (rounded 6dp, vec_id
-        asc) — with every cell probed and ``refine`` >= the union size
-        the result is REQUIRED to equal brute-force per-query cosine
-        top-k, which is how the registry oracle checks this path.
+        only on Q*refine survivor pairs. PQ approximate distances are
+        bit-identical to Q single ``topk`` calls (shared
+        ``pq_query_table`` + same fixed-j-order UDF math), same tie
+        order (rounded 6dp, vec_id asc). The exact-rescore cosine runs
+        through a different float kernel than the single path
+        (elementwise ``(A*B).sum`` here vs BLAS matmul in ``topk_ids``),
+        so a knife-edge score sitting exactly on a 6dp rounding boundary
+        could in principle round apart between the two paths — the same
+        measure-zero boundary class as every rounded-score comparison in
+        this repo (see the SRP bucket mapper's sign-boundary note).
+        With every cell probed and ``refine`` >= the union size the
+        result is REQUIRED to equal brute-force per-query cosine top-k,
+        which is how the registry oracle checks this path.
         Returns (query_id, vec_id, score, rn)."""
         from pyspark.sql import Window
 
@@ -1015,6 +1022,19 @@ class IVFPQIndex:
         qlist = [
             (int(qid), [float(x) for x in vec]) for qid, vec in queries
         ]
+        from collections import Counter
+
+        counts = Counter(q for q, _ in qlist)
+        dups = sorted(q for q, c in counts.items() if c > 1)
+        if dups:
+            # the per-query distance-table dict keys on query_id: a
+            # duplicate id would keep only the LAST query's table while
+            # the routing relation kept BOTH queries' (id, cell) rows —
+            # pairs silently scored against the wrong table. Refuse.
+            raise ValueError(
+                f"batch_topk: duplicate query ids {dups[:5]} — query ids "
+                "must be unique within one batch"
+            )
         spark = self.spark
         qcells = [
             (qid, int(c))
