@@ -11915,78 +11915,76 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROTATE the window each round until every entry has an authoritative row.
 
 _DRIVER_WINDOW = [
-    # -- r11 window --------------------------------------------------------
-    # VERDICT r10 item 3 (hold the evidence steady state) + item 7:
-    # the two NEW entries (ivf_seed_topup_cells — the r10 seed top-up
-    # path's first driver row; ann_ivfpq_batch_topk — the r11 batch
-    # probe), then the full r6-green cohort (37 names — after this
-    # round no entry's latest driver evidence is older than r7), then
-    # the first 11 of the r7 cohort (alphabetical; the remaining 31 r7
-    # names — dsir_gumbel_sample yielded its slot to the new entry —
-    # rotate in r12).
-    # new in r11 (no evidence yet)
-    "ivf_seed_topup_cells",
+    # -- r12 window --------------------------------------------------------
+    # VERDICT r11 item 2 (hold the evidence steady state): one entry
+    # whose compute path changed this round (ann_ivfpq_batch_topk —
+    # duplicate-query-id guard at the top of IVFPQIndex.batch_topk),
+    # then the FULL 31-name r7 remainder (latest driver evidence =
+    # round 7 — after this round nothing is older than r8), then the
+    # first 18 of the r8 cohort (alphabetical).
+    # touched in r12
     "ann_ivfpq_batch_topk",
-    # r6-green cohort (latest driver evidence = round 6) — all 37
-    "agg_pricing_summary",
-    "aqp_join_universe_sample",
-    "asia_customer_orders",
-    "asof_last_click",
-    "association_rules",
-    "big_ticket_orders",
-    "cdc_containment_pairs",
-    "click_and_purchase_users",
-    "constraint_audit",
-    "contrastive_triplets",
-    "copurchase_pairs",
-    "dedup_clusters_distributed",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "embedding_covariance",
-    "embedding_drift",
-    "embedding_outliers",
-    "event_transitions",
-    "item_recommendations",
-    "k_anonymity_audit",
-    "key_skew_report",
-    "lang_id",
-    "leakage_safe_split",
-    "pareto_front_parts",
-    "resample_interpolate",
-    "robust_anomalies",
-    "schema_drift_audit",
-    "seasonal_decomposition",
-    "session_duration_stats",
-    "session_paths",
-    "sliding_wau",
-    "span_corruption_pairs",
-    "streaming_trigram_maintenance",
-    "text_quality",
-    "token_count",
-    "tokenizer_fertility",
-    "transition_entropy",
-    # r7 cohort, first 12 (latest driver evidence = round 7)
-    "ann_ivfpq_exact_rescore",
-    "ann_ivfpq_partial_probe",
-    "ann_ivfpq_probe_prebuilt",
-    "ann_pq_topk",
-    "batch_topk",
-    "cdf_incremental_dedup",
-    "centroid_classify_confusion",
-    "corpus_curation",
-    "cube_order_counts",
-    "customers_without_orders",
-    "dataset_split_counts",
+    # r7-green remainder (latest driver evidence = round 7) — all 31
+    "dsir_gumbel_sample",
+    "dsir_importance_sample",
+    "embedding_norm_stats",
+    "events_window_agg",
+    "grouped_doc_stats",
+    "join_revenue_by_nation",
+    "merge_upsert_preview",
+    "moment_stats",
+    "parts_per_flag",
+    "pivot_priority_by_year",
+    "price_histogram",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "quantile_stats",
+    "range_join_value_bands",
+    "retrieval_ndcg_eval",
+    "rolling_avg_order_value",
+    "rollup_revenue",
+    "sessionize_events",
+    "snapshot_changed_data_feed",
+    "snapshot_pruned_delete",
+    "snapshot_schema_evolution",
+    "snapshot_time_travel",
+    "snapshot_version_diff",
+    "sql_shipyear_revenue",
+    "streaming_session_windows",
+    "top_customers_by_revenue",
+    "window_top_orders",
+    # r8 cohort, first 18 (alphabetical; latest driver evidence = round 8)
+    "ann_batch_lsh",
+    "ann_batch_lsh_indexed",
+    "ann_lsh_indexed_topk",
+    "ann_mllib_lsh_recall",
+    "bitext_margin_mine",
+    "bm25_batch_indexed_topk",
+    "bm25_indexed_topk",
+    "ccnet_perplexity_buckets",
+    "cdf_incremental_semdedup",
+    "cdf_synced_bm25_topk",
+    "cdf_synced_ivf_topk",
+    "cdf_synced_ivfpq_topk",
+    "cdf_synced_srp_topk",
+    "cdf_synced_trigram_search",
+    "chunk_documents",
+    "count_documents",
+    "dedup_clusters_bigstar",
+    "dedup_embedding_cosine",
 ]
 
-# ROTATE IN FOR r12: after r11 the oldest union evidence is the 31-name
-# r7 remainder (dsir_gumbel_sample, dsir_importance_sample, embedding_norm_stats,
-# events_window_agg, ... — recompute from the CORRECTNESS_r0*.json
-# union, latest-green-round per entry, oldest first), then the r8
-# cohort (48 names). Fill non-(new/touched) slots oldest-first and put
-# anything whose code changes in r12 back in the window. Steady state
-# holds: window capacity (50) > per-round growth, so no entry's
-# evidence should age past ~4 rounds.
+# ROTATE IN FOR r13: after r12 the oldest union evidence is the 30-name
+# r8 remainder (dedup_embedding_srp, dedup_exact, dedup_incremental,
+# dedup_minhash, ... — recompute from the CORRECTNESS_r0*.json union,
+# latest-green-round per entry, oldest first), then the 48-name r9
+# cohort. Fill non-(new/touched) slots oldest-first and put anything
+# whose code changes in r13 back in the window. Steady state holds:
+# window capacity (50) > per-round growth, so no entry's evidence
+# should age past ~4 rounds.
 
 # driver-green in r8/r9 (see CORRECTNESS_r08/09.json; the r6/r7 cohorts
 # sit in the unordered middle) — freshest evidence, safe to re-verify last
@@ -12041,12 +12039,10 @@ _DEMOTED_STABLE = [
     "ann_ivf_batch_topk",
     "flagship_topk",
     "topk_filtered",
-    "count_documents",
     "point_lookup",
     "pagination",
     "projection_truncate",
     "delete_as_filter",
-    "chunk_documents",
     "profile_documents",
     "dedup_exact",
     "dedup_minhash",
@@ -12058,35 +12054,19 @@ _DEMOTED_STABLE = [
     "tfidf_top_terms",
     "dedup_simhash_r1",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "semdedup_prune",
     "dedup_embedding_srp",
-    "ann_batch_lsh",
-    "ann_batch_lsh_indexed",
-    "ann_lsh_indexed_topk",
-    "ann_mllib_lsh_recall",
     "json_access",
-    "dedup_clusters_bigstar",
     "dedup_incremental",
-    "bm25_indexed_topk",
-    "bm25_batch_indexed_topk",
     "hybrid_indexed_topk",
     "hybrid_batch_indexed_topk",
     "zonemap_pruned_scan",
     "snapshot_zorder_pruned_scan",
     "gdpr_erasure_audit",
-    "cdf_incremental_semdedup",
-    "cdf_synced_ivf_topk",
-    "cdf_synced_trigram_search",
-    "cdf_synced_bm25_topk",
     "snapshot_shallow_clone",
-    "cdf_synced_srp_topk",
-    "cdf_synced_ivfpq_topk",
     "maintenance_loop_capstone",
     "trigram_batch_substring_search",
-    "bitext_margin_mine",
     "minhash_recall_contract",
-    "ccnet_perplexity_buckets",
 ]
 
 
