@@ -10,11 +10,23 @@ Reference baseline for context: an O(N*d) scan at 1M x 64 is ~10 s per
 query single-core (BASELINE.md regime); Spark brute force at local[32]
 is measured below by the exact-truth pass itself.
 
-Usage: python tools/ann_scale_eval.py [N] [workdir] [geometry]
-       (defaults: 1_000_000, /root/repo/.cache/ann_scale, clustered)
+Usage: python tools/ann_scale_eval.py [N] [workdir] [geometry] [profile]
+       (defaults: 1_000_000, /root/repo/.cache/ann_scale, clustered, full)
        geometry: clustered | aniso (synthdata.GEOMETRIES — aniso is the
        realistic-geometry stressor VERDICT r9 item 3 asked for: rotated
        per-cluster anisotropy, heteroscedastic radii, Zipf-skewed cells)
+       profile:  full  — the section-9/9b harness (both index families,
+                 per-query probe jobs; the historical numbers in
+                 SCALING 9/9b were measured this way);
+                 point — the section-9c decade-extension harness
+                 (VERDICT r11 item 4): ONE IVF-PQ build at the 9b
+                 steady-state operating point (m=32, n_probe=8,
+                 refine=1000) probed with IVFPQIndex.batch_topk — one
+                 Spark job per sweep point instead of Q sequential
+                 probe jobs, the r11 batch shape that makes a 10M x 64
+                 point affordable — plus an executable recall floor
+                 (exit 1 below 0.95) so the recorded decade can't
+                 silently regress.
 """
 
 from __future__ import annotations
@@ -40,6 +52,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     work = sys.argv[2] if len(sys.argv) > 2 else f"{REPO}/.cache/ann_scale"
     geometry = sys.argv[3] if len(sys.argv) > 3 else "clustered"
+    profile = sys.argv[4] if len(sys.argv) > 4 else "full"
     gtag = "" if geometry == "clustered" else f"_{geometry}"
     n_queries, k = 128, 10
 
@@ -93,10 +106,68 @@ def main() -> None:
 
     results: dict[str, dict] = {
         "n": n, "dim": 64, "n_queries": n_queries, "k": k,
-        "geometry": geometry,
+        "geometry": geometry, "profile": profile,
         "exact_batch_total_s": round(t_exact, 2),
         "exact_ms_per_query": round(t_exact / n_queries * 1000, 1),
     }
+
+    if profile == "point":
+        # section-9c decade extension: the 9b steady-state operating
+        # point (m=32 — finer subspaces instead of refine-widening —
+        # n_probe=8, refine=1000), cells scaled to hold ~1K-row
+        # occupancy (the quantity refine is calibrated against; 9b
+        # note 4: refine scales with tie width ~ occupancy, not N)
+        n_cells = max(1024, 1 << (n // 1000).bit_length() - 1)
+        m, pq_k, refine = 32, 256, 1000
+        path = f"{work}/ivfpq_m32{gtag}_n{n}"
+        if not os.path.exists(f"{path}/cells/_SUCCESS"):
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.time()
+            build_ivfpq_index(
+                embs, path, n_cells=n_cells, m=m, pq_k=pq_k,
+                pq_iters=2, ivf_iters=2,
+            )
+            results["ivfpq_build_s"] = round(time.time() - t0, 1)
+            print(f"ivfpq build (cells={n_cells}, m={m}, pq_k={pq_k}): "
+                  f"{results['ivfpq_build_s']}s")
+        idx = IVFPQIndex(spark, path, m=m)
+        qpairs = [
+            (int(r["query_id"]), [float(v) for v in r["query_vec"]])
+            for r in queries.collect()
+        ]
+        floor_recall = 0.0
+        for n_probe in (8, 32):
+            t0 = time.time()
+            rows = idx.batch_topk(
+                qpairs, k=k, n_probe=n_probe, refine=refine
+            ).collect()
+            dt = time.time() - t0
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            hits = sum(len(got.get(q, set()) & truth[q]) for q in truth)
+            tot = sum(len(v) for v in truth.values())
+            key = f"ivfpq_m32_batch_probe{n_probe}"
+            results[key] = {
+                "recall@10": round(hits / tot, 4),
+                "batch_total_s": round(dt, 1),
+                "ms_per_query_amortized": round(dt / len(qpairs) * 1000, 1),
+            }
+            print(key, results[key])
+            if n_probe == 8:
+                floor_recall = hits / tot
+        # one single-query probe job for the legacy latency column
+        qv = qpairs[0][1]
+        idx.topk(qv, k=k, n_probe=8, refine=refine).collect()  # warm
+        t0 = time.time()
+        idx.topk(qv, k=k, n_probe=8, refine=refine).collect()
+        results["ivfpq_m32_single_query_s"] = round(time.time() - t0, 2)
+        print(json.dumps(results))
+        if floor_recall < 0.95:
+            print(f"FLOOR FAILED: recall@10 {floor_recall:.4f} < 0.95 "
+                  "at the 9b operating point")
+            sys.exit(1)
+        return
 
     # ---- IVF-PQ ----------------------------------------------------------
     # m=16 (4-dim subspaces), not m=8: with cluster-structured data and a
