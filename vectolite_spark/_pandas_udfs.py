@@ -515,6 +515,42 @@ def make_fingerprint_udf(gram=8):
     return _fp
 
 
+def _assign_cells(mat, cmat, cn, cids):
+    """Nearest-centroid assignment for one Arrow batch of embeddings:
+    for each row of ``mat`` (N x d), the id of the centroid with the
+    highest HALF_UP-6dp-rounded cosine, lowest-cluster-id ties,
+    zero-norm rows -> lowest id. ``cmat``/``cn``/``cids`` must already
+    be sorted by cluster id ascending (first-wins == lowest id).
+
+    Output-identical to ``cids[argmax(round_half_up(cos_matrix, 6))]``
+    but does NOT round the full N x C score matrix: ``round_half_up``
+    is monotone, so any column whose ROUNDED score ties the rounded row
+    max has a RAW score within one rounding bucket (1e-6) of the raw
+    row max — only that candidate set (~1 column/row off tie
+    boundaries) needs rounding. At the 10M x 8192-cell build shape the
+    full-matrix round + argmax + where() postprocess was ~10 elementwise
+    N*C passes and cost ~10x the assignment gemm itself (round-12
+    profile: 70 s/10K-row batch -> the gemm's ~1 s); the division stays
+    the single ``scores / outer(dn, cn)`` op so surviving scores are
+    bit-identical to the old kernel."""
+    dn = np.sqrt((mat * mat).sum(axis=1))
+    scores = mat @ cmat.T  # N x C — the irreducible gemm
+    denom = np.outer(dn, cn)
+    if (dn == 0.0).any() or (cn == 0.0).any():
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom == 0.0, 0.0, scores / denom)
+    else:
+        np.divide(scores, denom, out=scores)  # same bits, no 2nd temp
+    row_max = scores.max(axis=1)
+    # one rounding bucket is 1e-6 wide; 2e-6 over-covers boundary cases
+    # (a superset of candidates is harmless — non-ties lose the argmax)
+    rows, cols = np.nonzero(scores >= (row_max - 2e-6)[:, None])
+    rs = round_half_up(scores[rows, cols], 6)
+    order = np.lexsort((cols, -rs, rows))  # row asc, rounded desc, col asc
+    first = np.unique(rows[order], return_index=True)[1]
+    return cids[cols[order[first]]]
+
+
 def make_cell_assign_mapper(cluster_ids, centroid_vecs):
     """mapInPandas mapper assigning each vector to its nearest centroid by
     cosine — one (N x d) @ (d x C) matmul per Arrow batch against the
@@ -538,14 +574,8 @@ def make_cell_assign_mapper(cluster_ids, centroid_vecs):
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
-            dn = np.sqrt((mat * mat).sum(axis=1))
-            scores = mat @ cmat.T  # N x C
-            denom = np.outer(dn, cn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                scores = np.where(denom == 0.0, 0.0, scores / denom)
-            best = np.argmax(round_half_up(scores, 6), axis=1)  # first max wins
             out = pdf[["vec_id", "embedding"]].copy()
-            out["cell"] = cids[best]
+            out["cell"] = _assign_cells(mat, cmat, cn, cids)
             yield out
 
     return mapper
@@ -767,12 +797,7 @@ def make_assign_encode_mapper(cluster_ids, centroid_vecs, codebook, m):
                 np.float64, copy=False
             )
             if cluster_ids is not None:
-                dn = np.sqrt((mat * mat).sum(axis=1))
-                scores = mat @ cmat.T  # N x C
-                denom = np.outer(dn, cn)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    scores = np.where(denom == 0.0, 0.0, scores / denom)
-                cell = cids[np.argmax(round_half_up(scores, 6), axis=1)]
+                cell = _assign_cells(mat, cmat, cn, cids)
             else:
                 cell = pdf["cell"].values
             codes = _pq_encode_batch(mat, cb, m)
