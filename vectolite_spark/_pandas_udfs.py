@@ -877,11 +877,19 @@ def make_trigram_udf():
     Arrow-batched because the Catalyst form (per-char ``substr`` inside
     ``transform`` + ``array_distinct``) measured ~10x slower on the
     sf0.1 build: ~15M substring expressions per corpus pass vs a tight
-    per-doc Python loop at ~us/doc."""
+    per-doc Python loop at ~us/doc.
+
+    Marked non-deterministic (guide §4.4) although the function is pure:
+    the explode()-inferred ``size(t) > 0`` filter otherwise gets pushed
+    below the projection WITH ITS OWN COPY of the UDF — two
+    ArrowEvalPython nodes, every document tokenized twice per build (and
+    the duplicate lands below the small-corpus fan-out exchange, i.e. on
+    one task). The flag forbids the optimizer from duplicating or
+    reordering the call; output is unchanged."""
     from vectolite_spark.operators.retrieval import extract_trigrams
 
     @pandas_udf("array<string>")
     def _trigrams(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: extract_trigrams(t or ""))
 
-    return _trigrams
+    return _trigrams.asNondeterministic()

@@ -29,6 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
 from vectolite_spark.operators.topk import SCORE_DECIMALS, topk_ids
 
 
@@ -384,8 +385,10 @@ def build_ivf_index(
                     assigned.withColumnRenamed("cell", "_cell"), "_cell"
                 ).collect()
             ]
-        cents = embeddings.sparkSession.createDataFrame(
-            [(c, v) for c, v in cents_list], "cluster bigint, centroid array<double>"
+        cents = local_df(
+            embeddings.sparkSession,
+            [(c, v) for c, v in cents_list],
+            "cluster bigint, centroid array<double>",
         )
     else:
         assigned = embeddings.select(
@@ -471,8 +474,8 @@ class IVFIndex:
             for qid, vec in queries
             for c in self.probe(vec, n_probe)
         ]
-        qdf = self.spark.createDataFrame(
-            qcells, "query_id long, cell long, qv array<float>"
+        qdf = local_df(
+            self.spark, qcells, "query_id long, cell long, qv array<float>"
         )
         cells = self.cells().filter(
             F.col("cell").isin(sorted({c for _, c, _ in qcells}))
@@ -879,10 +882,13 @@ def build_ivfpq_index(
         embeddings, m=m, k=pq_k, id_col=id_col, n_iters=pq_iters
     )
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(c, v) for c, v in cents_list], "cluster bigint, centroid array<double>"
+    local_df(
+        spark,
+        [(c, v) for c, v in cents_list],
+        "cluster bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, [float(x) for x in codebook[i]]) for i in range(codebook.shape[0])],
         "code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebook")
@@ -1041,7 +1047,7 @@ class IVFPQIndex:
             for qid, vec in qlist
             for c in self.probe(vec, n_probe)
         ]
-        route = spark.createDataFrame(qcells, "query_id long, cell long")
+        route = local_df(spark, qcells, "query_id long, cell long")
         cells = self._open_cells().filter(
             F.col("cell").isin(sorted({c for _, c in qcells}))
         )
@@ -1065,8 +1071,8 @@ class IVFPQIndex:
             .filter(F.col("rn") <= refine)
             .select("query_id", "vec_id")
         )
-        qv_df = spark.createDataFrame(
-            qlist, "query_id long, qv array<float>"
+        qv_df = local_df(
+            spark, qlist, "query_id long, qv array<float>"
         )
         cos = make_pair_cosine_udf()
         w_k = Window.partitionBy("query_id").orderBy(
@@ -1437,8 +1443,8 @@ def _srp_resolve(spark, index_path, n_tables, n_planes) -> tuple[int, int]:
             import os as _os
 
             tmp = f"{index_path}/meta_tmp_{_os.getpid()}"
-            spark.createDataFrame(
-                [(nt, npl)], "n_tables int, n_planes int"
+            local_df(
+                spark, [(nt, npl)], "n_tables int, n_planes int"
             ).coalesce(1).write.mode("overwrite").parquet(tmp)
             fs = _HadoopFS(spark, index_path)
             if not fs.exists(f"{index_path}/meta"):  # lost race: keep theirs
@@ -1496,8 +1502,10 @@ def build_srp_index(
     # persist the build hyperparameters (the trigram index's meta
     # discipline): probes/appends resolve (n_tables, n_planes) from here
     # so a non-default build can never be probed with default planes
-    embeddings.sparkSession.createDataFrame(
-        [(int(n_tables), int(n_planes))], "n_tables int, n_planes int"
+    local_df(
+        embeddings.sparkSession,
+        [(int(n_tables), int(n_planes))],
+        "n_tables int, n_planes int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -1541,8 +1549,8 @@ def srp_index_topk(
             )
         ]
         if not paths:
-            return spark.createDataFrame(
-                [], "vec_id long, score double, rn long"
+            return local_df(
+                spark, [], "vec_id long, score double, rn long"
             )
         cells = (
             spark.read.option("basePath", f"{index_path}/cells")
@@ -1669,8 +1677,8 @@ def srp_index_topk_vecs(
             }
         )
         if not dirs:
-            return spark.createDataFrame(
-                [], f"{qid_col} long, vec_id long, score double, rn long"
+            return local_df(
+                spark, [], f"{qid_col} long, vec_id long, score double, rn long"
             )
         cells = spark.read.option("basePath", f"{index_path}/cells").parquet(
             *dirs
@@ -1679,8 +1687,8 @@ def srp_index_topk_vecs(
         cells = spark.read.parquet(f"{index_path}/cells").filter(
             F.col("block").isin(sorted({b for _, b in pairs}))
         )
-    qb = spark.createDataFrame(pairs, f"{qid_col} long, block string")
-    qv = spark.createDataFrame(qvecs, f"{qid_col} long, qv array<float>")
+    qb = local_df(spark, pairs, f"{qid_col} long, block string")
+    qv = local_df(spark, qvecs, f"{qid_col} long, qv array<float>")
     cand = cells.join(F.broadcast(qb), "block").join(
         F.broadcast(qv), qid_col
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
+
 # One cached intermediate per operator, replaced (and unpersisted) on the
 # next call: repeated invocations — bench loops over the whole registry —
 # must not accumulate cached blocks in executor storage memory for the
@@ -1075,8 +1077,10 @@ def _union_find_labels(spark, pairs):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return spark.createDataFrame(
-        sorted((n, find(n)) for n in nodes), "doc_id long, cluster_id long"
+    return local_df(
+        spark,
+        sorted((n, find(n)) for n in nodes),
+        "doc_id long, cluster_id long",
     )
 
 

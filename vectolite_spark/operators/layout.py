@@ -40,11 +40,36 @@ from pyspark.sql import functions as F
 __all__ = [
     "ensure_bucketed_table",
     "bucketed_join",
+    "fan_out_small_scan",
     "zorder_value",
     "write_zordered",
     "build_zonemap",
     "zonemap_pruned_read",
 ]
+
+
+def fan_out_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a SUB-PARALLELISM input before an expensive per-row
+    stage (tokenizer / encoder UDF), scale-adaptively.
+
+    A tiny corpus, a single unsplittable file, or one delta commit often
+    arrives as fewer scan splits than the session has cores — and an
+    Arrow UDF downstream then runs on ONE task while the rest of the
+    cluster idles (guide §2.5 "input skew": fix at the source or
+    repartition right after the read). At real scale the scan already
+    carries >= parallelism splits and this returns ``df`` UNCHANGED — no
+    shuffle is ever added to a big input, so the 100 TB plan is
+    identical with or without it.
+
+    Only safe where downstream semantics are row-set based (index
+    builds, aggregations): a round-robin repartition changes row order
+    and partition assignment. Do NOT use it in front of order- or
+    partition-sensitive consumers (k-means seeding, zipWithIndex).
+    """
+    target = int(min_parts or df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _table_ident(path: str) -> str:

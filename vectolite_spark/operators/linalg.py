@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
+
 __all__ = ["embedding_covariance", "gram_partials_covariance", "pca_project"]
 
 
@@ -159,8 +161,8 @@ def gram_partials_covariance(
         for i in range(d)
         for j in range(i, d)
     ]
-    return df.sparkSession.createDataFrame(
-        out, "dim_i int, dim_j int, cov double"
+    return local_df(
+        df.sparkSession, out, "dim_i int, dim_j int, cov double"
     )
 
 

@@ -25,6 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
 from vectolite_spark.operators.dedup import norm_tokens
 
 BM25_K1 = 1.2
@@ -221,10 +222,13 @@ def build_bm25_index(
     # dl) yields the identical rows with the join gone; at corpus scale
     # that join was a second full exchange of the biggest relation in
     # the build).
+    from vectolite_spark.operators.layout import fan_out_small_scan
+
     spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
+    src = fan_out_small_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     )
+    toks = src.select("doc_id", norm_tokens(text_col).alias("t"))
     dl = toks.select("doc_id", F.size("t").alias("dl"))
     tf = (
         toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
@@ -301,9 +305,15 @@ def append_bm25_index(
             "re-appending would double-count df/total_dl; dedupe the "
             "delta or rebuild the index"
         )
-    toks = new_docs.select(
-        F.col(id_col).alias("doc_id"), norm_tokens(text_col).alias("t")
-    ).cache()
+    from vectolite_spark.operators.layout import fan_out_small_scan
+
+    toks = (
+        fan_out_small_scan(
+            new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        )
+        .select("doc_id", norm_tokens(text_col).alias("t"))
+        .cache()
+    )
     dl = toks.select("doc_id", F.size("t").alias("dl"))
     # dl carried through the groupBy (functionally dependent on doc_id)
     # — same join-free shape as build_bm25_index
@@ -348,7 +358,8 @@ def append_bm25_index(
     fs = _HadoopFS(spark, index_path)
     fs.delete(f"{index_path}/termstats")
     fs.rename(tmp, f"{index_path}/termstats")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (
                 int(srow["n_docs"]) + int(delta_tot["n"]),
@@ -465,7 +476,7 @@ class BM25Index:
         ]
         all_terms = sorted({t for _, t in qt})
         p = self._probe(all_terms)
-        qt_df = self.spark.createDataFrame(qt, "query_id long, term string")
+        qt_df = local_df(self.spark, qt, "query_id long, term string")
         idf = F.log(
             (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
         )
@@ -668,26 +679,42 @@ def build_trigram_index(
     of the pattern's trigrams — partition pruning turns a 100 TB
     corpus problem into a posting-list problem."""
     from vectolite_spark._pandas_udfs import make_trigram_udf
+    from vectolite_spark.operators.layout import fan_out_small_scan
 
     spark = docs.sparkSession
-    tri = docs.select(
-        F.col(id_col).alias("doc_id"),
+    sc = spark.sparkContext
+    # column-prune BEFORE the fan-out decision so a tiny corpus ships
+    # only (id, text) through the (tiny) repartition; at scale the scan
+    # already has >= parallelism splits and src IS narrow (no shuffle)
+    narrow = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    src = fan_out_small_scan(narrow)
+    tri = src.select(
+        "doc_id",
         make_trigram_udf()(F.col(text_col)).alias("t"),
     ).select("doc_id", F.explode("t").alias("trigram"))
+    post = tri.withColumn(
+        "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
+    ).select("bucket", "trigram", "doc_id")
+    if src is not narrow:
+        # tiny-input regime only: re-cluster the fanned postings by
+        # bucket so the write keeps one file per bucket dir (the layout
+        # a single-task write produced); without this each of the
+        # fan-out tasks writes a sliver into every bucket (guide §6
+        # small-files). Never reached at scale (src is narrow there).
+        post = post.repartition(n_buckets, "bucket")
+    sc.setJobDescription("trgm build: postings write")
     (
-        tri.withColumn(
-            "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
-        )
-        .select("bucket", "trigram", "doc_id")
-        .write.mode("overwrite")
+        post.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
-    spark.createDataFrame(
-        [(n_buckets,)], "n_buckets int"
+    sc.setJobDescription("trgm build: meta write")
+    local_df(
+        spark, [(n_buckets,)], "n_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
     # doclen (per-doc distinct-trigram count) powers similarity_topk's
     # Jaccard denominator — derived from the same written postings
+    sc.setJobDescription("trgm build: doclen write")
     (
         spark.read.parquet(f"{index_path}/postings")
         .groupBy("doc_id")
@@ -701,7 +728,9 @@ def build_trigram_index(
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("bucket", _term_bucket_col(F.col("trigram"), n_buckets))
     )
+    sc.setJobDescription("trgm build: stats write")
     stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    sc.setJobDescription(None)
 
 
 def append_trigram_index(
@@ -753,9 +782,15 @@ def append_trigram_index(
             "or rebuild the index"
         )
 
+    from vectolite_spark.operators.layout import fan_out_small_scan
+
+    delta_narrow = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col)
+    )
+    delta_src = fan_out_small_scan(delta_narrow)
     tri = (
-        new_docs.select(
-            F.col(id_col).alias("doc_id"),
+        delta_src.select(
+            "doc_id",
             make_trigram_udf()(F.col(text_col)).alias("t"),
         )
         .select("doc_id", F.explode("t").alias("trigram"))
@@ -777,12 +812,17 @@ def append_trigram_index(
     # postings first: if the stats rewrite then fails, probes still
     # return correct results (stats only steer rarest-first selection,
     # stale df never loses a match)
+    sc = spark.sparkContext
+    delta_post = tri.withColumn(
+        "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
+    ).select("bucket", "trigram", "doc_id")
+    if delta_src is not delta_narrow:
+        # fanned tiny delta: keep one new file per touched bucket dir
+        # per append (see build_trigram_index — same small-files guard)
+        delta_post = delta_post.repartition(n_buckets, "bucket")
+    sc.setJobDescription("trgm append: postings append")
     (
-        tri.withColumn(
-            "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
-        )
-        .select("bucket", "trigram", "doc_id")
-        .write.mode("append")
+        delta_post.write.mode("append")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
@@ -791,6 +831,7 @@ def append_trigram_index(
     # (== count today: the trigram UDF emits distinct trigrams per doc)
     # keeps |D| correct even if a future path feeds duplicate
     # (doc_id, trigram) rows through here
+    sc.setJobDescription("trgm append: doclen append")
     (
         tri.groupBy("doc_id")
         .agg(F.countDistinct("trigram").alias("n_tri"))
@@ -800,11 +841,14 @@ def append_trigram_index(
     # overwrite-while-reading hazard: materialize the merged stats on
     # the driver first (vocabulary-bounded — at most |charset|^3 rows,
     # tiny by construction), then write fresh
+    sc.setJobDescription("trgm append: stats merge collect")
     rows = merged.collect()
     tri.unpersist()
-    spark.createDataFrame(
-        rows, "trigram string, df bigint, bucket bigint"
+    sc.setJobDescription("trgm append: stats write")
+    local_df(
+        spark, rows, "trigram string, df bigint, bucket bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+    sc.setJobDescription(None)
 
 
 def compact_trigram_index(spark, index_path: str) -> int:
@@ -976,11 +1020,11 @@ class TrigramIndex:
             for t, _ in probe:
                 probe_rows.append((qid, t, len(probe)))
         if not probe_rows:
-            return self.spark.createDataFrame(
-                [], "query_id long, doc_id long"
+            return local_df(
+                self.spark, [], "query_id long, doc_id long"
             )
-        probe_df = self.spark.createDataFrame(
-            probe_rows, "query_id long, trigram string, n_probed long"
+        probe_df = local_df(
+            self.spark, probe_rows, "query_id long, trigram string, n_probed long"
         )
         buckets = sorted(
             {
@@ -1002,8 +1046,8 @@ class TrigramIndex:
             .filter(F.col("nt") == F.col("np"))
             .select("query_id", "doc_id")
         )
-        pat_df = self.spark.createDataFrame(
-            pat_rows, "query_id long, pattern string"
+        pat_df = local_df(
+            self.spark, pat_rows, "query_id long, pattern string"
         )
         return (
             docs.join(F.broadcast(cand), docs[id_col] == cand["doc_id"])

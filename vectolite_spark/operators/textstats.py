@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
 from vectolite_spark.operators.dedup import (
     norm_tokens,
     widen_small_input,
@@ -730,8 +731,10 @@ def bpe_train_merges(
             F.replace(merged, F.lit(BPE_SEP * 2), F.lit(BPE_SEP)).alias("s"),
             "wc",
         )
-    return df.sparkSession.createDataFrame(
-        merges, "iteration int, left_tok string, right_tok string, cnt long"
+    return local_df(
+        df.sparkSession,
+        merges,
+        "iteration int, left_tok string, right_tok string, cnt long",
     )
 
 

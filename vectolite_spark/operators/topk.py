@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectolite_spark.functions.vector import cosine_score
+from vectolite_spark.localframe import local_df
 
 SCORE_DECIMALS = 6
 
@@ -221,7 +222,8 @@ def topk_search(
     top_rows = top.collect()
     ids = [r["vec_id"] for r in top_rows]
     spark = documents.sparkSession
-    scored = spark.createDataFrame(
+    scored = local_df(
+        spark,
         [(r["vec_id"], float(r["score"])) for r in top_rows],
         "doc_id long, score double",
     )

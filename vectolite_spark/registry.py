@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
 from vectolite_spark.operators import topk as topk_op
 from vectolite_spark.schema import load_table
 
@@ -1632,7 +1633,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectolite_spark.operators.asof import range_join
 
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_df(spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 100.0),
          ("high", 100.0, 200.0), ("extreme", 200.0, 1000.0)],
         "band string, lo double, hi double",
@@ -1897,7 +1898,7 @@ def sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries at scale — a re-executed task must keep the same docs).
     Filter is pure codegen; zero shuffle before the tiny summary agg."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
+    rates = local_df(spark,
         [("src0", 250), ("src1", 1000), ("src2", 500), ("src3", 1000),
          ("src4", 100), ("src5", 750)],
         "source string, permille int",
@@ -3256,7 +3257,7 @@ def ivf_seed_topup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     topped = _topup_seed_centroids(seeded, cents, n_cells)
     added = topped[len(cents):]
-    return spark.createDataFrame(
+    return local_df(spark,
         [(int(c), float(v[0])) for c, v in added],
         "cell bigint, c0 double",
     ).orderBy("cell")
@@ -4325,7 +4326,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(0, s.read(version=0).count()), (1, s.read(version=1).count())]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "version int, n_rows long")
+    return local_df(spark, rows, "version int, n_rows long")
 
 
 @register(
@@ -4378,7 +4379,7 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         rows,
         "lang string, n_rows long, n_backfilled_null long, sum_new_col long",
     )
@@ -4531,7 +4532,7 @@ def ann_ivfpq_exact_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _table_count(spark, sf_dir, "embeddings")
     idx = _ivfpq_handle(spark, _ensure_ivfpq_index(spark, sf_dir, embs), m=8)
     rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
-    return spark.createDataFrame(
+    return local_df(spark,
         [(r["vec_id"], r["score"]) for r in rows], "vec_id long, score double"
     )
 
@@ -5742,7 +5743,7 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr = top10(F.slice(F.col("v"), 1, td), F.slice(F.col("qv"), 1, td))
         n = ex10.join(tr, ["qid", "vec_id"]).count()
         rows.append((td, 5, round(n / 50.0, 6)))
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "trunc_dim int, n_queries long, recall_at_10 double"
     ).orderBy("trunc_dim")
 
@@ -5869,7 +5870,7 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering = (
         round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
     )
-    return spark.createDataFrame(
+    return local_df(spark,
         [(n_edges, int(n_wedges or 0), n_tri, clustering)],
         "n_edges long, n_wedges long, n_triangles long, global_clustering double",
     )
@@ -6767,7 +6768,7 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = sum(discs[: min(n_rel, 10)], Decimal(0))
     ndcg = float(round_half_up(float(dcg) / float(idcg), 6))
     mrr = max((1.0 / (i + 1) for i, rel in enumerate(rels) if rel), default=0.0)
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (
                 10,
@@ -7246,7 +7247,7 @@ def ann_ivfpq_probe_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _table_count(spark, sf_dir, "embeddings")
     idx = _ivfpq_handle(spark, _ensure_ivfpq_index(spark, sf_dir, embs), m=8)
     rows = idx.topk(qvec, k=10, n_probe=16, refine=n).collect()
-    return spark.createDataFrame(
+    return local_df(spark,
         [(r["vec_id"], r["score"]) for r in rows], "vec_id long, score double"
     )
 
@@ -7348,7 +7349,7 @@ def snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         [(r["change"], r["n_keys"]) for r in out], "change string, n_keys long"
     )
 
@@ -7441,7 +7442,7 @@ def ann_ivfpq_partial_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         ov = len(got & exact)
         rows.append((p, ov, round(ov / 10.0, 6)))
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "n_probe long, n_overlap long, recall_at_10 double"
     )
 
@@ -7488,7 +7489,7 @@ def snapshot_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "n_rows_v0 long, n_rows_v1 long, dirs_total long, dirs_rewritten long"
     )
 
@@ -9107,7 +9108,7 @@ def snapshot_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         rows,
         "n_events long, n_users long, min_event_id long, max_event_id long",
     )
@@ -9159,7 +9160,7 @@ def snapshot_changed_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "n_changed long, sum_chars long, n_langs long, id_checksum long"
     )
 
@@ -9206,7 +9207,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_live = s.read().count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (
                 pre["n_matches"],
@@ -9286,7 +9287,7 @@ def cdf_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         row,
         "n_delta long, n_dup_vs_base long, n_new_unique long, "
         "dup_id_checksum long",
@@ -9361,7 +9362,7 @@ def cdf_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         rows,
         "cluster long, n_members long, n_delta long, n_pruned long, "
         "n_kept long, kept_id_sum long, capped long",
@@ -9433,7 +9434,7 @@ def cdf_synced_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         [(audit["n"], audit["c"], top["vec_id"], float(top["score"]))],
         "n_vectors long, id_checksum long, top_id long, top_score double",
     )
@@ -9494,7 +9495,7 @@ def cdf_synced_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, lang string")
+    return local_df(spark, rows, "doc_id long, lang string")
 
 
 @register(
@@ -9543,7 +9544,7 @@ def cdf_synced_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = BM25Index(spark, idx).topk(_BM25_TERMS, k=10).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, score double")
+    return local_df(spark, rows, "doc_id long, score double")
 
 
 @register(
@@ -9591,7 +9592,7 @@ def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_src_after = src.read().count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         [
             (
                 n_src,
@@ -9685,7 +9686,7 @@ def cdf_synced_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = srp_index_topk(spark, idx, qvec, k=10).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "vec_id long, score double, rn long")
+    return local_df(spark, rows, "vec_id long, score double, rn long")
 
 
 @register(
@@ -9754,7 +9755,7 @@ def cdf_synced_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark,
         [(audit["n"], audit["c"], top["vec_id"], float(top["score"]))],
         "n_vectors long, id_checksum long, top_id long, top_score double",
     )
@@ -9834,7 +9835,7 @@ def maintenance_loop_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, lang string")
+    return local_df(spark, rows, "doc_id long, lang string")
 
 
 @register(

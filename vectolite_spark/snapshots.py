@@ -30,6 +30,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 from vectolite_spark.errors import VectoliteError
+from vectolite_spark.localframe import local_df
 from vectolite_spark.store import _HadoopFS
 
 
@@ -540,7 +541,7 @@ class SnapshotStore:
         )
         if not new_dirs:
             if schema is not None:
-                return self.spark.createDataFrame([], schema)
+                return local_df(self.spark, [], schema)
             return self.read(v_to).limit(0)
         return self._read_dirs(new_dirs, schema)
 
@@ -565,9 +566,9 @@ class SnapshotStore:
         spark = self.spark
         all_dirs = sorted(old_dirs | new_dirs)
         if not all_dirs:
-            return spark.createDataFrame([], f"{key} long, change string")
+            return local_df(spark, [], f"{key} long, change string")
         key_schema = spark.read.parquet(*all_dirs).select(key).schema
-        empty = spark.createDataFrame([], key_schema)
+        empty = local_df(spark, [], key_schema)
         o = (
             spark.read.parquet(*old_only).select(key) if old_only else empty
         )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectolite_spark.errors import VectoliteError
+from vectolite_spark.localframe import local_df
 from vectolite_spark.operators.relational import truncate_text
 from vectolite_spark.operators.topk import SCORE_DECIMALS
 from vectolite_spark.functions.vector import cosine_score
@@ -176,7 +177,7 @@ class SparkVectolite:
     def df(self) -> DataFrame:
         """The documents table as a DataFrame (empty if nothing inserted)."""
         if not self._exists():
-            return self.spark.createDataFrame([], DOCUMENT_STORE_SCHEMA)
+            return local_df(self.spark, [], DOCUMENT_STORE_SCHEMA)
         if self._snap is not None:
             return self._snap.read().select(
                 "id", "text", "metadata", "embedding", "created_at"
@@ -923,7 +924,7 @@ class SparkVectolite:
             )
             for i, (t, m, e) in enumerate(zip(texts, metadatas, embeddings))
         ]
-        df = self.spark.createDataFrame(rows, DOCUMENT_STORE_SCHEMA)
+        df = local_df(self.spark, rows, DOCUMENT_STORE_SCHEMA)
         self._append(df)
         self._max_id_cache = start + len(texts) - 1
         return list(range(start, start + len(texts)))
@@ -1169,8 +1170,8 @@ class SparkVectolite:
         if diversify is not None:
             from vectolite_spark.operators.retrieval import mmr_rerank_topk
 
-            queries = self.spark.createDataFrame(
-                [(0, qvec)], "query_id long, query_vec array<double>"
+            queries = local_df(
+                self.spark, [(0, qvec)], "query_id long, query_vec array<double>"
             )
             picked = mmr_rerank_topk(
                 base.select(F.col("id").alias("vec_id"), "embedding"),
@@ -1253,7 +1254,8 @@ class SparkVectolite:
             )
         from vectolite_spark.operators.topk import topk_batch
 
-        queries = self.spark.createDataFrame(
+        queries = local_df(
+            self.spark,
             [(i, [float(x) for x in v]) for i, v in enumerate(qvecs)],
             "query_id long, query_vec array<float>",
         )

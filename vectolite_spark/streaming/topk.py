@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectolite_spark.localframe import local_df
+
 
 def stream_embeddings(spark: SparkSession, input_dir: str) -> DataFrame:
     """Streaming parquet source of (vec_id, embedding) drops."""
@@ -63,8 +65,8 @@ def streaming_topk(
         new_state = (
             merged.orderBy(F.desc("score"), F.asc("vec_id")).limit(k).collect()
         )
-        spark.createDataFrame(
-            new_state or [], "vec_id long, score double"
+        local_df(
+            spark, new_state or [], "vec_id long, score double"
         ).coalesce(1).write.mode("overwrite").parquet(state_path)
 
     return (
