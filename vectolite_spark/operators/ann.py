@@ -831,7 +831,24 @@ def build_ivfpq_index(
     shuffle of the embedding bytes on both join sides before the
     ``repartition(cell)`` exchange; the fused plan's only exchange IS
     the cell clustering."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from vectolite_spark._pandas_udfs import make_assign_encode_mapper
+
+    # The IVF side (seed -> top-up -> Lloyd refinement) and the PQ side
+    # (codebook training) are independent computations over the same
+    # immutable input — neither reads anything the other produces until
+    # the fused encode pass needs both. Sequential execution serialized
+    # two multi-pass driver-coordinated chains; training the codebook on
+    # a driver thread while the IVF chain runs on the main thread
+    # overlaps them (guide §2.6 — concurrent jobs back-fill each
+    # other's straggler tails). Both chains are deterministic, so the
+    # built index is identical to the sequential build's.
+    pq_pool = ThreadPoolExecutor(max_workers=1)
+    fut_codebook = pq_pool.submit(
+        train_pq_codebook, embeddings, m=m, k=pq_k, id_col=id_col,
+        n_iters=pq_iters,
+    )
 
     fused_schema = "vec_id long, codes array<int>, embedding array<float>, cell long"
     if cluster_col is not None:
@@ -878,20 +895,39 @@ def build_ivfpq_index(
                 ).collect()
             ]
         fused_in = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
-    codebook = train_pq_codebook(
-        embeddings, m=m, k=pq_k, id_col=id_col, n_iters=pq_iters
-    )
+    try:
+        codebook = fut_codebook.result()
+    finally:
+        pq_pool.shutdown(wait=True)
     spark = embeddings.sparkSession
-    local_df(
-        spark,
-        [(c, v) for c, v in cents_list],
-        "cluster bigint, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    local_df(
-        spark,
-        [(i, [float(x) for x in codebook[i]]) for i in range(codebook.shape[0])],
-        "code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebook")
+
+    # the two tiny metadata writes are independent of each other —
+    # overlap them; the big cells write stays LAST alone (its _SUCCESS
+    # is the build-complete gate the registry checks)
+    from vectolite_spark.parallel import run_jobs
+
+    def _write_centroids():
+        local_df(
+            spark,
+            [(c, v) for c, v in cents_list],
+            "cluster bigint, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+
+    def _write_codebook():
+        local_df(
+            spark,
+            [
+                (i, [float(x) for x in codebook[i]])
+                for i in range(codebook.shape[0])
+            ],
+            "code int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/codebook"
+        )
+
+    run_jobs(_write_centroids, _write_codebook)
     mapper = make_assign_encode_mapper(
         None if cluster_col is not None else [c for c, _ in cents_list],
         None if cluster_col is not None else [v for _, v in cents_list],
@@ -1495,18 +1531,33 @@ def build_srp_index(
     vb = embeddings.select(
         F.col(id_col).alias("vec_id"), "embedding"
     ).mapInPandas(mapper, schema="vec_id long, embedding array<float>, block string")
-    # bound the small-file count: T*2^b partition dirs x input tasks
-    vb.coalesce(8).write.mode("overwrite").partitionBy("block").parquet(
-        f"{index_path}/cells"
-    )
-    # persist the build hyperparameters (the trigram index's meta
-    # discipline): probes/appends resolve (n_tables, n_planes) from here
-    # so a non-default build can never be probed with default planes
-    local_df(
-        embeddings.sparkSession,
-        [(int(n_tables), int(n_planes))],
-        "n_tables int, n_planes int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    # the cells write and the tiny meta write are independent —
+    # overlapped as concurrent jobs (guide §2.6). The build gate stays
+    # cells/_SUCCESS: a crash that lands meta without cells fails the
+    # gate and rebuilds (both writes are mode=overwrite — new window,
+    # harmless), and a crash that lands cells without meta is repaired
+    # by _srp_resolve's default-meta path (the window the sequential
+    # order already had).
+    from vectolite_spark.parallel import run_jobs
+
+    def _write_cells():
+        # bound the small-file count: T*2^b partition dirs x input tasks
+        vb.coalesce(8).write.mode("overwrite").partitionBy("block").parquet(
+            f"{index_path}/cells"
+        )
+
+    def _write_meta():
+        # persist the build hyperparameters (the trigram index's meta
+        # discipline): probes/appends resolve (n_tables, n_planes) from
+        # here so a non-default build can never be probed with default
+        # planes
+        local_df(
+            embeddings.sparkSession,
+            [(int(n_tables), int(n_planes))],
+            "n_tables int, n_planes int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+    run_jobs(_write_cells, _write_meta)
 
 
 def srp_index_topk(

@@ -236,31 +236,74 @@ def build_bm25_index(
         .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    (
-        tf.withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
-        .select("bucket", "term", "doc_id", "tf", "dl")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/postings")
-    )
-    dl.write.mode("overwrite").parquet(f"{index_path}/doclen")
-    # df = posting rows per term — counted off the written postings
-    # (column-pruned term scan), not a third tokenize of the corpus
-    (
-        spark.read.parquet(f"{index_path}/postings")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/termstats")
-    )
-    # stats LAST: its _SUCCESS is the build-complete marker
-    spark.read.parquet(f"{index_path}/doclen").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
-    ).withColumn("n_buckets", F.lit(n_buckets)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/stats")
+    # The postings pass and the doclen pass are the build's two corpus
+    # tokenizations, writing disjoint directories — overlapped as
+    # concurrent jobs (guide §2.6) so the second pass back-fills the
+    # first pass's straggler tail instead of waiting for it. termstats
+    # and stats then derive from the two written tables, also disjoint
+    # and also overlapped; stats is the build-complete gate (registry
+    # checks stats/_SUCCESS), so it is computed into a tmp dir in the
+    # pool and renamed into place after everything else has landed —
+    # the gate still APPEARS last, the crash contract is unchanged.
+    from vectolite_spark.parallel import run_jobs
+    from vectolite_spark.store import _HadoopFS
+
+    sc = spark.sparkContext
+
+    def _write_postings():
+        sc.setJobDescription("bm25 build: postings write")
+        (
+            tf.withColumn(
+                "bucket", _term_bucket_col(F.col("term"), n_buckets)
+            )
+            .select("bucket", "term", "doc_id", "tf", "dl")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/postings")
+        )
+
+    def _write_doclen():
+        sc.setJobDescription("bm25 build: doclen write")
+        dl.write.mode("overwrite").parquet(f"{index_path}/doclen")
+
+    run_jobs(_write_postings, _write_doclen)
+
+    def _write_termstats():
+        # df = posting rows per term — counted off the written postings
+        # (column-pruned term scan), not a third tokenize of the corpus
+        sc.setJobDescription("bm25 build: termstats write")
+        (
+            spark.read.parquet(f"{index_path}/postings")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/termstats")
+        )
+
+    stats_tmp = f"{index_path}/stats_tmp"
+
+    def _write_stats_tmp():
+        sc.setJobDescription("bm25 build: stats write")
+        (
+            spark.read.parquet(f"{index_path}/doclen")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("total_dl"),
+            )
+            .withColumn("n_buckets", F.lit(n_buckets))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stats_tmp)
+        )
+
+    run_jobs(_write_termstats, _write_stats_tmp)
+    fs = _HadoopFS(spark, index_path)
+    fs.delete(f"{index_path}/stats")
+    fs.rename(stats_tmp, f"{index_path}/stats")
+    sc.setJobDescription(None)
 
 
 def append_bm25_index(
@@ -329,14 +372,36 @@ def append_bm25_index(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
     ).first()
-    (
-        tf.withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
-        .select("bucket", "term", "doc_id", "tf", "dl")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/postings")
-    )
-    dl.write.mode("append").parquet(f"{index_path}/doclen")
+    # ^ the delta_tot action above also materialized the cached delta,
+    # so the three jobs below read it without re-tokenizing.
+    #
+    # Postings append, doclen append and the termstats merge (written
+    # to a TMP dir — invisible until the rename below) touch disjoint
+    # state: overlapped as concurrent jobs (guide §2.6). The
+    # termstats swap and the stats write stay strictly after the join,
+    # so nothing becomes VISIBLE in a different order than the old
+    # sequential code — the documented crash windows are unchanged.
+    from vectolite_spark.parallel import run_jobs
+    from vectolite_spark.store import _HadoopFS
+
+    sc = spark.sparkContext
+
+    def _append_postings():
+        sc.setJobDescription("bm25 append: postings append")
+        (
+            tf.withColumn(
+                "bucket", _term_bucket_col(F.col("term"), n_buckets)
+            )
+            .select("bucket", "term", "doc_id", "tf", "dl")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/postings")
+        )
+
+    def _append_doclen():
+        sc.setJobDescription("bm25 append: doclen append")
+        dl.write.mode("append").parquet(f"{index_path}/doclen")
+
     # overwrite-while-reading hazard (Spark cannot overwrite a dir its
     # own plan is reading): write the DISTRIBUTED merge to a tmp dir,
     # then swap via two metadata-only FS ops — a web-scale vocabulary
@@ -344,8 +409,6 @@ def append_bm25_index(
     # it was the wrong shape. The delete->rename crash window leaves a
     # missing (not corrupt) termstats dir, owned by the same batch
     # marker as the postings-written/doclen-missing window above.
-    from vectolite_spark.store import _HadoopFS
-
     merged = (
         spark.read.parquet(f"{index_path}/termstats")
         .unionByName(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
@@ -353,11 +416,17 @@ def append_bm25_index(
         .agg(F.sum("df").cast("long").alias("df"))
     )
     tmp = f"{index_path}/termstats_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    def _write_termstats_tmp():
+        sc.setJobDescription("bm25 append: termstats merge")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    run_jobs(_append_postings, _append_doclen, _write_termstats_tmp)
     toks.unpersist()
     fs = _HadoopFS(spark, index_path)
     fs.delete(f"{index_path}/termstats")
     fs.rename(tmp, f"{index_path}/termstats")
+    sc.setJobDescription(None)
     local_df(
         spark,
         [
@@ -708,28 +777,56 @@ def build_trigram_index(
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
     )
-    sc.setJobDescription("trgm build: meta write")
-    local_df(
-        spark, [(n_buckets,)], "n_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
-    # doclen (per-doc distinct-trigram count) powers similarity_topk's
-    # Jaccard denominator — derived from the same written postings
-    sc.setJobDescription("trgm build: doclen write")
-    (
-        spark.read.parquet(f"{index_path}/postings")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/doclen")
-    )
-    stats = (
-        spark.read.parquet(f"{index_path}/postings")
-        .groupBy("trigram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("bucket", _term_bucket_col(F.col("trigram"), n_buckets))
-    )
-    sc.setJobDescription("trgm build: stats write")
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/stats")
+
+    # meta, doclen and stats all derive from the written postings (or a
+    # constant) and write to disjoint directories — independent jobs,
+    # overlapped from driver threads (guide §2.6) instead of paying
+    # three sequential job launches. stats is the build-complete gate
+    # (registry checks stats/_SUCCESS), so it is computed into a tmp
+    # dir in the pool and renamed into place only after every other
+    # artifact has landed — the gate still APPEARS last, the crash
+    # contract is unchanged.
+    from vectolite_spark.parallel import run_jobs
+    from vectolite_spark.store import _HadoopFS
+
+    def _write_meta():
+        sc.setJobDescription("trgm build: meta write")
+        local_df(
+            spark, [(n_buckets,)], "n_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+    def _write_doclen():
+        # doclen (per-doc distinct-trigram count) powers
+        # similarity_topk's Jaccard denominator
+        sc.setJobDescription("trgm build: doclen write")
+        (
+            spark.read.parquet(f"{index_path}/postings")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tri"))
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/doclen")
+        )
+
+    stats_tmp = f"{index_path}/stats_tmp"
+
+    def _write_stats_tmp():
+        sc.setJobDescription("trgm build: stats write")
+        (
+            spark.read.parquet(f"{index_path}/postings")
+            .groupBy("trigram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn(
+                "bucket", _term_bucket_col(F.col("trigram"), n_buckets)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stats_tmp)
+        )
+
+    run_jobs(_write_meta, _write_doclen, _write_stats_tmp)
+    fs = _HadoopFS(spark, index_path)
+    fs.delete(f"{index_path}/stats")
+    fs.rename(stats_tmp, f"{index_path}/stats")
     sc.setJobDescription(None)
 
 
@@ -820,29 +917,46 @@ def append_trigram_index(
         # fanned tiny delta: keep one new file per touched bucket dir
         # per append (see build_trigram_index — same small-files guard)
         delta_post = delta_post.repartition(n_buckets, "bucket")
-    sc.setJobDescription("trgm append: postings append")
-    (
-        delta_post.write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/postings")
-    )
-    # delta doclen rows are for NEW doc ids only (enforced above), so a
-    # plain append is a disjoint union — no merge needed. countDistinct
-    # (== count today: the trigram UDF emits distinct trigrams per doc)
-    # keeps |D| correct even if a future path feeds duplicate
-    # (doc_id, trigram) rows through here
-    sc.setJobDescription("trgm append: doclen append")
-    (
-        tri.groupBy("doc_id")
-        .agg(F.countDistinct("trigram").alias("n_tri"))
-        .write.mode("append")
-        .parquet(f"{index_path}/doclen")
-    )
-    # overwrite-while-reading hazard: materialize the merged stats on
-    # the driver first (vocabulary-bounded — at most |charset|^3 rows,
-    # tiny by construction), then write fresh
-    sc.setJobDescription("trgm append: stats merge collect")
-    rows = merged.collect()
+
+    # The postings append, the doclen append and the stats-merge collect
+    # all consume the cached delta and touch disjoint state — overlapped
+    # as concurrent jobs (guide §2.6; block-level cache locking means
+    # the delta is still tokenized exactly once). Only the stats WRITE
+    # stays strictly after the join, preserving the existing crash
+    # ordering (stats never lands before postings/doclen — a stats
+    # failure leaves a correct, stale-df index).
+    from vectolite_spark.parallel import run_jobs
+
+    def _append_postings():
+        sc.setJobDescription("trgm append: postings append")
+        (
+            delta_post.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/postings")
+        )
+
+    def _append_doclen():
+        # delta doclen rows are for NEW doc ids only (enforced above),
+        # so a plain append is a disjoint union — no merge needed.
+        # countDistinct (== count today: the trigram UDF emits distinct
+        # trigrams per doc) keeps |D| correct even if a future path
+        # feeds duplicate (doc_id, trigram) rows through here
+        sc.setJobDescription("trgm append: doclen append")
+        (
+            tri.groupBy("doc_id")
+            .agg(F.countDistinct("trigram").alias("n_tri"))
+            .write.mode("append")
+            .parquet(f"{index_path}/doclen")
+        )
+
+    def _collect_stats():
+        # overwrite-while-reading hazard: materialize the merged stats
+        # on the driver first (vocabulary-bounded — at most |charset|^3
+        # rows, tiny by construction), then write fresh after the join
+        sc.setJobDescription("trgm append: stats merge collect")
+        return merged.collect()
+
+    _, _, rows = run_jobs(_append_postings, _append_doclen, _collect_stats)
     tri.unpersist()
     sc.setJobDescription("trgm append: stats write")
     local_df(
