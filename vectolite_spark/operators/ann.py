@@ -1526,10 +1526,14 @@ def build_srp_index(
     vector table — the standard multi-table LSH trade, and the copies
     are what let each probe touch ~T/(T*2^b) of the data."""
     from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
+    from vectolite_spark.operators.layout import fan_out_small_scan
 
     mapper = make_srp_bucket_mapper(n_tables, n_planes)
-    vb = embeddings.select(
-        F.col(id_col).alias("vec_id"), "embedding"
+    # fan out a sub-parallelism scan BEFORE the T-way replicating Arrow
+    # mapper (guide §2.5: one unsplittable input otherwise runs the
+    # whole T x corpus expansion on ONE task); no-op at real scale
+    vb = fan_out_small_scan(
+        embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
     ).mapInPandas(mapper, schema="vec_id long, embedding array<float>, block string")
     # the cells write and the tiny meta write are independent —
     # overlapped as concurrent jobs (guide §2.6). The build gate stays
@@ -1541,10 +1545,26 @@ def build_srp_index(
     from vectolite_spark.parallel import run_jobs
 
     def _write_cells():
-        # bound the small-file count: T*2^b partition dirs x input tasks
-        vb.coalesce(8).write.mode("overwrite").partitionBy("block").parquet(
-            f"{index_path}/cells"
-        )
+        # cluster by block before partitionBy — the build_ivf_index
+        # pattern: without it every mapper task writes a sliver into
+        # every one of the T*2^b block dirs (tasks x 1024 tiny files,
+        # and the single-task tiny-corpus case serializes 1024 file
+        # creates behind one another — measured 21-52 s at sf0.1 for
+        # ~3 MB of data). The shuffle moves only the delta the write
+        # itself is about to move, AQE sizes the partition count, and
+        # each block dir comes out as one splittable file.
+        sc = embeddings.sparkSession.sparkContext
+        sc.setJobDescription("srp build: cells write")
+        # explicit numPartitions = defaultParallelism: an AQE-coalesced
+        # keyed exchange packs these tiny-BYTE partitions onto a few
+        # tasks, but the write cost here is per-FILE (one parquet
+        # create per block dir), so byte-based coalescing serializes
+        # ~1024 file creates behind ~6 tasks. A fixed partition count
+        # keyed by block keeps whole blocks together (still one file
+        # per dir) while spreading file creation across the cluster.
+        vb.repartition(sc.defaultParallelism, F.col("block")).write.mode(
+            "overwrite"
+        ).partitionBy("block").parquet(f"{index_path}/cells")
 
     def _write_meta():
         # persist the build hyperparameters (the trigram index's meta
@@ -1774,12 +1794,20 @@ def srp_index_append(
     routing."""
     from vectolite_spark._pandas_udfs import make_srp_bucket_mapper
 
+    from vectolite_spark.operators.layout import fan_out_small_scan
+
     n_tables, n_planes = _srp_resolve(spark, index_path, n_tables, n_planes)
     mapper = make_srp_bucket_mapper(n_tables, n_planes)
-    vb = embeddings.select(
-        F.col(id_col).alias("vec_id"), "embedding"
+    vb = fan_out_small_scan(
+        embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
     ).mapInPandas(mapper, schema="vec_id long, embedding array<float>, block string")
-    vb.coalesce(8).write.mode("append").partitionBy("block").parquet(
+    # cluster by block before partitionBy — one new file per touched
+    # block dir per append instead of tasks x dirs slivers (see
+    # build_srp_index; same small-files guard + explicit partition
+    # count for per-file write parallelism, append flavour)
+    vb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("block")
+    ).write.mode("append").partitionBy("block").parquet(
         f"{index_path}/cells"
     )
 
