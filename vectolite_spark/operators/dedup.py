@@ -1614,6 +1614,18 @@ def prefix_filter_jaccard_pairs(
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
     )
+    # Explicit pair-keyed repartition before dedup + verify: the
+    # candidate relation is BYTE-tiny (two longs per row) but each
+    # surviving pair costs a full sorted-set intersection downstream,
+    # so AQE's byte-based coalescing collapses the exchange to ONE
+    # partition and serializes the whole verify on a single task
+    # (measured 7 s of single-task CPU at sf0.1 — the §2.5 straggler
+    # shape with CPU, not bytes, as the skewed resource). A
+    # user-specified partition count is exempt from AQE coalescing;
+    # hash(doc_a, doc_b) already satisfies the distinct's clustering
+    # (no second exchange) and the verify joins stay narrow while AQE
+    # broadcasts the small set side.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, "tid")
         .filter(
@@ -1627,6 +1639,7 @@ def prefix_filter_jaccard_pairs(
             )
         )
         .select("doc_a", "doc_b")
+        .repartition(n_par, "doc_a", "doc_b")
         .distinct()
     )
     # doc -> sorted int-id set: one small row per doc. Deliberately NOT
