@@ -43,6 +43,7 @@ def _session(log_dir: str):
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.dir", log_dir)
         .getOrCreate()
     )
@@ -144,6 +145,8 @@ def parse_event_log(log_dir: str) -> list[dict]:
             {
                 "job": jid,
                 "ms": j.get("t1", j["t0"]) - j["t0"],
+                "t0": j["t0"],
+                "t1": j.get("t1", j["t0"]),
                 "desc": (j["desc"] or "")[:100],
                 "n_stages": len(j["stages"]),
                 **roll,
@@ -155,18 +158,30 @@ def parse_event_log(log_dir: str) -> list[dict]:
 def print_jobs(rows: list[dict], min_ms: int = 0) -> None:
     total = sum(r["ms"] for r in rows)
     print(
-        f"{'job':>4} {'ms':>7} {'stg':>3} {'tasks':>5} {'inMB':>7} "
+        f"{'job':>4} {'gap':>6} {'ms':>7} {'stg':>3} {'tasks':>5} {'inMB':>7} "
         f"{'shrMB':>7} {'shwMB':>7} {'cpu_ms':>7}  desc"
     )
+    # gap = this job's start minus the latest end among all PRIOR jobs —
+    # time no Spark job was running (driver-side work) just before it.
+    # Concurrent (driver-thread) jobs show gap 0.
+    last_end = None
+    gap_total = 0
     for r in rows:
-        if r["ms"] < min_ms:
+        gap = 0 if last_end is None else max(0, r["t0"] - last_end)
+        gap_total += gap
+        last_end = r["t1"] if last_end is None else max(last_end, r["t1"])
+        if r["ms"] < min_ms and gap < min_ms:
             continue
         print(
-            f"{r['job']:>4} {r['ms']:>7} {r['n_stages']:>3} {r['tasks']:>5} "
+            f"{r['job']:>4} {gap:>6} {r['ms']:>7} {r['n_stages']:>3} "
+            f"{r['tasks']:>5} "
             f"{r['input'] / 1e6:>7.1f} {r['sh_read'] / 1e6:>7.1f} "
             f"{r['sh_write'] / 1e6:>7.1f} {r['cpu_ms']:>7}  {r['desc']}"
         )
-    print(f"-- {len(rows)} jobs, sum(job wall) = {total} ms")
+    print(
+        f"-- {len(rows)} jobs, sum(job wall) = {total} ms, "
+        f"sum(inter-job gap) = {gap_total} ms"
+    )
 
 
 def main() -> None:
