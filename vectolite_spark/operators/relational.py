@@ -99,20 +99,21 @@ def copurchase_pairs(
     ).limit(k)
 
 
-def basket_pair_counts(
-    df: DataFrame,
-    key_col: str,
-    item_col: str,
-    min_support: int = 1,
-) -> DataFrame:
-    """(item_a, item_b, n_baskets) for every unordered item pair
-    co-occurring in >= min_support baskets — the join-free pair counts
-    ``copurchase_pairs`` ranks and ``association_rules`` scores."""
-    items = F.array_sort(F.collect_set(item_col))
-    pairs = (
-        df.groupBy(key_col)
-        .agg(items.alias("its"))
-        .select(
+def _baskets(df: DataFrame, key_col: str, item_col: str) -> DataFrame:
+    """One row per basket: (key_col, its = sorted distinct item array).
+    The single wide exchange (hash by basket key) every basket-mining
+    consumer shares — callers that derive several relations from it
+    should build them all from ONE returned frame so Spark's exchange
+    reuse scans and shuffles the fact exactly once (guide §2.4)."""
+    return df.groupBy(key_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("its")
+    )
+
+
+def _pairs_from_baskets(baskets: DataFrame, min_support: int) -> DataFrame:
+    """In-row unordered pair explode + count over a ``_baskets`` frame."""
+    return (
+        baskets.select(
             F.explode(
                 F.flatten(
                     F.transform(
@@ -133,7 +134,18 @@ def basket_pair_counts(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
     )
-    return pairs
+
+
+def basket_pair_counts(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets) for every unordered item pair
+    co-occurring in >= min_support baskets — the join-free pair counts
+    ``copurchase_pairs`` ranks and ``association_rules`` scores."""
+    return _pairs_from_baskets(_baskets(df, key_col, item_col), min_support)
 
 
 def association_rules(
@@ -147,13 +159,20 @@ def association_rules(
     antecedent -> consequent, confidence = n_both/n_antecedent and
     lift = n_both * n_baskets / (n_antecedent * n_consequent), top-k by
     (rounded lift desc, rounded confidence desc, antecedent,
-    consequent). Item counts and the basket total ride two TINY
-    aggregations (item-vocabulary and one row); the scoring joins touch
-    only the min_support-filtered pair table — the fact is scanned
-    twice (pairs + item counts), never self-joined. All metrics are
-    integer ratios in float64, rounded 6dp before ordering, so the
-    ranking is engine-deterministic."""
-    pairs = basket_pair_counts(df, key_col, item_col, min_support)
+    consequent). Pairs, item counts AND the basket total all derive
+    from ONE basket-grouped relation (``_baskets``), so the fact is
+    scanned and exchanged exactly once — exchange reuse feeds the three
+    consumers from the same shuffle (guide §2.4); the old shape paid a
+    second full scan + distinct exchange for (key, item) pairs whose
+    information the basket rows already carry. n_item = exploded
+    distinct-per-basket items (identical to the old distinct-pair
+    count: collect_set dedups within basket); the basket total counts
+    non-null keys exactly as countDistinct did. The scoring joins touch
+    only the min_support-filtered pair table. All metrics are integer
+    ratios in float64, rounded 6dp before ordering, so the ranking is
+    engine-deterministic."""
+    baskets = _baskets(df, key_col, item_col)
+    pairs = _pairs_from_baskets(baskets, min_support)
     rules = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
@@ -165,12 +184,13 @@ def association_rules(
             F.col("n_baskets").alias("n_both"),
         )
     )
-    ppo = df.select(key_col, item_col).distinct()
-    icnt = ppo.groupBy(F.col(item_col).alias("item")).agg(
-        F.count(F.lit(1)).alias("n_item")
+    icnt = (
+        baskets.select(F.explode("its").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    total = ppo.agg(
-        F.countDistinct(key_col).alias("n_baskets_total")
+    total = baskets.filter(F.col(key_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_baskets_total")
     )
     ia = icnt.select(
         F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
