@@ -1130,43 +1130,82 @@ def connected_components(
         .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if int(obs0.get["n"]) <= small_graph_limit:
+    n_edges = int(obs0.get["n"])
+    if n_edges <= small_graph_limit:
         pairs = [(r["a"], r["b"]) for r in und.collect()]
         return _union_find_labels(edges.sparkSession, pairs)
-    labels = (
-        und.select(F.col("a").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        )
-    )
-    # Convergence detection rides the checkpoint job for FREE: labels are
-    # monotonically non-increasing (new = min(own, neighbors')), so the
-    # label SUM strictly decreases until the fixpoint — an Observation on
-    # the materializing plan captures it with zero extra jobs (the old
-    # join-and-count check cost one more job per round).
-    prev_sum: int | None = None
-    for _ in range(max_iter):
-        nbr = und.join(labels, und["b"] == labels["node"]).select(
-            und["a"].alias("node"), "label"
-        )
-        obs = Observation()
-        new = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+    spark = edges.sparkSession
+    # Execution shape is derived from the OBSERVED edge count, not the
+    # host: below the threshold every per-round frame is MB-sized, so
+    # AQE's per-stage materialization jobs and a wide shuffle-partition
+    # count are pure fixed overhead multiplied by the round count —
+    # run the loop with AQE off and an edge-count-derived partition
+    # count (~100K edges per partition, capped at the cluster's
+    # parallelism). Past the threshold nothing changes: AQE stays on,
+    # partitioning stays adaptive, skew handling intact. Confs are
+    # restored even on failure; the loop owns the session only for its
+    # own rounds (bench/oracle sweeps run entries sequentially).
+    _SMALL_LOOP_EDGES = 2_000_000
+    _saved: dict[str, str] = {}
+    if n_edges <= _SMALL_LOOP_EDGES:
+        p = max(1, min(
+            spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1
+        ))
+        for key, val in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", str(p)),
+        ):
+            _saved[key] = spark.conf.get(key)
+            spark.conf.set(key, val)
+    try:
+        # Seed labels with ROUND 1's result directly: min-label round 1
+        # computes min(own, min neighbor), which is exactly one groupBy
+        # over the symmetric edge list — no join needed until round 2.
+        obs1 = Observation()
+        labels = (
+            und.groupBy(F.col("a").alias("node"))
+            .agg(F.least(F.first("a"), F.min("b")).alias("label"))
             .observe(
                 # decimal(38,0): a BIGINT sum overflows around 1e9 nodes
                 # with wide id spaces; the fixpoint test needs exactness
-                obs,
+                obs1,
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = obs.get["s"]
-        labels = new
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
+        # Convergence detection rides the checkpoint job for FREE:
+        # labels are monotonically non-increasing (new = min(own,
+        # neighbors')), so the label SUM strictly decreases until the
+        # fixpoint — an Observation on the materializing plan captures
+        # it with zero extra jobs (the old join-and-count check cost
+        # one more job per round).
+        prev_sum = obs1.get["s"]
+        converged = False
+        for _ in range(max_iter - 1):
+            nbr = und.join(labels, und["b"] == labels["node"]).select(
+                und["a"].alias("node"), "label"
+            )
+            obs = Observation()
+            new = (
+                labels.union(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .observe(
+                    obs,
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = obs.get["s"]
+            labels = new
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        for key, val in _saved.items():
+            spark.conf.set(key, val)
+    if not converged:
         # Returning unconverged labels would silently split clusters (a
         # chain longer than max_iter keeps its tail mislabeled) — refuse
         # instead and point at the O(log d) algorithm.
