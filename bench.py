@@ -782,10 +782,18 @@ def main() -> None:
         k: v["spread"] for k, v in dispersion.items()
     }
     band_src.update({k: v["spread"] for k, v in serving_noise.items()})
+    # Gate-relevant bands only, 2dp: bench_diff's gates are
+    # max(1.25, 1 + 2*spread), so a spread below 0.125 NEVER changes a
+    # gate — carrying those entries only bloats the stdout line. That
+    # size matters: the driver archives the LAST 2000 chars of stdout,
+    # and r11's full-band line grew past it, clipping the JSON's head
+    # and leaving BENCH_r11.json with parsed=null (tools/bench_diff.py
+    # now also recovers keys from such a clipped tail). Full-precision
+    # bands for every key stay in BENCH_DETAIL.json unchanged.
     result["noise_band"] = {
-        k: band_src[k]
+        k: round(band_src[k], 2)
         for k in sorted(result["queries"])
-        if k in band_src and band_src[k] > 0
+        if k in band_src and band_src[k] >= 0.125
     }
     if "reference_1q_sec" in timings:
         # measured ratios vs the executed reference (>1 = we are faster)
@@ -845,6 +853,13 @@ def main() -> None:
             )
     except Exception as exc:  # never let the diff break the artifact
         result["bench_diff_vs_prev"] = {"exit": -1, "error": str(exc)[:200]}
+    # the py4j shutdown INFO line lands AFTER this print in the combined
+    # output the driver tails — silence it so the JSON line stays the
+    # last ~2000 chars the driver archives (see noise_band note above)
+    import logging
+
+    logging.getLogger("py4j").setLevel(logging.WARNING)
+    logging.getLogger("py4j.clientserver").setLevel(logging.WARNING)
     print(json.dumps(result))
 
 
