@@ -1024,3 +1024,37 @@ def test_curation_pipeline_capstone_funnel_invariants(spark):
         # head+middle of a tercile over scored survivors: the no-bigram
         # exclusion can only shrink the scored set, so kept <= ceil(2/3 n)
         assert r["n_kept"] <= -(-2 * r["n_near"] // 3)
+
+
+def test_bigstar_observation_convergence_matches_union_find(spark):
+    """The r12 bigstar loop detects convergence from a (count, sum)
+    Observation riding the per-round checkpoint (star phases never
+    connect a node to a LARGER node, so per-node labels are monotone
+    non-increasing and sum-equality implies pointwise equality). Pin
+    that against the driver union-find fixpoint on an adversarial mix:
+    chains, a star hub, a clique, singleton edges, and id gaps."""
+    import random
+
+    from vectolite_spark.operators.dedup import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    rnd = random.Random(712)
+    edges = [(i, i + 1) for i in range(10, 26)]            # chain
+    edges += [(1000, x) for x in range(1001, 1017)]        # star hub
+    edges += [(a, b) for a in range(50, 56) for b in range(a + 1, 56)]
+    edges += [(9_000_000_000 + i, 9_000_000_000 + i + 1) for i in range(4)]
+    edges += [
+        (rnd.randrange(200, 400), rnd.randrange(200, 400)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, rounds = connected_components_bigstar(df)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()  # driver union-find
+    }
+    assert got == want
+    assert rounds <= 8

@@ -580,3 +580,55 @@ def test_stream_ingest_replay_is_idempotent(spark, tmp_path):
     assert store.count_documents() == 1  # no duplicate ingest
     sink(batch_df, 1)  # a genuinely new batch still appends
     assert store.count_documents() == 2
+
+
+def test_scaled_state_confs_shrinks_restores_and_respects_scale(
+    spark, tmp_path
+):
+    """The one-shot streaming entries derive their state-partition count
+    from the OBSERVED source size (guide §2: partitioning scale-adaptive,
+    never tuned to the local core count): tiny source -> few state
+    partitions, unobservable source -> untouched, explicit override wins,
+    and the session conf is restored afterwards even on failure."""
+    from vectolite_spark.streaming.ingest import scaled_state_confs
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"x" * 1024)  # ~1 KB observed
+    with scaled_state_confs(spark, str(src)):
+        assert spark.conf.get(key) == "1"  # 1 KB // 32 MB + 1
+    assert spark.conf.get(key) == before
+
+    # a source big enough for >= the configured count leaves it unchanged
+    # (the rule only ever SHRINKS below the session value)
+    big = tmp_path / "big"
+    big.mkdir()
+    bpp = scaled_state_confs._BYTES_PER_PARTITION
+    with open(big / "part-0.parquet", "wb") as f:
+        f.truncate(bpp * (int(before) + 2))  # sparse: no real 2+GB write
+    with scaled_state_confs(spark, str(big)):
+        assert spark.conf.get(key) == before
+
+    # unobservable (non-local) source: untouched
+    with scaled_state_confs(spark, "s3a://bucket/stream/src"):
+        assert spark.conf.get(key) == before
+
+    # explicit deployment override wins over the observed size
+    spark.conf.set("spark.vectolite.stream.statePartitions", "3")
+    try:
+        with scaled_state_confs(spark, str(src)):
+            assert spark.conf.get(key) == "3"
+        assert spark.conf.get(key) == before
+    finally:
+        spark.conf.unset("spark.vectolite.stream.statePartitions")
+
+    # restored on failure too
+    try:
+        with scaled_state_confs(spark, str(src)):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before

@@ -1054,6 +1054,47 @@ def bitext_margin_mine(
 
 _SMALL_GRAPH_EDGES = 200_000
 
+# Below this OBSERVED edge count every per-round frame of an iterative
+# graph loop is MB-sized, so AQE's per-stage materialization jobs and a
+# wide shuffle-partition count are pure fixed overhead multiplied by the
+# round count. The threshold is data-derived (observed on the loop's own
+# checkpoint job), never host-derived — past it nothing changes: AQE
+# stays on, partitioning stays adaptive, skew handling intact.
+_SMALL_LOOP_EDGES = 2_000_000
+
+
+class _small_loop_confs:
+    """Context manager: below ``_SMALL_LOOP_EDGES`` observed edges, run
+    an iterative loop with AQE off and an edge-count-derived shuffle
+    partition count (~100K edges/partition, capped at the cluster's
+    parallelism); restore the session confs on exit even on failure.
+    The loop owns the session only for its own rounds (bench/oracle
+    sweeps run entries sequentially)."""
+
+    def __init__(self, spark, n_edges: int):
+        self._spark = spark
+        self._n_edges = n_edges
+        self._saved: dict[str, str] = {}
+
+    def __enter__(self):
+        if self._n_edges <= _SMALL_LOOP_EDGES:
+            p = max(1, min(
+                self._spark.sparkContext.defaultParallelism,
+                self._n_edges // 100_000 + 1,
+            ))
+            for key, val in (
+                ("spark.sql.adaptive.enabled", "false"),
+                ("spark.sql.shuffle.partitions", str(p)),
+            ):
+                self._saved[key] = self._spark.conf.get(key)
+                self._spark.conf.set(key, val)
+        return self
+
+    def __exit__(self, *exc):
+        for key, val in self._saved.items():
+            self._spark.conf.set(key, val)
+        return False
+
 
 def _union_find_labels(spark, pairs):
     """Driver-side union-find over a collected pair list: always attach
@@ -1135,29 +1176,9 @@ def connected_components(
         pairs = [(r["a"], r["b"]) for r in und.collect()]
         return _union_find_labels(edges.sparkSession, pairs)
     spark = edges.sparkSession
-    # Execution shape is derived from the OBSERVED edge count, not the
-    # host: below the threshold every per-round frame is MB-sized, so
-    # AQE's per-stage materialization jobs and a wide shuffle-partition
-    # count are pure fixed overhead multiplied by the round count —
-    # run the loop with AQE off and an edge-count-derived partition
-    # count (~100K edges per partition, capped at the cluster's
-    # parallelism). Past the threshold nothing changes: AQE stays on,
-    # partitioning stays adaptive, skew handling intact. Confs are
-    # restored even on failure; the loop owns the session only for its
-    # own rounds (bench/oracle sweeps run entries sequentially).
-    _SMALL_LOOP_EDGES = 2_000_000
-    _saved: dict[str, str] = {}
-    if n_edges <= _SMALL_LOOP_EDGES:
-        p = max(1, min(
-            spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1
-        ))
-        for key, val in (
-            ("spark.sql.adaptive.enabled", "false"),
-            ("spark.sql.shuffle.partitions", str(p)),
-        ):
-            _saved[key] = spark.conf.get(key)
-            spark.conf.set(key, val)
-    try:
+    # Execution shape derived from the OBSERVED edge count, not the
+    # host — see _small_loop_confs.
+    with _small_loop_confs(spark, n_edges):
         # Seed labels with ROUND 1's result directly: min-label round 1
         # computes min(own, min neighbor), which is exactly one groupBy
         # over the symmetric edge list — no join needed until round 2.
@@ -1202,9 +1223,6 @@ def connected_components(
                 converged = True
                 break
             prev_sum = cur_sum
-    finally:
-        for key, val in _saved.items():
-            spark.conf.set(key, val)
     if not converged:
         # Returning unconverged labels would silently split clusters (a
         # chain longer than max_iter keeps its tail mislabeled) — refuse
@@ -1286,7 +1304,23 @@ def connected_components_bigstar(
     Returns (labels, n_rounds): (doc_id, cluster_id) for every node in
     ``edges``, and the rounds taken (exposed so tests can assert the
     O(log d) behavior).
+
+    Execution shape (round 12): convergence detection rides the
+    per-round label checkpoint as an Observation instead of a separate
+    join+count job — star phases never connect a node to a LARGER node,
+    so each node's min(own, min neighbor) is monotonically
+    non-increasing and the node set of the contracted graph is stable;
+    (count, sum) unchanged therefore implies labels pointwise
+    unchanged, the exact condition the old per-round join tested. The
+    ``_small_loop_confs`` treatment the min-label loop gets was
+    MEASURED SLOWER here (interleaved A/B at sf0.1: confs-on
+    consistently behind, e.g. 7.7 vs 6.6 s) — each star phase is
+    join-heavy and AQE's runtime broadcast decisions on the
+    checkpointed (size-unknown to the static planner) frames beat a
+    fixed tiny partition count, so AQE stays ON for this loop.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -1296,6 +1330,7 @@ def connected_components_bigstar(
     )
     labels = None
     rounds = 0
+    prev: tuple | None = None
     for _ in range(max_iter):
         rounds += 1
         for keep_larger in (True, False):  # large-star, then small-star
@@ -1319,21 +1354,24 @@ def connected_components_bigstar(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-        new_labels = und.groupBy("a").agg(
-            F.least(F.first("a"), F.min("b")).alias("label")
-        ).localCheckpoint(eager=True)
-        if labels is not None:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "a")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+        obs = Observation()
+        new_labels = (
+            und.groupBy("a")
+            .agg(F.least(F.first("a"), F.min("b")).alias("label"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38,0): exact at any id scale (bigint sums
+                # overflow ~1e9 nodes with wide id spaces)
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
             )
-            if changed == 0:
-                labels = new_labels
-                break
+            .localCheckpoint(eager=True)
+        )
+        cur = (obs.get["n"], obs.get["s"])
         labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
     return (
         labels.select(
             F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -7044,16 +7044,21 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, gap="30 minutes", watermark="2 hours"
     )
     name = f"ssw_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise VectoliteError("streaming_session_windows did not drain in 180s")
+    from vectolite_spark.streaming.ingest import scaled_state_confs
+
+    with scaled_state_confs(spark, src_dir):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise VectoliteError(
+                "streaming_session_windows did not drain in 180s"
+            )
     return spark.table(name).filter(F.col("user_id") >= 0).select(
         F.col("user_id").cast("long"),
         F.expr("unix_micros(session_start)").alias("session_start_us"),
@@ -7098,18 +7103,23 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     name = f"swc_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        # timeout: the sink table is in a PARTIAL state — fail loudly
-        # instead of returning silently-incomplete counts
-        q.stop()
-        raise VectoliteError("streaming_windowed_counts did not drain in 180s")
+    from vectolite_spark.streaming.ingest import scaled_state_confs
+
+    with scaled_state_confs(spark, src_dir):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            # timeout: the sink table is in a PARTIAL state — fail loudly
+            # instead of returning silently-incomplete counts
+            q.stop()
+            raise VectoliteError(
+                "streaming_windowed_counts did not drain in 180s"
+            )
     return spark.table(name).select(
         F.expr("unix_micros(window_start) div 3600000000").alias("hour_bucket"),
         "event_type",
@@ -7154,6 +7164,11 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_SRC_CACHE[cache_key] = src_dir
     stream = spark.readStream.schema(events.schema).parquet(src_dir)
     out = running_user_totals_exact(stream)
+    # NOT under scaled_state_confs: the applyInPandasWithState fold is
+    # per-key PYTHON work, and shrinking the state partitions serializes
+    # it onto one worker round-trip — measured 2.25 -> 3.4 s at sf0.1.
+    # The shuffled rows here are the Python boundary's input, not just
+    # state-store fixed cost (guide §4: the boundary dominates).
     name = f"sut_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -8067,16 +8082,21 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_unique")
     )
     name = f"sdc_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise VectoliteError("streaming_dedup_counts did not drain in 180s")
+    from vectolite_spark.streaming.ingest import scaled_state_confs
+
+    with scaled_state_confs(spark, src_dir):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise VectoliteError(
+                "streaming_dedup_counts did not drain in 180s"
+            )
     return spark.table(name).select("source", "n_unique")
 
 

@@ -23,6 +23,74 @@ from pyspark.sql import functions as F
 from vectolite_spark.chunk import DEFAULT_MAX_CHARS, DEFAULT_OVERLAP
 
 
+class scaled_state_confs:
+    """Scale-adaptive shuffle/state partition count for a ONE-SHOT
+    streaming query (fresh checkpoint per call — the conf is read at
+    query start and pinned into that checkpoint, so this never touches
+    a resumed query's layout).
+
+    A stateful micro-batch shuffles into ``spark.sql.shuffle.partitions``
+    state partitions and instantiates one state store per partition per
+    batch. For a source observed to be tiny that is pure fixed overhead
+    (32 state stores for a few MB of rows); at real scale the same
+    session default is exactly right. Rule: ~32 MB of observed source
+    bytes per state partition, floor 1, NEVER above the session's
+    configured value — the observed size only ever shrinks the count,
+    so a 100 TB source keeps the production setting unchanged. Sources
+    whose size cannot be observed (non-local paths here) are left
+    untouched. Override per deployment with
+    ``spark.vectolite.stream.statePartitions``."""
+
+    _BYTES_PER_PARTITION = 32 * 1024 * 1024
+
+    def __init__(self, spark: SparkSession, src_dir: str):
+        self._spark = spark
+        self._src = src_dir
+        self._saved: str | None = None
+
+    @staticmethod
+    def _local_bytes(path: str) -> int | None:
+        import os
+
+        p = path
+        for scheme in ("file://",):
+            if p.startswith(scheme):
+                p = p[len(scheme):]
+        if "://" in p or not os.path.isdir(p):
+            return None
+        total = 0
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                if not n.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, n))
+                    except OSError:
+                        pass
+        return total
+
+    def __enter__(self):
+        override = self._spark.conf.get(
+            "spark.vectolite.stream.statePartitions", None
+        )
+        cur = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
+        if override is not None:
+            p = max(1, int(override))
+        else:
+            size = self._local_bytes(self._src)
+            if size is None:
+                return self
+            p = min(cur, max(1, size // self._BYTES_PER_PARTITION + 1))
+        if p != cur:
+            self._saved = str(cur)
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        return self
+
+    def __exit__(self, *exc):
+        if self._saved is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
+
 def stream_text_files(spark: SparkSession, input_dir: str, glob: str = "*.txt") -> DataFrame:
     """Streaming whole-file text source with source/filename metadata."""
     from vectolite_spark.session import ensure_shipped
