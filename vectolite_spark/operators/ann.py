@@ -540,13 +540,20 @@ def topk_batch_lsh(
     vb = embeddings.select(F.col(id_col).alias("vec_id"), "embedding").mapInPandas(
         mapper, schema="vec_id long, embedding array<float>, block string"
     )
-    ok = (
-        vb.groupBy("block")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .drop("count")
+    # Bucket-size cap via a window count, NOT a groupBy+semi-join: the
+    # aggregate subtree would RE-RUN the SRP mapper over a second full
+    # corpus scan (measured in the executed plan: 2 MapInPandas over
+    # embeddings + an extra exchange), i.e. the widest relation bucketed
+    # twice per call. The window rides the block exchange the bucket
+    # join needs anyway, so the corpus is scanned and SRP-mapped exactly
+    # once; the kept-row set is identical (same per-block count, same
+    # threshold).
+    wb = Window.partitionBy("block")
+    vb = (
+        vb.withColumn("_bc", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bc") <= max_bucket_size)
+        .drop("_bc")
     )
-    vb = vb.join(ok, "block", "left_semi")
     cand = (
         qb.select(
             F.col("block"),

@@ -1769,6 +1769,7 @@ def dup_graph_pagerank(
     rank relation carries (id, double). O(iterations) bounded rounds,
     lineage pinned by the cached edges.
     """
+    spark = df.sparkSession
     pairs = minhash_lsh_pairs(df, text_col, id_col)
     edges = _managed_cache(
         "pagerank_edges",
@@ -1787,43 +1788,52 @@ def dup_graph_pagerank(
         "pagerank_nodes", df.select(F.col(id_col).alias("doc_id"))
     )
     n = nodes.count()
-    rank = nodes.select("doc_id", F.lit(1.0 / n).alias("r"))
-    for it in range(iterations):
-        contrib = (
-            edges.join(rank.withColumnRenamed("doc_id", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("doc_id"),
-                (F.col("r") / F.col("deg")).cast("decimal(28,14)").alias("c"),
+    # The whole power iteration executes INSIDE the small-loop conf
+    # window (the rank relation is O(nodes) and every edge frame is the
+    # capped LSH pair set — node count is the scale signal): the top_n
+    # result is collected here so the execution happens under the confs,
+    # and the k-row local frame is what the caller gets. Past the
+    # threshold nothing changes and the confs are a no-op.
+    with _small_loop_confs(spark, n):
+        rank = nodes.select("doc_id", F.lit(1.0 / n).alias("r"))
+        for it in range(iterations):
+            contrib = (
+                edges.join(rank.withColumnRenamed("doc_id", "src"), "src")
+                .join(deg, "src")
+                .select(
+                    F.col("dst").alias("doc_id"),
+                    (F.col("r") / F.col("deg")).cast("decimal(28,14)").alias("c"),
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("s"))
+            rank = nodes.join(contrib, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("r"),
+            )
+            # NOTE: no per-step localCheckpoint at shallow depth — measured
+            # slower here (each eager materialization re-runs the edge join
+            # pipeline; re-executing lineage over the CACHED edges/deg/nodes
+            # is cheaper at 3 iterations). But lineage doubles per step, so
+            # past a few rounds planning time and stack depth blow up —
+            # truncate every 3rd iteration (the CC loop's pattern) so
+            # iterations=10+ stays O(1) plan size while the default
+            # iterations=3 path never checkpoints and keeps its measured win.
+            if it % 3 == 2 and it != iterations - 1:
+                rank = rank.localCheckpoint(eager=True)
+        top = (
+            rank.orderBy(F.desc("r"), F.asc("doc_id"))
+            .limit(top_n)
+            .select(
+                "doc_id", F.round(F.col("r") * 1000, 6).alias("rank_millis")
+            )
+            .collect()
         )
-        rank = nodes.join(contrib, "doc_id", "left").select(
-            "doc_id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-            ).alias("r"),
-        )
-        # NOTE: no per-step localCheckpoint at shallow depth — measured
-        # slower here (each eager materialization re-runs the edge join
-        # pipeline; re-executing lineage over the CACHED edges/deg/nodes
-        # is cheaper at 3 iterations). But lineage doubles per step, so
-        # past a few rounds planning time and stack depth blow up —
-        # truncate every 3rd iteration (the CC loop's pattern) so
-        # iterations=10+ stays O(1) plan size while the default
-        # iterations=3 path never checkpoints and keeps its measured win.
-        if it % 3 == 2 and it != iterations - 1:
-            rank = rank.localCheckpoint(eager=True)
-    return (
-        rank.orderBy(F.desc("r"), F.asc("doc_id"))
-        .limit(top_n)
-        .select(
-            "doc_id", F.round(F.col("r") * 1000, 6).alias("rank_millis")
-        )
-    )
+    return local_df(spark, top, "doc_id long, rank_millis double")
 
 
 def cdc_span_decontamination(
