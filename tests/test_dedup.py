@@ -1058,3 +1058,43 @@ def test_bigstar_observation_convergence_matches_union_find(spark):
     }
     assert got == want
     assert rounds <= 8
+
+
+def test_cdc_chunk_rows_arrow_matches_catalyst(spark, sf_dir):
+    """The Arrow-batched CDC chunker must produce exactly the rows the
+    r8–r11 Catalyst array-expression form produced — same boundary rule
+    (md5('00' prefix) per window), same slices, same hashes/lengths —
+    on the real corpus plus adversarial unicode/short/empty docs."""
+    from vectolite_spark.operators.dedup import (
+        _cdc_chunk_rows,
+        _cdc_chunk_rows_catalyst,
+    )
+    from vectolite_spark.schema import load_table
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["chunk_hash"], r["_len"])
+            for r in df.collect()
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert rows(_cdc_chunk_rows(docs, "text", "doc_id", 8)) == rows(
+        _cdc_chunk_rows_catalyst(docs, "text", "doc_id", 8)
+    )
+
+    tricky = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a"),
+            (3, "x" * 7),
+            (4, "x" * 8),
+            (5, "漢字テスト中文ドキュメント" * 10),
+            (6, "mixed ascii と 漢字 boundaries" * 20),
+            (7, "İstanbul ẞ 😀🎉" * 30),
+            (8, None),
+        ],
+        "doc_id long, text string",
+    )
+    assert rows(_cdc_chunk_rows(tricky, "text", "doc_id", 8)) == rows(
+        _cdc_chunk_rows_catalyst(tricky, "text", "doc_id", 8)
+    )
