@@ -253,9 +253,26 @@ def bigram_lm_scores(
     co-keyed with the count shuffle. Per-term doubles are DECIMAL-
     quantized so the per-doc sum is order-independent across engines.
     Docs with < 2 tokens have no bigrams: n_bigrams 0, avg_nll NULL.
+
+    Execution (round 12): the tokenize+md5 bigram stream has THREE
+    consumers (bigram counts, left counts, the per-doc score join) —
+    profiled at sf0.1, each recomputed it from the scan as a 1-task
+    stage (~2.4 s CPU each, single parquet file = one split). The
+    stream is now fanned out before the per-row stage
+    (``widen_small_input``, a no-op on an already-parallel scan) and
+    materialized ONCE through the managed cache every consumer shares
+    (replaced on the next call, unpersisted by sweep isolation —
+    storage level spills to disk at scale, and the cached relation
+    carries only (id, two md5s) per bigram, never text).
     """
+    from vectolite_spark.operators.dedup import (
+        _managed_cache,
+        widen_small_input,
+    )
+
     toks = norm_tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("t"))
+    wide = widen_small_input(base)
     pairs_arr = F.when(
         F.size("t") >= 2,
         F.transform(
@@ -270,8 +287,13 @@ def bigram_lm_scores(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1_h:string,bg_h:string>>"))
-    big = base.select(F.col(id_col), F.explode(pairs_arr).alias("p")).select(
-        F.col(id_col), F.col("p.w1_h").alias("w1_h"), F.col("p.bg_h").alias("bg_h")
+    big = _managed_cache(
+        "bigram_lm_stream",
+        wide.select(F.col(id_col), F.explode(pairs_arr).alias("p")).select(
+            F.col(id_col),
+            F.col("p.w1_h").alias("w1_h"),
+            F.col("p.bg_h").alias("bg_h"),
+        ),
     )
     cb = big.groupBy("bg_h").agg(F.count(F.lit(1)).alias("cb"))
     cl = big.groupBy("w1_h").agg(F.count(F.lit(1)).alias("cl"))
@@ -1141,7 +1163,12 @@ def dsir_importance_weights(
     engines fold identical decimals). Deterministic top-n: 6 dp rounded
     weight desc, id asc.
     """
-    toks = df.select(
+    from vectolite_spark.operators.dedup import (
+        _managed_cache,
+        widen_small_input,
+    )
+
+    toks = widen_small_input(df).select(
         F.col(id_col), F.col(source_col), norm_tokens(text_col).alias("t")
     )
     # sequence(1, 0) DESCENDS in Spark, so short docs need an explicit
@@ -1167,8 +1194,16 @@ def dsir_importance_weights(
          % n_buckets).alias("bucket"),
     )
     is_target = F.col(source_col).isin(*target_sources)
-    per_doc = bucketed.groupBy(id_col, source_col, "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # per_doc has TWO consumers (the distribution fold and the per-doc
+    # scoring join) — profiled at sf0.1, each re-ran the gram explode
+    # from a 1-task scan. Fanned out above and materialized once via the
+    # managed cache; the cached relation is the COMPACT (doc, source,
+    # bucket, n) counts (<= 256 rows/doc), never grams or text.
+    per_doc = _managed_cache(
+        "dsir_per_doc",
+        bucketed.groupBy(id_col, source_col, "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
     )
     # two corpus multinomials, derived from the compact per-doc counts
     # (the wide explode combines map-side into (doc, bucket, n) before any
