@@ -1473,9 +1473,20 @@ def blocked_fuzzy_pairs(
         F.split(F.trim(F.lower(F.col(name_col))), r"\s+").getItem(0).alias("blk"),
     )
     # block cap via a window on blk — one shuffle, feeding the self-join
-    # on the same key (no groupBy+inner-join round trip)
+    # on the same key (no groupBy+inner-join round trip). The exchange is
+    # an EXPLICIT block-keyed repartition at the cluster's parallelism:
+    # the blocked rows are byte-tiny, so AQE's byte-based coalesce folded
+    # the exchange to ONE post-shuffle partition and the whole
+    # O(block^2) levenshtein self-join ran on a single task (profiled
+    # 2.2-2.3 s single-task CPU at sf0.1 — the jaccard_prefix_join
+    # pathology, same fix). An explicit repartition is exempt from AQE
+    # coalescing and already satisfies the window's and the self-join's
+    # clustering, so no further exchange is added.
     from pyspark.sql import Window
 
+    b = b.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("blk")
+    )
     bc = F.count(F.lit(1)).over(Window.partitionBy("blk"))
     b = b.withColumn("_bc", bc).filter(F.col("_bc") <= max_block_size).drop("_bc")
     left = b.select(F.col("blk"), F.col("k").alias("key_a"), F.col("nm").alias("name_a"))
