@@ -837,6 +837,15 @@ def _srp_scored_candidates(
             mapper, schema="vec_id long, embedding array<float>, block string"
         )
     )
+    # explicit block-keyed repartition (the blocked_fuzzy_pairs /
+    # jaccard_prefix_join fix): the bucket rows are small, so AQE's
+    # byte-based coalesce would fold the cap window AND the downstream
+    # O(block^2) self-join onto a handful of tasks; an explicit
+    # repartition is exempt and satisfies both consumers' clustering
+    bucketed = bucketed.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        F.col("block"),
+    )
     bc = F.count(F.lit(1)).over(Window.partitionBy("block"))
     bucketed = (
         bucketed.withColumn("_bc", bc)
@@ -846,18 +855,25 @@ def _srp_scored_candidates(
     labels = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
     )
+    ltr_dot = lambda a, b: F.aggregate(  # noqa: E731  left-to-right, like DuckDB
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    # self-norms hoisted to per-VECTOR columns: the interpreted ltr fold
+    # is the kernel's hot expression and aa/bb depend on one side only —
+    # evaluating them before the self-join is N folds instead of 2 folds
+    # per candidate pair (identical values: same fold over the same
+    # array, just computed once)
     sides = bucketed.join(labels, "vec_id").select(
         "block",
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    ltr_dot = lambda a, b: F.aggregate(  # noqa: E731  left-to-right, like DuckDB
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        v.alias("v"),
+        ltr_dot(v, v).alias("nrm"),
     )
     a, b = sides.alias("a"), sides.alias("b")
-    aa = ltr_dot(F.col("a.v"), F.col("a.v"))
-    bb = ltr_dot(F.col("b.v"), F.col("b.v"))
+    aa = F.col("a.nrm")
+    bb = F.col("b.nrm")
     ab = ltr_dot(F.col("a.v"), F.col("b.v"))
     score = F.round(
         F.when((aa == 0) | (bb == 0), F.lit(0.0)).otherwise(
