@@ -709,6 +709,68 @@ def main() -> None:
         # drifted 0.46 -> 0.72 s as the registry grew r5 -> r6)
         clear_managed_caches()
 
+    # -- scale-proportional parallelism canary (VERDICT r12 item 2) -----
+    # Every registry entry at sf0.1 is fixed-cost/scheduler bound (12 of
+    # 29 r12 scaling keys ran FASTER at 8 cores), so the driver's
+    # 8-vs-32-core block had no key that COULD show parallel speedup.
+    # This key is sized from the OBSERVED source bytes (work tracks the
+    # dataset, not the host): a deterministic md5 chain over generated
+    # rows — pure codegen CPU, one narrow stage, no shuffle, no Python —
+    # so wall time is bound by available cores and the 8-core run MUST
+    # be slower. Recomputed from scratch per invocation (nothing cached,
+    # nothing persisted); the checksum is order-independent.
+    src_bytes = 0
+    for _r, _d, _fs in os.walk(SF_DIR):
+        for _f in _fs:
+            try:
+                src_bytes += os.path.getsize(os.path.join(_r, _f))
+            except OSError:
+                pass
+    canary_rows = max(1_000_000, min(200_000_000, src_bytes * 4))
+    spark.sparkContext.setJobDescription("bench: scaling canary (md5 chain)")
+    canary_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(canary_rows)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.md5(F.col("id").cast("string")),
+                                F.lit(":scaling-canary"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .agg(F.sum("h"))
+            .collect()
+        )
+        canary_runs.append(time.time() - t0)
+    spark.sparkContext.setJobDescription(None)
+    canary_runs.sort()
+    timings["scaling_canary"] = round(canary_runs[0], 4)
+    build_disp["scaling_canary"] = {
+        "median": round(canary_runs[len(canary_runs) // 2], 4),
+        "min": round(canary_runs[0], 4),
+        "spread": round(
+            (canary_runs[-1] - canary_runs[0])
+            / canary_runs[len(canary_runs) // 2],
+            3,
+        )
+        if canary_runs[len(canary_runs) // 2] > 0
+        else 0.0,
+        "n": len(canary_runs),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query map -> BENCH_DETAIL.json; stdout carries ONLY a compact
     # headline object (VERDICT r2 item 3: the ~120-entry map outgrew the
@@ -756,6 +818,7 @@ def main() -> None:
         "snapshot_pruned_delete",
         "streaming_windowed_counts",
         "ann_aniso_recall_floor",
+        "scaling_canary",
     ]
     result = {
         "metric": "flagship_topk_cached_1q_p8_sec",

@@ -165,3 +165,80 @@ def test_ivfpq_build_artifacts_consistent(spark, tmp_path):
         .collect()
     }
     assert cells <= cents
+
+
+def test_conf_scope_and_pool_mutual_exclusion(spark):
+    """VERDICT r12 item 4: session-conf scopes (_small_loop_confs,
+    scaled_state_confs) and run_jobs pools must never overlap — a scope
+    entered mid-pool would leak tiny-partition/AQE-off confs into
+    concurrent jobs. The guard raises LOUDLY in both directions and
+    fully releases afterward."""
+    import threading
+
+    import pytest
+
+    from vectolite_spark.operators.dedup import _small_loop_confs
+    from vectolite_spark.parallel import ConfScopeOverlapError, run_jobs
+
+    # pool inside an active conf scope -> refused
+    with _small_loop_confs(spark, 10):
+        with pytest.raises(ConfScopeOverlapError):
+            run_jobs(lambda: 1, lambda: 2)
+    # scope released: pools work again
+    assert run_jobs(lambda: 1, lambda: 2) == [1, 2]
+
+    # conf scope entered while a pool is draining -> refused, and the
+    # session confs are left untouched (the scope never mutates before
+    # the guard check)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    gate = threading.Event()
+    errs: list[BaseException] = []
+
+    def scoped_entry():
+        gate.wait(10)
+        try:
+            with _small_loop_confs(spark, 10):
+                pass  # pragma: no cover - must not be reached
+        except ConfScopeOverlapError as e:
+            errs.append(e)
+        return "scoped"
+
+    def releaser():
+        gate.set()
+        import time
+
+        time.sleep(0.05)  # keep the pool alive through the scope attempt
+        return "done"
+
+    assert run_jobs(scoped_entry, releaser) == ["scoped", "done"]
+    assert len(errs) == 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # single-thunk run_jobs is inline (no concurrency) — a conf scope
+    # inside it stays legal
+    def inline():
+        with _small_loop_confs(spark, 10):
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    assert run_jobs(inline) == [1]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_scaled_state_confs_registers_scope(spark, tmp_path):
+    """scaled_state_confs participates in the same guard when it
+    actually shrinks the partition count."""
+    import pytest
+
+    from vectolite_spark.parallel import ConfScopeOverlapError, run_jobs
+    from vectolite_spark.streaming.ingest import scaled_state_confs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "tiny.txt").write_text("hello")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scaled_state_confs(spark, str(src)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        with pytest.raises(ConfScopeOverlapError):
+            run_jobs(lambda: 1, lambda: 2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert run_jobs(lambda: 1, lambda: 2) == [1, 2]

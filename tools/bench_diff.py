@@ -74,9 +74,17 @@ def _recover_from_tail(tail: str) -> tuple[dict[str, float], dict[str, float]]:
         vals.setdefault(km.group(1), float(km.group(2)))
     for k in (
         "n", "rc", "cpus", "sf", "exit", "value",
-        "n_registry_queries", "n_vectors",
+        "n_registry_queries", "n_vectors", "best_of",
     ):
         vals.pop(k, None)
+    # Non-query scalars that survive the clip (speedup_* ratios, embedded
+    # diff verdicts) must not be diffed as query timings — when BOTH sides
+    # are recovered tails the common-key intersection no longer filters
+    # them (ADVICE r12). Queries are the only keys whose names this tool
+    # gates on; drop every known derived-scalar family by prefix.
+    for k in list(vals):
+        if k.startswith(("speedup_", "bench_diff_")):
+            vals.pop(k)
     return vals, spread
 
 

@@ -101,7 +101,9 @@ def sync_ivf_index(store, index_path: str, id_col: str = "vec_id") -> dict:
     )
 
 
-def rebuild_and_fast_forward(store, index_path: str, build_fn) -> dict:
+def rebuild_and_fast_forward(
+    store, index_path: str, build_fn, version: int | None = None
+) -> dict:
     """The recovery path the sync refusal points to: when a rewrite
     commit (delete / compact / merge / rollback) lands inside the sync
     window, ``sync_*`` raises — moved rows are not inserts, and folding
@@ -116,8 +118,16 @@ def rebuild_and_fast_forward(store, index_path: str, build_fn) -> dict:
     has its own knobs). The rebuild reads one snapshot-pinned table
     scan; at 100 TB that is the periodic-maintenance cost a rewrite
     commit already implies — the watermark loop keeps every OTHER cycle
-    at delta cost. Returns {"version": v, "n_rows": n}."""
-    v = store.current_version()
+    at delta cost. Returns {"version": v, "n_rows": n}.
+
+    ``version`` pins the snapshot the rebuild covers (defaults to the
+    current version at call time). Pinning lets a caller overlap the
+    rebuild with LATER append commits from a driver thread (guide
+    §2.6): the rebuild reads only the immutable pinned manifest, the
+    watermark lands at exactly ``version``, and the next ``sync_*``
+    folds exactly the commits past it — same end state as the
+    sequential ordering."""
+    v = store.current_version() if version is None else int(version)
     df = store.read(v).cache()  # build scan + report count: ONE table read
     try:
         build_fn(df, index_path)

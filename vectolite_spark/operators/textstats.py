@@ -273,20 +273,28 @@ def bigram_lm_scores(
     toks = norm_tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("t"))
     wide = widen_small_input(base)
+    # the hashes are grouping/join keys only (never output), so store
+    # them as 16-byte binary via unhex — injective on md5 hex, identical
+    # group/join equality, and the CACHED stream (ADVICE r12) carries
+    # half the key bytes of the 32-char hex form
     pairs_arr = F.when(
         F.size("t") >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size("t") - 1),
             lambda i: F.struct(
-                F.md5(F.element_at(F.col("t"), i)).alias("w1_h"),
-                F.md5(
-                    F.concat_ws(
-                        " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                F.unhex(F.md5(F.element_at(F.col("t"), i))).alias("w1_h"),
+                F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("t"), i),
+                            F.element_at(F.col("t"), i + 1),
+                        )
                     )
                 ).alias("bg_h"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<w1_h:string,bg_h:string>>"))
+    ).otherwise(F.array().cast("array<struct<w1_h:binary,bg_h:binary>>"))
     big = _managed_cache(
         "bigram_lm_stream",
         wide.select(F.col(id_col), F.explode(pairs_arr).alias("p")).select(

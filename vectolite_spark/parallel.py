@@ -25,8 +25,68 @@ Correctness notes:
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable
+
+# -- conf-scope / job-pool mutual exclusion (VERDICT r12 item 4) ----------
+#
+# Session-scoped conf mutation (``_small_loop_confs``, the streaming
+# ``scaled_state_confs``) and concurrent driver-thread pools both touch
+# the ONE shared SparkSession: a conf scope entered while a pool is
+# draining would leak tiny-partition/AQE-off confs into whichever
+# concurrent job plans next, and a pool started inside a conf scope runs
+# every pooled job under loop confs its author never saw. Nothing in the
+# codebase composes them today; this guard makes that invariant LOUD
+# instead of implicit. Both sides register here; overlap raises
+# immediately rather than silently degrading a concurrent large job.
+
+_guard = threading.Lock()
+_active_pools = 0
+_active_conf_scopes = 0
+
+
+class ConfScopeOverlapError(RuntimeError):
+    """A session-conf scope and a run_jobs pool tried to overlap."""
+
+
+def _pool_acquire() -> None:
+    global _active_pools
+    with _guard:
+        if _active_conf_scopes:
+            raise ConfScopeOverlapError(
+                "run_jobs started inside an active session-conf scope "
+                "(_small_loop_confs / scaled_state_confs): pooled jobs "
+                "would silently plan under loop confs. Run the pool "
+                "outside the scope."
+            )
+        _active_pools += 1
+
+
+def _pool_release() -> None:
+    global _active_pools
+    with _guard:
+        _active_pools -= 1
+
+
+def conf_scope_acquire() -> None:
+    """Called by session-conf context managers on entry (only when they
+    actually mutate a conf). Raises if any run_jobs pool is draining."""
+    global _active_conf_scopes
+    with _guard:
+        if _active_pools:
+            raise ConfScopeOverlapError(
+                "session-conf scope entered while a run_jobs pool is "
+                "active: the conf mutation would leak into concurrent "
+                "jobs. Enter the scope outside the pool."
+            )
+        _active_conf_scopes += 1
+
+
+def conf_scope_release() -> None:
+    global _active_conf_scopes
+    with _guard:
+        _active_conf_scopes -= 1
 
 
 def run_jobs(*thunks: Callable[[], Any]) -> list[Any]:
@@ -38,6 +98,14 @@ def run_jobs(*thunks: Callable[[], Any]) -> list[Any]:
     """
     if len(thunks) == 1:
         return [thunks[0]()]
+    _pool_acquire()
+    try:
+        return _run_pool(thunks)
+    finally:
+        _pool_release()
+
+
+def _run_pool(thunks: tuple[Callable[[], Any], ...]) -> list[Any]:
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
         results: list[Any] = []

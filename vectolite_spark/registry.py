@@ -9430,6 +9430,7 @@ def cdf_synced_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         set_index_watermark,
         sync_ivf_index,
     )
+    from vectolite_spark.parallel import run_jobs
     from vectolite_spark.snapshots import SnapshotStore
 
     embs = load_table(spark, sf_dir, "embeddings").select(
@@ -9441,17 +9442,31 @@ def cdf_synced_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = SnapshotStore(spark, f"{base}/table")
         v0 = s.append(embs.filter((F.col("vec_id") % 5).isin(1, 2, 3)))
         idx = f"{base}/ivf"
-        build_ivf_index(s.read(v0), idx, cluster_col="label")
-        set_index_watermark(spark, idx, v0)
-        s.append(embs.filter(F.col("vec_id") % 5 == 4))
-        s.append(embs.filter(F.col("vec_id") % 5 == 0))
+
+        # Phase overlap (guide §2.6): build reads only the immutable v0
+        # snapshot, appends touch only the table; sync joins after both
+        # — see cdf_synced_trigram_search for the DAG argument.
+        def _build():
+            build_ivf_index(s.read(v0), idx, cluster_col="label")
+            set_index_watermark(spark, idx, v0)
+
+        def _appends():
+            s.append(embs.filter(F.col("vec_id") % 5 == 4))
+            s.append(embs.filter(F.col("vec_id") % 5 == 0))
+
+        run_jobs(_build, _appends)
         sync_ivf_index(s, idx)
         h = load_ivf_index(spark, idx)
-        top = h.topk(qvec, k=1, n_probe=len(h.centroids)).collect()[0]
-        audit = h.cells().agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("vec_id").cast("long").alias("c"),
-        ).collect()[0]
+        # the serve probe and the cells audit read the same finished
+        # index into disjoint results — two independent collects, one pool
+        top_rows, audit_rows = run_jobs(
+            lambda: h.topk(qvec, k=1, n_probe=len(h.centroids)).collect(),
+            lambda: h.cells().agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("vec_id").cast("long").alias("c"),
+            ).collect(),
+        )
+        top, audit = top_rows[0], audit_rows[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return local_df(spark,
@@ -9491,6 +9506,7 @@ def cdf_synced_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         TrigramIndex,
         build_trigram_index,
     )
+    from vectolite_spark.parallel import run_jobs
     from vectolite_spark.snapshots import SnapshotStore
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -9501,10 +9517,26 @@ def cdf_synced_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = SnapshotStore(spark, f"{base}/table")
         v0 = s.append(docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)))
         idx = f"{base}/trgm"
-        build_trigram_index(s.read(v0), idx, id_col="doc_id", n_buckets=8)
-        set_index_watermark(spark, idx, v0)
-        s.append(docs.filter(F.col("doc_id") % 5 == 4))
-        s.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+        # Phase overlap (guide §2.6, VERDICT r12 item 1): the build reads
+        # ONLY the immutable v0 snapshot (manifest + data dirs never
+        # change once committed) and writes ONLY the index dir; the two
+        # append commits touch ONLY the table. The commit-ordering edges
+        # that matter — appends sequential among themselves (version
+        # numbers), sync strictly after build+watermark+both appends —
+        # are preserved by the thread structure, so the synced index and
+        # the serve result are identical to the sequential run's.
+        def _build():
+            build_trigram_index(
+                s.read(v0), idx, id_col="doc_id", n_buckets=8
+            )
+            set_index_watermark(spark, idx, v0)
+
+        def _appends():
+            s.append(docs.filter(F.col("doc_id") % 5 == 4))
+            s.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+        run_jobs(_build, _appends)
         sync_trigram_index(s, idx)
         rows = (
             TrigramIndex(spark, idx)
@@ -9548,6 +9580,7 @@ def cdf_synced_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25Index,
         build_bm25_index,
     )
+    from vectolite_spark.parallel import run_jobs
     from vectolite_spark.snapshots import SnapshotStore
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -9556,10 +9589,19 @@ def cdf_synced_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = SnapshotStore(spark, f"{base}/table")
         v0 = s.append(docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)))
         idx = f"{base}/bm25"
-        build_bm25_index(s.read(v0), idx, n_buckets=8)
-        set_index_watermark(spark, idx, v0)
-        s.append(docs.filter(F.col("doc_id") % 5 == 4))
-        s.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+        # Phase overlap (guide §2.6): build reads only the immutable v0
+        # snapshot, appends touch only the table; sync joins after both
+        # — see cdf_synced_trigram_search for the DAG argument.
+        def _build():
+            build_bm25_index(s.read(v0), idx, n_buckets=8)
+            set_index_watermark(spark, idx, v0)
+
+        def _appends():
+            s.append(docs.filter(F.col("doc_id") % 5 == 4))
+            s.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+        run_jobs(_build, _appends)
         sync_bm25_index(s, idx)
         rows = BM25Index(spark, idx).topk(_BM25_TERMS, k=10).collect()
     finally:
@@ -9687,6 +9729,7 @@ def cdf_synced_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         set_index_watermark,
         sync_srp_index,
     )
+    from vectolite_spark.parallel import run_jobs
     from vectolite_spark.snapshots import SnapshotStore
 
     embs = load_table(spark, sf_dir, "embeddings").select(
@@ -9698,10 +9741,19 @@ def cdf_synced_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = SnapshotStore(spark, f"{base}/table")
         v0 = s.append(embs.filter((F.col("vec_id") % 5).isin(1, 2, 3)))
         idx = f"{base}/srp"
-        build_srp_index(s.read(v0), idx, n_tables=4, n_planes=4)
-        set_index_watermark(spark, idx, v0)
-        s.append(embs.filter(F.col("vec_id") % 5 == 4))
-        s.append(embs.filter(F.col("vec_id") % 5 == 0))
+
+        # Phase overlap (guide §2.6): build reads only the immutable v0
+        # snapshot, appends touch only the table; sync joins after both
+        # — see cdf_synced_trigram_search for the DAG argument.
+        def _build():
+            build_srp_index(s.read(v0), idx, n_tables=4, n_planes=4)
+            set_index_watermark(spark, idx, v0)
+
+        def _appends():
+            s.append(embs.filter(F.col("vec_id") % 5 == 4))
+            s.append(embs.filter(F.col("vec_id") % 5 == 0))
+
+        run_jobs(_build, _appends)
         sync_srp_index(s, idx)
         rows = srp_index_topk(spark, idx, qvec, k=10).collect()
     finally:
@@ -9749,6 +9801,7 @@ def cdf_synced_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         set_index_watermark,
         sync_ivfpq_index,
     )
+    from vectolite_spark.parallel import run_jobs
     from vectolite_spark.snapshots import SnapshotStore
 
     embs = load_table(spark, sf_dir, "embeddings").select(
@@ -9760,19 +9813,33 @@ def cdf_synced_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = SnapshotStore(spark, f"{base}/table")
         v0 = s.append(embs.filter((F.col("vec_id") % 5).isin(1, 2, 3)))
         idx = f"{base}/ivfpq"
-        build_ivfpq_index(s.read(v0), idx, cluster_col="label")
-        set_index_watermark(spark, idx, v0)
-        s.append(embs.filter(F.col("vec_id") % 5 == 4))
-        s.append(embs.filter(F.col("vec_id") % 5 == 0))
+
+        # Phase overlap (guide §2.6): build reads only the immutable v0
+        # snapshot, appends touch only the table; sync joins after both
+        # — see cdf_synced_trigram_search for the DAG argument.
+        def _build():
+            build_ivfpq_index(s.read(v0), idx, cluster_col="label")
+            set_index_watermark(spark, idx, v0)
+
+        def _appends():
+            s.append(embs.filter(F.col("vec_id") % 5 == 4))
+            s.append(embs.filter(F.col("vec_id") % 5 == 0))
+
+        run_jobs(_build, _appends)
         sync_ivfpq_index(s, idx)
         h = IVFPQIndex(spark, idx)
-        top = h.topk(
-            qvec, k=1, n_probe=len(h.centroids), refine=100_000
-        ).collect()[0]
-        audit = h.spark.read.parquet(f"{idx}/cells").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("vec_id").cast("long").alias("c"),
-        ).collect()[0]
+        # serve probe and cells audit: independent reads of the finished
+        # index — overlapped collects
+        top_rows, audit_rows = run_jobs(
+            lambda: h.topk(
+                qvec, k=1, n_probe=len(h.centroids), refine=100_000
+            ).collect(),
+            lambda: h.spark.read.parquet(f"{idx}/cells").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("vec_id").cast("long").alias("c"),
+            ).collect(),
+        )
+        top, audit = top_rows[0], audit_rows[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return local_df(spark,
@@ -9815,6 +9882,7 @@ def maintenance_loop_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         TrigramIndex,
         build_trigram_index,
     )
+    from vectolite_spark.parallel import run_jobs
     from vectolite_spark.snapshots import SnapshotStore
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -9824,11 +9892,25 @@ def maintenance_loop_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         s = SnapshotStore(spark, f"{base}/table")
         v0 = s.append(docs.filter(F.col("doc_id") % 4 == 1))
-        s.append(docs.filter(F.col("doc_id") % 4 == 2))
-        s.append(docs.filter(F.col("doc_id") % 4 == 3))
         idx = f"{base}/trgm"
-        build_trigram_index(s.read(v0), idx, id_col="doc_id", n_buckets=8)
-        set_index_watermark(spark, idx, v0)
+
+        # Phase overlap (guide §2.6, VERDICT r12 item 1): the v0-pinned
+        # index build is independent of the later append commits (the
+        # build reads only the immutable v0 manifest/dirs and writes only
+        # the index dir), so the two chains run concurrently; every
+        # commit-ordering edge — appends sequential among themselves,
+        # compact after all appends, sync after build+watermark — holds.
+        def _build_v0():
+            build_trigram_index(
+                s.read(v0), idx, id_col="doc_id", n_buckets=8
+            )
+            set_index_watermark(spark, idx, v0)
+
+        def _appends():
+            s.append(docs.filter(F.col("doc_id") % 4 == 2))
+            s.append(docs.filter(F.col("doc_id") % 4 == 3))
+
+        run_jobs(_build_v0, _appends)
         # periodic maintenance: small-files + clustering rewrite
         s.compact(target_files=8, zorder_by=["n_chars", "doc_id"])
         try:
@@ -9838,13 +9920,25 @@ def maintenance_loop_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             )  # pragma: no cover
         except VectoliteError:
             pass  # the refusal is the contract; recover below
-        rebuild_and_fast_forward(
-            s, idx,
-            lambda df, p: build_trigram_index(
-                df, p, id_col="doc_id", n_buckets=8
-            ),
-        )
-        s.append(docs.filter(F.col("doc_id") % 4 == 0))
+        # The recovery rebuild pins the compact version, so the final
+        # append commit is independent of it (rebuild reads only the
+        # pinned manifest; the sync below folds exactly that one append
+        # through the watermark) — same end state, overlapped phases.
+        v_compact = s.current_version()
+
+        def _rebuild():
+            rebuild_and_fast_forward(
+                s, idx,
+                lambda df, p: build_trigram_index(
+                    df, p, id_col="doc_id", n_buckets=8
+                ),
+                version=v_compact,
+            )
+
+        def _final_append():
+            s.append(docs.filter(F.col("doc_id") % 4 == 0))
+
+        run_jobs(_rebuild, _final_append)
         sync_trigram_index(s, idx)
         rows = (
             TrigramIndex(spark, idx)

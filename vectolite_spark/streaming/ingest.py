@@ -81,6 +81,9 @@ class scaled_state_confs:
                 return self
             p = min(cur, max(1, size // self._BYTES_PER_PARTITION + 1))
         if p != cur:
+            from vectolite_spark.parallel import conf_scope_acquire
+
+            conf_scope_acquire()  # raises if a run_jobs pool is draining
             self._saved = str(cur)
             self._spark.conf.set("spark.sql.shuffle.partitions", str(p))
         return self
@@ -88,6 +91,10 @@ class scaled_state_confs:
     def __exit__(self, *exc):
         if self._saved is not None:
             self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+            from vectolite_spark.parallel import conf_scope_release
+
+            conf_scope_release()
+            self._saved = None
         return False
 
 
