@@ -1091,3 +1091,105 @@ def test_srp_batch_plan_matches_ivfpq_batch_contract(spark, sf_dir, tmp_path):
     assert exch, fmt  # the distinct/window shuffles exist
     for b in exch:
         assert "embedding" not in b and "qv#" not in b, b
+
+
+def test_fused_partial_sum_centroids_match_build_centroids(spark, sf_dir):
+    """r13 Lloyd-round fusion: means assembled from the fused
+    assign+partial-sum mapper must equal build_centroids' exact-DECIMAL
+    means BIT-FOR-BIT — on real data, and on adversarial values sitting
+    exactly on (or a hair off) the decimal(28,12) HALF_UP tie the
+    quantizer's fast/exact split must reproduce (odd/8192 floats have a
+    terminating decimal expansion whose 13th digit is 5)."""
+    from pyspark.sql import functions as F
+
+    from vectolite_spark._pandas_udfs import (
+        make_assign_sum_mapper,
+        make_seed_sum_mapper,
+    )
+    from vectolite_spark.operators.ann import (
+        _PARTIAL_SUM_SCHEMA,
+        _centroids_from_partials,
+        _srp_seed_col,
+        assign_cells,
+        build_centroids,
+    )
+    from vectolite_spark.schema import load_table
+
+    def via_old_assign(embs, cents):
+        refined = assign_cells(embs, cents, id_col="vec_id")
+        return sorted(
+            (int(r["cluster"]), list(r["centroid"]))
+            for r in build_centroids(
+                refined.withColumnRenamed("cell", "_cell"), "_cell"
+            ).collect()
+        )
+
+    def via_new_assign(embs, cents):
+        return _centroids_from_partials(
+            embs.select("vec_id", "embedding").mapInPandas(
+                make_assign_sum_mapper(
+                    [c for c, _ in cents], [v for _, v in cents]
+                ),
+                schema=_PARTIAL_SUM_SCHEMA,
+            )
+        )
+
+    def via_old_seed(embs, n_cells):
+        seeded = embs.withColumn(
+            "_seed_cell", _srp_seed_col(n_cells)(F.col("embedding"))
+        )
+        return sorted(
+            (int(r["cluster"]), list(r["centroid"]))
+            for r in build_centroids(seeded, "_seed_cell").collect()
+        )
+
+    def via_new_seed(embs, n_cells):
+        return _centroids_from_partials(
+            embs.select("vec_id", "embedding").mapInPandas(
+                make_seed_sum_mapper(n_cells), schema=_PARTIAL_SUM_SCHEMA
+            )
+        )
+
+    def assert_bitwise(old, new):
+        assert [c for c, _ in old] == [c for c, _ in new]
+        for (c, vo), (_, vn) in zip(old, new):
+            for a, b in zip(vo, vn):
+                assert (a == b) or (repr(a) == repr(b)), (c, a, b)
+            assert len(vo) == len(vn)
+
+    # real data: seed round and one Lloyd round
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old_seed = via_old_seed(embs, 8)
+    new_seed = via_new_seed(embs, 8)
+    assert_bitwise(old_seed, new_seed)
+    assert_bitwise(via_old_assign(embs, old_seed), via_new_assign(embs, new_seed))
+
+    # adversarial values: exact decimal(28,12) HALF_UP ties (odd/8192),
+    # near-ties a float step away, negatives, zeros, tiny, large
+    import numpy as np
+
+    tie = 1.0 / 8192.0
+    rows = []
+    vals = [
+        tie, 3 * tie, 5 * tie, -tie, -7 * tie,
+        float(np.nextafter(np.float32(tie), np.float32(1))),
+        float(np.nextafter(np.float32(tie), np.float32(0))),
+        0.0, -0.0, 0.1, 1.0 / 3.0, 1e-20, -1e-20, 123.456, -99.875,
+        15.9999999999995, -15.9999999999995,  # fast-path domain edge
+    ]
+    rng = np.random.RandomState(7)
+    for i in range(40):
+        v = [
+            float(np.float32(x))
+            for x in rng.choice(vals, 4)
+        ] if i % 2 == 0 else [
+            float(np.float32(x)) for x in rng.normal(0, 1, 4)
+        ]
+        rows.append((i, v))
+    adv = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old_seed = via_old_seed(adv, 4)
+    new_seed = via_new_seed(adv, 4)
+    assert_bitwise(old_seed, new_seed)
+    assert_bitwise(via_old_assign(adv, old_seed), via_new_assign(adv, new_seed))

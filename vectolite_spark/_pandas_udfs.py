@@ -581,6 +581,135 @@ def make_cell_assign_mapper(cluster_ids, centroid_vecs):
     return mapper
 
 
+def _decimal12_scaled(mat):
+    """Spark's ``CAST(x AS DECIMAL(28,12))`` for every element of a
+    float64 matrix, as exact scaled integers (value * 10^12).
+
+    Spark casts through ``java.math.BigDecimal.valueOf(double)`` — it
+    HALF_UP-rounds the double's SHORTEST decimal rendering
+    (``Double.toString``) at scale 12, not its exact binary expansion.
+    The vectorized fast path rounds the binary product ``|x| * 1e12``;
+    the two readings of x differ by <= 0.5 ulp, i.e. <= ~1.2e-3 scaled
+    units for |x| < 16, so only elements inside a +-1e-2 guard band of
+    the .5 tie — plus anything outside the fast-path domain — take the
+    exact ``Decimal(repr(x))`` path (repr is the same shortest decimal
+    string). Returns ``(scaled int64 matrix, valid mask)``: non-finite
+    or decimal-overflow elements (NULL after Spark's cast) are invalid,
+    contribute 0, and must be excluded from sums exactly like Spark's
+    null-skipping SUM.
+    """
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        a = np.abs(mat) * 1e12
+        fl = np.floor(a)
+        fr = a - fl
+        finite = np.isfinite(mat)
+        fast = finite & (np.abs(mat) < 16.0) & (np.abs(fr - 0.5) >= 1e-2)
+        out = np.where(
+            finite & (np.abs(mat) < 16.0), fl + (fr >= 0.5), 0.0
+        ).astype(np.int64)
+    np.multiply(out, np.sign(mat).astype(np.int64), out=out)
+    valid = finite & (np.abs(mat) < 1e16)
+    slow = valid & ~fast
+    if slow.any():
+        with localcontext() as ctx:
+            ctx.prec = 60
+            idx = np.nonzero(slow)
+            for i, j in zip(*idx):
+                out[i, j] = int(
+                    Decimal(repr(float(mat[i, j])))
+                    .scaleb(12)
+                    .to_integral_value(rounding=ROUND_HALF_UP)
+                )
+    out[~valid] = 0
+    return out, valid
+
+
+def _partial_sum_frame(cells, mat):
+    """One batch's (cell, pos, psum, cnt) partial-sum rows: per assigned
+    cell, the exact decimal(28,12)-quantized column sums as integer
+    strings (exact at any depth once Spark re-sums them as
+    decimal(38,0)) plus the batch's cell row count. int64 column sums
+    are safe: |scaled element| < 1.6e13 (fast-path domain) and Arrow
+    batches are <= ~10k rows, 5 orders below int64 overflow."""
+    scaled, valid = _decimal12_scaled(mat)
+    if not valid.all():
+        scaled = np.where(valid, scaled, 0)
+    recs_cell, recs_pos, recs_sum, recs_cnt = [], [], [], []
+    for cell in np.unique(cells):
+        sel = cells == cell
+        cnt = int(sel.sum())
+        sums = scaled[sel].sum(axis=0)
+        for pos in range(mat.shape[1]):
+            recs_cell.append(int(cell))
+            recs_pos.append(pos)
+            recs_sum.append(str(int(sums[pos])))
+            recs_cnt.append(cnt)
+    return pd.DataFrame(
+        {
+            "cell": pd.Series(recs_cell, dtype="int64"),
+            "pos": pd.Series(recs_pos, dtype="int32"),
+            "psum": pd.Series(recs_sum, dtype="object"),
+            "cnt": pd.Series(recs_cnt, dtype="int64"),
+        }
+    )
+
+
+def make_assign_sum_mapper(cluster_ids, centroid_vecs):
+    """Fused Lloyd-round mapper (guide §2.3 map-side aggregation, §2.4
+    one pass instead of two): nearest-centroid assignment — IDENTICAL
+    code path to ``make_cell_assign_mapper`` — plus exact-decimal
+    per-cell partial sums, so a single corpus pass replaces the old
+    assign-mapper + N*d posexplode + wide pre-aggregation. Only
+    C*d skinny (cell, pos, psum, cnt) rows leave the stage; the means
+    assembled from these partials are bit-for-bit ``build_centroids``'s
+    (parity-pinned by test_ann_index)."""
+    cmat = np.asarray(centroid_vecs, dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    order = np.argsort(np.asarray(cluster_ids, dtype=np.int64), kind="stable")
+    cmat, cn = cmat[order], cn[order]
+    cids = np.asarray(cluster_ids, dtype=np.int64)[order]
+
+    def mapper(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            yield _partial_sum_frame(_assign_cells(mat, cmat, cn, cids), mat)
+
+    return mapper
+
+
+def make_seed_sum_mapper(n_cells):
+    """Fused seed-round mapper: the SRP sign-pattern seed cell —
+    IDENTICAL formula to ``ann._srp_seed_col`` (md5-Rademacher planes,
+    bucket mod n_cells) — plus the same exact-decimal partial sums as
+    ``make_assign_sum_mapper``, replacing the seed-column pandas UDF +
+    posexplode aggregation with one fused pass."""
+    import math
+
+    b = max(1, math.ceil(math.log2(max(2, n_cells))))
+
+    def mapper(batches):
+        P = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            if P is None or P.shape[1] != mat.shape[1]:
+                P = _srp_planes(1, b, mat.shape[1])
+            bits = (mat @ P.T >= 0).astype(np.int64)
+            cells = (bits << np.arange(b, dtype=np.int64)).sum(axis=1) % n_cells
+            yield _partial_sum_frame(cells, mat)
+
+    return mapper
+
+
 def make_embed_udf(provider="stub", dim=64, model=None):
     def _resolve():
         # resolved inside the executor python worker, once per process

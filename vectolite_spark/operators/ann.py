@@ -112,6 +112,43 @@ def build_centroids(
     )
 
 
+_PARTIAL_SUM_SCHEMA = "cell long, pos int, psum string, cnt long"
+
+
+def _centroids_from_partials(
+    partials: DataFrame,
+) -> list[tuple[int, list[float]]]:
+    """Exact-decimal per-cell means from the fused partial-sum mappers
+    (``make_seed_sum_mapper`` / ``make_assign_sum_mapper``): Spark sums
+    the integer-scaled decimal partials exactly (decimal(38,0)), and the
+    driver replays ``build_centroids``'s decimal->double->divide
+    sequence — ``float(Fraction(total, 10^12))`` is the same
+    correctly-rounded double BigDecimal.doubleValue yields, and the
+    float/float division is the same IEEE op as Spark's Divide. The
+    means are bit-for-bit ``build_centroids``'s (parity-pinned by
+    test_ann_index); the shuffle carries C*d skinny rows instead of the
+    old N*d posexplode stream (guide §2.3)."""
+    from fractions import Fraction
+
+    rows = (
+        partials.groupBy("cell", "pos")
+        .agg(
+            F.sum(F.col("psum").cast("decimal(38,0)")).alias("s"),
+            F.sum("cnt").alias("n"),
+        )
+        .collect()
+    )
+    byc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        byc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(
+            Fraction(int(r["s"]), 10**12)
+        ) / float(r["n"])
+    return [
+        (c, [dims[p] for p in range(len(dims))])
+        for c, dims in sorted(byc.items())
+    ]
+
+
 def nearest_centroid(
     centroids: list[tuple[int, list[float]]], qvec: Sequence[float]
 ) -> int:
@@ -359,32 +396,53 @@ def build_ivf_index(
     if cluster_col is None:
         # seed centroids from a deterministic coarse partition of the id
         # space, then ``n_iters`` Lloyd rounds (assign -> exact-DECIMAL
-        # mean). Each round is one narrow matmul stage + one skinny-row
-        # shuffle; centroids (C x d floats) round-trip through the driver
-        # because C is tiny by construction. Deterministic: seed is
-        # id-derived, means are order-independent, ties in assignment
-        # break on (rounded score, cell id) — so rebuilds at any
-        # partitioning converge to the same index.
+        # mean). Each round is ONE fused corpus pass (r13): the mapper
+        # assigns and emits exact-decimal per-cell partial sums, so the
+        # old assign-mapper + N*d posexplode + wide pre-agg collapses to
+        # a C*d skinny-row shuffle (guide §2.3/§2.4); means are
+        # bit-identical to build_centroids (parity-pinned). Centroids
+        # (C x d floats) round-trip through the driver because C is tiny
+        # by construction. Deterministic: seed is geometry-derived,
+        # means are order-independent, ties in assignment break on
+        # (rounded score, cell id) — so rebuilds at any partitioning
+        # converge to the same index.
+        from vectolite_spark._pandas_udfs import (
+            make_assign_sum_mapper,
+            make_seed_sum_mapper,
+        )
+
         n_seed_cells = 16
-        seeded = embeddings.withColumn(
-            "_seed_cell", _srp_seed_col(n_seed_cells)(F.col("embedding"))
+        emb_in = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+        cents_list = _centroids_from_partials(
+            emb_in.mapInPandas(
+                make_seed_sum_mapper(n_seed_cells), schema=_PARTIAL_SUM_SCHEMA
+            )
         )
-        cents_list = [
-            (int(r["cluster"]), list(r["centroid"]))
-            for r in build_centroids(seeded, "_seed_cell").collect()
-        ]
-        cents_list = _topup_seed_centroids(
-            seeded, cents_list, n_seed_cells, id_col=id_col
-        )
-        assigned = None
+        if len(cents_list) < n_seed_cells:
+            # degenerate path only: the top-up needs the per-row seed
+            # column; the seed assignment is a pure function of the
+            # vector, so recomputing it here is identical
+            seeded = embeddings.withColumn(
+                "_seed_cell", _srp_seed_col(n_seed_cells)(F.col("embedding"))
+            )
+            cents_list = _topup_seed_centroids(
+                seeded, cents_list, n_seed_cells, id_col=id_col
+            )
+        prev_cents = cents_list
         for _ in range(max(1, n_iters)):
-            assigned = assign_cells(embeddings, cents_list, id_col=id_col)
-            cents_list = [
-                (int(r["cluster"]), list(r["centroid"]))
-                for r in build_centroids(
-                    assigned.withColumnRenamed("cell", "_cell"), "_cell"
-                ).collect()
-            ]
+            prev_cents = cents_list
+            cents_list = _centroids_from_partials(
+                emb_in.mapInPandas(
+                    make_assign_sum_mapper(
+                        [c for c, _ in prev_cents], [v for _, v in prev_cents]
+                    ),
+                    schema=_PARTIAL_SUM_SCHEMA,
+                )
+            )
+        # the cells layout uses the LAST round's assignment (the one the
+        # final means were computed over) — same frame the old shape
+        # wrote, rebuilt lazily here since the fused pass kept only sums
+        assigned = assign_cells(embeddings, prev_cents, id_col=id_col)
         cents = local_df(
             embeddings.sparkSession,
             [(c, v) for c, v in cents_list],
@@ -869,16 +927,27 @@ def build_ivfpq_index(
             F.col(cluster_col).cast("long").alias("cell"),
         )
     else:
-        seeded = embeddings.withColumn(
-            "_seed_cell", _srp_seed_col(n_cells)(F.col("embedding"))
+        from vectolite_spark._pandas_udfs import (
+            make_assign_sum_mapper,
+            make_seed_sum_mapper,
         )
-        cents_list = [
-            (int(r["cluster"]), list(r["centroid"]))
-            for r in build_centroids(seeded, "_seed_cell").collect()
-        ]
-        cents_list = _topup_seed_centroids(
-            seeded, cents_list, n_cells, id_col=id_col
+
+        fused_in = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+        cents_list = _centroids_from_partials(
+            fused_in.mapInPandas(
+                make_seed_sum_mapper(n_cells), schema=_PARTIAL_SUM_SCHEMA
+            )
         )
+        if len(cents_list) < n_cells:
+            # degenerate path only (empty seed cells): the top-up needs
+            # the per-row seed column — the seed is a pure function of
+            # the vector, so recomputing it here is identical
+            seeded = embeddings.withColumn(
+                "_seed_cell", _srp_seed_col(n_cells)(F.col("embedding"))
+            )
+            cents_list = _topup_seed_centroids(
+                seeded, cents_list, n_cells, id_col=id_col
+            )
         # Lloyd refinement of the IVF level, from GEOMETRY-AWARE seeds
         # (r9): seed cell = the vector's sign pattern under
         # ceil(log2(n_cells)) deterministic md5-Rademacher projections —
@@ -891,17 +960,22 @@ def build_ivfpq_index(
         # run). Sign-pattern seeds separate real clusters from round
         # zero. Still deterministic and partitioning-independent (pure
         # function of the vector), so rebuilds converge identically.
-        # The FINAL assignment below uses the refined centroids —
-        # routing at query time must agree with the cells on disk.
+        # Each round is ONE fused pass (r13): assignment + exact-decimal
+        # partial sums in the mapper, C*d skinny rows shuffled instead
+        # of the old N*d posexplode (guide §2.3/§2.4); means
+        # bit-identical to build_centroids (parity-pinned). The FINAL
+        # assignment below uses the refined centroids — routing at
+        # query time must agree with the cells on disk.
         for _ in range(max(0, ivf_iters)):
-            refined = assign_cells(embeddings, cents_list, id_col=id_col)
-            cents_list = [
-                (int(r["cluster"]), list(r["centroid"]))
-                for r in build_centroids(
-                    refined.withColumnRenamed("cell", "_cell"), "_cell"
-                ).collect()
-            ]
-        fused_in = embeddings.select(F.col(id_col).alias("vec_id"), "embedding")
+            cents_list = _centroids_from_partials(
+                fused_in.mapInPandas(
+                    make_assign_sum_mapper(
+                        [c for c, _ in cents_list],
+                        [v for _, v in cents_list],
+                    ),
+                    schema=_PARTIAL_SUM_SCHEMA,
+                )
+            )
     try:
         codebook = fut_codebook.result()
     finally:
