@@ -924,7 +924,11 @@ def append_trigram_index(
     # the delta is still tokenized exactly once). Only the stats WRITE
     # stays strictly after the join, preserving the existing crash
     # ordering (stats never lands before postings/doclen — a stats
-    # failure leaves a correct, stale-df index).
+    # failure leaves a correct, stale-df index). Pre-materializing the
+    # cache before the pool was MEASURED AND REJECTED (r13 interleaved
+    # A/B ×3: medians 2.98 vs 3.07 s on trgm_incremental_build, 6.29 vs
+    # 6.42 s on the capstone — the extra serial pass buys nothing the
+    # per-block locks don't already provide).
     from vectolite_spark.parallel import run_jobs
 
     def _append_postings():
