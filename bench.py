@@ -829,9 +829,16 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
         # observed same-run serving noise band (median-of-3 interleaved
         # repeats): a round-over-round delta inside ~2x this spread is
-        # host drift, not code — see tools/bench_diff.py gating
+        # host drift, not code — see tools/bench_diff.py gating.
+        # r13: pruned to keys PRESENT in this artifact's queries map —
+        # bench_diff only gates common query keys, so a spread for a
+        # key that never appears in round artifacts (facade/resident
+        # meters) is dead weight against the driver's 2000-char tail
+        # capture; the full map stays in BENCH_DETAIL["noise"].
         "serving_noise_band": {
-            k: v["spread"] for k, v in sorted(serving_noise.items())
+            k: v["spread"]
+            for k, v in sorted(serving_noise.items())
+            if k in headline_keys
         },
         "sf": detail["sf"],
         "n_vectors": n_vecs,
@@ -889,9 +896,16 @@ def main() -> None:
             for ln in proc.stdout.splitlines()
             if "REGRESSED" in ln
         )
+        # The JSON carries the verdict (exit + count) but NOT the name
+        # list or the adjudication command: a 5-name red diff pushed the
+        # stdout line past the driver's 2000-char tail capture (the r11
+        # parsed=null failure mode, reintroduced exactly when a flag
+        # makes the artifact matter most). Names + the exact ab_bench
+        # command go to stderr below and are reproducible by rerunning
+        # tools/bench_diff.py on the archived artifact pair.
         result["bench_diff_vs_prev"] = {
             "exit": proc.returncode,
-            "flagged": flagged,
+            "n_flagged": len(flagged),
         }
         if proc.returncode != 0 and flagged:
             # SCALING §8g standing rule: a red diff without a matching
@@ -908,7 +922,6 @@ def main() -> None:
                 f"--keys {','.join(flagged)} --reps 5 --inner 3 "
                 f"--out BENCH_rN_ab_control.json"
             )
-            result["bench_diff_vs_prev"]["adjudicate_with"] = ab_cmd
             print(
                 f"bench_diff flagged {flagged} (measured at {prev_commit})"
                 f" — REQUIRED before the round closes:\n  {ab_cmd}",
